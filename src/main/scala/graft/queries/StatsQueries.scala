@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.stats.DashboardStats
+
+/** The dashboard-cube flagship (SURVEY.md §3 E2/E3): lineitem is recast
+  * as an RTT-shaped fact (band histogram + pathway + IS flag + month),
+  * then [[DashboardStats.compute]] produces every (month × group ×
+  * pathway × IS-slice) cell INCLUDING the ENGLAND and "All" rollups in
+  * one job — the architecture that replaces the reference's ~50k
+  * re-scanning calls (`3b.:44-57`). Oracle: the same cube via DuckDB
+  * GROUPING SETS — an independent formulation of A12-A15 semantics.
+  */
+object StatsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val B = 60 // band domain: l_quantity+10 ∈ 11..60 so the
+                     // 18-week and 52-week thresholds are both live
+
+  val defs: Map[String, Q] = Map(
+    "q_dashboard_cube" -> ((s, d) => {
+      val f0 = Tables.lineitem(s, d).select(
+        year(col("l_shipdate")).cast("string").as("monthyr"),
+        col("l_linestatus").as("provider"),
+        lit("Total").as("specialty"),
+        when(col("l_returnflag") === "A", "incomplete")
+          .when(col("l_returnflag") === "N", "completeadmitted")
+          .otherwise("newRTT").as("pathway"),
+        when(col("l_discount") > 0.05, 1).otherwise(0).as("is_provider"),
+        (col("l_quantity").cast("bigint") + 10L).as("band"),
+        when(col("l_tax") >= 0.04, 1L).otherwise(0L).as("unk"),
+        lit("C1").as("commissioner_code"))
+      // per-cell band histogram -> the normalized RTT fact shape
+      val hist = f0
+        .groupBy("monthyr", "provider", "specialty", "pathway",
+          "is_provider", "commissioner_code", "band")
+        .agg(count(lit(1)).as("c"), sum("unk").as("unk"))
+      val fact2 = hist
+        .groupBy("monthyr", "provider", "specialty", "pathway",
+          "is_provider", "commissioner_code")
+        .agg(
+          map_from_arrays(collect_list(col("band")), collect_list(col("c"))).as("m"),
+          sum("unk").as("unknown_start"),
+          sum("c").as("total_all"))
+        .select(col("monthyr"), col("provider"), col("specialty"),
+          col("pathway"), col("is_provider"), col("commissioner_code"),
+          transform(sequence(lit(1), lit(B)),
+            i => coalesce(try_element_at(col("m"), i.cast("bigint")), lit(0L)))
+            .as("weeks"),
+          col("unknown_start"), col("total_all"))
+      DashboardStats.compute(fact2, "provider",
+        DashboardStats.Config(maxBands = B))
+        .drop("specialty") // constant 'Total' in this recast
+        .orderBy("monthyr", "grp", "is_slice", "pathway")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_dashboard_cube" ->
+      s"""WITH f AS (
+        |  SELECT CAST(year(l_shipdate) AS VARCHAR) AS monthyr,
+        |    l_linestatus AS grp0,
+        |    CASE l_returnflag WHEN 'A' THEN 'incomplete'
+        |         WHEN 'N' THEN 'completeadmitted' ELSE 'newRTT' END AS pathway,
+        |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is0,
+        |    CAST(l_quantity AS BIGINT) + 10 AS band,
+        |    CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS unk
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT monthyr, pathway, band,
+        |    CASE WHEN GROUPING(grp0) = 1 THEN 'ENGLAND' ELSE grp0 END AS grp,
+        |    CASE WHEN GROUPING(is0) = 1 THEN 'All'
+        |         WHEN is0 = 1 THEN 'IS' ELSE 'Non-IS' END AS is_slice,
+        |    count(*) AS c, sum(unk) AS unk
+        |  FROM f
+        |  GROUP BY GROUPING SETS (
+        |    (monthyr, pathway, band, grp0, is0),
+        |    (monthyr, pathway, band, is0),
+        |    (monthyr, pathway, band, grp0),
+        |    (monthyr, pathway, band))),
+        |cells AS (SELECT DISTINCT monthyr, grp, pathway, is_slice FROM base),
+        |spine AS (
+        |  SELECT c.monthyr, c.grp, c.pathway, c.is_slice, b.band
+        |  FROM cells c CROSS JOIN
+        |    (SELECT unnest(generate_series(1, $B)) AS band) b),
+        |t AS (
+        |  SELECT s.monthyr, s.grp, s.pathway, s.is_slice, s.band,
+        |    sum(coalesce(base.c, 0)) OVER (PARTITION BY s.monthyr, s.grp,
+        |      s.pathway, s.is_slice ORDER BY s.band) AS cum,
+        |    sum(coalesce(base.c, 0)) OVER (PARTITION BY s.monthyr, s.grp,
+        |      s.pathway, s.is_slice) AS tnm,
+        |    sum(coalesce(base.unk, 0)) OVER (PARTITION BY s.monthyr, s.grp,
+        |      s.pathway, s.is_slice) AS unk
+        |  FROM spine s LEFT JOIN base
+        |    ON s.monthyr = base.monthyr AND s.grp = base.grp
+        |    AND s.pathway = base.pathway AND s.is_slice = base.is_slice
+        |    AND s.band = base.band),
+        |agg AS (
+        |  SELECT monthyr, grp, is_slice, pathway,
+        |    max(tnm) AS tnm, max(unk) AS unk,
+        |    (max(tnm) >= 20 AND pathway <> 'newRTT') AS eligible,
+        |    count(*) FILTER (WHERE cum < 0.50 * tnm) AS w50,
+        |    count(*) FILTER (WHERE cum < 0.92 * tnm) AS w92,
+        |    count(*) FILTER (WHERE cum < 0.95 * tnm) AS w95,
+        |    max(CASE WHEN band = 18 THEN cum END) AS n18,
+        |    max(tnm) - max(CASE WHEN band = 52 THEN cum END) AS n52p
+        |  FROM t GROUP BY monthyr, grp, is_slice, pathway)
+        |SELECT monthyr, grp, is_slice, pathway,
+        |  CASE WHEN pathway = 'completeadmitted' THEN tnm + unk
+        |       ELSE tnm END AS total_patients,
+        |  CASE WHEN eligible THEN n18 END AS number_18_or_less,
+        |  CASE WHEN eligible THEN round_even(100.0 * n18 / tnm, 1) END
+        |    AS rate_18wks_or_less,
+        |  CASE WHEN eligible THEN n52p END AS number_52_or_more,
+        |  CASE WHEN eligible THEN round_even(100.0 * n52p / tnm, 1) END
+        |    AS rate_52wks_or_more,
+        |  CASE WHEN eligible THEN w50 END AS weeks_50,
+        |  CASE WHEN eligible THEN w92 END AS weeks_92,
+        |  CASE WHEN eligible THEN w95 END AS weeks_95
+        |FROM agg ORDER BY monthyr, grp, is_slice, pathway""".stripMargin)
+}
