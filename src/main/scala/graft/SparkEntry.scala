@@ -21,11 +21,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.StatsQueries.defs
+      graft.queries.StatsQueries.defs ++
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.EventQueries.defs ++
+      graft.queries.MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.StatsQueries.oracles
+      graft.queries.StatsQueries.oracles ++
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.EventQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

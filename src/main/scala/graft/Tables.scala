@@ -24,7 +24,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it with the
+    * legacy nanos-as-long conf and surface BOTH the raw nanos (`ts_ns`,
+    * bigint) and a proper microsecond `ts` timestamp. Integer `div` —
+    * not `/` — because nano epochs (~1.7e18) exceed a double's exact
+    * integer range (2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

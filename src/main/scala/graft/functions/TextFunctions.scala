@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, quality scoring, language ID,
+  * fingerprinting. All pure `org.apache.spark.sql.functions`
+  * compositions — codegen'd, no UDFs, so they stay inside
+  * whole-stage codegen over a 100 TB `documents` scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty input -> empty array, not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword-boundary tokens: runs of letters, runs of digits,
+    * or single non-alphanumeric symbols — the regex analogue of a
+    * byte-pair pre-tokenizer's initial split. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("bigint")
+
+  /** Contiguous word n-gram shingles over the whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Punctuation density: punct chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\-]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Language stopword tables (tiny public top-frequency lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "dans", "est", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "un", "una", "es", "por"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast("bigint")
+
+  /** Stopword ratio against one language's list (quality signal). */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(hitCount(t, stopwords(lang)).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** N-gram/stopword-heuristic language ID: argmax of per-language
+    * stopword hit counts over {en,de,fr,es}; no hits at all -> "und"
+    * (undetermined). Deterministic tie order: en > de > fr > es. */
+  def languageId(text: Column): Column = {
+    val t = tokens(text)
+    val s = Seq("en", "de", "fr", "es").map(l => l -> hitCount(t, stopwords(l))).toMap
+    when(greatest(s("en"), s("de"), s("fr"), s("es")) === 0, lit("und"))
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), lit("en"))
+      .when(s("de") >= s("fr") && s("de") >= s("es"), lit("de"))
+      .when(s("fr") >= s("es"), lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * (language-appropriate) stopword presence, penalizes punctuation
+    * walls. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) * lenScore + lit(0.5) * least(stop * 5.0, lit(1.0)) - punct))
+  }
+
+  /** Document fingerprint: hash of the whitespace-normalized,
+    * case-folded text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

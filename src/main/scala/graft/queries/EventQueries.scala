@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table in its BATCH form —
+  * the same logical computations the streaming layer
+  * ([[graft.streaming.EventStreams]]) runs incrementally; structured
+  * streaming itself is exercised in StreamingSpec (memory sink), since
+  * the driver's oracle harness is batch-only.
+  *
+  * Timestamps: `events.parquet` stores INT64 nanos (see
+  * [[graft.Tables.events]]); all time arithmetic here is integer
+  * microsecond math (`ts_ns div 1000`) so the DuckDB oracle can mirror
+  * it exactly (`epoch_ns(ts) // 1000`).
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  val defs: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type (streaming window agg,
+    // batch-equivalent).
+    "q_e_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", expr("ts_ns div 1000"))
+        .groupBy((expr(s"m div $HourUs") * HourUs).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    // Gap-based sessionization (30-min inactivity), the batch twin of
+    // flatMapGroupsWithState: lag -> new-session flag -> running count.
+    "q_e_sessions" -> ((s, d) => {
+      val order = Seq(col("m").asc, col("event_id").asc)
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.events(s, d)
+        .withColumn("m", expr("ts_ns div 1000"))
+        .withColumn("prev", lag(col("m"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("m") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("m").as("start_us"), max("m").as("end_us"),
+          (max(col("m")) - min(col("m"))).as("dur_us"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // Event funnel: per user, did view precede purchase (order-aware
+    // flag-max over event sequences).
+    "q_e_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("m", expr("ts_ns div 1000"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("m").as("first_view_us"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("m").as("first_purchase_us"))
+      ev.select("user_id").distinct()
+        .join(firstView, Seq("user_id"), "left")
+        .join(firstBuy, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("first_view_us").isNotNull, 1L).otherwise(0L).as("viewed"),
+          when(col("first_purchase_us").isNotNull, 1L).otherwise(0L).as("purchased"),
+          when(col("first_view_us").isNotNull && col("first_purchase_us").isNotNull
+            && col("first_view_us") < col("first_purchase_us"), 1L)
+            .otherwise(0L).as("converted"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_e_hourly" ->
+      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS hour_us,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+    "q_e_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS m
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, value, m,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, value, m,
+        |    CASE WHEN prev IS NULL OR m - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |x AS (
+        |  SELECT user_id, value, m,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(m) AS start_us, max(m) AS end_us, max(m) - min(m) AS dur_us,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q_e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),
+        |v AS (SELECT user_id, min(m) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, min(m) AS fp FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN v.fv IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+        |  CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END AS purchased,
+        |  CASE WHEN v.fv IS NOT NULL AND p.fp IS NOT NULL AND v.fv < p.fp
+        |       THEN 1 ELSE 0 END AS converted
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin)
+}

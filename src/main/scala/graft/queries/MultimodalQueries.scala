@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries: binary payloads + typed metadata, with
+  * the batched stub decoder (see [[graft.multimodal.Multimodal]]).
+  * Metadata/hash ops are oracle-checked; the decode/feature path is
+  * deterministic but not SQL-portable (rows-only check + spec).
+  */
+object MultimodalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Binary metadata: byte lengths + content hash over the payload.
+    "q_mm_meta" -> ((s, d) => {
+      Multimodal.fromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("bigint").as("byte_len"),
+          sha2(col("payload"), 256).as("payload_sha256"),
+          col("meta_width").cast("bigint").as("meta_width"),
+          col("meta_height").cast("bigint").as("meta_height"))
+        .orderBy("media_id")
+    }),
+
+    // Batched stub decode -> per-kind feature aggregation.
+    "q_mm_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .as[Multimodal.MediaRecord]
+      val feats = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
+      feats.toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum("byte_len").as("total_bytes"),
+          sum("n_frames_sampled").as("total_frames"),
+          round(sum(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + x)")), 1)
+            .as("total_feature_mass"))
+        .orderBy("kind")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS payload_sha256,
+        |  n_chars % 640 AS meta_width,
+        |  n_chars % 480 AS meta_height
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

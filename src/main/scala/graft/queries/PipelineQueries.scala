@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import graft.similarity.Similarity
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, dedup (exact + near-dup), similarity search.
+  * SQL-expressible ops carry DuckDB oracles; LSH/SimHash ops (hash
+  * functions not portable to DuckDB) are oracle-less here and instead
+  * verified against their exact counterparts in ScalaTest specs.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Token counting: whitespace + BPE-ish subword boundaries.
+    "q_t_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text"))).as("ws_tokens"),
+          sum(T.bpeishTokenCount(col("text"))).as("bpe_tokens"),
+          round(avg(col("n_chars")), 3).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring: punctuation / stopword / length signals.
+    "q_t_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(T.punctRatio(col("text"))), 5).as("avg_punct"),
+          round(avg(T.stopwordRatio(col("text"))), 5).as("avg_stop"),
+          round(avg(T.qualityScore(col("text"))), 5).as("avg_quality"))
+        .orderBy("source")
+    }),
+
+    // Language ID (stopword-hit argmax heuristic), per document.
+    "q_t_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          T.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup groups via normalized-text fingerprint.
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    // shared-shingle equi-join (no cross product).
+    "q_dedup_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH near-dup pairs — the billion-doc path. No DuckDB
+    // oracle (xxhash64); DedupSpec checks it against the exact pairs.
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-5 for the first 10 vectors — the exact
+    // baseline for ANN.
+    "q_sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH (sign-random-projection) approximate top-5 — the scale path.
+    // No oracle (plane constants not portable); SimilaritySpec measures
+    // recall against the brute-force baseline.
+    "q_sim_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs via LSH buckets (high-sim regime).
+    "q_sim_embed_neardup" -> ((s, d) => {
+      Similarity.embeddingNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // EXACT embedding-cosine near-dup pairs (brute force, oracle-able);
+    // threshold 0.3 sits inside this corpus's similarity range.
+    "q_sim_neardup_exact" -> ((s, d) => {
+      Similarity.bruteForceNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }))
+
+  private val punctClass = """[.,;:!?''"()\-]""" // SQL-escaped ' as ''
+
+  val oracles: Map[String, String] = Map(
+    "q_t_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS ws_tokens,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+        |    AS bpe_tokens,
+        |  round(avg(n_chars), 3) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_t_quality" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '$punctClass', '', 'g')))
+        |           * 1.0 / length(text) END AS punct,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+        |    length(text) AS len
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT source, punct, len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','a','in','is','that','it','was'], x)))
+        |        * 1.0 / len(toks) END AS stop
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(punct), 5) AS avg_punct,
+        |  round(avg(stop), 5) AS avg_stop,
+        |  round(avg(greatest(0.0, least(1.0,
+        |    0.5 * least(len / 500.0, 1.0) + 0.5 * least(stop * 5.0, 1.0) - punct))), 5)
+        |    AS avg_quality
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+    "q_t_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','that','it','was'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','von','mit','den','im','zu'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','de','un','une','dans','est','pour'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','los','las','y','en','que','un','una','es','por'], x))) AS s_es
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, na.n_sh AS n_a, nb.n_sh AS n_b,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_neardup_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_cosine_similarity(qv, cv), 4) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming versions of the event analytics — the
+  * incremental twins of [[graft.queries.EventQueries]]. The reference
+  * is pure batch with a manual monthly-increment idiom (`1b.:169-179`);
+  * this module is the `Trigger.AvailableNow` / drop-folder shape that
+  * idiom maps to (SURVEY.md §2.10), plus genuine event-time operators
+  * (watermarked windows, stateful sessionization) for the `events`
+  * stream.
+  */
+object EventStreams {
+
+  /** Raw parquet schema of the events table: ts is INT64 nanos (read
+    * with nanosAsLong — Spark rejects TIMESTAMP(NANOS) natively). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, tsUs: Long)
+
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long, sum_value: Double, closed: Boolean)
+
+  private final case class SessionState(idx: Long, nEvents: Long,
+      startUs: Long, lastUs: Long, sumValue: Double)
+
+  /** File-source stream over a drop folder (or a single parquet file)
+    * of events; emits a proper microsecond `ts` timestamp column. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. Event-time,
+    * late data beyond `watermark` dropped; state is bounded by
+    * watermark horizon — the 100 TB/day streaming shape. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: sessions
+    * close after `gapUs` of inactivity. Within a batch, a group's
+    * iterator is NOT time-ordered — events are sorted in the state
+    * function (bounded by per-user-per-batch volume, not history:
+    * cross-batch continuity lives in the GroupState). Emits closed
+    * sessions; the open tail stays in state. */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000 * 1000)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val evs = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          evs.foreach { e =>
+            if (cur == null) {
+              cur = SessionState(1L, 1L, e.tsUs, e.tsUs, e.value)
+            } else if (e.tsUs - cur.lastUs > gapUs) {
+              out += Session(userId, cur.idx, cur.nEvents, cur.startUs,
+                cur.lastUs, cur.sumValue, closed = true)
+              cur = SessionState(cur.idx + 1, 1L, e.tsUs, e.tsUs, e.value)
+            } else {
+              cur = cur.copy(nEvents = cur.nEvents + 1, lastUs = e.tsUs,
+                sumValue = cur.sumValue + e.value)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Batch -> typed events (for feeding [[sessionize]] in tests or
+    * backfills: the same code runs batch and streaming). */
+  def toTypedEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000").as("tsUs"))
+      .as[Event]
+  }
+}

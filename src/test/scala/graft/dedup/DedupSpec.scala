@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** The LSH/SimHash paths have no DuckDB oracle (hash functions aren't
+  * portable) — they are verified here against their exact counterparts
+  * on the sf0.001 documents table. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  private lazy val exactPairs =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recovers the exact Jaccard>=0.5 pairs with high recall") {
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture should contain near-dup pairs")
+    // LSH candidates are verified with exact Jaccard -> no false positives
+    assert(lsh.subsetOf(exactPairs))
+    val recall = lsh.size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exactPairs.size})")
+  }
+
+  test("minhash signature approximates Jaccard (similar docs share mins)") {
+    import spark.implicits._
+    val sig = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),  // ~0.6 shingle overlap with 1
+      (3L, "z y x w v u t s r q")) // disjoint
+      .toDF("doc_id", "text")
+      .withColumn("sh", graft.functions.TextFunctions.wordShingles(col("text"), 3))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 64))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(agree(sig(1L), sig(2L)) > agree(sig(1L), sig(3L)))
+    assert(agree(sig(1L), sig(3L)) < 0.2)
+  }
+
+  test("simhash near-dup pairs overlap the exact near-dup set and are symmetric-safe") {
+    val sh = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // id_a < id_b invariant, hamming bound respected
+    assert(sh.forall { case (a, b, h) => a < b && h <= 6 })
+    // near-identical texts should also be simhash-close: most exact
+    // pairs (Jaccard>=0.5) should appear at a loose hamming bound
+    val loose = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxDist = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val covered = exactPairs.count(loose.contains)
+    assert(covered.toDouble / exactPairs.size >= 0.8,
+      s"simhash found $covered of ${exactPairs.size} exact near-dups")
+  }
+
+  test("simhash is deterministic and order-invariant-ish (same text -> same sig)") {
+    import spark.implicits._
+    val sigs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"))
+      .toDF("id", "text").select(Dedup.simHash64(col("text")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("exactDedup keeps exactly one row per fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, "same  text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // whitespace-normalized dup collapses to min id
+  }
+}

@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("cosine: known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 1f), Seq(1f, 1f)),
+      (Seq(1f, 2f), Seq(2f, 3f)))
+      .toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
+    assert(math.abs(c(2) - 0.9922778767136677) < 1e-9)
+    // zero vector -> null, not NaN
+    val z = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")))
+    assert(z.head.isNullAt(0))
+  }
+
+  test("LSH top-k recall vs brute force on near-random embeddings") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // this corpus is near-random (top-1 cosine ~0.3-0.5) — the hardest
+    // regime for SRP buckets; planes=5 x tables=10 should still catch a
+    // meaningful share, and catastrophic mis-tuning would land near 0.
+    assert(recall >= 0.25, s"LSH recall collapsed: $recall")
+  }
+
+  test("LSH candidates are a subset of the corpus and dedup'd") {
+    val r = Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 5).collect()
+    val keys = r.map(x => (x.getLong(0), x.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+    assert(r.forall(_.getLong(1) <= 5)) // rank within k
+  }
+
+  test("srpBucket is deterministic across evaluations") {
+    val planes = Similarity.hyperplanes(5, 64, seed = 42L)
+    val a = emb.select(Similarity.srpBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = emb.select(Similarity.srpBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.distinct.size > 1, "buckets should spread")
+  }
+
+  test("brute-force near-dup at high threshold is empty on this corpus (matches exact)") {
+    val n = Similarity.bruteForceNearDupPairs(emb, "vec_id", "embedding", 0.9).count()
+    val lsh = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9).count()
+    assert(n == 0L && lsh == 0L)
+  }
+}
