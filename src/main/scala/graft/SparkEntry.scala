@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.StatsQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.EventQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.SourceQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.StatsQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }
