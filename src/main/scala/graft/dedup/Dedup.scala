@@ -30,11 +30,27 @@ object Dedup {
       .drop("fingerprint")
 
   /** Distinct word-n-gram shingles per document (the comparison units
-    * for near-dup detection). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    * for near-dup detection).
+    *
+    * Implemented as posexplode + lead-window rather than the
+    * [[TextFunctions.wordShingles]] HOF: higher-order-function lambdas
+    * are interpreted (and re-evaluate the tokenizing split per
+    * element), while explode + window + concat are fully codegen'd —
+    * at corpus scale this is the difference between regex-splitting
+    * each document once vs hundreds of times. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val withNext = toks.select(Seq(col(idCol), col("t0")) ++
+      (1 until n).map(j => lead(col("t0"), j).over(w).as(s"t$j")): _*)
+    withNext
+      .filter(col(s"t${n - 1}").isNotNull) // tail positions lack full n-grams
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("shingle"))
       .distinct()
+  }
 
   /** EXACT n-gram Jaccard near-dup pairs >= `threshold`.
     *
@@ -65,12 +81,37 @@ object Dedup {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes of the
-    * shingle set, each `min(xxhash64(shingle, seed_i))`. Pure HOF
-    * composition (nested transform/array_min) — codegen'd per row. */
+  /** MinHash signature as a Column (nested HOFs): reference semantics
+    * in one expression — fine for tests/small data, but higher-order
+    * functions are NOT codegen'd (interpreted per element), so for
+    * real corpora use [[minHashSignatures]]. */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** Scalable MinHash signatures: explode distinct shingles, compute
+    * the `numHashes` seeded hashes as PLAIN columns (whole-stage
+    * codegen'd), then one hash-aggregate of `numHashes` `min`s
+    * (partial+final, map-side combined). Exactly equal to
+    * [[minHashSignature]] (same `xxhash64(shingle, seed)` stream), but
+    * ~codegen-speed instead of interpreted. Returns (id, sig). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minHashSignaturesFromShingles(shingles(df, idCol, textCol, n), idCol, numHashes)
+
+  /** Signature computation from an already-derived (id, shingle) table
+    * — lets callers share one materialized shingle table between
+    * signatures and verification. */
+  def minHashSignaturesFromShingles(sh: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val hashed = sh.select(Seq(col(idCol)) ++
+      (0 until numHashes).map(i => xxhash64(col("shingle"), lit(i)).as(s"h$i")): _*)
+    hashed.groupBy(idCol).agg(
+      min(col("h0")).as("m0"),
+      (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding: signatures are cut into `bands` bands of
     * `numHashes/bands` rows; docs colliding in ANY band become
@@ -86,10 +127,10 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df
-      .withColumn("sh", TextFunctions.wordShingles(col(textCol), n))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    // ONE shingle derivation feeds signatures, sizes, and both
+    // verification joins
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val withSig = minHashSignaturesFromShingles(sh, idCol, numHashes)
     val buckets = withSig.select(col(idCol),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -102,8 +143,7 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // exact verification on the candidate set only
-    val sh = shingles(df, idCol, textCol, n)
+    // exact verification on the candidate set only (shares `sh`)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
@@ -135,6 +175,32 @@ object Dedup {
     when(nTok === 0, lit(0L)).otherwise(packed)
   }
 
+  /** Scalable SimHash: explode tokens, then ONE hash-aggregate with 64
+    * per-bit +1/-1 sums (partial+final, map-side combined — same shape
+    * as [[graft.ops.HistogramOps.sumBands]]), then pack the majority
+    * bits. Equivalent to [[simHash64]] (bit b set iff the +-1 sum >= 0
+    * iff 2*count_set >= n) but the per-row expression stays small —
+    * the 64-branch single-expression form is a whole-stage-codegen
+    * bomb at scale. Docs with no tokens get signature 0. */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val h = toks.select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitSums = h.groupBy(idCol).agg(
+      sum(when(col("h").bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as("b0"),
+      (1 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$b")
+      }: _*)
+    val packed = (0 until 64).map { b =>
+      shiftleft(when(col(s"b$b") >= 0, 1L).otherwise(0L), b)
+    }.reduce(_ + _)
+    df.select(col(idCol))
+      .join(bitSums.withColumn("sig", packed).select(col(idCol), col("sig")),
+        Seq(idCol), "left")
+      .withColumn("sig", coalesce(col("sig"), lit(0L)))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= `maxDist`,
     * candidate-generated by 16-bit chunk collision (pigeonhole: any
     * pair at distance <= 3 shares at least one of 4 chunks; higher
@@ -142,7 +208,7 @@ object Dedup {
     * chunk value). */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol), simHash64(col(textCol)).as("sig"))
+    val sigs = simHashSignatures(df, idCol, textCol)
     val chunks = sigs.select(col(idCol), col("sig"),
         explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*))

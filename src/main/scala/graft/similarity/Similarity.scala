@@ -29,20 +29,93 @@ object Similarity {
       .otherwise(dot(a, b) / d)
   }
 
-  /** Brute-force cosine top-k: every query row against every corpus
-    * row. Queries are broadcast (the small side by construction);
-    * ranking uses the ROUNDED similarity (stable across engines /
-    * summation orders) with the corpus id as tiebreaker. */
+  /** Unit-normalized double vector as a separate projection step: the
+    * norm is computed ONCE per row (hoisted out of the per-pair work —
+    * inside a join predicate it would re-evaluate per pair). Zero
+    * vectors normalize to null (cosine undefined). */
+  private def withUnitVec(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("__n", norm(col(vecCol)))
+      .withColumn(out, when(col("__n") === 0.0 || col("__n").isNull, lit(null))
+        .otherwise(transform(col(vecCol), x => x.cast("double") / col("__n"))))
+      .drop("__n")
+
+  final case class Scored(query_id: Long, neighbor_id: Long, sim: Double)
+
+  /** Spark `round(x, d)` semantics on the JVM side (HALF_UP over the
+    * canonical decimal repr) — keeps mapPartitions kernels hash-equal
+    * to expression-computed results. */
+  private def roundHalfUp(x: Double, d: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(d, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dotLoop(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Unit-normalized query set collected to the driver (queries are
+    * small by contract — this is the broadcast side). */
+  private def collectUnitQueries(queries: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] =
+    withUnitVec(queries, vecCol, "qv")
+      .select(col(idCol).cast("long"), col("qv"))
+      .collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Brute-force cosine top-k: the exact ANN baseline. Queries are
+    * collected + broadcast as plain arrays; the corpus streams through
+    * a JIT-compiled mapPartitions dot-product kernel keeping a bounded
+    * per-partition top-k per query (HOF expressions are interpreted in
+    * Spark — a numeric kernel belongs in compiled code); only the
+    * per-partition winners shuffle to the final global rank. Scale
+    * shape: corpus-size work, constant memory, k*partitions*|Q| rows
+    * shuffled. Ranking uses the ROUNDED similarity (stable across
+    * engines and summation orders) with the corpus id as tiebreaker. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, simDecimals: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), simDecimals))
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val qArr = collectUnitQueries(queries, idCol, vecCol)
+    val qB = ss.sparkContext.broadcast(qArr)
+    val kk = k; val dec = simDecimals
+    val scored = withUnitVec(corpus, vecCol, "cv")
+      .select(col(idCol).cast("long").as("neighbor_id"), col("cv"))
+      .filter(col("cv").isNotNull)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // per-query bounded worst-first heap: (sim asc, id desc)
+        // PQ dequeues the ordering's MAX; order by (-sim, id) so the
+        // head is the WORST kept entry (lowest sim, then highest id)
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+        it.foreach { case (cid, cv) =>
+          val cvA = cv.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != cid) {
+              val sim = roundHalfUp(dotLoop(qv, cvA), dec)
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((sim, cid))
+              else {
+                val (ws, wid) = h.head
+                if (sim > ws || (sim == ws && cid < wid)) { h.dequeue(); h.enqueue((sim, cid)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (s, cid) => Scored(qid, cid, s) }
+        }
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+    scored.toDF()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -56,12 +129,43 @@ object Similarity {
 
   /** Sign-random-projection bucket key: bit p = (v . plane_p) > 0,
     * packed into a long. Vectors in the same bucket are "probably
-    * close" candidates. */
+    * close" candidates. (Column form — for composition/tests; the
+    * batch path below uses the compiled kernel.) */
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       shiftleft(when(dot(vec, planeLit) > 0, lit(1L)).otherwise(lit(0L)), i)
     }.reduce(_ + _)
+
+  private final case class Bucket(id: Long, t: Int, b: Long)
+
+  /** All (table, bucket) keys per row via one compiled kernel —
+    * HOF-expression plane projections evaluate interpreted, which
+    * dominates LSH runtime; a flat double loop is ~100x cheaper. */
+  private def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planeSets: Seq[Array[Array[Double]]]): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val psB = ss.sparkContext.broadcast(planeSets.toArray)
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val sets = psB.value
+        it.flatMap { case (id, v) =>
+          val vA = v.toArray
+          sets.iterator.zipWithIndex.map { case (planes, t) =>
+            var b = 0L; var p = 0
+            while (p < planes.length) {
+              if (dotLoop(planes(p), vA) > 0) b |= (1L << p)
+              p += 1
+            }
+            Bucket(id, t, b)
+          }
+        }
+      }
+      .toDF()
+  }
 
   /** LSH-bucketed approximate top-k: equi-join on the SRP bucket key
     * (+ multi-probe over `tables` independent plane sets to recover
@@ -73,21 +177,24 @@ object Similarity {
       simDecimals: Int = 4): DataFrame = {
     val planeSets = (0 until tables)
       .map(t => hyperplanes(planes, dimOf(corpus, vecCol), seed = 42L + t))
-    def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(id + "_v"),
-        explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-          struct(lit(t).as("t"), srpBucket(col(vecCol), ps).as("b"))
-        }: _*)).as("bk"))
-        .select(col(id), col(id + "_v"), col("bk.t"), col("bk.b"))
-    val qb = withBuckets(queries, "query_id")
-    val cb = withBuckets(corpus, "neighbor_id")
+    // buckets carry IDS ONLY; vectors re-attach to the (much smaller)
+    // deduped candidate set — keeps the bucket shuffle narrow at scale
+    val qb = srpBuckets(queries, idCol, vecCol, planeSets)
+      .withColumnRenamed("id", "query_id")
+    val cb = srpBuckets(corpus, idCol, vecCol, planeSets)
+      .withColumnRenamed("id", "neighbor_id")
     val candidates = qb.join(cb, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val qv = withUnitVec(queries, vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val cv = withUnitVec(corpus, vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
     val scored = candidates
-      .withColumn("sim",
-        round(cosine(col("query_id_v"), col("neighbor_id_v")), simDecimals))
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")), simDecimals))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -101,13 +208,36 @@ object Similarity {
   /** EXACT all-pairs cosine near-dup above `threshold` — brute force,
     * for corpora small enough to cross-join (or as the per-bucket
     * verifier). Oracle-able. */
+  final case class DupPair(id_a: Long, id_b: Long, sim: Double)
+
   def bruteForceNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    broadcast(a).crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
-      .filter(col("sim") >= threshold)
+    val ss = df.sparkSession
+    import ss.implicits._
+    // whole (small) corpus broadcast as arrays; each partition scans its
+    // rows against the broadcast side with a compiled dot kernel —
+    // O(n^2) work, parallel over partitions, no per-pair array allocs.
+    // (This is the exact baseline; the LSH variant is the scale path.)
+    val all = collectUnitQueries(df, idCol, vecCol)
+    val aB = ss.sparkContext.broadcast(all)
+    val thr = threshold
+    val par = ss.sparkContext.defaultParallelism
+    withUnitVec(df, vecCol, "uv")
+      .select(col(idCol).cast("long").as("id_b"), col("uv"))
+      .filter(col("uv").isNotNull)
+      .repartition(par)
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val as = aB.value
+        it.flatMap { case (idB, vb) =>
+          val vbA = vb.toArray
+          as.iterator.collect {
+            case (idA, va) if idA < idB =>
+              (idA, roundHalfUp(dotLoop(va, vbA), 6))
+          }.collect { case (idA, sim) if sim >= thr => DupPair(idA, idB, sim) }
+        }
+      }
+      .toDF()
       .select("id_a", "id_b", "sim")
   }
 
@@ -116,22 +246,42 @@ object Similarity {
     * concentrate HIGH-cosine pairs; recall degrades as the threshold
     * approaches the background similarity of the corpus. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 5, tables: Int = 10): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 10, tables: Int = 10): DataFrame = {
+    // planes sized for the HIGH-similarity regime this op targets:
+    // at cos~0.9, P(bit agree) ~ 0.86 -> 10 planes keep ~0.21/table,
+    // ~0.91 recall over 10 tables, while 2^10 buckets keep random
+    // collisions (and the candidate set) small.
     val planeSets = (0 until tables)
       .map(t => hyperplanes(planes, dimOf(df, vecCol), seed = 42L + t))
-    val b = df.select(col(idCol), col(vecCol).as("v"),
-        explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-          struct(lit(t).as("t"), srpBucket(col(vecCol), ps).as("b"))
-        }: _*)).as("bk"))
-      .select(col(idCol), col("v"), col("bk.t"), col("bk.b"))
-    b.as("a").join(b.as("b2"),
+    val ss = df.sparkSession
+    import ss.implicits._
+    // buckets carry IDS ONLY (vectors would bloat the shuffle and the
+    // distinct); exact scoring happens after dedup via a broadcast
+    // vector map + compiled dot kernel.
+    // cache: the self-join would otherwise recompute the plane
+    // projections on both sides
+    val b = srpBuckets(df, idCol, vecCol, planeSets).cache()
+    val candidates = b.as("a").join(b.as("b2"),
         col("a.t") === col("b2.t") && col("a.b") === col("b2.b") &&
-          col(s"a.$idCol") < col(s"b2.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b2.$idCol").as("id_b"),
-        col("a.v").as("va"), col("b2.v").as("vb"))
+          col("a.id") < col("b2.id"))
+      .select(col("a.id").as("id_a"), col("b2.id").as("id_b"))
       .distinct()
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
-      .filter(col("sim") >= threshold)
+    val vecMap = ss.sparkContext.broadcast(
+      collectUnitQueries(df, idCol, vecCol).toMap)
+    val thr = threshold
+    candidates.as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = vecMap.value
+        it.flatMap { case (a2, b2) =>
+          (m.get(a2), m.get(b2)) match {
+            case (Some(va), Some(vb)) =>
+              val sim = roundHalfUp(dotLoop(va, vb), 6)
+              if (sim >= thr) Iterator.single(DupPair(a2, b2, sim)) else Iterator.empty
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF()
       .select("id_a", "id_b", "sim")
   }
 }

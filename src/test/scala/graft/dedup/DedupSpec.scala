@@ -67,6 +67,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1))
   }
 
+  test("scalable simhash (explode+agg) equals the expression form") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox the fox"), (2L, "a b c d"),
+      (3L, "lorem ipsum dolor sit amet"), (4L, ""))
+      .toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simHashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("exactDedup keeps exactly one row per fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "same  text"), (2L, "same text"), (3L, "other"))
