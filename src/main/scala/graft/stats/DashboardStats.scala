@@ -111,8 +111,13 @@ object DashboardStats {
     def ifEligible(stat: Column): Column =
       when(col("eligible"), stat).otherwise(lit(null))
 
+    // quantile scan via the native codegen expression (one fused pass
+    // per cell vs interpreted HOF evaluation — see
+    // graft.plans.HistogramQuantileExpr); semantics identical to
+    // HistogramOps.quantile.
     val quantileCols = cfg.quantiles.map { q =>
-      ifEligible(H.quantile(col("cum"), col("total_nonmiss"), q))
+      ifEligible(graft.plans.HistogramQuantileExpr.histogramQuantile(
+        fact.sparkSession, col("weeks"), col("total_nonmiss"), lit(q)))
         .as(s"weeks_${math.round(q * 100)}")
     }
 
