@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.SourceQueries.defs
+      graft.queries.SourceQueries.defs ++
+      graft.queries.ReportQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.SourceQueries.oracles
+      graft.queries.SourceQueries.oracles ++
+      graft.queries.ReportQueries.oracles
 }

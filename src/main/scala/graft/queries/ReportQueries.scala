@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Report-layer queries: the 3d new-RTT:completed ratio (multi-key
+  * join + monthyr date parsing) and the remaining §2.9 scalar-function
+  * inventory (initcap/word/nested-ifelse/NA-to-0).
+  */
+object ReportQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // 3d. Ratio.R:95-123 — per (month, group, IS slice): newRTT volume
+    // vs completed volume, inner-joined on the multi-column key (J3),
+    // plus a summed "Total" slice (U2), ratio, and the reference's
+    // '01-MMM-yy' date reconstruction from the monthyr tag (§2.9 dates;
+    // 4-digit years here — Spark's 'yy' pivots to 2000-2099 while DuckDB's
+    // '%y' pivots at 1969, so 2-digit parses diverge before 2000).
+    "q_ratio_new_to_completed" -> ((s, d) => {
+      val f0 = Tables.lineitem(s, d).select(
+        concat(date_format(col("l_shipdate"), "MMM"),
+          date_format(col("l_shipdate"), "yyyy")).as("monthyr"),
+        col("l_linestatus").as("grp"),
+        when(col("l_discount") > 0.05, "IS").otherwise("Non-IS").as("is_slice"),
+        when(col("l_returnflag") === "R", "newRTT")
+          .when(col("l_returnflag") === "N", "completed")
+          .otherwise("other").as("pathway"),
+        col("l_quantity"))
+      val base = f0.groupBy("monthyr", "grp", "is_slice", "pathway")
+        .agg(sum("l_quantity").as("n"))
+      val slices = base
+        .groupBy("monthyr", "grp", "pathway")
+        .agg(sum("n").as("n")).withColumn("is_slice", lit("Total"))
+        .unionByName(base)
+      val newRtt = slices.filter(col("pathway") === "newRTT")
+        .select(col("monthyr"), col("grp"), col("is_slice"), col("n").as("n_new"))
+      val fin = slices.filter(col("pathway") === "completed")
+        .select(col("monthyr"), col("grp"), col("is_slice"), col("n").as("n_fin"))
+      newRtt.join(fin, Seq("monthyr", "grp", "is_slice")) // multi-key inner
+        .withColumn("date", date_format(
+          to_date(concat(lit("01-"), substring(col("monthyr"), 1, 3), lit("-"),
+            substring(col("monthyr"), 4, 4)), "dd-MMM-yyyy"), "yyyy-MM-dd"))
+        .select(col("monthyr"), col("grp"), col("is_slice"), col("date"),
+          round(col("n_new"), 2).as("n_new"), round(col("n_fin"), 2).as("n_fin"),
+          round(col("n_new") / col("n_fin"), 6).as("ratio"))
+        .orderBy("date", "grp", "is_slice")
+    }),
+
+    // §2.9 leftovers: str_to_title (initcap), word(x, 2, '-'),
+    // NA-to-0 coalesce, nested ifelse chains.
+    "q_f_strings2" -> ((s, d) => {
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          initcap(lower(col("n_name"))).as("title"),
+          element_at(split(col("n_name"), "_"), 2).as("word2"),
+          coalesce(nullif(col("n_regionkey").cast("bigint"), lit(0L)), lit(0L))
+            .as("rk_nz"),
+          when(col("n_regionkey") === 0, "alpha")
+            .when(col("n_regionkey") === 1, "beta")
+            .when(col("n_regionkey") === 2, "gamma")
+            .otherwise(concat(lit("other-"), col("n_regionkey"))).as("tier"))
+        .orderBy("n_nationkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_ratio_new_to_completed" ->
+      """WITH f AS (
+        |  SELECT strftime(l_shipdate, '%b') || strftime(l_shipdate, '%Y') AS monthyr,
+        |    l_linestatus AS grp,
+        |    CASE WHEN l_discount > 0.05 THEN 'IS' ELSE 'Non-IS' END AS is_slice,
+        |    CASE l_returnflag WHEN 'R' THEN 'newRTT'
+        |         WHEN 'N' THEN 'completed' ELSE 'other' END AS pathway,
+        |    l_quantity
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT monthyr, grp, is_slice, pathway, sum(l_quantity) AS n
+        |  FROM f GROUP BY 1, 2, 3, 4),
+        |slices AS (
+        |  SELECT monthyr, grp, 'Total' AS is_slice, pathway, sum(n) AS n
+        |  FROM base GROUP BY 1, 2, 4
+        |  UNION ALL SELECT monthyr, grp, is_slice, pathway, n FROM base),
+        |j AS (
+        |  SELECT a.monthyr, a.grp, a.is_slice, a.n AS n_new, b.n AS n_fin
+        |  FROM slices a JOIN slices b
+        |    ON a.monthyr = b.monthyr AND a.grp = b.grp AND a.is_slice = b.is_slice
+        |  WHERE a.pathway = 'newRTT' AND b.pathway = 'completed')
+        |SELECT monthyr, grp, is_slice,
+        |  strftime(strptime('01-' || substr(monthyr, 1, 3) || '-' ||
+        |    substr(monthyr, 4, 4), '%d-%b-%Y'), '%Y-%m-%d') AS date,
+        |  round(n_new, 2) AS n_new, round(n_fin, 2) AS n_fin,
+        |  round(n_new / n_fin, 6) AS ratio
+        |FROM j ORDER BY date, grp, is_slice""".stripMargin,
+    "q_f_strings2" ->
+      """SELECT n_nationkey,
+        |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS title,
+        |  split_part(n_name, '_', 2) AS word2,
+        |  coalesce(nullif(CAST(n_regionkey AS BIGINT), 0), 0) AS rk_nz,
+        |  CASE n_regionkey WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |       WHEN 2 THEN 'gamma'
+        |       ELSE 'other-' || n_regionkey END AS tier
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
+}
