@@ -100,6 +100,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF (inverted-file) approximate top-5 — probes 6 of 16 Voronoi
+    // cells per query. No oracle (centroid assignment not SQL-portable);
+    // SimilaritySpec measures recall vs brute force.
+    "q_sim_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          nCells = 16, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs via LSH buckets (high-sim regime).
     "q_sim_embed_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(

@@ -57,6 +57,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.distinct.size > 1, "buckets should spread")
   }
 
+  test("IVF top-k: recall vs brute force, rank/shape invariants") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 6)
+    val rows = ivf.collect()
+    assert(rows.forall(_.getLong(1) <= 5))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // near-random corpus = worst case for IVF too; probing 6/16 cells
+    // should still recover a solid share of true neighbors
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
   test("brute-force near-dup at high threshold is empty on this corpus (matches exact)") {
     val n = Similarity.bruteForceNearDupPairs(emb, "vec_id", "embedding", 0.9).count()
     val lsh = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9).count()
