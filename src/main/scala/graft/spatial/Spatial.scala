@@ -25,6 +25,21 @@ object Spatial {
   def polygon(xs: Column, ys: Column): Column =
     zip_with(xs, ys, (x, y) => struct(x.as("x"), y.as("y")))
 
+  /** S7 — WKT fixture loading (`1c.:435-437` reads a shapefile; our
+    * fixtures ship as WKT per FIXTURES.md §9): parse a simple
+    * `POLYGON ((x y, x y, ...))` exterior ring into the vertex-array
+    * form (pure expressions: split + transform + cast; CRS transforms
+    * happen at fixture-prep time, SURVEY §7.4-6). */
+  def polygonFromWkt(wkt: Column): Column = {
+    val inner = regexp_extract(wkt, """POLYGON\s*\(\(([^)]*)\)\)""", 1)
+    val pairs = split(inner, """\s*,\s*""")
+    transform(pairs, p => {
+      val xy = split(trim(p), """\s+""")
+      struct(element_at(xy, 1).cast("double").as("x"),
+        element_at(xy, 2).cast("double").as("y"))
+    })
+  }
+
   def bboxMinX(poly: Column): Column = array_min(transform(poly, _.getField("x")))
   def bboxMaxX(poly: Column): Column = array_max(transform(poly, _.getField("x")))
   def bboxMinY(poly: Column): Column = array_min(transform(poly, _.getField("y")))

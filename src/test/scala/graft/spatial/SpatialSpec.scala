@@ -30,6 +30,20 @@ class SpatialSpec extends AnyFunSuite {
     assert(!contains(xs, ys, -1.0, 1.0))
   }
 
+  test("WKT polygon parsing matches the array form") {
+    val df = Seq("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4))").toDF("wkt")
+      .select(Spatial.polygonFromWkt($"wkt").as("poly"))
+    val verts = df.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(verts == Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (0.0, 4.0)))
+    // parsed polygon drives the same ray cast
+    val inside = df.select(
+      Spatial.containsPoint($"poly", lit(1.0), lit(1.0)).as("a"),
+      Spatial.containsPoint($"poly", lit(3.0), lit(3.0)).as("b")).head
+    assert(inside.getBoolean(0) && !inside.getBoolean(1))
+  }
+
   test("point-in-polygon join assigns points to overlapping polygons") {
     val polys = Seq(
       ("A", Seq(0.0, 2.0, 2.0, 0.0), Seq(0.0, 0.0, 2.0, 2.0)),
