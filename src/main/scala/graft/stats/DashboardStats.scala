@@ -64,7 +64,12 @@ object DashboardStats {
     // globally (2.:318); pushed into the parquet scan by Catalyst.
     val f = fact.filter(col("commissioner_code") =!= "NONC")
 
-    // Step 1 — single shuffle at the finest grain.
+    // Step 1 — single shuffle at the finest grain. CACHED: the four
+    // grouping-set re-aggregations below would otherwise each replay
+    // the full fact scan+aggregate (Catalyst's exchange reuse does not
+    // fire across the union branches), turning 1 fact pass into 4 —
+    // the exact failure mode this design exists to avoid at 100 TB.
+    // The cached side is the small aggregate, not the fact table.
     val base = f
       .groupBy(col("monthyr"), col(groupCol).cast("string").as("grp"),
         col("specialty"), col("pathway"), col("is_provider"))
@@ -72,6 +77,7 @@ object DashboardStats {
         H.sumBands(col("weeks"), cfg.maxBands).as("weeks"),
         coalesce(sum("unknown_start"), lit(0L)).as("unknown_start"),
         coalesce(sum("total_all"), lit(0L)).as("total_all"))
+      .cache()
 
     // Step 2 — hierarchical re-aggregation of the SMALL base: the four
     // grouping sets {(grp,is), (ENGLAND,is), (grp,All), (ENGLAND,All)}.
