@@ -55,23 +55,21 @@ object EventQueries {
         .orderBy("user_id", "session_idx")
     }),
 
-    // Event funnel: per user, did view precede purchase (order-aware
-    // flag-max over event sequences).
+    // Event funnel: per user, did view precede purchase — ONE
+    // conditional aggregation pass (null-skipping min per event type),
+    // not per-type subqueries re-scanning the stream (3 scans -> 1).
     "q_e_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("m", expr("ts_ns div 1000"))
-      val firstView = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("m").as("first_view_us"))
-      val firstBuy = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id").agg(min("m").as("first_purchase_us"))
-      ev.select("user_id").distinct()
-        .join(firstView, Seq("user_id"), "left")
-        .join(firstBuy, Seq("user_id"), "left")
+      Tables.events(s, d)
+        .withColumn("m", expr("ts_ns div 1000"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("m"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("m"))).as("fp"))
         .select(col("user_id"),
-          when(col("first_view_us").isNotNull, 1L).otherwise(0L).as("viewed"),
-          when(col("first_purchase_us").isNotNull, 1L).otherwise(0L).as("purchased"),
-          when(col("first_view_us").isNotNull && col("first_purchase_us").isNotNull
-            && col("first_view_us") < col("first_purchase_us"), 1L)
-            .otherwise(0L).as("converted"))
+          when(col("fv").isNotNull, 1L).otherwise(0L).as("viewed"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("purchased"),
+          when(col("fv").isNotNull && col("fp").isNotNull
+            && col("fv") < col("fp"), 1L).otherwise(0L).as("converted"))
         .orderBy("user_id")
     }))
 

@@ -28,8 +28,10 @@ object ReportQueries {
           .when(col("l_returnflag") === "N", "completed")
           .otherwise("other").as("pathway"),
         col("l_quantity"))
+      // cached: the Total-slice reagg + union would otherwise replay
+      // the fact aggregation twice
       val base = f0.groupBy("monthyr", "grp", "is_slice", "pathway")
-        .agg(sum("l_quantity").as("n"))
+        .agg(sum("l_quantity").as("n")).cache()
       val slices = base
         .groupBy("monthyr", "grp", "pathway")
         .agg(sum("n").as("n")).withColumn("is_slice", lit("Total"))
