@@ -221,13 +221,15 @@ object Similarity {
       simDecimals: Int = 4): DataFrame = {
     val ss = corpus.sparkSession
     import ss.implicits._
-    // deterministic centroid sample: every (n/nCells)-th vector by id
-    val all = collectUnitQueries(corpus, idCol, vecCol)
-    val sortedIds = all.sortBy(_._1)
-    val step = math.max(1, sortedIds.length / nCells)
-    val centroids = sortedIds.zipWithIndex.collect {
-      case ((_, v), i) if i % step == 0 => v
-    }.take(nCells)
+    // deterministic centroid sample: id-modulo spaced — only the
+    // sampled ROWS are collected (never the corpus; at 100 TB the
+    // corpus stays distributed and only nCells vectors reach the
+    // driver). A k-means refinement would replace this sample.
+    val n = corpus.count()
+    val step = math.max(1L, n / nCells)
+    val centroids = collectUnitQueries(
+      corpus.filter(pmod(col(idCol).cast("long"), lit(step)) === 0), idCol, vecCol)
+      .sortBy(_._1).take(nCells).map(_._2)
     val centB = ss.sparkContext.broadcast(centroids)
     def nearestCells(v: Array[Double], m: Int): Array[Int] =
       centB.value.zipWithIndex

@@ -71,6 +71,32 @@ class OpsSpec extends AnyFunSuite {
       .select(H.rate($"n", $"t")).head.isNullAt(0)) // zero denom -> null
   }
 
+  test("pivot_wider preserves mass: sum of pivot cells == pre-pivot sum") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val pre = li.count()
+    val pivoted = li.groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O")).agg(count(lit(1)))
+    val post = pivoted.select(
+      sum(coalesce($"F", lit(0L)) + coalesce($"O", lit(0L)))).head.getLong(0)
+    assert(post == pre)
+  }
+
+  test("dashboard slices are consistent: IS + Non-IS == All per cell") {
+    val cube = graft.queries.StatsQueries.defs("q_dashboard_cube")(
+      spark, "/root/testdata/sf0.001").cache()
+    val byCell = cube.groupBy("monthyr", "grp", "pathway")
+      .agg(
+        sum(when($"is_slice" === "All", $"total_patients")).as("all_total"),
+        sum(when($"is_slice" =!= "All", $"total_patients")).as("split_total"))
+      .collect()
+    assert(byCell.nonEmpty)
+    byCell.foreach { r =>
+      assert(r.getLong(r.fieldIndex("all_total")) ==
+        r.getLong(r.fieldIndex("split_total")),
+        s"slice mismatch in $r")
+    }
+  }
+
   test("countAtOrBelow clamps to short histograms") {
     val df = Seq(Seq(5L, 10L)).toDF("w")
       .select(H.countAtOrBelow(H.cumulative($"w"), 18).as("c"))
