@@ -50,6 +50,33 @@ object ReportQueries {
         .orderBy("date", "grp", "is_slice")
     }),
 
+    // blog:118-180 casemix — per region: each order-priority's share of
+    // regional volume, with an ENGLAND block appended (union of rollup
+    // grains, the reference's England-casemix-beside-regions shape) and
+    // a declarative patch applied to the dimension (blog:91-105 P10).
+    "q_casemix" -> ((s, d) => {
+      val region = broadcast(Tables.region(s, d)
+        .select(col("r_regionkey"),
+          // declarative patch table applied as an expression: one
+          // region renamed, matching the reference's manual fixes
+          when(col("r_name") === "REGION_0", "REGION_ZERO")
+            .otherwise(col("r_name")).as("region")))
+      val vol = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("region"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .cache() // England block re-aggregates this small result
+      val england = vol.groupBy("priority").agg(sum("n").as("n"))
+        .withColumn("region", lit("ENGLAND"))
+      val all = vol.unionByName(england)
+      all
+        .withColumn("share", round(
+          graft.ops.RelationalOps.shareOfGroup(col("n"), Seq(col("region"))), 4))
+        .orderBy("region", "priority")
+    }),
+
     // §2.9 leftovers: str_to_title (initcap), word(x, 2, '-'),
     // NA-to-0 coalesce, nested ifelse chains.
     "q_f_strings2" -> ((s, d) => {
@@ -94,6 +121,23 @@ object ReportQueries {
         |  round(n_new, 2) AS n_new, round(n_fin, 2) AS n_fin,
         |  round(n_new / n_fin, 6) AS ratio
         |FROM j ORDER BY date, grp, is_slice""".stripMargin,
+    "q_casemix" ->
+      """WITH vol AS (
+        |  SELECT CASE WHEN r_name = 'REGION_0' THEN 'REGION_ZERO'
+        |              ELSE r_name END AS region,
+        |    o_orderpriority AS priority, count(*) AS n
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT region, priority, n FROM vol
+        |  UNION ALL
+        |  SELECT 'ENGLAND', priority, sum(n) FROM vol GROUP BY 2)
+        |SELECT region, priority, n,
+        |  round(100.0 * n / sum(n) OVER (PARTITION BY region), 4) AS share
+        |FROM a ORDER BY region, priority""".stripMargin,
     "q_f_strings2" ->
       """SELECT n_nationkey,
         |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS title,
