@@ -36,7 +36,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+    # %.17g = full double round-trip precision, mirroring the driver's
+    # full-precision hash (%.9g masked ulp-level drift in round 1).
+    return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 fails = 0
 names = sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)]))

@@ -88,6 +88,17 @@ object HistogramOps {
     when(denom.isNull || denom <= 0, lit(null).cast("double"))
       .otherwise(bround(numer.cast("double") * lit(100.0) / denom.cast("double"), 1))
 
+  /** [[rate]] scaled to tenths-of-a-percent as a BIGINT (261 = 26.1%).
+    * Rounded doubles have no exact binary representation, so two engines
+    * rounding the same value can emit doubles 1 ulp apart — an
+    * integer-scaled output is bit-exact across engines (and cheaper to
+    * shuffle/store at 100 TB than a double it would round-trip through).
+    * Mirrors DuckDB `CAST(round_even(100.0*n/d * 10, 0) AS BIGINT)`. */
+  def rateX10(numer: Column, denom: Column): Column =
+    when(denom.isNull || denom <= 0, lit(null).cast("bigint"))
+      .otherwise(bround(numer.cast("double") * lit(100.0) / denom.cast("double")
+        * lit(10.0), 0).cast("bigint"))
+
   /** Small-number suppression (`2.:233`, `2.:277-298`): statistics are
     * nulled when the eligible total is below `minTotal` (20 in the
     * reference). */

@@ -29,7 +29,12 @@ object EventQueries {
         .withColumn("m", expr("ts_ns div 1000"))
         .groupBy((expr(s"m div $HourUs") * HourUs).as("hour_us"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        // value summed as exact integer cents: a double sum's result
+        // depends on partial-aggregation order (shuffle fetch order is
+        // nondeterministic), so round(sum(double)) is not reproducible
+        // across engines or even runs — round per row, sum bigints.
+        .agg(count(lit(1)).as("n"),
+          sum(bround(col("value") * lit(100.0), 0).cast("bigint")).as("sum_value_c"))
         .orderBy("hour_us", "event_type")
     }),
 
@@ -51,7 +56,8 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           min("m").as("start_us"), max("m").as("end_us"),
           (max(col("m")) - min(col("m"))).as("dur_us"),
-          round(sum("value"), 2).as("sum_value"))
+          // exact integer-cents sum — see q_e_hourly note (r1 hash fail)
+          sum(bround(col("value") * lit(100.0), 0).cast("bigint")).as("sum_value_c"))
         .orderBy("user_id", "session_idx")
     }),
 
@@ -76,7 +82,9 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q_e_hourly" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS hour_us,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
     "q_e_sessions" ->
       """WITH e AS (
@@ -97,7 +105,8 @@ object EventQueries {
         |  FROM f)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(m) AS start_us, max(m) AS end_us, max(m) - min(m) AS dur_us,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_c
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "q_e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),

@@ -25,7 +25,11 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           sum(T.tokenCount(col("text"))).as("ws_tokens"),
           sum(T.bpeishTokenCount(col("text"))).as("bpe_tokens"),
-          round(avg(col("n_chars")), 3).as("avg_chars"))
+          // x1000-bigint fixed point: rounded-double avg drifted at ulp
+          // level vs DuckDB in r1 (sum of ints < 2^53 is exact in double
+          // on both engines, so the scaled round is bit-exact).
+          bround(avg(col("n_chars")) * lit(1000.0), 0).cast("bigint")
+            .as("avg_chars_x1000"))
         .orderBy("lang")
     }),
 
@@ -135,7 +139,7 @@ object PipelineQueries {
         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS ws_tokens,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
         |    AS bpe_tokens,
-        |  round(avg(n_chars), 3) AS avg_chars
+        |  CAST(round_even(avg(n_chars) * 1000.0, 0) AS BIGINT) AS avg_chars_x1000
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_t_quality" ->
       s"""WITH t AS (

@@ -72,8 +72,11 @@ object ReportQueries {
         .withColumn("region", lit("ENGLAND"))
       val all = vol.unionByName(england)
       all
-        .withColumn("share", round(
-          graft.ops.RelationalOps.shareOfGroup(col("n"), Seq(col("region"))), 4))
+        // share as x10k-bigint fixed point (260417 = 26.0417%): rounded
+        // doubles drift at ulp level between engines (VERDICT r1).
+        .withColumn("share_x10k", bround(
+          graft.ops.RelationalOps.shareOfGroup(col("n"), Seq(col("region")))
+            * lit(10000.0), 0).cast("bigint"))
         .orderBy("region", "priority")
     }),
 
@@ -136,7 +139,8 @@ object ReportQueries {
         |  UNION ALL
         |  SELECT 'ENGLAND', priority, sum(n) FROM vol GROUP BY 2)
         |SELECT region, priority, n,
-        |  round(100.0 * n / sum(n) OVER (PARTITION BY region), 4) AS share
+        |  CAST(round_even(100.0 * n / sum(n) OVER (PARTITION BY region)
+        |    * 10000, 0) AS BIGINT) AS share_x10k
         |FROM a ORDER BY region, priority""".stripMargin,
     "q_f_strings2" ->
       """SELECT n_nationkey,

@@ -110,11 +110,13 @@ object StatsQueries {
         |  CASE WHEN pathway = 'completeadmitted' THEN tnm + unk
         |       ELSE tnm END AS total_patients,
         |  CASE WHEN eligible THEN n18 END AS number_18_or_less,
-        |  CASE WHEN eligible THEN round_even(100.0 * n18 / tnm, 1) END
-        |    AS rate_18wks_or_less,
+        |  CASE WHEN eligible THEN
+        |    CAST(round_even(100.0 * n18 / tnm * 10, 0) AS BIGINT) END
+        |    AS rate_18wks_or_less_x10,
         |  CASE WHEN eligible THEN n52p END AS number_52_or_more,
-        |  CASE WHEN eligible THEN round_even(100.0 * n52p / tnm, 1) END
-        |    AS rate_52wks_or_more,
+        |  CASE WHEN eligible THEN
+        |    CAST(round_even(100.0 * n52p / tnm * 10, 0) AS BIGINT) END
+        |    AS rate_52wks_or_more_x10,
         |  CASE WHEN eligible THEN w50 END AS weeks_50,
         |  CASE WHEN eligible THEN w92 END AS weeks_92,
         |  CASE WHEN eligible THEN w95 END AS weeks_95

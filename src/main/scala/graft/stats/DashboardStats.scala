@@ -139,11 +139,14 @@ object DashboardStats {
         col("pathway"),
         col("total_patients"),
         ifEligible(H.countAtOrBelow(col("cum"), 18)).as("number_18_or_less"),
-        ifEligible(H.rate(H.countAtOrBelow(col("cum"), 18), col("total_nonmiss")))
-          .as("rate_18wks_or_less"),
+        // Rates are x10-bigint fixed point (261 = 26.1%): rounded doubles
+        // drift at ulp level between engines (VERDICT r1) and integers
+        // shuffle/compare exactly at any scale.
+        ifEligible(H.rateX10(H.countAtOrBelow(col("cum"), 18), col("total_nonmiss")))
+          .as("rate_18wks_or_less_x10"),
         ifEligible(H.countAbove(col("cum"), col("total_nonmiss"), 52))
           .as("number_52_or_more"),
-        ifEligible(H.rate(H.countAbove(col("cum"), col("total_nonmiss"), 52),
-          col("total_nonmiss"))).as("rate_52wks_or_more")) ++ quantileCols: _*)
+        ifEligible(H.rateX10(H.countAbove(col("cum"), col("total_nonmiss"), 52),
+          col("total_nonmiss"))).as("rate_52wks_or_more_x10")) ++ quantileCols: _*)
   }
 }

@@ -71,8 +71,8 @@ class E2ESliceSpec extends AnyFunSuite {
     val eng = stats.filter($"grp" === "ENGLAND" && $"is_slice" === "All").head
     assert(eng.getAs[Long]("total_patients") == 65L)
     assert(eng.getAs[Long]("weeks_50") == 1L)
-    // rate <=18wk: bands clamp at 2 -> 100%
-    assert(eng.getAs[Double]("rate_18wks_or_less") == 100.0)
+    // rate <=18wk: bands clamp at 2 -> 100% (1000 in x10 fixed point)
+    assert(eng.getAs[Long]("rate_18wks_or_less_x10") == 1000L)
 
     // 5. partitioned sink round-trip (K2) with month pruning
     Ingest.writePartitioned(fact, s"$dir/fact")

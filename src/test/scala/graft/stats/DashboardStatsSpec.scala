@@ -74,16 +74,16 @@ class DashboardStatsSpec extends AnyFunSuite {
     assert(g[Long](r, "weeks_92") == 52L)
     assert(g[Long](r, "weeks_95") == 52L)
     assert(g[Long](r, "number_18_or_less") == 30L)
-    assert(g[Double](r, "rate_18wks_or_less") == 60.0)
+    assert(g[Long](r, "rate_18wks_or_less_x10") == 600L)
     assert(g[Long](r, "number_52_or_more") == 10L)
-    assert(g[Double](r, "rate_52wks_or_more") == 20.0)
+    assert(g[Long](r, "rate_52wks_or_more_x10") == 200L)
   }
 
   test("completed pathway adds unknown starts to total but not quantile base (group B)") {
     val r = cell("P2", "IS", "completeadmitted")
     assert(g[Long](r, "total_patients") == 42L) // 30 + 12 unknown
     assert(g[Long](r, "weeks_50") == 0L)        // median from the 30 known
-    assert(g[Double](r, "rate_18wks_or_less") == 100.0)
+    assert(g[Long](r, "rate_18wks_or_less_x10") == 1000L)
     assert(g[Long](r, "number_52_or_more") == 0L)
   }
 
@@ -91,7 +91,7 @@ class DashboardStatsSpec extends AnyFunSuite {
     val r = cell("P3", "Non-IS", "incomplete")
     assert(g[Long](r, "total_patients") == 5L)
     assert(r.isNullAt(r.fieldIndex("weeks_50")))
-    assert(r.isNullAt(r.fieldIndex("rate_18wks_or_less")))
+    assert(r.isNullAt(r.fieldIndex("rate_18wks_or_less_x10")))
     assert(r.isNullAt(r.fieldIndex("number_52_or_more")))
   }
 
@@ -108,9 +108,9 @@ class DashboardStatsSpec extends AnyFunSuite {
     assert(g[Long](r, "weeks_50") == 0L)
   }
 
-  test("rates use banker's rounding like R (group F: 16.25 -> 16.2)") {
+  test("rates use banker's rounding like R (group F: 16.25 -> 162 x10)") {
     val r = cell("P5", "Non-IS", "incomplete")
-    assert(g[Double](r, "rate_18wks_or_less") == 16.2)
+    assert(g[Long](r, "rate_18wks_or_less_x10") == 162L)
     assert(g[Long](r, "weeks_50") == 18L)
   }
 
@@ -119,8 +119,8 @@ class DashboardStatsSpec extends AnyFunSuite {
     // A(50) + C(5) + E(20) + F(80) = 155; cum18 = 30+5+20+13 = 68
     assert(g[Long](r, "total_patients") == 155L)
     assert(g[Long](r, "number_18_or_less") == 68L)
-    // 68/155*100 = 43.87096... -> 43.9
-    assert(g[Double](r, "rate_18wks_or_less") == 43.9)
+    // 68/155*100 = 43.87096... -> 43.9 -> 439 (x10 fixed point)
+    assert(g[Long](r, "rate_18wks_or_less_x10") == 439L)
     // >52wk: only group A's band-53 10 patients
     assert(g[Long](r, "number_52_or_more") == 10L)
   }
