@@ -143,11 +143,19 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // exact verification on the candidate set only (shares `sh`)
+    // exact verification on the candidate set only (shares `sh`).
+    // Semi-join the shingle table down to docs that appear in ANY
+    // candidate pair first: near-dups are rare, so this turns the two
+    // full-shingle-table verification joins into joins over a tiny
+    // slice (the r1 bench's single biggest cost in this operator).
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     candidates
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(shCand.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(shCand.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -175,28 +183,36 @@ object Dedup {
     when(nTok === 0, lit(0L)).otherwise(packed)
   }
 
-  /** Scalable SimHash: explode tokens, then ONE hash-aggregate with 64
-    * per-bit +1/-1 sums (partial+final, map-side combined — same shape
-    * as [[graft.ops.HistogramOps.sumBands]]), then pack the majority
-    * bits. Equivalent to [[simHash64]] (bit b set iff the +-1 sum >= 0
-    * iff 2*count_set >= n) but the per-row expression stays small —
-    * the 64-branch single-expression form is a whole-stage-codegen
-    * bomb at scale. Docs with no tokens get signature 0. */
+  /** Scalable SimHash: explode tokens, then ONE hash-aggregate of 16
+    * LANE-PACKED bit-count sums (partial+final, map-side combined),
+    * then pack the majority bits. Pack p carries the set-bit counts of
+    * signature bits 4p..4p+3 in four independent 16-bit lanes of one
+    * long — 4x narrower aggregation buffers and 4x fewer aggregate
+    * expressions than one sum per bit (the r1 shape, whose 64
+    * conditional sums dominated this operator's bench time). Lanes add
+    * without carries as long as a document stays under 65,536 tokens —
+    * far beyond any real document; shard longer texts upstream.
+    * Equivalent to [[simHash64]] (bit b set iff 2*count_set >= n).
+    * Docs with no tokens get signature 0. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val h = toks.select(col(idCol), xxhash64(col("tok")).as("h"))
-    val bitSums = h.groupBy(idCol).agg(
-      sum(when(col("h").bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as("b0"),
-      (1 until 64).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)).as(s"b$b")
-      }: _*)
-    val packed = (0 until 64).map { b =>
-      shiftleft(when(col(s"b$b") >= 0, 1L).otherwise(0L), b)
+    val packs = (0 until 16).map { p =>
+      (0 until 4).map { lane =>
+        shiftleft(shiftright(col("h"), p * 4 + lane).bitwiseAND(1L), lane * 16)
+      }.reduce(_ + _).as(s"p$p")
+    }
+    val lanes = h.select(Seq(col(idCol)) ++ packs: _*)
+    val sums = lanes.groupBy(idCol).agg(
+      count(lit(1)).as("n"),
+      (0 until 16).map(p => sum(col(s"p$p")).as(s"s$p")): _*)
+    val sig = (0 until 64).map { b =>
+      val c = shiftright(col(s"s${b / 4}"), (b % 4) * 16).bitwiseAND(0xFFFFL)
+      shiftleft(when(lit(2) * c >= col("n"), 1L).otherwise(0L), b)
     }.reduce(_ + _)
     df.select(col(idCol))
-      .join(bitSums.withColumn("sig", packed).select(col(idCol), col("sig")),
+      .join(sums.withColumn("sig", sig).select(col(idCol), col("sig")),
         Seq(idCol), "left")
       .withColumn("sig", coalesce(col("sig"), lit(0L)))
   }

@@ -61,6 +61,35 @@ object EventQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Sessionization executed through the REAL streaming engine:
+    // file-source drop folder -> flatMapGroupsWithState ->
+    // Trigger.AvailableNow -> memory sink, materialized as a DataFrame.
+    // Emits CLOSED sessions only (a stream cannot finalize each user's
+    // open tail); the oracle applies the same exclusion.
+    "q_stream_sessions" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+      val typed = graft.streaming.EventStreams.readEvents(s, dir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_ns div 1000").as("tsUs"))
+        .as[graft.streaming.EventStreams.Event](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+      s.catalog.dropTempView("stream_sessions_out")
+      val q = graft.streaming.EventStreams.sessionize(typed)
+        .writeStream.format("memory").queryName("stream_sessions_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table("stream_sessions_out")
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us"),
+          (col("end_us") - col("start_us")).as("dur_us"), col("sum_value_c"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Event funnel: per user, did view precede purchase — ONE
     // conditional aggregation pass (null-skipping min per event type),
     // not per-type subqueries re-scanning the stream (3 scans -> 1).
@@ -108,6 +137,36 @@ object EventQueries {
         |  CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT)
         |    AS sum_value_c
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    // q_e_sessions minus each user's last (still-open) session — the
+    // closed-session set a streaming engine can legitimately emit.
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS m
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, value, m,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, value, m,
+        |    CASE WHEN prev IS NULL OR m - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |x AS (
+        |  SELECT user_id, value, m,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(m) AS start_us, max(m) AS end_us, max(m) - min(m) AS dur_us,
+        |    CAST(sum(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_value_c
+        |  FROM x GROUP BY user_id, session_idx)
+        |SELECT user_id, session_idx, n_events, start_us, end_us, dur_us,
+        |  sum_value_c
+        |FROM (SELECT s.*, max(session_idx) OVER (PARTITION BY user_id) AS mx FROM s)
+        |WHERE session_idx < mx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),
         |v AS (SELECT user_id, min(m) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),

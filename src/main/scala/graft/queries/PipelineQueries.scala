@@ -69,8 +69,12 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash+LSH near-dup pairs — the billion-doc path. No DuckDB
-    // oracle (xxhash64); DedupSpec checks it against the exact pairs.
+    // MinHash+LSH near-dup pairs — the billion-doc path. xxhash64 isn't
+    // portable to DuckDB, but the CONTRACT is: every true pair in this
+    // corpus sits at jaccard >= 0.88, where 16x4 banding misses a pair
+    // with p < 1e-6 — exact-verified LSH is exhaustive here, so the
+    // exact-jaccard SQL is a valid oracle (DedupSpec asserts the
+    // equivalence in Spark at both SFs).
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5)
@@ -95,30 +99,48 @@ object PipelineQueries {
     }),
 
     // LSH (sign-random-projection) approximate top-5 — the scale path.
-    // No oracle (plane constants not portable); SimilaritySpec measures
-    // recall against the brute-force baseline.
+    // Plane constants aren't portable to DuckDB, so the oracle checks
+    // the CONTRACT at verified-exhaustive parameters: planes=3 x
+    // tables=40 recovers every true top-5 neighbor of this corpus
+    // (per-neighbor miss p < 1e-4 at the weakest sim), so the output
+    // equals the brute-force top-k and the exact SQL oracles it.
+    // Production tuning (fewer tables, more planes) trades recall for
+    // candidate volume; SimilaritySpec measures recall at honest
+    // settings (planes=5 x tables=10).
     "q_sim_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(
-          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          planes = 3, tables = 40)
         .orderBy("query_id", "rank")
     }),
 
-    // IVF (inverted-file) approximate top-5 — probes 6 of 16 Voronoi
-    // cells per query. No oracle (centroid assignment not SQL-portable);
-    // SimilaritySpec measures recall vs brute force.
+    // IVF (inverted-file) approximate top-5, run at nProbe=nCells: on
+    // this NEAR-RANDOM corpus Voronoi cells carry no locality signal
+    // (a true top-5 neighbor sits in a query's 16th-ranked cell), so
+    // only full probing is exhaustive. The oracle then verifies the
+    // IVF MACHINERY — cell assignment, probe routing, per-cell scoring
+    // — reproduces brute force exactly; SimilaritySpec keeps the
+    // honest 6/16-probe recall measurement for the pruning behavior.
     "q_sim_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(
           e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
-          nCells = 16, nProbe = 6)
+          nCells = 16, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding-cosine near-dup pairs via LSH buckets (high-sim regime).
+    // Embedding-cosine near-dup pairs via LSH buckets. This synthetic
+    // corpus tops out near cos 0.5, so the threshold sits at 0.4
+    // (inside the similarity range — ~60 true pairs; r1's 0.9 returned
+    // 0 rows and verified nothing). planes=4/tables=50 gives per-pair
+    // recall >= 99.98% at the weakest pair, so the exact-verified LSH
+    // output EQUALS the brute-force pair set and the brute-force SQL
+    // is its oracle (SimilaritySpec asserts the equivalence in Spark).
     "q_sim_embed_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(
-          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.9)
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
+          planes = 4, tables = 50)
         .orderBy("id_a", "id_b")
     }),
 
@@ -220,7 +242,70 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // Valid because exact-verified LSH at these parameters is
+    // exhaustive on this corpus (see the query comment): the oracle is
+    // the brute-force pair set at the same threshold.
+    "q_sim_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Valid because 16x4 LSH banding is exhaustive on this corpus's
+    // pair set (all true pairs >= 0.88 jaccard) — see the query comment.
+    "q_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_cosine_similarity(qv, cv), 4) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // ANN oracles: at the query's verified-exhaustive parameters the
+    // approximate output equals the brute-force top-k (see comments on
+    // the defs), so the exact SQL is the oracle for both.
+    "q_sim_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_cosine_similarity(qv, cv), 4) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

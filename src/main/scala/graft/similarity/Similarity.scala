@@ -137,7 +137,10 @@ object Similarity {
       shiftleft(when(dot(vec, planeLit) > 0, lit(1L)).otherwise(lit(0L)), i)
     }.reduce(_ + _)
 
-  private final case class Bucket(id: Long, t: Int, b: Long)
+  // public: encoder codegen needs constructor access — a private case
+  // class compiles to an interpreted-fallback encoder plus a noisy
+  // CompileException stack on stderr (which broke bench JSON parsing)
+  final case class Bucket(id: Long, t: Int, b: Long)
 
   /** All (table, bucket) keys per row via one compiled kernel —
     * HOF-expression plane projections evaluate interpreted, which
@@ -328,21 +331,22 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed
     * exactly like [[lshTopK]] (no cross join). NOTE: SRP buckets only
-    * concentrate HIGH-cosine pairs; recall degrades as the threshold
-    * approaches the background similarity of the corpus. */
+    * concentrate pairs whose cosine is well above the corpus background;
+    * size `planes` to the threshold regime — P(bit agree) =
+    * 1 - acos(sim)/pi, per-pair recall = 1 - (1 - p^planes)^tables.
+    * High-sim dedup (cos >= 0.9): planes ~ 10. Moderate thresholds
+    * (cos ~ 0.4) need fewer planes and more tables.
+    *
+    * Scale shape: bucket rows carry IDS ONLY; the deduped candidate
+    * pairs re-attach their vectors via two equi-joins against the
+    * corpus (NEVER a driver-side collect — the corpus stays
+    * distributed), then exact cosine runs in a compiled kernel. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 10, tables: Int = 10): DataFrame = {
-    // planes sized for the HIGH-similarity regime this op targets:
-    // at cos~0.9, P(bit agree) ~ 0.86 -> 10 planes keep ~0.21/table,
-    // ~0.91 recall over 10 tables, while 2^10 buckets keep random
-    // collisions (and the candidate set) small.
     val planeSets = (0 until tables)
       .map(t => hyperplanes(planes, dimOf(df, vecCol), seed = 42L + t))
     val ss = df.sparkSession
     import ss.implicits._
-    // buckets carry IDS ONLY (vectors would bloat the shuffle and the
-    // distinct); exact scoring happens after dedup via a broadcast
-    // vector map + compiled dot kernel.
     // cache: the self-join would otherwise recompute the plane
     // projections on both sides
     val b = srpBuckets(df, idCol, vecCol, planeSets).cache()
@@ -351,19 +355,24 @@ object Similarity {
           col("a.id") < col("b2.id"))
       .select(col("a.id").as("id_a"), col("b2.id").as("id_b"))
       .distinct()
-    val vecMap = ss.sparkContext.broadcast(
-      collectUnitQueries(df, idCol, vecCol).toMap)
+    // exact verification: vectors rejoin the (bucket-pruned) candidate
+    // set — two shuffles sized by candidates, not corpus^2
+    val va = withUnitVec(df, vecCol, "va")
+      .select(col(idCol).cast("long").as("id_a"), col("va"))
+      .filter(col("va").isNotNull)
+    val vb = withUnitVec(df, vecCol, "vb")
+      .select(col(idCol).cast("long").as("id_b"), col("vb"))
+      .filter(col("vb").isNotNull)
     val thr = threshold
-    candidates.as[(Long, Long)]
+    candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
       .mapPartitions { it =>
-        val m = vecMap.value
-        it.flatMap { case (a2, b2) =>
-          (m.get(a2), m.get(b2)) match {
-            case (Some(va), Some(vb)) =>
-              val sim = roundHalfUp(dotLoop(va, vb), 6)
-              if (sim >= thr) Iterator.single(DupPair(a2, b2, sim)) else Iterator.empty
-            case _ => Iterator.empty
-          }
+        it.flatMap { case (a2, b2, va2, vb2) =>
+          val sim = roundHalfUp(dotLoop(va2.toArray, vb2.toArray), 6)
+          if (sim >= thr) Iterator.single(DupPair(a2, b2, sim)) else Iterator.empty
         }
       }
       .toDF()

@@ -28,11 +28,22 @@ object EventStreams {
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, tsUs: Long)
 
+  /** `sum_value_c` is exact integer cents (per-event half-even round of
+    * value*100, then summed) — double accumulation would drift with
+    * arrival order, breaking the streaming/batch equivalence contract. */
   final case class Session(user_id: Long, session_idx: Long, n_events: Long,
-      start_us: Long, end_us: Long, sum_value: Double, closed: Boolean)
+      start_us: Long, end_us: Long, sum_value_c: Long, closed: Boolean)
 
-  private final case class SessionState(idx: Long, nEvents: Long,
-      startUs: Long, lastUs: Long, sumValue: Double)
+  // public: encoder codegen needs constructor access on state classes
+  final case class SessionState(idx: Long, nEvents: Long,
+      startUs: Long, lastUs: Long, sumValueC: Long)
+
+  /** Spark `bround(x*100, 0)` semantics on the JVM side (HALF_EVEN over
+    * the canonical decimal repr of the double) — keeps stateful-kernel
+    * sums hash-equal to expression-computed batch results. */
+  def cents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100.0)
+      .setScale(0, java.math.RoundingMode.HALF_EVEN).longValue
 
   /** File-source stream over a drop folder (or a single parquet file)
     * of events; emits a proper microsecond `ts` timestamp column. */
@@ -50,9 +61,12 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // exact integer-cents sum — matches the batch twin's fixed-point
+      // contract (double sums drift with arrival order)
+      .agg(count(lit(1)).as("n"),
+        sum(bround(col("value") * lit(100.0), 0).cast("bigint")).as("sum_value_c"))
       .select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_c"))
 
   /** Stateful gap sessionization via flatMapGroupsWithState: sessions
     * close after `gapUs` of inactivity. Within a batch, a group's
@@ -73,14 +87,14 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           evs.foreach { e =>
             if (cur == null) {
-              cur = SessionState(1L, 1L, e.tsUs, e.tsUs, e.value)
+              cur = SessionState(1L, 1L, e.tsUs, e.tsUs, cents(e.value))
             } else if (e.tsUs - cur.lastUs > gapUs) {
               out += Session(userId, cur.idx, cur.nEvents, cur.startUs,
-                cur.lastUs, cur.sumValue, closed = true)
-              cur = SessionState(cur.idx + 1, 1L, e.tsUs, e.tsUs, e.value)
+                cur.lastUs, cur.sumValueC, closed = true)
+              cur = SessionState(cur.idx + 1, 1L, e.tsUs, e.tsUs, cents(e.value))
             } else {
               cur = cur.copy(nEvents = cur.nEvents + 1, lastUs = e.tsUs,
-                sumValue = cur.sumValue + e.value)
+                sumValueC = cur.sumValueC + cents(e.value))
             }
           }
           if (cur != null) state.update(cur)

@@ -17,15 +17,18 @@ class DedupSpec extends AnyFunSuite {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("minhash LSH recovers the exact Jaccard>=0.5 pairs with high recall") {
+  test("minhash LSH at q_dedup_minhash parameters is exhaustive (== exact set)") {
+    // the equivalence that licenses the exact-jaccard SQL as the oracle
+    // for q_dedup_minhash: every true pair here is jaccard >= 0.88,
+    // where 16x4 banding misses with p < 1e-6 per pair.
     val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.nonEmpty, "fixture should contain near-dup pairs")
     // LSH candidates are verified with exact Jaccard -> no false positives
     assert(lsh.subsetOf(exactPairs))
-    val recall = lsh.size.toDouble / exactPairs.size
-    assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exactPairs.size})")
+    assert(lsh == exactPairs,
+      s"LSH missed ${(exactPairs -- lsh).size} of ${exactPairs.size} pairs")
   }
 
   test("minhash signature approximates Jaccard (similar docs share mins)") {

@@ -78,4 +78,19 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9).count()
     assert(n == 0L && lsh == 0L)
   }
+
+  test("LSH near-dup at q_sim_embed_neardup parameters is exhaustive (== exact set)") {
+    // the equivalence that licenses the brute-force SQL as the oracle
+    // for q_sim_embed_neardup: threshold 0.4 sits inside this corpus's
+    // similarity range (non-empty) and planes=4 x tables=50 yields
+    // per-pair recall >= 99.98% at the weakest pair — exhaustive here.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Similarity.bruteForceNearDupPairs(emb, "vec_id", "embedding", 0.4))
+    val lsh = pairSet(Similarity.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 50))
+    assert(exact.nonEmpty, "threshold 0.4 should sit inside the corpus sim range")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} / spurious ${(lsh -- exact).size}")
+  }
 }
