@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the bench contract is ONE JSON line on stdout — WARN-level
+    // codegen/cache notices must not interleave with it (r1's driver
+    // failed to parse the bench output)
+    spark.sparkContext.setLogLevel("ERROR")
     // optional args = subset of query names (targeted timing runs);
     // driver invokes with no args -> all queries
     val selected =

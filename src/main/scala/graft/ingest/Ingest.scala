@@ -22,11 +22,18 @@ object Ingest {
   /** S1 — header CSV with R `fread(check.names=TRUE)` name mangling
     * (R `make.names`: every char outside [A-Za-z0-9_.] becomes `.`,
     * e.g. `Gt 00 To 01 Weeks SUM 1` -> `Gt.00.To.01.Weeks.SUM.1`;
-    * underscores survive). */
+    * underscores survive).
+    *
+    * Explicit `schema` is the default contract; without one the columns
+    * come back as STRINGS (cast downstream). `inferSchema = true` is
+    * the opt-in exception — inference is a SECOND full scan of every
+    * CSV, which at monthly-extract scale doubles ingest cost. */
   def csvMangledNames(spark: SparkSession, path: String,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      inferSchema: Boolean = false): DataFrame = {
     val base = spark.read.option("header", "true")
-    val df = schema.map(base.schema).getOrElse(base.option("inferSchema", "true"))
+    val df = schema.map(base.schema).getOrElse(
+      if (inferSchema) base.option("inferSchema", "true") else base)
       .csv(path)
     df.columns.foldLeft(df) { (d, c) =>
       val mangled = c.replaceAll("[^A-Za-z0-9_.]", ".")
@@ -80,4 +87,53 @@ object Ingest {
   /** K1 — single-file CSV sink (reference export shape, `1b.:392`). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S5 step 1 — anchors out of raw HTML: one row per `<a>` tag with
+    * its page position, link text, and href (the offline equivalent of
+    * the reference's `html_nodes(xpath)` pull, `1b.:105-116`). Pure
+    * expression work (two regexp_extract_all passes zipped), so a
+    * million saved pages scan in parallel like any other table.
+    * Expects `df(htmlCol)` to hold a page per row plus any id columns
+    * the caller wants carried through. */
+  def anchorLinks(df: DataFrame, htmlCol: String): DataFrame = {
+    val anchor = "(?s)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    df.withColumn("__a", arrays_zip(
+        regexp_extract_all(col(htmlCol), lit(anchor), lit(1)).as("href"),
+        regexp_extract_all(col(htmlCol), lit(anchor), lit(2)).as("text")))
+      .select(col("*"), posexplode(col("__a")).as(Seq("pos", "__e")))
+      .select(df.columns.filter(_ != htmlCol).map(col) ++ Seq(
+        col("pos").cast("bigint").as("pos"),
+        col("__e.text").as("text"), col("__e.href").as("href")): _*)
+  }
+
+  /** S5 step 2 — `return_links_rtt` (`1b.:83-138`) as a pure
+    * links-in/classified-out function: for each (month, series) pick
+    * the FIRST link (page order) whose text mentions the month and
+    * whose href matches each of the five series patterns. No month
+    * match -> null column, exactly like R's `links[str_detect(...)][1]`
+    * yielding NA.
+    *
+    * `cal` is the (month, series) calendar ([[graft.schema.Dimensions
+    * .scrapeCalendar]]); `pages` is one anchor table per series —
+    * (series, pos, text, href), from [[anchorLinks]] over saved landing
+    * pages. One broadcast join + one aggregation; first-match is
+    * `min_by` over page position (null patterns skipped by min_by).
+    *
+    * Deliberate fix vs the reference: its `Admitted-Provider` pattern
+    * (`1b.:122`) also matches `NonAdmitted-Provider` links, silently
+    * relying on page order; here a lookbehind keeps the two series
+    * disjoint. */
+  def returnLinksRtt(cal: DataFrame, pages: DataFrame): DataFrame = {
+    val monthLinks = broadcast(cal).join(pages, Seq("series"))
+      .filter(col("text").contains(col("month")))
+    def firstMatch(pattern: String, out: String) =
+      min_by(when(col("href").rlike(pattern), col("href")),
+        when(col("href").rlike(pattern), col("pos"))).as(out)
+    monthLinks.groupBy("month", "series").agg(
+      firstMatch("Full-CSV|full-extract", "full_csv_link"),
+      firstMatch("Incomplete-Provider", "providers_link_incomp"),
+      firstMatch("New-Periods-Provider", "providers_link_new"),
+      firstMatch("(?<!Non)Admitted-Provider", "providers_link_adm"),
+      firstMatch("NonAdmitted-Provider", "providers_link_nonadm"))
+  }
 }

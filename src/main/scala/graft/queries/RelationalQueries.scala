@@ -100,13 +100,17 @@ object RelationalQueries {
     }),
 
     // J4 — semi-join membership flag (IS_provider pattern, 1b:380):
-    // left join against a distinct key set + null test.
+    // left join against a distinct key set + null test. NO broadcast
+    // hint: the key set derives from the FACT table, so its size scales
+    // with fact volume — let AQE decide at runtime (the reference's
+    // real membership lists are dim-sized, where Ingest
+    // .withIsProviderFlag does broadcast).
     "q_j4_semi_flag" -> ((s, d) => {
       val big = Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45)
         .select(col("l_orderkey").as("big_key")).distinct()
       Tables.orders(s, d)
-        .join(broadcast(big), col("o_orderkey") === col("big_key"), "left")
+        .join(big, col("o_orderkey") === col("big_key"), "left")
         .select(col("o_orderkey"),
           when(col("big_key").isNotNull, lit(1L)).otherwise(lit(0L)).as("has_big"))
         .orderBy("o_orderkey")

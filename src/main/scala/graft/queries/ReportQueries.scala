@@ -80,6 +80,63 @@ object ReportQueries {
         .orderBy("region", "priority")
     }),
 
+    // 3b.:80-120 COVID-period scatter data — the reference's flagship
+    // published analysis: period tagging (Dimensions.covidPeriod with
+    // era boundaries shifted into this corpus's 1992-98 date range) ->
+    // period aggregation -> wide pivot on IS slice (pct_IS, rate18 of
+    // the All slice) -> second wide pivot on period -> post-minus-pre
+    // deltas. Rates are fixed-point bigints (x100 / x10); deltas are
+    // differences of the scaled ints, so everything is bit-exact.
+    "q_covid_periods" -> ((s, d) => {
+      val f0 = Tables.lineitem(s, d).select(
+        to_date(date_trunc("month", col("l_shipdate"))).as("mdate"),
+        concat(lit("S"), pmod(col("l_suppkey"), lit(7))).as("specialty"),
+        when(col("l_returnflag") === "A", "incomplete")
+          .when(col("l_returnflag") === "N", "completeadmitted")
+          .otherwise("completenonadmitted").as("typ"),
+        when(col("l_discount") > 0.05, "IS").otherwise("NHS").as("independent"),
+        when(col("l_quantity") <= 18, 1L).otherwise(0L).as("le18"))
+      // monthly grain first (the reference's input is monthly files);
+      // cached — the All-slice reagg would replay the fact scan
+      val base = f0.groupBy("mdate", "specialty", "typ", "independent")
+        .agg(count(lit(1)).as("n"), sum("le18").as("n18")).cache()
+      val slices = base.unionByName(
+        base.groupBy("mdate", "specialty", "typ")
+          .agg(sum("n").as("n"), sum("n18").as("n18"))
+          .withColumn("independent", lit("All")))
+      val byPeriod = slices
+        .withColumn("period", graft.schema.Dimensions.covidPeriod(
+          col("mdate"), onset = "1994-01-01", reopen = "1996-01-01"))
+        .groupBy("period", "specialty", "typ", "independent")
+        .agg(sum("n").as("n"), sum("n18").as("n18"))
+      // pivot 1: IS slice -> columns (R1 pivot-wider, multi-agg)
+      val w1 = byPeriod.groupBy("period", "specialty", "typ")
+        .pivot("independent", Seq("All", "IS"))
+        .agg(sum(col("n")).as("n"), sum(col("n18")).as("n18"))
+        .select(col("period"), col("specialty"), col("typ"),
+          bround(col("IS_n").cast("double") * lit(100.0) / col("All_n").cast("double")
+            * lit(100.0), 0).cast("bigint").as("pct_is_x100"),
+          bround(col("All_n18").cast("double") * lit(100.0) / col("All_n").cast("double")
+            * lit(10.0), 0).cast("bigint").as("rate18_x10"))
+      // pivot 2: period -> columns, then the reference's deltas
+      val w2 = w1.groupBy("specialty", "typ")
+        .pivot("period", Seq("Pre", "During", "Post"))
+        .agg(max(col("pct_is_x100")).as("pct_is_x100"),
+          max(col("rate18_x10")).as("rate18_x10"))
+        .select(col("specialty"), col("typ"),
+          col("Pre_pct_is_x100").as("pct_is_pre_x100"),
+          col("During_pct_is_x100").as("pct_is_during_x100"),
+          col("Post_pct_is_x100").as("pct_is_post_x100"),
+          col("Pre_rate18_x10").as("rate18_pre_x10"),
+          col("During_rate18_x10").as("rate18_during_x10"),
+          col("Post_rate18_x10").as("rate18_post_x10"))
+      w2.withColumn("delta_is_x100",
+          col("pct_is_post_x100") - col("pct_is_pre_x100"))
+        .withColumn("delta_wait_x10",
+          col("rate18_post_x10") - col("rate18_pre_x10"))
+        .orderBy("specialty", "typ")
+    }),
+
     // §2.9 leftovers: str_to_title (initcap), word(x, 2, '-'),
     // NA-to-0 coalesce, nested ifelse chains.
     "q_f_strings2" -> ((s, d) => {
@@ -142,6 +199,57 @@ object ReportQueries {
         |  CAST(round_even(100.0 * n / sum(n) OVER (PARTITION BY region)
         |    * 10000, 0) AS BIGINT) AS share_x10k
         |FROM a ORDER BY region, priority""".stripMargin,
+    "q_covid_periods" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', l_shipdate) AS mdate,
+        |    'S' || (l_suppkey % 7) AS specialty,
+        |    CASE l_returnflag WHEN 'A' THEN 'incomplete'
+        |         WHEN 'N' THEN 'completeadmitted'
+        |         ELSE 'completenonadmitted' END AS typ,
+        |    CASE WHEN l_discount > 0.05 THEN 'IS' ELSE 'NHS' END AS independent,
+        |    CASE WHEN l_quantity <= 18 THEN 1 ELSE 0 END AS le18
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT mdate, specialty, typ, independent,
+        |    count(*) AS n, sum(le18) AS n18
+        |  FROM f GROUP BY 1, 2, 3, 4),
+        |slices AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT mdate, specialty, typ, 'All', sum(n), sum(n18)
+        |  FROM base GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT CASE WHEN mdate < DATE '1994-01-01' THEN 'Pre'
+        |              WHEN mdate < DATE '1996-01-01' THEN 'During'
+        |              ELSE 'Post' END AS period,
+        |    specialty, typ, independent, sum(n) AS n, sum(n18) AS n18
+        |  FROM slices GROUP BY 1, 2, 3, 4),
+        |w1 AS (
+        |  SELECT period, specialty, typ,
+        |    max(CASE WHEN independent = 'All' THEN n END) AS n_all,
+        |    max(CASE WHEN independent = 'IS' THEN n END) AS n_is,
+        |    max(CASE WHEN independent = 'All' THEN n18 END) AS n18_all
+        |  FROM p GROUP BY 1, 2, 3),
+        |w2 AS (
+        |  SELECT period, specialty, typ,
+        |    CAST(round_even(n_is * 100.0 / n_all * 100, 0) AS BIGINT) AS pct_is_x100,
+        |    CAST(round_even(n18_all * 100.0 / n_all * 10, 0) AS BIGINT) AS rate18_x10
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT specialty, typ,
+        |    max(CASE WHEN period = 'Pre' THEN pct_is_x100 END) AS pct_is_pre_x100,
+        |    max(CASE WHEN period = 'During' THEN pct_is_x100 END) AS pct_is_during_x100,
+        |    max(CASE WHEN period = 'Post' THEN pct_is_x100 END) AS pct_is_post_x100,
+        |    max(CASE WHEN period = 'Pre' THEN rate18_x10 END) AS rate18_pre_x10,
+        |    max(CASE WHEN period = 'During' THEN rate18_x10 END) AS rate18_during_x10,
+        |    max(CASE WHEN period = 'Post' THEN rate18_x10 END) AS rate18_post_x10
+        |  FROM w2 GROUP BY 1, 2)
+        |SELECT specialty, typ,
+        |  pct_is_pre_x100, pct_is_during_x100, pct_is_post_x100,
+        |  rate18_pre_x10, rate18_during_x10, rate18_post_x10,
+        |  pct_is_post_x100 - pct_is_pre_x100 AS delta_is_x100,
+        |  rate18_post_x10 - rate18_pre_x10 AS delta_wait_x10
+        |FROM w3 ORDER BY specialty, typ""".stripMargin,
     "q_f_strings2" ->
       """SELECT n_nationkey,
         |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS title,

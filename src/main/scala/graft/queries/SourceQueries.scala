@@ -31,7 +31,14 @@ object SourceQueries {
           col("l_extendedprice").as("l extended price"), // mangle target
           col("l_returnflag"))
         .write.option("header", "true").mode("overwrite").csv(out)
-      Ingest.csvMangledNames(s, out)
+      // explicit schema: inferSchema would re-scan the whole CSV (r1
+      // bench: 3 passes for this query)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_quantity", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("l extended price", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("l_returnflag", org.apache.spark.sql.types.StringType)))
+      Ingest.csvMangledNames(s, out, Some(schema))
         .groupBy("l_returnflag")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("`l.extended.price`"), 2).as("sum_price"),

@@ -32,10 +32,16 @@ object Dimensions {
     (Seq(yearLookup(spark, 25, 9)) ++ (18 to 24).reverse.map(yearLookup(spark, _)))
       .reduce(_.unionByName(_))
 
-  /** COVID period dimension (`3b.:84-87`): month-date -> period tag. */
-  def covidPeriod(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(d < to_date(lit("2020-03-01")), "Pre")
-      .when(d < to_date(lit("2021-06-01")), "During")
+  /** COVID period dimension (`3b.:84-87`): month-date -> period tag.
+    * Boundaries parameterized (reference defaults: pandemic onset
+    * 2020-03, reopening 2021-06) so the same operator tags any
+    * three-era split — the test corpus's 1992-1998 dates use shifted
+    * boundaries. */
+  def covidPeriod(d: org.apache.spark.sql.Column,
+      onset: String = "2020-03-01",
+      reopen: String = "2021-06-01"): org.apache.spark.sql.Column =
+    when(d < to_date(lit(onset)), "Pre")
+      .when(d < to_date(lit(reopen)), "During")
       .otherwise("Post")
 
   /** ONS 9-region 2020 populations (`3c.:431-441`), title-cased like

@@ -1,0 +1,123 @@
+package graft.tools
+
+import java.io.{BufferedWriter, FileWriter}
+import java.util.zip.ZipFile
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Document, Element}
+import scala.collection.mutable
+
+/** S3 — Excel (.xlsx) to CSV conversion, the missing front step of the
+  * "pre-converted fixtures" decision (SURVEY §7.4-7): the reference
+  * reads its monthly provider workbooks with
+  * `read_excel(file, sheet = "IS Provider", skip = 13)` (`1b.:242-260`,
+  * `1a.:96-98`); this utility turns those drops into CSVs the S1/S2
+  * readers ingest.
+  *
+  * Pure JDK (an .xlsx is a zip of XML parts — no external Excel
+  * dependency): resolves sheet NAMES through workbook.xml + its rels,
+  * reads shared/inline strings, fills sparse cell runs from the A1-style
+  * references, and CSV-quotes on write. Numbers pass through verbatim
+  * (Excel dates are serial numbers; downstream parsing owns date
+  * semantics, same as `read_excel`'s raw passthrough for typed columns).
+  *
+  * This is driver-side file prep, deliberately not a Spark job: one
+  * workbook is one small file, and a folder of months parallelizes by
+  * file. The Spark boundary stays at the CSV readers.
+  */
+object ExcelConvert {
+
+  private def parse(zip: ZipFile, entry: String): Option[Document] =
+    Option(zip.getEntry(entry)).map { e =>
+      val dbf = DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(false)
+      dbf.newDocumentBuilder().parse(zip.getInputStream(e))
+    }
+
+  private def elems(doc: Document, tag: String): Seq[Element] = {
+    val nl = doc.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  /** sheet name -> zip part path, via workbook.xml sheet r:id and the
+    * workbook rels part. */
+  def sheetParts(zip: ZipFile): Map[String, String] = {
+    val rels = parse(zip, "xl/_rels/workbook.xml.rels").toSeq
+      .flatMap(elems(_, "Relationship"))
+      .map(r => r.getAttribute("Id") -> r.getAttribute("Target"))
+      .toMap
+    parse(zip, "xl/workbook.xml").toSeq.flatMap(elems(_, "sheet")).map { s =>
+      val target = rels.getOrElse(s.getAttribute("r:id"), "")
+      val path = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+      s.getAttribute("name") -> path
+    }.toMap
+  }
+
+  private def sharedStrings(zip: ZipFile): IndexedSeq[String] =
+    parse(zip, "xl/sharedStrings.xml").toSeq.flatMap(elems(_, "si")).map { si =>
+      // an <si> is either one <t> or rich-text runs of <r><t>..</t></r>
+      elems0(si, "t").map(_.getTextContent).mkString
+    }.toIndexedSeq
+
+  private def elems0(e: Element, tag: String): Seq[Element] = {
+    val nl = e.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  /** "BC7" -> 0-based column 54. */
+  private[tools] def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+
+  private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
+    val t = c.getAttribute("t")
+    val v = elems0(c, "v").headOption.map(_.getTextContent)
+    t match {
+      case "s" => v.flatMap(i => shared.lift(i.trim.toInt)).getOrElse("")
+      case "inlineStr" => elems0(c, "t").map(_.getTextContent).mkString
+      case "b" => if (v.contains("1")) "TRUE" else "FALSE"
+      case _ => v.getOrElse("") // "n", "str", untyped
+    }
+  }
+
+  private def csvQuote(s: String): String =
+    if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Extract one named sheet as rows of cells (sparse refs filled with
+    * empty strings; `skipRows` mirrors `read_excel(skip=)`). */
+  def sheetRows(xlsxPath: String, sheetName: String,
+      skipRows: Int = 0): Seq[Seq[String]] = {
+    val zip = new ZipFile(xlsxPath)
+    try {
+      val part = sheetParts(zip).getOrElse(sheetName,
+        throw new IllegalArgumentException(
+          s"sheet '$sheetName' not found; have ${sheetParts(zip).keys.mkString(", ")}"))
+      val shared = sharedStrings(zip)
+      val doc = parse(zip, part).getOrElse(
+        throw new IllegalArgumentException(s"missing sheet part $part"))
+      val rows = elems(doc, "row").map { r =>
+        val cells = elems0(r, "c")
+        val out = mutable.ArrayBuffer.empty[String]
+        cells.foreach { c =>
+          val idx = Option(c.getAttribute("r")).filter(_.nonEmpty)
+            .map(colIndex).getOrElse(out.length)
+          while (out.length < idx) out += ""
+          out += cellValue(c, shared)
+        }
+        out.toSeq
+      }
+      rows.drop(skipRows)
+    } finally zip.close()
+  }
+
+  /** Convert one sheet to a CSV file; returns the row count written. */
+  def xlsxToCsv(xlsxPath: String, csvPath: String, sheetName: String,
+      skipRows: Int = 0): Int = {
+    val rows = sheetRows(xlsxPath, sheetName, skipRows)
+    val w = new BufferedWriter(new FileWriter(csvPath))
+    try {
+      rows.foreach(r => { w.write(r.map(csvQuote).mkString(",")); w.newLine() })
+      rows.length
+    } finally w.close()
+  }
+}

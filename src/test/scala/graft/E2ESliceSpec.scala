@@ -33,7 +33,7 @@ class E2ESliceSpec extends AnyFunSuite {
       .write.option("header", "true").csv(s"$dir/apr21")
 
     // 2. scan with the fread shim (names mangled to dotted form)
-    val raw = Ingest.csvMangledNames(spark, s"$dir/apr21")
+    val raw = Ingest.csvMangledNames(spark, s"$dir/apr21", inferSchema = true)
     assert(raw.columns.contains("Gt.00.To.01.Weeks.SUM.1"))
 
     // 3. normalize: band array + canonical pathway + monthly tag + IS flag

@@ -66,4 +66,82 @@ class IngestSpec extends AnyFunSuite {
     assert(got.getString(0) == "RX1" && got.getString(1) == "TRUST A"
       && got.getString(2) == "AB1 2CD")
   }
+
+  test("anchorLinks + returnLinksRtt classify the five series per month (1b.:83-138)") {
+    // a saved landing page per series; Jul has all five files, Aug only
+    // two -> remaining columns null like R's links[str_detect][1] = NA
+    val html =
+      """<html><body>
+        |<a href="/x/Full-CSV-Jul21.zip">Full CSV data file Jul21 (ZIP)</a>
+        |<a class="x" href="/x/Incomplete-Provider-Jul21.xls">Incomplete Provider Jul21 (XLS)</a>
+        |<a href="/x/New-Periods-Provider-Jul21.xls">New Periods Provider Jul21</a>
+        |<a href="/x/NonAdmitted-Provider-Jul21.xls">NonAdmitted Provider Jul21</a>
+        |<a href="/x/Admitted-Provider-Jul21.xls">Admitted Provider Jul21</a>
+        |<a href="/x/full-extract-Aug21.zip">Full CSV Aug21</a>
+        |<a href="/x/Incomplete-Provider-Aug21.xls">Incomplete Provider Aug21</a>
+        |<a href="/y/guidance.pdf">Guidance notes</a>
+        |</body></html>""".stripMargin
+    val pages = Seq(("2122", html)).toDF("series", "html")
+    val anchors = Ingest.anchorLinks(pages, "html")
+    assert(anchors.count() == 8)
+    val cal = Seq(("Jul21", "2122"), ("Aug21", "2122")).toDF("month", "series")
+    val out = Ingest.returnLinksRtt(cal, anchors)
+      .orderBy("month").collect()
+    val aug = out(0); val jul = out(1)
+    assert(jul.getAs[String]("full_csv_link") == "/x/Full-CSV-Jul21.zip")
+    assert(jul.getAs[String]("providers_link_incomp") == "/x/Incomplete-Provider-Jul21.xls")
+    assert(jul.getAs[String]("providers_link_new") == "/x/New-Periods-Provider-Jul21.xls")
+    // NonAdmitted listed BEFORE Admitted: the lookbehind keeps the
+    // admitted column off the NonAdmitted link (reference's str_detect
+    // would have taken it)
+    assert(jul.getAs[String]("providers_link_adm") == "/x/Admitted-Provider-Jul21.xls")
+    assert(jul.getAs[String]("providers_link_nonadm") == "/x/NonAdmitted-Provider-Jul21.xls")
+    assert(aug.getAs[String]("full_csv_link") == "/x/full-extract-Aug21.zip")
+    assert(aug.isNullAt(aug.fieldIndex("providers_link_adm")))
+    assert(aug.isNullAt(aug.fieldIndex("providers_link_new")))
+  }
+
+  test("ExcelConvert: named sheet + skip rows + shared/inline strings -> CSV (S3)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
+    val xlsx = dir.resolve("book.xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(xlsx))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook><sheets>
+        |<sheet name="Notes" sheetId="1" r:id="rId1"/>
+        |<sheet name="IS Provider" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<sst><si><t>Provider Code</t></si><si><t>Provider, "Name"</t></si>
+        |<si><r><t>RX</t></r><r><t>1</t></r></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml", "<worksheet><sheetData/></worksheet>")
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>skip me</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>42.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val csv = dir.resolve("out.csv").toString
+    val n = graft.tools.ExcelConvert.xlsxToCsv(xlsx, csv, "IS Provider", skipRows = 1)
+    assert(n == 2)
+    val lines = scala.io.Source.fromFile(csv).getLines().toSeq
+    // header row survives skip; quoted comma/quote; rich-text si joined;
+    // sparse B3 filled empty
+    assert(lines == Seq("Provider Code,\"Provider, \"\"Name\"\"\"", "RX1,,42.5"))
+    // the converted CSV is RFC 4180 (doubled quotes, like Excel/R) —
+    // round-trip with Spark's escape option set accordingly
+    val back = spark.read.option("header", "true").option("escape", "\"").csv(csv)
+    assert(back.columns.toSeq == Seq("Provider Code", "Provider, \"Name\""))
+    assert(back.head.getString(0) == "RX1")
+  }
 }
