@@ -83,7 +83,7 @@ object Similarity {
     val scored = withUnitVec(corpus, vecCol, "cv")
       .select(col(idCol).cast("long").as("neighbor_id"), col("cv"))
       .filter(col("cv").isNotNull)
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = qB.value
         // per-query bounded worst-first heap: (sim asc, id desc)
@@ -91,8 +91,7 @@ object Similarity {
         // head is the WORST kept entry (lowest sim, then highest id)
         val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
           Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
-        it.foreach { case (cid, cv) =>
-          val cvA = cv.toArray
+        it.foreach { case (cid, cvA) =>
           var qi = 0
           while (qi < qs.length) {
             val (qid, qv) = qs(qi)
@@ -152,11 +151,10 @@ object Similarity {
     val psB = ss.sparkContext.broadcast(planeSets.toArray)
     df.select(col(idCol).cast("long"),
         transform(col(vecCol), _.cast("double")).as("v"))
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val sets = psB.value
-        it.flatMap { case (id, v) =>
-          val vA = v.toArray
+        it.flatMap { case (id, vA) =>
           sets.iterator.zipWithIndex.map { case (planes, t) =>
             var b = 0L; var p = 0
             while (p < planes.length) {
@@ -249,7 +247,7 @@ object Similarity {
     val scored = withUnitVec(corpus, vecCol, "cv")
       .select(col(idCol).cast("long").as("neighbor_id"), col("cv"))
       .filter(col("cv").isNotNull)
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val byCell = qB.value
         val heaps = scala.collection.mutable.Map
@@ -257,8 +255,7 @@ object Similarity {
         def heapFor(qid: Long) = heaps.getOrElseUpdate(qid,
           new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
             Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
-        it.foreach { case (cid, cv) =>
-          val cvA = cv.toArray
+        it.foreach { case (cid, cvA) =>
           val cell = {
             // assign this corpus vector to its nearest centroid
             var best = 0; var bestS = Double.NegativeInfinity; var i = 0
@@ -314,11 +311,10 @@ object Similarity {
       .select(col(idCol).cast("long").as("id_b"), col("uv"))
       .filter(col("uv").isNotNull)
       .repartition(par)
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val as = aB.value
-        it.flatMap { case (idB, vb) =>
-          val vbA = vb.toArray
+        it.flatMap { case (idB, vbA) =>
           as.iterator.collect {
             case (idA, va) if idA < idB =>
               (idA, roundHalfUp(dotLoop(va, vbA), 6))
@@ -368,10 +364,13 @@ object Similarity {
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .as[(Long, Long, Seq[Double], Seq[Double])]
+      // Array[Double] decodes to primitive double[] — a Seq encoder
+      // would box 2 x dim doubles PER CANDIDATE PAIR (GC-bound at
+      // millions of candidates)
+      .as[(Long, Long, Array[Double], Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (a2, b2, va2, vb2) =>
-          val sim = roundHalfUp(dotLoop(va2.toArray, vb2.toArray), 6)
+          val sim = roundHalfUp(dotLoop(va2, vb2), 6)
           if (sim >= thr) Iterator.single(DupPair(a2, b2, sim)) else Iterator.empty
         }
       }
