@@ -70,11 +70,18 @@ object DashboardStats {
     // fire across the union branches), turning 1 fact pass into 4 —
     // the exact failure mode this design exists to avoid at 100 TB.
     // The cached side is the small aggregate, not the fact table.
+    // band vectors aggregate through the native typed-imperative
+    // band_sum (ONE primitive long[] buffer per group vs maxBands
+    // separate sum aggregates — see graft.plans.BandSumAgg; equality
+    // with HistogramOps.sumBands is property-tested in BandSumAggSpec)
+    def bandSum(c: Column): Column =
+      graft.plans.BandSumAgg.bandSum(fact.sparkSession, c, cfg.maxBands)
+
     val base = f
       .groupBy(col("monthyr"), col(groupCol).cast("string").as("grp"),
         col("specialty"), col("pathway"), col("is_provider"))
       .agg(
-        H.sumBands(col("weeks"), cfg.maxBands).as("weeks"),
+        bandSum(col("weeks")).as("weeks"),
         coalesce(sum("unknown_start"), lit(0L)).as("unknown_start"),
         coalesce(sum("total_all"), lit(0L)).as("total_all"))
       .cache()
@@ -85,7 +92,7 @@ object DashboardStats {
       base.groupBy(col("monthyr"), grp.as("grp2"), col("specialty"),
           col("pathway"), isSlice.as("is_slice"))
         .agg(
-          H.sumBands(col("weeks"), cfg.maxBands).as("weeks"),
+          bandSum(col("weeks")).as("weeks"),
           coalesce(sum("unknown_start"), lit(0L)).as("unknown_start"),
           coalesce(sum("total_all"), lit(0L)).as("total_all"))
         .withColumnRenamed("grp2", "grp")
