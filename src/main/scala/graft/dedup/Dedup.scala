@@ -56,29 +56,85 @@ object Dedup {
     *
     * Candidate generation is a shingle equi-join (pairs must share at
     * least one shingle) — NOT an all-pairs cross join; at 100 TB the
-    * join shuffles on the shingle hash and common-shingle skew is the
-    * known hazard (mitigate upstream by dropping ultra-frequent
-    * shingles, cf. stopword shingle filtering). Exact and oracle-able;
-    * for billion-doc scale prefer [[minHashLshPairs]].
+    * join shuffles on the shingle hash, and a shingle shared by k docs
+    * contributes k^2/2 join rows — COMMON-SHINGLE SKEW is the known
+    * hazard. `maxDocFreq` ships the standard mitigation: shingles
+    * appearing in more than that many documents are dropped from
+    * CANDIDATE GENERATION only (a shingle in 10k docs is a stopword
+    * phrase, not a dedup signal), and surviving candidates are then
+    * verified on their FULL shingle sets, so reported jaccard values
+    * stay exact. The only approximation is recall: a pair whose shared
+    * shingles are ALL hot is never considered — at a 0.5+ threshold
+    * such pairs share mostly-common text by construction. Default off
+    * (`None`) = fully exact, the oracle-checked configuration.
+    *
+    * For billion-doc scale prefer [[minHashLshPairs]] (bounded
+    * candidate fan-out regardless of shingle frequency).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
+    maxDocFreq match {
+      case None =>
+        // exact path: shared-counts straight off the shingle join (one
+        // join + one aggregate — no candidate materialization needed
+        // when every shared shingle contributes to the jaccard anyway)
+        val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+          .withColumn("jaccard",
+            col("shared").cast("double") /
+              (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+      case Some(cap) =>
+        // skew-guarded path: df-filter candidate generation, then exact
+        // verification on FULL shingle sets (jaccard values stay true)
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("shingle")
+        val pruned = sh.join(rare, Seq("shingle"), "left_semi")
+        val candidates = pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+        verifyJaccard(candidates, sh, idCol, threshold)
+          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    }
+  }
+
+  /** Exact-jaccard verification of a candidate pair set against the
+    * full shingle table — the shared tail of [[ngramJaccardPairs]] and
+    * [[minHashLshPairs]]: semi-join the shingle table down to docs in
+    * ANY candidate pair (near-dups are rare, so verification joins
+    * scale with candidates, not corpus), count shared shingles per
+    * pair, attach set sizes, filter on the exact ratio. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
+    candidates
+      .join(shCand.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(shCand.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
   /** MinHash signature as a Column (nested HOFs): reference semantics
@@ -143,26 +199,11 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // exact verification on the candidate set only (shares `sh`).
-    // Semi-join the shingle table down to docs that appear in ANY
-    // candidate pair first: near-dups are rare, so this turns the two
-    // full-shingle-table verification joins into joins over a tiny
-    // slice (the r1 bench's single biggest cost in this operator).
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b")))
-      .distinct()
-    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    candidates
-      .join(shCand.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(shCand.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    // exact verification on the candidate set only (shares `sh`) —
+    // the common verify stage semi-joins the shingle table down to
+    // candidate docs first (the r1 bench's single biggest cost in this
+    // operator was verifying against the FULL shingle table)
+    verifyJaccard(candidates, sh, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

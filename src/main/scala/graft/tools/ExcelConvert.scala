@@ -120,4 +120,33 @@ object ExcelConvert {
       rows.length
     } finally w.close()
   }
+
+  /** S4 — unzip a monthly "Full CSV" drop into a folder (`1b.:184-191`:
+    * download -> unzip -> delete zip; the download leg stays
+    * driver-side, extraction is this). Rejects entries that would
+    * escape `destDir` (zip-slip). Returns the extracted paths. */
+  def unzip(zipPath: String, destDir: String): Seq[String] = {
+    val dest = java.nio.file.Paths.get(destDir).toAbsolutePath.normalize()
+    java.nio.file.Files.createDirectories(dest)
+    val zip = new ZipFile(zipPath)
+    try {
+      val entries = zip.entries()
+      val out = mutable.ArrayBuffer.empty[String]
+      while (entries.hasMoreElements) {
+        val e = entries.nextElement()
+        val target = dest.resolve(e.getName).normalize()
+        require(target.startsWith(dest), s"zip entry escapes dest: ${e.getName}")
+        if (e.isDirectory) java.nio.file.Files.createDirectories(target)
+        else {
+          java.nio.file.Files.createDirectories(target.getParent)
+          val in = zip.getInputStream(e)
+          try java.nio.file.Files.copy(in, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          out += target.toString
+        }
+      }
+      out.toSeq
+    } finally zip.close()
+  }
 }

@@ -62,6 +62,31 @@ class DedupSpec extends AnyFunSuite {
       s"simhash found $covered of ${exactPairs.size} exact near-dups")
   }
 
+  test("hot-shingle dropping prunes stopword-phrase candidates, keeps jaccard exact") {
+    import spark.implicits._
+    // docs 1/2: true near-dups (share rare shingles). docs 3/4: share
+    // ONLY the hot boilerplate shingle every doc carries.
+    val boiler = "terms and conditions apply"
+    val d = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"alpha beta gamma delta zeta $boiler"),
+      (3L, s"one two three $boiler"),
+      (4L, s"four five six $boiler"))
+      .toDF("doc_id", "text")
+    // cap 2: the boilerplate shingles (df=4) leave candidate generation
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.1, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected only the rare-shingle pair, got ${got.toSeq}")
+    // jaccard verified on FULL shingle sets (boilerplate included):
+    // exact path must agree on the surviving pair
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .head.getAs[Double]("jaccard")
+    assert(got.head._3 == exact)
+  }
+
   test("simhash is deterministic and order-invariant-ish (same text -> same sig)") {
     import spark.implicits._
     val sigs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"))

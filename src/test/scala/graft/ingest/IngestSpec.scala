@@ -144,4 +144,26 @@ class IngestSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("Provider Code", "Provider, \"Name\""))
     assert(back.head.getString(0) == "RX1")
   }
+
+  test("unzip extracts a monthly drop and rejects zip-slip entries (S4)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-zip")
+    val zip = dir.resolve("m.zip").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(zip))
+    zos.putNextEntry(new ZipEntry("extract/full.csv"))
+    zos.write("a,b\n1,2\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val out = graft.tools.ExcelConvert.unzip(zip, dir.resolve("out").toString)
+    assert(out.length == 1 && out.head.endsWith("extract/full.csv"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out.head))).startsWith("a,b"))
+
+    val evil = dir.resolve("evil.zip").toString
+    val z2 = new ZipOutputStream(new java.io.FileOutputStream(evil))
+    z2.putNextEntry(new ZipEntry("../escape.txt"))
+    z2.write("x".getBytes); z2.closeEntry(); z2.close()
+    intercept[IllegalArgumentException] {
+      graft.tools.ExcelConvert.unzip(evil, dir.resolve("out2").toString)
+    }
+  }
 }
