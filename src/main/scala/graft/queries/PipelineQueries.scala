@@ -33,6 +33,22 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // Document fingerprinting: rolling-hash winnowing (k=8, w=4) via
+    // the native expression — scalar summary per doc (count/min/max of
+    // the fingerprint set) so the result is hash-comparable.
+    "q_t_winnow" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.WinnowFingerprintsExpr
+            .winnowFingerprints(s, col("text"), 8, 4).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("bigint").as("n_fp"),
+          when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("min_fp"),
+          when(size(col("fp")) > 0, element_at(col("fp"), size(col("fp"))))
+            .as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: punctuation / stopword / length signals.
     "q_t_quality" -> ((s, d) => {
       Tables.documents(s, d)
@@ -163,6 +179,34 @@ object PipelineQueries {
         |    AS bpe_tokens,
         |  CAST(round_even(avg(n_chars) * 1000.0, 0) AS BIGINT) AS avg_chars_x1000
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // mirrors the expression's rolling hash as a from-scratch k-gram
+    // fold (mathematically identical mod 2^32) + window minima
+    "q_t_winnow" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text) - 8 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 8),
+        |kg AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(range(8),
+        |        j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 4294967296) AS h
+        |  FROM pos),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS np
+        |  FROM kg),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(DISTINCT m) FILTER (WHERE i + 4 <= np) AS n_fp,
+        |    min(m) FILTER (WHERE i + 4 <= np) AS min_fp,
+        |    max(m) FILTER (WHERE i + 4 <= np) AS max_fp
+        |  FROM wm GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, coalesce(a.n_fp, 0) AS n_fp,
+        |  a.min_fp, a.max_fp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_t_quality" ->
       s"""WITH t AS (
         |  SELECT source,
