@@ -207,6 +207,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing near-dup pairs: candidate generation by SHARED WINNOW
+    * FINGERPRINT (one equi-join on the fingerprint value — the MOSS
+    * scheme's selling point: any two docs sharing a character run of
+    * length >= w+k-1 are GUARANTEED to share a fingerprint, so
+    * candidates for long-overlap near-dups are a deterministic
+    * superset, no probabilistic banding), then exact n-gram Jaccard
+    * verification via [[ngramJaccardPairs]]' shared tail. Fingerprints
+    * come from the native codegen expression
+    * ([[graft.plans.WinnowFingerprintsExpr]]); each doc emits its
+    * distinct fingerprint set (bounded by ~len/w per doc), so the join
+    * is another bucket-key shuffle, same scale shape as MinHash-LSH.
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(graft.plans.WinnowFingerprintsExpr.winnowFingerprints(
+        df.sparkSession, col(textCol), k, w)).as("fp"))
+    val candidates = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sh = shingles(df, idCol, textCol, n)
+    verifyJaccard(candidates, sh, idCol, threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b is set when the
     * majority of token hashes have bit b set (duplicate tokens weight
     * naturally). Pure expression composition. */

@@ -45,6 +45,27 @@ object Geocoder {
       }
   }
 
+  /** Deterministic offline fake whose arithmetic is PORTABLE to the
+    * DuckDB oracle (plain codepoint sums — `FakeClient`'s Java
+    * `String.hashCode` is not SQL-friendly): lets the whole S6
+    * mapPartitions enrichment run under the hash-match gate
+    * (`q_s6_geocode`) instead of spec-only. */
+  final class PortableFakeClient extends GeocodeClient {
+    def lookup(r: GeocodeRequest): GeocodeResult =
+      if (r.postcode == null || r.postcode.trim.isEmpty)
+        GeocodeResult(r.code, r.postcode, "ZERO_RESULTS", 0, Double.NaN,
+          Double.NaN, null)
+      else {
+        var s = 0L
+        var i = 0
+        while (i < r.postcode.length) { s += r.postcode.charAt(i); i += 1 }
+        GeocodeResult(r.code, r.postcode, "OK", 1,
+          50.0 + (s % 1000) / 100.0,
+          -5.0 + ((s / 7) % 1000) / 100.0,
+          s"${r.name}, ${r.postcode}")
+      }
+  }
+
   /** Wraps a client so ANY thrown error becomes a "fail" row — the
     * `_catch` semantics of the reference. */
   final class CatchingClient(inner: GeocodeClient) extends GeocodeClient {

@@ -98,6 +98,18 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Winnowing near-dup pairs: shared-fingerprint candidates (MOSS
+    // guarantee — docs sharing an 11+ char run share a fingerprint;
+    // every true pair here is jaccard >= 0.88, i.e. near-identical
+    // text with long shared runs) + exact jaccard verification, so the
+    // exact-jaccard SQL is the oracle (DedupSpec asserts set equality).
+    "q_dedup_winnow" -> ((s, d) => {
+      Dedup.winnowNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, k = 8, w = 4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
@@ -299,6 +311,29 @@ object PipelineQueries {
     // Valid because 16x4 LSH banding is exhaustive on this corpus's
     // pair set (all true pairs >= 0.88 jaccard) — see the query comment.
     "q_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Valid because shared-fingerprint candidate generation is
+    // exhaustive on this corpus's >=0.88-jaccard pair set (MOSS
+    // shared-run guarantee) — see the query comment.
+    "q_dedup_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
         |  FROM documents),

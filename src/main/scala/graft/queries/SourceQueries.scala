@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ingest.Ingest
+import graft.ingest.{Geocoder => Ingest0, Ingest}
 import graft.spatial.Spatial
 
 /** Source/sink + spatial operator queries: CSV scan round-trips
@@ -57,6 +57,30 @@ object SourceQueries {
         .orderBy("nkey")
     }),
 
+    // S6 — REST geocode enrichment through the real mapPartitions
+    // pipeline (partition-local client, per-row error capture), with
+    // the SQL-portable deterministic client so the whole path sits
+    // under the hash-match gate. Every 50th key gets an empty postcode
+    // to exercise the ZERO_RESULTS arm.
+    "q_s6_geocode" -> ((s, d) => {
+      val reqs = Tables.customer(s, d)
+        .select(
+          col("c_custkey").cast("string").as("code"),
+          when(col("c_custkey") % 50 === 0, lit("")).otherwise(col("c_name"))
+            .as("postcode"),
+          col("c_mktsegment").as("name"))
+        .as[Ingest0.GeocodeRequest](
+          org.apache.spark.sql.Encoders.product[Ingest0.GeocodeRequest])
+      Ingest0.geocode(reqs, new Ingest0.PortableFakeClient())
+        .toDF()
+        .select(col("code").cast("bigint").as("code"), col("postcode"),
+          col("status"), col("number_results").cast("bigint").as("number_results"),
+          when(isnan(col("lat")), lit(null)).otherwise(col("lat")).as("lat"),
+          when(isnan(col("lon")), lit(null)).otherwise(col("lon")).as("lon"),
+          col("address"))
+        .orderBy("code")
+    }),
+
     // A4 — deterministic first(): min_by with a pinned order column.
     "q_a4_first_per_group" -> ((s, d) => {
       Tables.customer(s, d)
@@ -105,6 +129,28 @@ object SourceQueries {
     "q_s2_headerless_csv" ->
       """SELECT n_nationkey AS nkey, n_name AS nname, n_regionkey AS rkey
         |FROM nation ORDER BY nkey""".stripMargin,
+    "q_s6_geocode" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS code,
+        |    CASE WHEN c_custkey % 50 = 0 THEN '' ELSE c_name END AS postcode,
+        |    c_mktsegment AS name
+        |  FROM customer),
+        |s AS (
+        |  SELECT code, postcode, name,
+        |    CASE WHEN length(trim(postcode)) = 0 THEN NULL
+        |      ELSE list_reduce(list_transform(range(length(postcode)),
+        |          i -> CAST(ascii(substr(postcode, CAST(i + 1 AS INT), 1)) AS BIGINT)),
+        |        (a, b) -> a + b) END AS cs
+        |  FROM c)
+        |SELECT code, postcode,
+        |  CASE WHEN cs IS NULL THEN 'ZERO_RESULTS' ELSE 'OK' END AS status,
+        |  CASE WHEN cs IS NULL THEN 0 ELSE 1 END AS number_results,
+        |  CASE WHEN cs IS NULL THEN NULL
+        |       ELSE 50.0 + (cs % 1000) / 100.0 END AS lat,
+        |  CASE WHEN cs IS NULL THEN NULL
+        |       ELSE -5.0 + ((cs // 7) % 1000) / 100.0 END AS lon,
+        |  CASE WHEN cs IS NULL THEN NULL ELSE name || ', ' || postcode END AS address
+        |FROM s ORDER BY code""".stripMargin,
     "q_a4_first_per_group" ->
       """SELECT c_nationkey, min(c_custkey) AS first_key,
         |  min_by(c_name, c_custkey) AS first_name

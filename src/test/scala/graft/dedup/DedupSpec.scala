@@ -62,6 +62,17 @@ class DedupSpec extends AnyFunSuite {
       s"simhash found $covered of ${exactPairs.size} exact near-dups")
   }
 
+  test("winnow near-dup at q_dedup_winnow parameters is exhaustive (== exact set)") {
+    // licenses the exact-jaccard SQL as q_dedup_winnow's oracle: every
+    // true pair is near-identical text (jaccard >= 0.88) with shared
+    // runs far beyond the w+k-1 = 11 char winnowing guarantee
+    val win = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, k = 8, w = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win == exactPairs,
+      s"winnow missed ${(exactPairs -- win).size} / spurious ${(win -- exactPairs).size}")
+  }
+
   test("hot-shingle dropping prunes stopword-phrase candidates, keeps jaccard exact") {
     import spark.implicits._
     // docs 1/2: true near-dups (share rare shingles). docs 3/4: share
