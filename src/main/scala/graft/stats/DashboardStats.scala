@@ -86,6 +86,19 @@ object DashboardStats {
         coalesce(sum("total_all"), lit(0L)).as("total_all"))
       .cache()
 
+    statsFromBase(base, cfg)
+  }
+
+  /** Steps 2-3 on an already-aggregated step-1 base (schema: monthyr,
+    * grp, specialty, pathway, is_provider, weeks, unknown_start,
+    * total_all). Split out so an INCREMENTALLY-maintained base — e.g.
+    * [[graft.streaming.DashboardStreams.incrementalBase]]'s streaming
+    * state — gets the same rollups/quantiles/rates without re-running
+    * the fact-volume aggregation. */
+  def statsFromBase(base: DataFrame, cfg: Config = Config()): DataFrame = {
+    def bandSum(c: Column): Column =
+      graft.plans.BandSumAgg.bandSum(base.sparkSession, c, cfg.maxBands)
+
     // Step 2 — hierarchical re-aggregation of the SMALL base: the four
     // grouping sets {(grp,is), (ENGLAND,is), (grp,All), (ENGLAND,All)}.
     def reagg(grp: Column, isSlice: Column): DataFrame =
@@ -130,7 +143,7 @@ object DashboardStats {
     // HistogramOps.quantile.
     val quantileCols = cfg.quantiles.map { q =>
       ifEligible(graft.plans.HistogramQuantileExpr.histogramQuantile(
-        fact.sparkSession, col("weeks"), col("total_nonmiss"), lit(q)))
+        base.sparkSession, col("weeks"), col("total_nonmiss"), lit(q)))
         .as(s"weeks_${math.round(q * 100)}")
     }
 
