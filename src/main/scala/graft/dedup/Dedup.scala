@@ -219,23 +219,31 @@ object Dedup {
     * distinct fingerprint set (bounded by ~len/w per doc), so the join
     * is another bucket-key shuffle, same scale shape as MinHash-LSH.
     *
-    * `maxDocFreq` is NOT optional at scale: a fingerprint is any
-    * shared >= w+k-1 char run, so stock phrases collide across huge
-    * doc sets (measured on the 5k-doc test corpus: the hottest
-    * fingerprint hit 3,822 docs -> 113M candidate pairs; capping
-    * doc frequency at 20 leaves 190k, a 600x cut). A fingerprint in
-    * `maxDocFreq`+ docs is boilerplate, not dup signal — true
-    * near-dups still share their RARE fingerprints. Exhaustiveness on
-    * the corpus pair set is asserted in DedupSpec.
+    * The doc-frequency cap is NOT optional at scale: a fingerprint is
+    * any shared >= w+k-1 char run, so stock phrases collide across
+    * huge doc sets (measured on the 5k-doc test corpus: the hottest
+    * fingerprint hit 3,822 docs -> 113M candidate pairs; a 4% cap
+    * leaves 3.4M). The cap scales as `maxDocFreqRatio` x corpus size
+    * because "boilerplate" is relative: pairs whose rarest shared
+    * fingerprint sits at df ~181 exist in the 5k corpus (measured),
+    * so an absolute cap tuned on a small corpus silently loses recall
+    * on a bigger one. True near-dups still share their RARE
+    * fingerprints; exhaustiveness on the corpus pair set is asserted
+    * in DedupSpec and held at both sf0.01 and sf0.1 gates.
     */
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, k: Int = 8, w: Int = 4,
-      maxDocFreq: Int = 20): DataFrame = {
+      maxDocFreqRatio: Double = 0.04): DataFrame = {
+    // cached: feeds the df-aggregate, the semi-join, and both sides of
+    // the candidate self-join — without it the winnowing kernel runs
+    // 4x over the corpus
     val fpsAll = df.select(col(idCol),
       explode(graft.plans.WinnowFingerprintsExpr.winnowFingerprints(
         df.sparkSession, col(textCol), k, w)).as("fp"))
+      .cache()
+    val cap = math.max(5L, math.ceil(df.count() * maxDocFreqRatio).toLong)
     val rare = fpsAll.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
+      .filter(col("df") <= cap)
       .select("fp")
     val fps = fpsAll.join(rare, Seq("fp"), "left_semi")
     val candidates = fps.as("a")
@@ -243,7 +251,9 @@ object Dedup {
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val sh = shingles(df, idCol, textCol, n)
+    // cached: verifyJaccard reads it for both the candidate slice and
+    // the per-doc sizes
+    val sh = shingles(df, idCol, textCol, n).cache()
     verifyJaccard(candidates, sh, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -265,32 +275,34 @@ object Dedup {
     when(nTok === 0, lit(0L)).otherwise(packed)
   }
 
-  /** Scalable SimHash: explode tokens, then ONE hash-aggregate of 16
+  /** Scalable SimHash: explode tokens, then ONE hash-aggregate of 32
     * LANE-PACKED bit-count sums (partial+final, map-side combined),
     * then pack the majority bits. Pack p carries the set-bit counts of
-    * signature bits 4p..4p+3 in four independent 16-bit lanes of one
-    * long — 4x narrower aggregation buffers and 4x fewer aggregate
-    * expressions than one sum per bit (the r1 shape, whose 64
-    * conditional sums dominated this operator's bench time). Lanes add
-    * without carries as long as a document stays under 65,536 tokens —
-    * far beyond any real document; shard longer texts upstream.
+    * signature bits 2p..2p+1 in two independent 32-bit lanes of one
+    * long — half the aggregation buffers/expressions of one sum per
+    * bit (the r1 shape, whose 64 conditional sums dominated this
+    * operator's bench time). Two lanes, not four: a per-row packed
+    * value is at most 1 + 2^32, so a group sum stays under 2^63 up to
+    * 2^30 tokens per document — with ANSI mode ON, a 16-bit-lane
+    * variant would throw on sum overflow from just 2^15 tokens (real
+    * documents reach that).
     * Equivalent to [[simHash64]] (bit b set iff 2*count_set >= n).
     * Docs with no tokens get signature 0. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val h = toks.select(col(idCol), xxhash64(col("tok")).as("h"))
-    val packs = (0 until 16).map { p =>
-      (0 until 4).map { lane =>
-        shiftleft(shiftright(col("h"), p * 4 + lane).bitwiseAND(1L), lane * 16)
+    val packs = (0 until 32).map { p =>
+      (0 until 2).map { lane =>
+        shiftleft(shiftright(col("h"), p * 2 + lane).bitwiseAND(1L), lane * 32)
       }.reduce(_ + _).as(s"p$p")
     }
     val lanes = h.select(Seq(col(idCol)) ++ packs: _*)
     val sums = lanes.groupBy(idCol).agg(
       count(lit(1)).as("n"),
-      (0 until 16).map(p => sum(col(s"p$p")).as(s"s$p")): _*)
+      (0 until 32).map(p => sum(col(s"p$p")).as(s"s$p")): _*)
     val sig = (0 until 64).map { b =>
-      val c = shiftright(col(s"s${b / 4}"), (b % 4) * 16).bitwiseAND(0xFFFFL)
+      val c = shiftright(col(s"s${b / 2}"), (b % 2) * 32).bitwiseAND(0xFFFFFFFFL)
       shiftleft(when(lit(2) * c >= col("n"), 1L).otherwise(0L), b)
     }.reduce(_ + _)
     df.select(col(idCol))

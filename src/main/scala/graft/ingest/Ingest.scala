@@ -129,11 +129,14 @@ object Ingest {
     def firstMatch(pattern: String, out: String) =
       min_by(when(col("href").rlike(pattern), col("href")),
         when(col("href").rlike(pattern), col("pos"))).as(out)
-    monthLinks.groupBy("month", "series").agg(
+    val classified = monthLinks.groupBy("month", "series").agg(
       firstMatch("Full-CSV|full-extract", "full_csv_link"),
       firstMatch("Incomplete-Provider", "providers_link_incomp"),
       firstMatch("New-Periods-Provider", "providers_link_new"),
       firstMatch("(?<!Non)Admitted-Provider", "providers_link_adm"),
       firstMatch("NonAdmitted-Provider", "providers_link_nonadm"))
+    // months with NO matching anchors (not yet published) must still
+    // come back as an all-null row — R's NA row, not a missing row
+    cal.join(classified, Seq("month", "series"), "left")
   }
 }

@@ -68,21 +68,23 @@ object EventQueries {
     // open tail); the oracle applies the same exclusion.
     "q_stream_sessions" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
+      // absolute target: a relative sfDir would otherwise resolve
+      // against the temp dir and dangle
       java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-      val typed = graft.streaming.EventStreams.readEvents(s, dir.toString)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), expr("ts_ns div 1000").as("tsUs"))
-        .as[graft.streaming.EventStreams.Event](
-          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+      val typed = graft.streaming.EventStreams.toTypedEvents(
+        graft.streaming.EventStreams.readEvents(s, dir.toString))
       s.catalog.dropTempView("stream_sessions_out")
       val q = graft.streaming.EventStreams.sessionize(typed)
         .writeStream.format("memory").queryName("stream_sessions_out")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      val finished = q.awaitTermination(300000)
       q.stop()
+      require(finished,
+        "q_stream_sessions: streaming query timed out — refusing to read a partial sink")
       s.table("stream_sessions_out")
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_us"), col("end_us"),

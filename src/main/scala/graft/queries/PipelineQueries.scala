@@ -42,7 +42,9 @@ object PipelineQueries {
           graft.plans.WinnowFingerprintsExpr
             .winnowFingerprints(s, col("text"), 8, 4).as("fp"))
         .select(col("doc_id"),
-          size(col("fp")).cast("bigint").as("n_fp"),
+          // coalesce: a null text yields a null fp array, but the
+          // oracle's LEFT JOIN + coalesce reports 0 fingerprints
+          coalesce(size(col("fp")), lit(0)).cast("bigint").as("n_fp"),
           when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("min_fp"),
           when(size(col("fp")) > 0, element_at(col("fp"), size(col("fp"))))
             .as("max_fp"))

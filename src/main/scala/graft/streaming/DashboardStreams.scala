@@ -29,8 +29,10 @@ import graft.ops.{HistogramOps => H}
 object DashboardStreams {
 
   /** Normalized-fact schema expected in the drop folder (SURVEY §1.2,
-    * the output shape of RttSchema.normalizeWeeks + Ingest tagging). */
-  def factSchema(maxBands: Int): StructType = StructType(Seq(
+    * the output shape of RttSchema.normalizeWeeks + Ingest tagging).
+    * Band count doesn't appear here — `weeks` is a variable-length
+    * array column whatever the era's width. */
+  val factSchema: StructType = StructType(Seq(
     StructField("monthyr", StringType),
     StructField("provider", StringType),
     StructField("specialty", StringType),
@@ -43,8 +45,8 @@ object DashboardStreams {
 
   /** File-source stream over a drop folder of normalized-fact parquet
     * (one file per monthly ingest). */
-  def readFacts(spark: SparkSession, path: String, maxBands: Int): DataFrame =
-    spark.readStream.schema(factSchema(maxBands)).parquet(path)
+  def readFacts(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(factSchema).parquet(path)
 
   /** Step-1 base, incrementally maintained: same grain, same NONC
     * exclusion, same band/unknown/total sums as the batch cube.

@@ -84,7 +84,12 @@ object ExcelConvert {
     else s
 
   /** Extract one named sheet as rows of cells (sparse refs filled with
-    * empty strings; `skipRows` mirrors `read_excel(skip=)`). */
+    * empty strings; `skipRows` mirrors `read_excel(skip=)`).
+    *
+    * Honors the row `r` attribute: Excel does NOT serialize blank
+    * rows, so a title in row 1 and a header in row 14 are two `<row>`
+    * elements 12 gaps apart — the gaps must come back as empty rows or
+    * `skipRows` counts the wrong rows. */
   def sheetRows(xlsxPath: String, sheetName: String,
       skipRows: Int = 0): Seq[Seq[String]] = {
     val zip = new ZipFile(xlsxPath)
@@ -95,7 +100,11 @@ object ExcelConvert {
       val shared = sharedStrings(zip)
       val doc = parse(zip, part).getOrElse(
         throw new IllegalArgumentException(s"missing sheet part $part"))
-      val rows = elems(doc, "row").map { r =>
+      val rows = mutable.ArrayBuffer.empty[Seq[String]]
+      elems(doc, "row").foreach { r =>
+        val rowNum = Option(r.getAttribute("r")).filter(_.nonEmpty)
+          .map(_.toInt).getOrElse(rows.length + 1) // 1-based
+        while (rows.length < rowNum - 1) rows += Seq.empty // unserialized blanks
         val cells = elems0(r, "c")
         val out = mutable.ArrayBuffer.empty[String]
         cells.foreach { c =>
@@ -104,9 +113,9 @@ object ExcelConvert {
           while (out.length < idx) out += ""
           out += cellValue(c, shared)
         }
-        out.toSeq
+        rows += out.toSeq
       }
-      rows.drop(skipRows)
+      rows.drop(skipRows).toSeq
     } finally zip.close()
   }
 

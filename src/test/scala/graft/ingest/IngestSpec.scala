@@ -84,10 +84,15 @@ class IngestSpec extends AnyFunSuite {
     val pages = Seq(("2122", html)).toDF("series", "html")
     val anchors = Ingest.anchorLinks(pages, "html")
     assert(anchors.count() == 8)
-    val cal = Seq(("Jul21", "2122"), ("Aug21", "2122")).toDF("month", "series")
+    val cal = Seq(("Jul21", "2122"), ("Aug21", "2122"), ("Sep21", "2122"))
+      .toDF("month", "series")
     val out = Ingest.returnLinksRtt(cal, anchors)
       .orderBy("month").collect()
-    val aug = out(0); val jul = out(1)
+    assert(out.length == 3, "unpublished months must still produce a row")
+    val aug = out(0); val jul = out(1); val sep = out(2)
+    // Sep21 has no anchors at all -> all-null link columns (R's NA row)
+    assert(sep.getAs[String]("month") == "Sep21")
+    (2 until sep.length).foreach(i => assert(sep.isNullAt(i)))
     assert(jul.getAs[String]("full_csv_link") == "/x/Full-CSV-Jul21.zip")
     assert(jul.getAs[String]("providers_link_incomp") == "/x/Incomplete-Provider-Jul21.xls")
     assert(jul.getAs[String]("providers_link_new") == "/x/New-Periods-Provider-Jul21.xls")
@@ -124,15 +129,17 @@ class IngestSpec extends AnyFunSuite {
       """<sst><si><t>Provider Code</t></si><si><t>Provider, "Name"</t></si>
         |<si><r><t>RX</t></r><r><t>1</t></r></si></sst>""".stripMargin)
     put("xl/worksheets/sheet1.xml", "<worksheet><sheetData/></worksheet>")
+    // rows 2-3 are BLANK and unserialized (Excel omits empty rows):
+    // skipRows must count them via the r attributes, like read_excel
     put("xl/worksheets/sheet2.xml",
       """<worksheet><sheetData>
         |<row r="1"><c r="A1" t="inlineStr"><is><t>skip me</t></is></c></row>
-        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v>1</v></c></row>
-        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>42.5</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>0</v></c><c r="B4" t="s"><v>1</v></c></row>
+        |<row r="5"><c r="A5" t="s"><v>2</v></c><c r="C5"><v>42.5</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
     val csv = dir.resolve("out.csv").toString
-    val n = graft.tools.ExcelConvert.xlsxToCsv(xlsx, csv, "IS Provider", skipRows = 1)
+    val n = graft.tools.ExcelConvert.xlsxToCsv(xlsx, csv, "IS Provider", skipRows = 3)
     assert(n == 2)
     val lines = scala.io.Source.fromFile(csv).getLines().toSeq
     // header row survives skip; quoted comma/quote; rich-text si joined;

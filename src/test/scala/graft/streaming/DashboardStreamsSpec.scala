@@ -76,7 +76,7 @@ class DashboardStreamsSpec extends AnyFunSuite {
     }
 
     stage(month1, "apr21.parquet")
-    val stream = DashboardStreams.readFacts(spark, dir.toString, B)
+    val stream = DashboardStreams.readFacts(spark, dir.toString)
     val q1 = DashboardStreams.incrementalBase(stream, "provider", B)
       .writeStream.format("memory").queryName("cube_base_stream")
       .outputMode("complete")
@@ -88,7 +88,7 @@ class DashboardStreamsSpec extends AnyFunSuite {
     // month 2 arrives: SAME checkpoint resumes state; only new file read
     stage(month2, "may21.parquet")
     val q2 = DashboardStreams.incrementalBase(
-        DashboardStreams.readFacts(spark, dir.toString, B), "provider", B)
+        DashboardStreams.readFacts(spark, dir.toString), "provider", B)
       .writeStream.format("memory").queryName("cube_base_stream")
       .outputMode("complete")
       .option("checkpointLocation", dir.resolve("ckpt").toString)
