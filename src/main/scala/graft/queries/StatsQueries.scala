@@ -19,46 +19,93 @@ object StatsQueries {
   private val B = 60 // band domain: l_quantity+10 ∈ 11..60 so the
                      // 18-week and 52-week thresholds are both live
 
+  /** lineitem recast as the normalized RTT fact (band histogram +
+    * pathway + IS flag + month) — shared by the batch cube and its
+    * streaming twin. */
+  private def rttFact(s: SparkSession, d: String): DataFrame = {
+    val f0 = Tables.lineitem(s, d).select(
+      year(col("l_shipdate")).cast("string").as("monthyr"),
+      col("l_linestatus").as("provider"),
+      lit("Total").as("specialty"),
+      when(col("l_returnflag") === "A", "incomplete")
+        .when(col("l_returnflag") === "N", "completeadmitted")
+        .otherwise("newRTT").as("pathway"),
+      when(col("l_discount") > 0.05, 1).otherwise(0).as("is_provider"),
+      (col("l_quantity").cast("bigint") + 10L).as("band"),
+      when(col("l_tax") >= 0.04, 1L).otherwise(0L).as("unk"),
+      lit("C1").as("commissioner_code"))
+    // per-cell band histogram -> the normalized RTT fact shape
+    val hist = f0
+      .groupBy("monthyr", "provider", "specialty", "pathway",
+        "is_provider", "commissioner_code", "band")
+      .agg(count(lit(1)).as("c"), sum("unk").as("unk"))
+    hist
+      .groupBy("monthyr", "provider", "specialty", "pathway",
+        "is_provider", "commissioner_code")
+      .agg(
+        map_from_arrays(collect_list(col("band")), collect_list(col("c"))).as("m"),
+        sum("unk").as("unknown_start"),
+        sum("c").as("total_all"))
+      .select(col("monthyr"), col("provider"), col("specialty"),
+        col("pathway"), col("is_provider"), col("commissioner_code"),
+        transform(sequence(lit(1), lit(B)),
+          i => coalesce(try_element_at(col("m"), i.cast("bigint")), lit(0L)))
+          .as("weeks"),
+        col("unknown_start"), col("total_all"))
+  }
+
+  private def orderedStats(df: DataFrame): DataFrame =
+    df.drop("specialty") // constant 'Total' in this recast
+      .orderBy("monthyr", "grp", "is_slice", "pathway")
+
   val defs: Map[String, Q] = Map(
     "q_dashboard_cube" -> ((s, d) => {
-      val f0 = Tables.lineitem(s, d).select(
-        year(col("l_shipdate")).cast("string").as("monthyr"),
-        col("l_linestatus").as("provider"),
-        lit("Total").as("specialty"),
-        when(col("l_returnflag") === "A", "incomplete")
-          .when(col("l_returnflag") === "N", "completeadmitted")
-          .otherwise("newRTT").as("pathway"),
-        when(col("l_discount") > 0.05, 1).otherwise(0).as("is_provider"),
-        (col("l_quantity").cast("bigint") + 10L).as("band"),
-        when(col("l_tax") >= 0.04, 1L).otherwise(0L).as("unk"),
-        lit("C1").as("commissioner_code"))
-      // per-cell band histogram -> the normalized RTT fact shape
-      val hist = f0
-        .groupBy("monthyr", "provider", "specialty", "pathway",
-          "is_provider", "commissioner_code", "band")
-        .agg(count(lit(1)).as("c"), sum("unk").as("unk"))
-      val fact2 = hist
-        .groupBy("monthyr", "provider", "specialty", "pathway",
-          "is_provider", "commissioner_code")
-        .agg(
-          map_from_arrays(collect_list(col("band")), collect_list(col("c"))).as("m"),
-          sum("unk").as("unknown_start"),
-          sum("c").as("total_all"))
-        .select(col("monthyr"), col("provider"), col("specialty"),
-          col("pathway"), col("is_provider"), col("commissioner_code"),
-          transform(sequence(lit(1), lit(B)),
-            i => coalesce(try_element_at(col("m"), i.cast("bigint")), lit(0L)))
-            .as("weeks"),
-          col("unknown_start"), col("total_all"))
-      DashboardStats.compute(fact2, "provider",
-        DashboardStats.Config(maxBands = B))
-        .drop("specialty") // constant 'Total' in this recast
-        .orderBy("monthyr", "grp", "is_slice", "pathway")
+      orderedStats(DashboardStats.compute(rttFact(s, d), "provider",
+        DashboardStats.Config(maxBands = B)))
+    }),
+
+    // The SAME cube through the STREAMING engine: the fact is staged
+    // as one parquet drop per month (the reference's monthly-append
+    // workflow, `1b.:169-179`), the step-1 base is incrementally
+    // maintained by graft.streaming.DashboardStreams, and
+    // statsFromBase finishes on the dimension-sized state. Oracled by
+    // the identical DuckDB GROUPING SETS SQL as q_dashboard_cube —
+    // streaming and batch must agree cell-for-cell.
+    "q_stream_cube" -> ((s, d) => {
+      val fact = rttFact(s, d).cache()
+      val dir = java.nio.file.Files.createTempDirectory("graft-cube-drop")
+      val months = fact.select("monthyr").distinct()
+        .collect().map(_.getString(0)).sorted
+      months.foreach { m => // one file per monthly drop
+        val tmp = dir.resolve(s"$m.tmpdir").toString
+        fact.filter(col("monthyr") === m)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, dir.resolve(s"$m.parquet"))
+      }
+      fact.unpersist()
+      s.catalog.dropTempView("stream_cube_base")
+      val q = graft.streaming.DashboardStreams.incrementalBase(
+          graft.streaming.DashboardStreams.readFacts(s, dir.toString),
+          "provider", B)
+        .writeStream.format("memory").queryName("stream_cube_base")
+        .outputMode("complete")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished,
+        "q_stream_cube: streaming query timed out — refusing to read a partial sink")
+      orderedStats(DashboardStats.statsFromBase(
+        s.table("stream_cube_base"), DashboardStats.Config(maxBands = B)))
     }))
 
-  val oracles: Map[String, String] = Map(
-    "q_dashboard_cube" ->
-      s"""WITH f AS (
+  // One SQL, two engines-under-test: the batch plan and the streaming
+  // incremental plan must both hash-match this independent formulation.
+  private val cubeOracle: String =
+    s"""WITH f AS (
         |  SELECT CAST(year(l_shipdate) AS VARCHAR) AS monthyr,
         |    l_linestatus AS grp0,
         |    CASE l_returnflag WHEN 'A' THEN 'incomplete'
@@ -120,5 +167,9 @@ object StatsQueries {
         |  CASE WHEN eligible THEN w50 END AS weeks_50,
         |  CASE WHEN eligible THEN w92 END AS weeks_92,
         |  CASE WHEN eligible THEN w95 END AS weeks_95
-        |FROM agg ORDER BY monthyr, grp, is_slice, pathway""".stripMargin)
+        |FROM agg ORDER BY monthyr, grp, is_slice, pathway""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dashboard_cube" -> cubeOracle,
+    "q_stream_cube" -> cubeOracle)
 }
