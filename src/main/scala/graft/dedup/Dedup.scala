@@ -80,20 +80,7 @@ object Dedup {
         // exact path: shared-counts straight off the shingle join (one
         // join + one aggregate — no candidate materialization needed
         // when every shared shingle contributes to the jaccard anyway)
-        val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-        sh.as("a")
-          .join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-          .agg(count(lit(1)).as("shared"))
-          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
-          .withColumn("jaccard",
-            col("shared").cast("double") /
-              (col("n_a") + col("n_b") - col("shared")).cast("double"))
-          .filter(col("jaccard") >= threshold)
-          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+        jaccardFromShingles(sh, idCol, threshold)
       case Some(cap) =>
         // skew-guarded path: df-filter candidate generation, then exact
         // verification on FULL shingle sets (jaccard values stay true)
@@ -106,35 +93,65 @@ object Dedup {
             col("a.shingle") === col("b.shingle") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-          .distinct()
         verifyJaccard(candidates, sh, idCol, threshold)
-          .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     }
   }
 
-  /** Exact-jaccard verification of a candidate pair set against the
-    * full shingle table — the shared tail of [[ngramJaccardPairs]] and
-    * [[minHashLshPairs]]: semi-join the shingle table down to docs in
-    * ANY candidate pair (near-dups are rare, so verification joins
-    * scale with candidates, not corpus), count shared shingles per
-    * pair, attach set sizes, filter on the exact ratio. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-      idCol: String, threshold: Double): DataFrame = {
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b")))
-      .distinct()
-    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
+  /** Exact jaccard over an (id, shingle) table: one self-join on the
+    * shingle value (cost Σ_shingle df² — common-shingle skew is the
+    * scale hazard, see [[ngramJaccardPairs]]), one pair aggregate, two
+    * size attaches, threshold filter. */
+  private def jaccardFromShingles(sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    candidates
-      .join(shCand.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(shCand.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** Exact-jaccard verification of a candidate pair set against the
+    * full shingle table — the shared tail of [[ngramJaccardPairs]],
+    * [[minHashLshPairs]] and [[winnowNearDupPairs]].
+    *
+    * Order of operations is the whole game (profiled on the 5k-doc
+    * corpus, where a 200-doc fingerprint cap yields 2.6M candidate
+    * pairs hiding 256 true ones):
+    *   1. semi-join the shingle table down to docs appearing in ANY
+    *      candidate pair (verification scales with candidate DOCS,
+    *      not corpus);
+    *   2. run the exact jaccard on that restricted shingle table
+    *      ([[jaccardFromShingles]]' Σ df² self-join — NOT a per-pair
+    *      shingle attach, whose Σ_pairs |A|+|B| cost multiplies every
+    *      candidate by document length: 15x slower measured);
+    *   3. LEFT SEMI the (few) threshold-passing pairs against the raw
+    *      candidate stream — which therefore never needs a pair-level
+    *      `.distinct()`, the single most expensive stage of the
+    *      candidates-first shape.
+    * Output: exactly the candidate pairs with true jaccard >=
+    * threshold — same contract as verifying each candidate, ~4x
+    * cheaper end-to-end on the profiled corpus. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    // the candidate stream feeds both candIds legs and the final
+    // semi-join — cache it (pairs of ids only; spills to disk if big)
+    // or the generation join replays three times
+    val cand = candidates.cache()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b")))
+      .distinct()
+    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
+    jaccardFromShingles(shCand, idCol, threshold)
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
   /** MinHash signature as a Column (nested HOFs): reference semantics
@@ -198,11 +215,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    // exact verification on the candidate set only (shares `sh`) —
-    // the common verify stage semi-joins the shingle table down to
-    // candidate docs first (the r1 bench's single biggest cost in this
-    // operator was verifying against the FULL shingle table)
+    // exact verification on the candidate set only (shares `sh`); no
+    // pair-level distinct — verifyJaccard's final semi-join dedups
     verifyJaccard(candidates, sh, idCol, threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -250,9 +264,9 @@ object Dedup {
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    // cached: verifyJaccard reads it for both the candidate slice and
-    // the per-doc sizes
+    // no pair-level distinct — verifyJaccard's final semi-join dedups;
+    // cached: verifyJaccard reads `sh` for the candidate slice, the
+    // self-join, and the per-doc sizes
     val sh = shingles(df, idCol, textCol, n).cache()
     verifyJaccard(candidates, sh, idCol, threshold)
       .select("id_a", "id_b", "jaccard")

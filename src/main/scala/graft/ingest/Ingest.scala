@@ -77,11 +77,12 @@ object Ingest {
     * re-ingest via dynamic partition overwrite (only the months
     * present in `df` are replaced — the incremental-ingest idiom,
     * `1b.:169-179`, without truncating history). */
-  def writePartitioned(df: DataFrame, path: String): Unit =
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String = "monthyr"): Unit =
     df.write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
-      .partitionBy("monthyr")
+      .partitionBy(partitionCol)
       .parquet(path)
 
   /** K1 — single-file CSV sink (reference export shape, `1b.:392`). */

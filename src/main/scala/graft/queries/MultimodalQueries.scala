@@ -25,7 +25,14 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
-    // Batched stub decode -> per-kind feature aggregation.
+    // Batched stub decode -> per-kind feature aggregation. Oracled:
+    // every sampled byte lands in exactly ONE histogram bin, so the
+    // decoder's total feature mass must equal the frame count, and
+    // frames = ceil(byte_len/stride) — a formula DuckDB computes
+    // independently of the decode path. An off-by-one in the sampling
+    // loop, a dropped batch, or a lost partition all break the match.
+    // Bin PLACEMENT (byte>>5) is not SQL-portable and stays covered by
+    // MultimodalSpec's hand-computed vectors.
     "q_mm_features" -> ((s, d) => {
       import s.implicits._
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -35,9 +42,10 @@ object MultimodalQueries {
         .groupBy("kind")
         .agg(count(lit(1)).as("n_media"),
           sum("byte_len").as("total_bytes"),
-          sum("n_frames_sampled").as("total_frames"),
-          round(sum(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + x)")), 1)
-            .as("total_feature_mass"))
+          sum("n_frames_sampled").cast("bigint").as("total_frames"),
+          // bin counts are integers; the double fold is exact < 2^53
+          sum(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + double(x))"))
+            .cast("bigint").as("total_feature_mass"))
         .orderBy("kind")
     }))
 
@@ -50,5 +58,15 @@ object MultimodalQueries {
         |  sha256(text) AS payload_sha256,
         |  n_chars % 640 AS meta_width,
         |  n_chars % 480 AS meta_height
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_mm_features" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS byte_len,
+        |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS frames
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media, sum(byte_len) AS total_bytes,
+        |  sum(frames) AS total_frames, sum(frames) AS total_feature_mass
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 }

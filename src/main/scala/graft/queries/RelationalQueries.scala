@@ -26,6 +26,33 @@ object RelationalQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // P3+P4 — SCHEMA-DRIVEN projection: select columns matching a name
+    // pattern off the LIVE schema (the reference's `Gt.*` band
+    // selection) after dropping columns that are entirely null in the
+    // data (its `not_all_na` pruning). The surviving column set
+    // depends on schema AND data, so it is emitted AS ROWS
+    // (col_name, n_nonnull) — the oracle pins the expected survivors:
+    // x_dead must be absent, x_partial present.
+    "q_p3_dynamic_projection" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .withColumn("x_partial",
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey")))
+        .withColumn("x_dead", lit(null).cast("bigint"))
+      val pruned = R.dropAllNullColumns(base, Seq("x_partial", "x_dead"))
+      val cols = pruned.columns.toSeq
+        .filter(c => c.startsWith("o_order") || c.startsWith("x_")).sorted
+      pruned
+        .agg(count(col(cols.head)).as("cnt_0"),
+          cols.tail.zipWithIndex.map { case (c, i) =>
+            count(col(c)).as(s"cnt_${i + 1}")
+          }: _*)
+        .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("col_name"), col(s"cnt_$i").as("n_nonnull"))
+        }: _*)).as("kv"))
+        .select(col("kv.col_name"), col("kv.n_nonnull"))
+        .orderBy("col_name")
+    }),
+
     // P1+P5 — projection + conjunctive filter. Both the filter and the
     // 4-column projection reach the parquet scan (PushedFilters/ReadSchema).
     "q_p5_filter_project" -> ((s, d) => {
@@ -404,6 +431,14 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_p3_dynamic_projection" ->
+      """SELECT 'o_orderdate' AS col_name, count(o_orderdate) AS n_nonnull FROM orders
+        |UNION ALL SELECT 'o_orderkey', count(o_orderkey) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(o_orderpriority) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'x_partial',
+        |  count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) FROM orders
+        |ORDER BY col_name""".stripMargin,
     "q_p5_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -81,6 +81,27 @@ object SourceQueries {
         .orderBy("code")
     }),
 
+    // K2 — partitioned parquet sink with DYNAMIC partition overwrite:
+    // write orders partitioned by priority, then re-ingest ONE
+    // partition with corrected keys. Dynamic mode must replace exactly
+    // that partition (not double it) and leave the others untouched —
+    // the reference's idempotent monthly re-ingest (`1b.:169-179`).
+    // The read-back aggregate hash-checks both properties.
+    "q_k2_partition_overwrite" -> ((s, d) => {
+      val out = tmpDir("k2") + "/orders"
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      Ingest.writePartitioned(orders, out, "o_orderpriority")
+      Ingest.writePartitioned(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_custkey", col("o_custkey") + 1000000L),
+        out, "o_orderpriority")
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A4 — deterministic first(): min_by with a pinned order column.
     "q_a4_first_per_group" -> ((s, d) => {
       Tables.customer(s, d)
@@ -129,6 +150,11 @@ object SourceQueries {
     "q_s2_headerless_csv" ->
       """SELECT n_nationkey AS nkey, n_name AS nname, n_regionkey AS rkey
         |FROM nation ORDER BY nkey""".stripMargin,
+    "q_k2_partition_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1000000 ELSE 0 END) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_s6_geocode" ->
       """WITH c AS (
         |  SELECT c_custkey AS code,
