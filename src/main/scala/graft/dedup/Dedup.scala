@@ -350,4 +350,52 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Near-dup CLUSTERS: connected components over a verified pair set
+    * — the "apply" step of corpus dedup (pair lists name the evidence;
+    * keep-one-per-cluster needs the transitive closure). Returns
+    * `(id, cluster)` for EVERY doc (singletons cluster to themselves);
+    * the component label is the minimum member id, so
+    * `id === cluster` selects the canonical keepers.
+    *
+    * Algorithm: iterative min-label propagation — each round, every
+    * doc takes the min of its own label and its neighbors' labels (one
+    * edge join + one groupBy-min shuffle per round), until the global
+    * label sum stops falling (the sum is strictly decreasing until the
+    * fixpoint, so this needs no row-level diff). Rounds = component
+    * diameter; near-dup clusters are dense (diameter 1-2 — every copy
+    * pairs with every other), so 2-3 rounds in practice. For graphs
+    * with LONG CHAINS at billion-node scale, swap in the
+    * large-star/small-star scheme (Kiveris et al.) — same join shape,
+    * O(log n) rounds; propagation is chosen here because dedup
+    * components are clique-like, where it converges faster with
+    * simpler rounds. `localCheckpoint` truncates the per-round lineage
+    * (iterative plans otherwise grow exponentially in the optimizer).
+    */
+  def connectedComponents(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .cache()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var prevSum = Option.empty[Long]
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.union(viaEdges)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val s = next.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

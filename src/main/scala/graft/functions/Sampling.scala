@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling/splitting for training-data
+  * pipelines. `df.sample`/`sampleBy` draw from a per-partition RNG —
+  * the sample CHANGES when the data is repartitioned, re-run, or read
+  * by a different engine, which breaks train/test hygiene (a doc must
+  * land in the same split today, tomorrow, and in the audit rerun).
+  * These functions hash a stable key instead: membership is a pure
+  * function of the key, reproducible on any engine (the hash is plain
+  * 64-bit arithmetic, so the DuckDB gate recomputes it exactly).
+  *
+  * Hash: Knuth multiplicative (golden-ratio constant) over the key,
+  * folded to a bucket in [0, 10000). Not cryptographic — keys are
+  * internal ids, not adversarial input.
+  */
+object Sampling {
+
+  /** Multiplicative hash of a NON-NEGATIVE long key, folded into
+    * [0, 10000) — the shared primitive. Operands are kept under 2^31
+    * so every intermediate fits in int64: ANSI mode (Spark 4 default)
+    * would throw on a 64-bit multiply overflow rather than wrap, and
+    * the same expression must evaluate identically as DuckDB SQL
+    * (`((key % 2147483648) * 1597334677 + (key >> 31) * 7919) % 10000`). */
+  def hashBucket(key: Column): Column =
+    ((key % lit(2147483648L)) * lit(1597334677L) +
+      shiftright(key, 31) * lit(7919L)) % lit(10000L)
+
+  /** Deterministic train/valid/test split label. `trainBp`/`validBp`
+    * are basis points out of 10000 (e.g. 8000/1000 = 80%/10%/10%). */
+  def splitLabel(key: Column, trainBp: Int = 8000, validBp: Int = 1000): Column = {
+    require(trainBp >= 0 && validBp >= 0 && trainBp + validBp <= 10000,
+      "split fractions must fit in 10000 basis points")
+    val b = hashBucket(key)
+    when(b < trainBp, "train")
+      .when(b < trainBp + validBp, "valid")
+      .otherwise("test")
+  }
+
+  /** Deterministic subsample predicate: keep rows whose key hashes
+    * under `keepBp` basis points (keepBp=100 ≈ 1%). Stable across
+    * runs, partitionings, and engines. */
+  def sampled(key: Column, keepBp: Int): Column =
+    hashBucket(key) < lit(keepBp)
+}

@@ -112,6 +112,35 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Connected components over the verified near-dup pairs — the
+    // dedup "apply" step (keep one doc per transitive cluster). Every
+    // doc gets a row; cluster = min member id; singletons cluster to
+    // themselves. Oracle: DuckDB recursive CTE over the same pair set.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/valid/test split + 1% subsample: membership
+    // is a pure arithmetic hash of doc_id (identical in DuckDB), NOT
+    // df.sample's partition-seeded RNG — reruns, repartitions, and
+    // other engines must agree on every row's split.
+    "q_split_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split", graft.functions.Sampling.splitLabel(col("doc_id")))
+        .withColumn("in_1pct", graft.functions.Sampling.sampled(col("doc_id"), 100))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          sum("doc_id").as("sum_ids"),
+          sum(when(col("in_1pct"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang", "split")
+    }),
+
     // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
@@ -293,6 +322,44 @@ object PipelineQueries {
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pq AS (
+        |  SELECT id_a, id_b FROM p
+        |  JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pq
+        |      UNION ALL SELECT id_b, id_a FROM pq),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_split_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919) % 10000 AS b
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(doc_id) AS sum_ids,
+        |  sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS n_sampled
+        |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

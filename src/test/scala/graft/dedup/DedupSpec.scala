@@ -126,4 +126,37 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L)) // whitespace-normalized dup collapses to min id
   }
+
+  test("connectedComponents: chains, cliques, singletons") {
+    import spark.implicits._
+    // component {1,2,3,4} is a CHAIN (diameter 3 — exercises multi-round
+    // propagation), {10,11,12} a clique, {20} and {21} singletons
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connectedComponents agrees with brute-force closure on the fixture pairs") {
+    val got = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find over the exact pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(got(id) == find(id), s"doc $id")
+    }
+  }
 }
