@@ -141,14 +141,21 @@ object Dedup {
     * threshold — same contract as verifying each candidate, ~4x
     * cheaper end-to-end on the profiled corpus. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-      idCol: String, threshold: Double): DataFrame = {
+      idCol: String, threshold: Double,
+      candIdsHint: Option[DataFrame] = None): DataFrame = {
     // the candidate stream feeds both candIds legs and the final
     // semi-join — cache it (pairs of ids only; spills to disk if big)
     // or the generation join replays three times
     val cand = candidates.cache()
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b")))
-      .distinct()
+    // callers whose candidate generation is a bucket join can hand the
+    // bucket-member doc ids straight in (docs holding a bucket key
+    // with >= 2 members), skipping a scan of the much larger pair
+    // stream; must be a SUPERSET of the ids in `candidates`
+    val candIds = candIdsHint.getOrElse {
+      cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b")))
+        .distinct()
+    }
     val shCand = sh.join(candIds, Seq(idCol), "left_semi")
     jaccardFromShingles(shCand, idCol, threshold)
       .join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -204,20 +211,31 @@ object Dedup {
     // verification joins
     val sh = shingles(df, idCol, textCol, n).cache()
     val withSig = minHashSignaturesFromShingles(sh, idCol, numHashes)
+    // cached: feeds both sides of the candidate join AND the candIds
+    // derivation — uncached, the 64-hash signature aggregation would
+    // replay once per consumer
     val buckets = withSig.select(col(idCol),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
           .as("bucket"))
       .select(col(idCol), col("bucket.band"), col("bucket.bh"))
+      .cache()
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // candidate doc ids straight from the bucket table (docs sharing a
+    // bucket with >= 2 members) — cheaper than scanning the pair stream
+    val shared2 = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("k")).filter(col("k") >= 2)
+      .select("band", "bh")
+    val candIds = buckets.join(shared2, Seq("band", "bh"), "left_semi")
+      .select(idCol).distinct()
     // exact verification on the candidate set only (shares `sh`); no
     // pair-level distinct — verifyJaccard's final semi-join dedups
-    verifyJaccard(candidates, sh, idCol, threshold)
+    verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -256,10 +274,12 @@ object Dedup {
         df.sparkSession, col(textCol), k, w)).as("fp"))
       .cache()
     val cap = math.max(5L, math.ceil(df.count() * maxDocFreqRatio).toLong)
+    // df >= 2: a fingerprint seen in one doc generates no pair — the
+    // bound cuts the pair-join input to the (small) shared tail
     val rare = fpsAll.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
+      .filter(col("df").between(2, cap))
       .select("fp")
-    val fps = fpsAll.join(rare, Seq("fp"), "left_semi")
+    val fps = fpsAll.join(rare, Seq("fp"), "left_semi").cache()
     val candidates = fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -268,7 +288,10 @@ object Dedup {
     // cached: verifyJaccard reads `sh` for the candidate slice, the
     // self-join, and the per-doc sizes
     val sh = shingles(df, idCol, textCol, n).cache()
-    verifyJaccard(candidates, sh, idCol, threshold)
+    // every doc in a candidate pair holds a live fingerprint, so the
+    // fp table (not the pair stream) supplies the candidate doc ids
+    verifyJaccard(candidates, sh, idCol, threshold,
+      candIdsHint = Some(fps.select(idCol).distinct()))
       .select("id_a", "id_b", "jaccard")
   }
 
