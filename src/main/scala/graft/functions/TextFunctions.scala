@@ -87,4 +87,46 @@ object TextFunctions {
     * case-folded text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", table A1): duplicate-token fraction and
+    * most-frequent-n-gram fraction, the standard web-corpus quality
+    * gates. Everything is emitted as exact integers (counts) and the
+    * pass/fail gate uses integer cross-multiplication, so the output is
+    * bit-identical across engines — no float ratios to drift.
+    *
+    * Thresholds (fail when exceeded): duplicate-token fraction > 0.3,
+    * top 2-gram fraction > 0.2, top 3-gram fraction > 0.18; empty docs
+    * fail. Shape: one fact-grain scan, two partial-aggregated n-gram
+    * shuffles keyed by (doc, gram), then doc-grain joins — no
+    * collect, no cross product, scales linearly in corpus size.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol),
+        tokens(col(textCol)).as("toks"),
+        wordShingles(col(textCol), 2).as("g2"),
+        wordShingles(col(textCol), 3).as("g3"))
+      .select(col(idCol),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_toks"),
+        size(col("g2")).cast("bigint").as("n_2grams"),
+        size(col("g3")).cast("bigint").as("n_3grams"),
+        col("g2"), col("g3"))
+    def topCount(gramCol: String, out: String) =
+      base.select(col(idCol), explode(col(gramCol)).as("g"))
+        .groupBy(idCol, "g").count()
+        .groupBy(idCol).agg(max("count").as(out))
+    base.drop("g2", "g3")
+      .join(topCount("g2", "top_2gram_cnt"), Seq(idCol), "left")
+      .join(topCount("g3", "top_3gram_cnt"), Seq(idCol), "left")
+      .withColumn("top_2gram_cnt", coalesce(col("top_2gram_cnt"), lit(0L)))
+      .withColumn("top_3gram_cnt", coalesce(col("top_3gram_cnt"), lit(0L)))
+      // integer cross-multiplication: frac <= t  <=>  cnt * scale <= n * (t*scale)
+      .withColumn("repetition_ok",
+        (col("n_toks") > 0 &&
+          (col("n_toks") - col("n_distinct_toks")) * 10 <= col("n_toks") * 3 &&
+          col("top_2gram_cnt") * 5 <= col("n_2grams") &&
+          col("top_3gram_cnt") * 50 <= col("n_3grams") * 9).cast("bigint"))
+  }
 }

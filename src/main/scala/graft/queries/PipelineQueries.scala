@@ -51,6 +51,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals (Rae et al. 2021 A1): duplicate
+    // -token fraction + top-2/3-gram fraction quality gates. Outputs
+    // are exact integer counts and an integer-math pass flag — nothing
+    // floating-point to drift between engines.
+    "q_t_repetition" -> ((s, d) => {
+      T.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: punctuation / stopword / length signals.
     "q_t_quality" -> ((s, d) => {
       Tables.documents(s, d)
@@ -250,6 +259,45 @@ object PipelineQueries {
         |  a.min_fp, a.max_fp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_t_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(a) AS n_toks, len(list_distinct(a)) AS n_distinct_toks,
+        |    CASE WHEN len(a) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])
+        |      END AS g2,
+        |    CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END AS g3
+        |  FROM t),
+        |c2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |c3 AS (SELECT doc_id, max(c) AS top3 FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(n_distinct_toks AS BIGINT) AS n_distinct_toks,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CAST(len(g3) AS BIGINT) AS n_3grams,
+        |  CAST(coalesce(top2, 0) AS BIGINT) AS top_2gram_cnt,
+        |  CAST(coalesce(top3, 0) AS BIGINT) AS top_3gram_cnt,
+        |  CAST(CASE WHEN n_toks > 0
+        |    AND (n_toks - n_distinct_toks) * 10 <= n_toks * 3
+        |    AND coalesce(top2, 0) * 5 <= len(g2)
+        |    AND coalesce(top3, 0) * 50 <= len(g3) * 9
+        |    THEN 1 ELSE 0 END AS BIGINT) AS repetition_ok
+        |FROM base b
+        |LEFT JOIN c2 ON b.doc_id = c2.doc_id
+        |LEFT JOIN c3 ON b.doc_id = c3.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_t_quality" ->
       s"""WITH t AS (
         |  SELECT source,
