@@ -97,6 +97,41 @@ object Dedup {
     }
   }
 
+  /** Benchmark DECONTAMINATION: flag (train doc, eval doc) pairs
+    * sharing at least `minShared` distinct word n-grams — the standard
+    * train/test-overlap check run before LLM training (GPT-3 appendix
+    * C and The Pile decontaminate on 13-gram collisions; smaller n +
+    * a `minShared` floor trades precision for recall).
+    *
+    * Shape: two shingle scans + ONE equi-join shuffled on the shingle
+    * value — never a train × eval cross product, so cost scales with
+    * shared-shingle collisions, not corpus size. The eval side is a
+    * benchmark suite (thousands of docs) while train is the 100 TB
+    * side; the join naturally broadcasts nothing and partial-aggregates
+    * pair counts map-side. `maxDocFreq` caps eval-side shingle document
+    * frequency (a shingle in half the eval set is boilerplate, not
+    * contamination) — the same skew mitigation as [[ngramJaccardPairs]],
+    * and at n >= 8 shingles are near-unique so the cap rarely bites. */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minShared: Int = 1,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val tr = shingles(train, idCol, textCol, n)
+      .withColumnRenamed(idCol, "train_id")
+    val ev0 = shingles(eval, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id")
+    val ev = maxDocFreq match {
+      case None => ev0
+      case Some(cap) =>
+        val rare = ev0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        ev0.join(rare, Seq("shingle"), "left_semi")
+    }
+    tr.join(ev, "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact jaccard over an (id, shingle) table: one self-join on the
     * shingle value (cost Σ_shingle df² — common-shingle skew is the
     * scale hazard, see [[ngramJaccardPairs]]), one pair aggregate, two

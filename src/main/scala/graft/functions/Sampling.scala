@@ -44,4 +44,18 @@ object Sampling {
     * runs, partitionings, and engines. */
   def sampled(key: Column, keepBp: Int): Column =
     hashBucket(key) < lit(keepBp)
+
+  /** Deterministic dataset-MIXTURE resampling: down-sample each source
+    * to its target rate, given a `weights` table of (`sourceCol`,
+    * `keep_bp` out of 10000) — how training corpora re-weight domains
+    * (web at 30%, books at 100%, ...). The weights side is
+    * dimension-sized (one row per source) so it broadcasts; membership
+    * is the same engine-portable key hash as [[sampled]], so the
+    * resampled corpus is bit-reproducible on any engine and stable
+    * under repartitioning — re-mixing with new weights only ADDS or
+    * REMOVES rows per source (nested samples), never reshuffles them. */
+  def mixtureSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      sourceCol: String, weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.join(broadcast(weights), Seq(sourceCol))
+      .filter(hashBucket(col(keyCol)) < col("keep_bp"))
 }

@@ -121,6 +121,20 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Benchmark decontamination: (train, eval) doc pairs sharing >= 2
+    // distinct 3-grams, with doc_id % 50 == 0 standing in as the held-
+    // out benchmark suite. n=3/minShared=2 suits this corpus's short
+    // docs (includes the planted near-dup contamination at 23 shared
+    // shingles); production uses n ~ 13, minShared = 1.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // Connected components over the verified near-dup pairs — the
     // dedup "apply" step (keep one doc per transitive cluster). Every
     // doc gets a row; cluster = min member id; singletons cluster to
@@ -148,6 +162,23 @@ object PipelineQueries {
           sum("doc_id").as("sum_ids"),
           sum(when(col("in_1pct"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("lang", "split")
+    }),
+
+    // Dataset-mixture resampling: each source down-sampled to its
+    // target basis-point rate (derived here from the source ordinal so
+    // the weights table is data-driven at every SF); same portable key
+    // hash as q_split_sample, so membership is engine-exact. sum_ids
+    // pins the exact kept-row SET, not just its size.
+    "q_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val weights = docs.select("source").distinct()
+        .withColumn("keep_bp", lit(500L) +
+          regexp_extract(col("source"), "[0-9]+", 0).cast("bigint") * 937 % 9000)
+      graft.functions.Sampling.mixtureSample(docs, "doc_id", "source", weights)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
+          max("keep_bp").as("keep_bp"))
+        .orderBy("source")
     }),
 
     // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
@@ -370,6 +401,22 @@ object PipelineQueries {
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT train_id, eval_id, count(*) AS shared
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
@@ -408,6 +455,20 @@ object PipelineQueries {
         |  count(*) AS n, sum(doc_id) AS sum_ids,
         |  sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS n_sampled
         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_mix_sample" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    500 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) * 937 % 9000
+        |      AS keep_bp
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |k AS (
+        |  SELECT d.source, d.doc_id, w.keep_bp
+        |  FROM documents d JOIN w USING (source)
+        |  WHERE ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919)
+        |    % 10000 < keep_bp)
+        |SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids,
+        |  max(keep_bp) AS keep_bp
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -159,4 +159,38 @@ class DedupSpec extends AnyFunSuite {
       assert(got(id) == find(id), s"doc $id")
     }
   }
+
+  test("contamination pairs: hand-computed shared n-gram counts") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet consectetur"),
+      (3L, "the quick brown cat sleeps")) // shares only "the quick brown"
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps high"), // 3 shared 3-grams with doc 1
+      (101L, "completely different words here")).toDF("doc_id", "text")
+    def run(minShared: Int) =
+      Dedup.contaminationPairs(train, eval, "doc_id", "text",
+          n = 3, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc1 x eval100 share "the quick brown", "quick brown fox",
+    // "brown fox jumps"; doc3 x eval100 share only "the quick brown"
+    assert(run(1) == Map((1L, 100L) -> 3L, (3L, 100L) -> 1L))
+    assert(run(2) == Map((1L, 100L) -> 3L))
+  }
+
+  test("contamination eval-side df cap drops boilerplate shingles") {
+    import spark.implicits._
+    val train = Seq((1L, "common phrase here")).toDF("doc_id", "text")
+    val eval = Seq( // "common phrase here" appears in ALL eval docs
+      (100L, "common phrase here a"), (101L, "common phrase here b"),
+      (102L, "common phrase here c")).toDF("doc_id", "text")
+    val uncapped = Dedup.contaminationPairs(train, eval, "doc_id", "text",
+      n = 3, minShared = 1)
+    assert(uncapped.count() == 3)
+    val capped = Dedup.contaminationPairs(train, eval, "doc_id", "text",
+      n = 3, minShared = 1, maxDocFreq = Some(2))
+    assert(capped.count() == 0)
+  }
 }

@@ -46,4 +46,27 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitLabel(lit(1L), trainBp = 9000, validBp = 2000)
     }
   }
+
+  test("mixtureSample keeps per-source deterministic nested subsets") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 4).cast("string")))
+    val w1 = Seq(("s0", 10000L), ("s1", 5000L), ("s2", 0L), ("s3", 2500L))
+      .toDF("src", "keep_bp")
+    val kept = Sampling.mixtureSample(df, "id", "src", w1)
+    val bySrc = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") == 2500, "keep_bp=10000 keeps every row")
+    assert(!bySrc.contains("s2"), "keep_bp=0 keeps nothing")
+    assert(math.abs(bySrc("s1") - 1250) < 150, bySrc.toString)
+    assert(math.abs(bySrc("s3") - 625) < 100, bySrc.toString)
+    // nested-sample property: lowering a source's weight only REMOVES
+    // rows (same hash, tighter cut) — re-mixing never reshuffles
+    val k1 = kept.filter(col("src") === "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.mixtureSample(df, "id", "src",
+        Seq(("s1", 2000L)).toDF("src", "keep_bp"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k2.subsetOf(k1))
+  }
 }
