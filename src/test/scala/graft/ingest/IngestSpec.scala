@@ -173,4 +173,76 @@ class IngestSpec extends AnyFunSuite {
       graft.tools.ExcelConvert.unzip(evil, dir.resolve("out2").toString)
     }
   }
+
+  test("E1 chain end-to-end: landing page -> classified link -> unzip -> " +
+      "xlsx -> mangled CSV -> normalized partitioned fact (1b. composed)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-e1")
+
+    // 1. the monthly xlsx provider extract, as published (header row
+    // with the wide band names; inline strings; numeric cells)
+    val xlsx = dir.resolve("Incomplete-Provider-Jul21.xlsx").toString
+    val zx = new ZipOutputStream(new java.io.FileOutputStream(xlsx))
+    def putX(name: String, content: String): Unit = {
+      zx.putNextEntry(new ZipEntry(name))
+      zx.write(content.getBytes("UTF-8")); zx.closeEntry()
+    }
+    putX("xl/workbook.xml",
+      """<workbook><sheets><sheet name="Provider" sheetId="1" r:id="rId1"/>
+        |</sheets></workbook>""".stripMargin)
+    putX("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    def istr(ref: String, s: String) =
+      s"""<c r="$ref" t="inlineStr"><is><t>$s</t></is></c>"""
+    putX("xl/worksheets/sheet1.xml",
+      s"""<worksheet><sheetData>
+        |<row r="1">${istr("A1", "Provider Code")}${istr("B1", "Treatment Function")}
+        |${istr("C1", "Gt 00 To 01 Weeks SUM 1")}${istr("D1", "Gt 01 To 02 Weeks SUM 1")}
+        |${istr("E1", "Total")}</row>
+        |<row r="2">${istr("A2", "RX1")}${istr("B2", "Total")}
+        |<c r="C2"><v>10</v></c><c r="D2"><v>30</v></c><c r="E2"><v>40</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zx.close()
+
+    // 2. zip it into the monthly drop artifact
+    val zip = dir.resolve("Incomplete-Provider-Jul21.zip").toString
+    val zz = new ZipOutputStream(new java.io.FileOutputStream(zip))
+    zz.putNextEntry(new ZipEntry("Incomplete-Provider-Jul21.xlsx"))
+    zz.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(xlsx)))
+    zz.closeEntry(); zz.close()
+
+    // 3. scrape + classify the landing page; the href resolves to the
+    // local drop (the network fetch leg is driver-side by design —
+    // zero-egress env; everything from the artifact on is the engine)
+    val pages = Seq(("2122",
+      s"""<html><a href="$zip">Incomplete Provider Jul21 (ZIP)</a></html>"""))
+      .toDF("series", "html")
+    val links = Ingest.returnLinksRtt(
+      Seq(("Jul21", "2122")).toDF("month", "series"),
+      Ingest.anchorLinks(pages, "html"))
+    val link = links.head.getAs[String]("providers_link_incomp")
+    assert(link == zip, "classifier must pick the monthly zip by href pattern")
+
+    // 4. extract + convert (S4 + S3)
+    val extracted = graft.tools.ExcelConvert.unzip(link, dir.resolve("x").toString)
+    val xlsxIn = extracted.find(_.endsWith(".xlsx")).get
+    val csv = dir.resolve("jul21.csv").toString
+    assert(graft.tools.ExcelConvert.xlsxToCsv(xlsxIn, csv, "Provider") == 2)
+
+    // 5. mangled-name read -> band normalization -> partitioned sink
+    val raw = Ingest.csvMangledNames(spark, csv)
+    assert(raw.columns.contains("Gt.00.To.01.Weeks.SUM.1"))
+    val fact = graft.schema.RttSchema.normalizeWeeks(raw)
+      .withColumn("monthyr", lit("Jul21"))
+    val sink = dir.resolve("fact").toString
+    Ingest.writePartitioned(fact, sink)
+    val back = spark.read.parquet(sink)
+    assert(back.count() == 1)
+    val row = back.head
+    assert(row.getAs[String]("Provider.Code") == "RX1")
+    assert(row.getSeq[Long](row.fieldIndex("weeks")).toList == List(10L, 30L))
+    assert(row.getAs[String]("Total") == "40", "non-band columns survive as-is")
+  }
 }
