@@ -188,6 +188,46 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming exact dedup through the REAL streaming engine: the
+    // corpus arrives as 4 id-ranged drop files (ascending mtimes +
+    // maxFilesPerTrigger=1 -> one micro-batch each, in order), and
+    // flatMapGroupsWithState emits each fingerprint once, on first
+    // sight. Drops arrive in id order, so the streamed keeper set must
+    // equal the batch exact-dedup contract (min doc_id per
+    // fingerprint) — which is the DuckDB oracle.
+    "q_stream_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).cache()
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      val chunk = maxId / 4 + 1
+      (0L until 4L).foreach { c =>
+        val tmp = dir.resolve(s"c$c.tmpdir").toString
+        docs.filter(col("doc_id") >= c * chunk && col("doc_id") < (c + 1) * chunk)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = dir.resolve(f"c$c%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000000L + c * 60000L)
+      }
+      docs.unpersist()
+      s.catalog.dropTempView("stream_dedup_out")
+      val q = graft.streaming.PipelineStreams.firstSeenDedup(
+          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+        .toDF()
+        .writeStream.format("memory").queryName("stream_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished,
+        "q_stream_dedup: streaming query timed out — refusing to read a partial sink")
+      s.table("stream_dedup_out").orderBy("fingerprint")
+    }),
+
     // Brute-force cosine top-5 for the first 10 vectors — the exact
     // baseline for ANN.
     "q_sim_topk" -> ((s, d) => {
@@ -455,6 +495,14 @@ object PipelineQueries {
         |  count(*) AS n, sum(doc_id) AS sum_ids,
         |  sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS n_sampled
         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // The batch exact-dedup contract: keeper = min doc_id per
+    // fingerprint. Valid because the streamed drops arrive in id order
+    // (see the query comment), so first-sight == minimal id.
+    "q_stream_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_mix_sample" ->
       """WITH w AS (
         |  SELECT source,
