@@ -332,9 +332,15 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit b is set when the
     * majority of token hashes have bit b set (duplicate tokens weight
-    * naturally). Pure expression composition. */
-  def simHash64(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    * naturally). Pure expression composition.
+    *
+    * `tokenHash` is the 64-bit projection family — `xxhash64` by
+    * default; pass [[graft.plans.PortableHash64Expr.portableHash64]]
+    * when the output must be recomputable by another engine (the
+    * DuckDB gate restates that fold in SQL; xxhash64 it cannot). */
+  def simHash64(text: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => tokenHash(t))
     val nTok = size(hashes)
     // bit positions are known at plan-build time -> unrolled (shift
     // amounts must be literals in Spark's shiftleft/shiftright)
@@ -360,10 +366,11 @@ object Dedup {
     * documents reach that).
     * Equivalent to [[simHash64]] (bit b set iff 2*count_set >= n).
     * Docs with no tokens get signature 0. */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val h = toks.select(col(idCol), xxhash64(col("tok")).as("h"))
+    val h = toks.select(col(idCol), tokenHash(col("tok")).as("h"))
     val packs = (0 until 32).map { p =>
       (0 until 2).map { lane =>
         shiftleft(shiftright(col("h"), p * 2 + lane).bitwiseAND(1L), lane * 32)
@@ -389,8 +396,9 @@ object Dedup {
     * `maxDist` trades recall). One equi-join shuffle on (chunk index,
     * chunk value). */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol)
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol, tokenHash)
     val chunks = sigs.select(col(idCol), col("sig"),
         explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*))

@@ -8,10 +8,12 @@ import graft.functions.{TextFunctions => T}
 import graft.similarity.Similarity
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
-  * text analysis, dedup (exact + near-dup), similarity search.
-  * SQL-expressible ops carry DuckDB oracles; LSH/SimHash ops (hash
-  * functions not portable to DuckDB) are oracle-less here and instead
-  * verified against their exact counterparts in ScalaTest specs.
+  * text analysis, dedup (exact + near-dup), similarity search. Every
+  * query carries a DuckDB oracle: SQL-expressible ops directly;
+  * LSH-family ops via exact-counterpart SQL at verified-exhaustive
+  * parameters; SimHash via a full SQL restatement of the signature
+  * pipeline under the engine-portable token hash
+  * ([[graft.plans.PortableHash64Expr]]).
   */
 object PipelineQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -181,10 +183,17 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
-    // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
+    // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures),
+    // under the ENGINE-PORTABLE token hash so the DuckDB gate can
+    // recompute the whole signature pipeline — token hash, per-bit
+    // majority vote, 16-bit-chunk candidate generation, Hamming filter
+    // — from scratch in SQL. (The xxhash64 default stays available for
+    // production; only the projection family changes, not the
+    // operator's shape or cost.)
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-          maxDist = 6)
+          maxDist = 6,
+          tokenHash = t => graft.plans.PortableHash64Expr.portableHash64(s, t))
         .orderBy("id_a", "id_b")
     }),
 
@@ -293,7 +302,61 @@ object PipelineQueries {
 
   private val punctClass = """[.,;:!?''"()\-]""" // SQL-escaped ' as ''
 
+  /** Full SQL restatement of the SimHash pipeline under the portable
+    * token hash: the four mod-2^32 character folds
+    * ([[graft.plans.PortableHash64Expr]], seeds/multipliers read from
+    * the same arrays), per-doc per-bit majority vote, the four 16-bit
+    * chunks, and pair generation = (shares a chunk) AND (Hamming <= 6)
+    * — exactly [[graft.dedup.Dedup.simHashNearDupPairs]]. Generated
+    * (64 bit-count sums) rather than hand-written so the constants
+    * can't drift from the expression. */
+  private val simhashOracle: String = {
+    import graft.plans.PortableHash64Expr.{Seeds, Mults}
+    val foldCols = Seeds.zip(Mults).zipWithIndex.map { case ((seed, mult), k) =>
+      s"    list_reduce(list_prepend(CAST($seed AS BIGINT), cs),\n" +
+        s"      (h, c) -> (h * $mult + c) % 4294967296) AS h$k"
+    }.mkString(",\n")
+    val bitSums = (0 until 64).map { b =>
+      s"sum((h${b / 16} >> ${b % 16}) & 1) AS c$b"
+    }.grouped(4).map(_.mkString(", ")).mkString(",\n    ")
+    val chunkCols = (0 until 4).map { k =>
+      (0 until 16).map { i =>
+        s"CASE WHEN 2 * c${k * 16 + i} >= n THEN ${1L << i} ELSE 0 END"
+      }.mkString("    ", " +\n      ", s" AS k$k")
+    }.mkString(",\n")
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.k$k, b.k$k))").mkString(" + ")
+    raw"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    list_transform(range(length(tok)),
+         |      j -> CAST(ascii(substr(tok, CAST(j + 1 AS INT), 1)) AS BIGINT)) AS cs
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id,
+         |$foldCols
+         |  FROM ch),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n,
+         |    $bitSums
+         |  FROM hs GROUP BY doc_id),
+         |sig AS (
+         |  SELECT d.doc_id AS doc_id,
+         |$chunkCols
+         |  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST($ham AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+         |  AND $ham <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashOracle,
     "q_t_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
