@@ -196,6 +196,19 @@ object Dedup {
       .join(cand, Seq("id_a", "id_b"), "left_semi")
   }
 
+  /** Exact-jaccard verification of an EXTERNALLY-generated candidate
+    * pair set — e.g. the streamed LSH banding index
+    * ([[graft.streaming.PipelineStreams.lshCandidates]]) — against the
+    * corpus: candidates in, true near-dup pairs (jaccard >= threshold)
+    * out. Duplicate candidate pairs are fine (the final semi-join
+    * dedups), so band-collision multiplicity needs no upstream
+    * `distinct`. */
+  def verifyCandidatePairs(candidates: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(candidates, shingles(df, idCol, textCol, n).cache(),
+        idCol, threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** MinHash signature as a Column (nested HOFs): reference semantics
     * in one expression — fine for tests/small data, but higher-order
     * functions are NOT codegen'd (interpreted per element), so for

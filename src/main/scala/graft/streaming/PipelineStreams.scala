@@ -35,6 +35,32 @@ object PipelineStreams {
   def readDocs(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(path)
 
+  /** Stage a static table as an ORDERED DROP FOLDER: `chunks` id-ranged
+    * single-file parquet drops with ascending mtimes, so a file stream
+    * with `maxFilesPerTrigger=1` replays them as one ordered
+    * micro-batch each — the fixture harness for proving streaming
+    * operators against batch oracles (id order makes first-sight
+    * semantics coincide with min-id semantics). */
+  def stageOrderedDrops(docs: DataFrame, idCol: String, chunks: Int,
+      prefix: String): java.nio.file.Path = {
+    val cached = docs.cache()
+    val maxId = cached.agg(max(idCol)).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val span = maxId / chunks + 1
+    (0L until chunks.toLong).foreach { c =>
+      val tmp = dir.resolve(s"c$c.tmpdir").toString
+      cached.filter(col(idCol) >= c * span && col(idCol) < (c + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(f"c$c%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000000L + c * 60000L)
+    }
+    cached.unpersist()
+    dir
+  }
+
   final case class FpDoc(fingerprint: String, doc_id: Long)
   /** First-seen emission: the doc that claimed the fingerprint. */
   final case class Keeper(fingerprint: String, keeper: Long)
@@ -44,6 +70,71 @@ object PipelineStreams {
     * by state. Within one batch the minimum doc id wins, so drops that
     * arrive in id order keep the globally-minimal doc — the batch
     * [[graft.dedup.Dedup.exactGroups]] keeper contract. */
+  final case class BandDoc(band: Int, bh: Long, doc_id: Long)
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** STREAMING MinHash-LSH near-dup candidates: as documents arrive,
+    * emit every (earlier doc, new doc) pair that collides in at least
+    * one LSH band bucket — near-dup detection against the ENTIRE
+    * accepted corpus at O(drop) incremental cost, never re-scanning
+    * accepted documents.
+    *
+    * Shape: signatures are computed STATELESSLY per row by the
+    * compiled [[graft.plans.MinHashSigExpr]] kernel (the batch
+    * explode+agg path would be a stateful aggregation inside the
+    * stream), bands explode to `(band, bandHash)` keys, and the only
+    * state is the LSH index itself — the doc-id list per occupied
+    * bucket, hash-partitioned across executors exactly like the batch
+    * bucket join's shuffle. Per micro-batch the work is
+    * O(drop x bands) state lookups plus one emitted row per true
+    * bucket collision; state grows with DISTINCT OCCUPIED BUCKETS, the
+    * same cardinality the batch index materializes.
+    *
+    * Candidates equal the batch [[graft.dedup.Dedup.minHashLshPairs]]
+    * candidate set (identical signatures -> identical buckets; the
+    * accumulated state makes every intra-bucket pair appear on the
+    * later doc's batch). A pair colliding in several bands is emitted
+    * once per band — downstream dedups, exactly as the batch path's
+    * verification semi-join does. Verify candidates with
+    * [[graft.dedup.Dedup.verifyCandidatePairs]] against the accepted
+    * corpus to get true near-dup pairs. */
+  def lshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Dataset[CandPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val rows = numHashes / bands
+    docs.select(col("doc_id"),
+        graft.plans.MinHashSigExpr.minHashSignature(ss, col("text"), n, numHashes)
+          .as("sig"))
+      .filter(size(col("sig")) > 0) // < n tokens: no shingles, no signature
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
+        .as("bucket"))
+      .select(col("bucket.band").as("band"), col("bucket.bh").as("bh"),
+        col("doc_id"))
+      .as[BandDoc]
+      .groupByKey(bd => (bd.band, bd.bh))
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandDoc], state: GroupState[List[Long]]) =>
+          val out = List.newBuilder[CandPair]
+          var members = state.getOption.getOrElse(Nil)
+          // sorted: deterministic in-batch emission order (earlier id
+          // pairs with the rest, matching ordered-drop semantics)
+          rows.map(_.doc_id).toArray.sorted.foreach { id =>
+            members.foreach { m =>
+              if (m != id)
+                out += (if (m < id) CandPair(m, id) else CandPair(id, m))
+            }
+            members = id :: members
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   def firstSeenDedup(docs: DataFrame): Dataset[Keeper] = {
     val ss = docs.sparkSession
     import ss.implicits._
