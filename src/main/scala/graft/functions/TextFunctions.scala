@@ -88,6 +88,69 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII patterns, written in the Java/RE2-COMMON regex subset
+    * (character classes, bounded repeats — no lookarounds, no \b) so
+    * the DuckDB gate applies the byte-identical pattern. Conservative
+    * by design: redaction patterns should over-match slightly (a false
+    * `<IP>` costs nothing; a missed email is a leak). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phonePattern = "\\+[0-9][0-9 ]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and international-format phone
+    * numbers with typed placeholders — the standard scrub before
+    * training-corpus release. Order matters and is fixed: emails
+    * first (their local parts contain digits a later pass must not
+    * shred), then IPs, then phones (`+`-anchored, so placeholder text
+    * never re-matches). Pure codegen'd regexp_replace chain — one pass
+    * each over the 100 TB text column, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** C4-style LINE hygiene with corpus-level line dedup (Raffel et al.
+    * 2020 §2.2 — C4 keeps lines that look like sentences and removes
+    * any three-sentence span seen before; this is the line-granular
+    * variant): split each doc on newlines, keep lines with at least
+    * `minWords` words and none of the `banned` phrases, then keep only
+    * each distinct line's FIRST occurrence corpus-wide (ordered by
+    * (doc, position) — boilerplate like cookie banners survives once,
+    * in the earliest doc, instead of in millions), and reassemble docs
+    * in original line order.
+    *
+    * Scale shape: one explode, one window over the LINE-VALUE
+    * partition (the dedup shuffle — same key a groupBy would use), one
+    * doc-grain reassembly aggregate. No driver-side state; skew risk
+    * is the empty-ish hot line values, which the word-count filter
+    * removes before the shuffle. Returns (id, n_lines, clean_text)
+    * for every input doc (docs with no surviving lines keep a row:
+    * n_lines = 0, clean_text = ''). */
+  def lineCleanDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 2,
+      banned: Seq[String] = Seq("lorem ipsum")): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(size(tokens(col("line"))) >= minWords &&
+        !banned.map(b => col("line").contains(b)).reduce(_ || _))
+    val firstSeen = lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line").orderBy(col(idCol), col("pos"))))
+      .filter(col("rn") === 1)
+    val reassembled = firstSeen.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021,
     * "Scaling Language Models", table A1): duplicate-token fraction and
     * most-frequent-n-gram fraction, the standard web-corpus quality

@@ -62,6 +62,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction. The corpus is PII-free word salad, so the fixture
+    // PLANTS deterministic PII derived from doc_id — the oracle builds
+    // the identical augmented column in SQL; a zero-hit redaction
+    // query would verify nothing (the r1 embed_neardup lesson). Counts
+    // come from the pre-redaction text; the md5 pins the exact
+    // redacted output byte-for-byte.
+    "q_t_pii" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 ping"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1 555 0"), (lit(100) + col("doc_id") % 100).cast("string"),
+            lit(" end"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(T.emailPattern), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("aug"), lit(T.ipv4Pattern), lit(0)))
+            .cast("bigint").as("n_ip"),
+          size(regexp_extract_all(col("aug"), lit(T.phonePattern), lit(0)))
+            .cast("bigint").as("n_phone"),
+          md5(T.redactPii(col("aug"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style line hygiene + corpus-level line dedup. The newline-free
+    // corpus gets a planted line structure: each doc's text line, a
+    // boilerplate line shared by ALL docs (line-dedup must keep it only
+    // in the minimum doc), and a banned lorem-ipsum line on every 4th
+    // doc (the filter must drop it everywhere).
+    "q_t_c4_clean" -> ((s, d) => {
+      val aug = concat(col("text"), lit("\nall rights reserved"),
+        when(col("doc_id") % 4 === 0, lit("\nlorem ipsum dolor sit"))
+          .otherwise(lit("")))
+      T.lineCleanDedup(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text", minWords = 2)
+        .select(col("doc_id"), col("n_lines"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: punctuation / stopword / length signals.
     "q_t_quality" -> ((s, d) => {
       Tables.documents(s, d)
@@ -205,21 +252,8 @@ object PipelineQueries {
     // equal the batch exact-dedup contract (min doc_id per
     // fingerprint) — which is the DuckDB oracle.
     "q_stream_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d).cache()
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-      val chunk = maxId / 4 + 1
-      (0L until 4L).foreach { c =>
-        val tmp = dir.resolve(s"c$c.tmpdir").toString
-        docs.filter(col("doc_id") >= c * chunk && col("doc_id") < (c + 1) * chunk)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = dir.resolve(f"c$c%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
-        dest.toFile.setLastModified(1000000000000L + c * 60000L)
-      }
-      docs.unpersist()
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        Tables.documents(s, d), "doc_id", 4, "graft-stream-dedup")
       s.catalog.dropTempView("stream_dedup_out")
       val q = graft.streaming.PipelineStreams.firstSeenDedup(
           s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
@@ -235,6 +269,44 @@ object PipelineQueries {
       require(finished,
         "q_stream_dedup: streaming query timed out — refusing to read a partial sink")
       s.table("stream_dedup_out").orderBy("fingerprint")
+    }),
+
+    // Streaming NEAR-dup through the real streaming engine: documents
+    // arrive as 4 ordered drops; the stateful LSH index
+    // (flatMapGroupsWithState keyed on band buckets, per-row compiled
+    // minhash signatures) emits candidate pairs incrementally — each
+    // drop is checked against every earlier drop at O(drop) cost.
+    // Exact-jaccard verification of the streamed candidates then runs
+    // batch-side against the corpus (production: against the accepted
+    // shingle store). The result must equal the batch
+    // minHashLshPairs output — same signatures, same buckets, state
+    // accumulation covers cross-drop pairs — whose oracle is the
+    // exact-jaccard SQL (banding exhaustive at these parameters on
+    // this corpus; DedupSpec/PipelineStreamsSpec assert both
+    // equalities in Spark).
+    "q_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        docs, "doc_id", 4, "graft-stream-neardup")
+      s.catalog.dropTempView("stream_neardup_cand")
+      val q = graft.streaming.PipelineStreams.lshCandidates(
+          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+          n = 3, numHashes = 64, bands = 16)
+        .toDF()
+        .writeStream.format("memory").queryName("stream_neardup_cand")
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished,
+        "q_stream_neardup: streaming query timed out — refusing to read a partial sink")
+      Dedup.verifyCandidatePairs(s.table("stream_neardup_cand"), docs,
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
 
     // Brute-force cosine top-5 for the first 10 vectors — the exact
@@ -355,8 +427,88 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The exact 3-gram jaccard pair set at threshold 0.5 — the shared
+    * oracle of every near-dup operator whose candidate generation is
+    * verified-exhaustive on this corpus (minhash LSH, winnowing, and
+    * the streamed LSH index). */
+  private val jaccardPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(len(a) - 2),
+      |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+      |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
+    // Same planted-PII augmentation, same Java/RE2-common patterns.
+    "q_t_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.7 ping' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 0' ||
+         |      CAST(100 + doc_id % 100 AS VARCHAR) || ' end' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${T.emailPattern}')) AS BIGINT)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${T.ipv4Pattern}')) AS BIGINT)
+         |    AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '${T.phonePattern}')) AS BIGINT)
+         |    AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${T.emailPattern}', '<EMAIL>', 'g'),
+         |    '${T.ipv4Pattern}', '<IP>', 'g'),
+         |    '${T.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+    // Same planted line structure; first-occurrence line dedup ordered
+    // by (doc, position); reassembly preserves original line order.
+    "q_t_c4_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'all rights reserved' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'lorem ipsum dolor sit'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM aug),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, a[CAST(i + 1 AS INT)] AS line
+        |  FROM (SELECT doc_id, a, unnest(range(len(a))) AS i FROM ls)),
+        |k AS (
+        |  SELECT doc_id, pos, line FROM l
+        |  WHERE (CASE WHEN length(trim(line)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(line), '\s+')) END) >= 2
+        |    AND NOT contains(line, 'lorem ipsum')),
+        |f AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM k),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM f WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+        |  md5(coalesce(r.clean_text, '')) AS clean_md5
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_t_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -599,49 +751,16 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     // Valid because 16x4 LSH banding is exhaustive on this corpus's
     // pair set (all true pairs >= 0.88 jaccard) — see the query comment.
-    "q_dedup_minhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(len(a) - 2),
-        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
-        |  FROM t),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
-        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" -> jaccardPairsSql,
     // Valid because shared-fingerprint candidate generation is
     // exhaustive on this corpus's >=0.88-jaccard pair set (MOSS
     // shared-run guarantee) — see the query comment.
-    "q_dedup_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(len(a) - 2),
-        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
-        |  FROM t),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
-        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_winnow" -> jaccardPairsSql,
+    // Valid because the streamed LSH index accumulates every bucket
+    // member across drops, so its candidate union equals the batch
+    // banding candidate set, which is exhaustive here (see above);
+    // exact verification makes the output the true pair set.
+    "q_stream_neardup" -> jaccardPairsSql,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

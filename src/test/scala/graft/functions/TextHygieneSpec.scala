@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed fixtures for the corpus-hygiene operators: PII
+  * redaction and C4-style line cleaning with corpus-level line dedup.
+  * (The driver gate checks both against DuckDB on the fixture corpus;
+  * these pin the SEMANTICS on cases the word-salad corpus can't
+  * contain organically.) */
+class TextHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("redactPii: emails, IPs, phones; placeholders don't cascade") {
+    import spark.implicits._
+    val got = Seq(
+      "mail a.b+c@ex-1.co.uk end",
+      "host 192.168.0.1 and 10.0.0.7",
+      "call +44 20 7946 0958 now",
+      "digits 12345 stay, version 1.2 stays",
+      "combo x@y.org at 1.2.3.4 tel +1 555 0100")
+      .toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail <EMAIL> end")
+    assert(got(1) == "host <IP> and <IP>")
+    assert(got(2) == "call <PHONE> now")
+    // short digit runs and dotted versions are NOT PII
+    assert(got(3) == "digits 12345 stay, version 1.2 stays")
+    assert(got(4) == "combo <EMAIL> at <IP> tel <PHONE>")
+  }
+
+  test("lineCleanDedup: word-count filter, ban list, first-occurrence dedup, order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma\nshared boilerplate line\nsolo"),
+      (2L, "delta epsilon words\nshared boilerplate line\nlorem ipsum junk here"),
+      (3L, "shared boilerplate line"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.lineCleanDedup(df, "doc_id", "text",
+        minWords = 2, banned = Seq("lorem ipsum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1: keeps its own line + first sighting of the boilerplate;
+    // "solo" fails the 2-word floor
+    assert(got(1L) == (2L, "alpha beta gamma\nshared boilerplate line"))
+    // doc 2: boilerplate deduped away (doc 1 owns it), lorem banned
+    assert(got(2L) == (1L, "delta epsilon words"))
+    // doc 3: nothing survives -> empty row, not a missing row
+    assert(got(3L) == (0L, ""))
+  }
+}
