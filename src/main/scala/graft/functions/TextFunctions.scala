@@ -88,6 +88,47 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** VOCABULARY INDUCTION: global token frequencies, top `k` by
+    * (count DESC, token ASC) — the deterministic tie order makes the
+    * vocab reproducible across engines and runs. Scale shape: one
+    * explode + one partial-aggregated count shuffle, then a bounded
+    * global top-k (the vocab, not the corpus, crosses the wire).
+    * Returns (token, cnt, rank), rank 1-based. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      // window over the k surviving rows only — bounded, single chunk
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("bigint"))
+  }
+
+  /** OUT-OF-VOCABULARY rate per document against the corpus-derived
+    * top-`vocabSize` vocabulary — a perplexity stand-in that stays
+    * INTEGER-EXACT (token counts and a floor-divided basis-point rate;
+    * nothing floating-point to drift between engines). High OOV = the
+    * doc's tokens don't look like the corpus = quality-gate signal.
+    * Scale shape: the vocab is bounded (top-k), so membership is a
+    * BROADCAST anti-join against the exploded token stream — one
+    * fact-grain shuffle for the per-doc count, nothing else. */
+  def oovStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = vocabulary(df, textCol, vocabSize).select("token")
+    val oov = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_oov"))
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_toks"))
+      .join(oov, Seq(idCol), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_bp",
+        when(col("n_toks") > 0, expr("n_oov * 10000 div n_toks"))
+          .otherwise(lit(0L)))
+  }
+
   /** PII patterns, written in the Java/RE2-COMMON regex subset
     * (character classes, bounded repeats — no lookarounds, no \b) so
     * the DuckDB gate applies the byte-identical pattern. Conservative

@@ -109,6 +109,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary induction: corpus top-25 tokens, deterministic ties.
+    "q_t_vocab" -> ((s, d) => {
+      T.vocabulary(Tables.documents(s, d), "text", 25)
+        .orderBy("rank")
+    }),
+
+    // OOV-rate quality signal vs the corpus top-20 vocabulary (11 of
+    // this corpus's 31 distinct tokens fall outside it, so every band
+    // of the output is exercised). Integer counts + floor-divided
+    // basis points — nothing floating-point to drift.
+    "q_t_oov" -> ((s, d) => {
+      T.oovStats(Tables.documents(s, d), "doc_id", "text", vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: punctuation / stopword / length signals.
     "q_t_quality" -> ((s, d) => {
       Tables.documents(s, d)
@@ -309,6 +324,19 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-label L2-norm stats: per-row deterministic fold, scaled
+    // bigints before the cross-row aggregate (order-proof).
+    "q_emb_stats" -> ((s, d) => {
+      Similarity.vectorStats(Tables.embeddings(s, d), "embedding", "label")
+        .orderBy("label")
+    }),
+
+    // Per-label centroids at component grain, integer-exact.
+    "q_emb_centroids" -> ((s, d) => {
+      Similarity.centroids(Tables.embeddings(s, d), "embedding", "label")
+        .orderBy("label", "pos")
+    }),
+
     // Brute-force cosine top-5 for the first 10 vectors — the exact
     // baseline for ANN.
     "q_sim_topk" -> ((s, d) => {
@@ -478,6 +506,37 @@ object PipelineQueries {
          |    '${T.ipv4Pattern}', '<IP>', 'g'),
          |    '${T.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_t_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM c)
+        |SELECT token, cnt, rank FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    "q_t_oov" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+        |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 20),
+        |o AS (SELECT doc_id, count(*) AS n_oov FROM t
+        |      WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks
+        |      FROM documents)
+        |SELECT n.doc_id AS doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN n_toks > 0
+        |    THEN (coalesce(o.n_oov, 0) * 10000) // n_toks ELSE 0 END AS BIGINT)
+        |    AS oov_bp
+        |FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Same planted line structure; first-occurrence line dedup ordered
     // by (doc, position); reassembly preserves original line order.
     "q_t_c4_clean" ->
@@ -732,6 +791,26 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids,
         |  max(keep_bp) AS keep_bp
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_emb_stats" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |      (a, b) -> a + b)) * 1000000, 0) AS BIGINT) AS norm_x1e6
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, sum(norm_x1e6) AS sum_norm_x1e6,
+        |  min(norm_x1e6) AS min_norm_x1e6, max(norm_x1e6) AS max_norm_x1e6
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    "q_emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT label, CAST(i AS INT) AS pos,
+        |    CAST(round(v[CAST(i + 1 AS INT)] * 1000000, 0) AS BIGINT) AS x1e6
+        |  FROM (SELECT label, v, unnest(range(len(v))) AS i FROM e))
+        |SELECT label, pos, count(*) AS n, sum(x1e6) AS sum_x1e6,
+        |  CAST(floor(sum(x1e6) * 1.0 / count(*)) AS BIGINT) AS avg_x1e6
+        |FROM c GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

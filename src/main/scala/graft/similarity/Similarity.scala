@@ -29,6 +29,45 @@ object Similarity {
       .otherwise(dot(a, b) / d)
   }
 
+  /** Per-group L2-norm statistics over an embedding column —
+    * the monitoring pass run over a corpus before training (norm
+    * collapse / un-normalized vendor drops show up here).
+    *
+    * Engine-exact by construction: the per-ROW norm is a sequential
+    * left-fold in array order ([[norm]]) — identical IEEE operation
+    * sequence in any engine — rounded to a scaled bigint BEFORE the
+    * group aggregate, so the cross-row summation (whose ORDER differs
+    * between engines and partitionings) runs on exact integers. One
+    * partial-aggregated shuffle at group grain. */
+  def vectorStats(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val n1e6 = round(norm(col(vecCol)) * lit(1e6), 0).cast("bigint")
+    df.select(col(groupCol), n1e6.as("norm_x1e6"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("norm_x1e6").as("sum_norm_x1e6"),
+        min("norm_x1e6").as("min_norm_x1e6"),
+        max("norm_x1e6").as("max_norm_x1e6"))
+  }
+
+  /** Per-group CENTROIDS at (group, component) grain — the building
+    * block for IVF coarse quantizers, per-domain embedding drift
+    * checks, and class prototypes. Components are scaled to bigints
+    * per row (exact under any summation order), summed in ONE
+    * partial-aggregated shuffle keyed (group, pos) — dim x groups
+    * output rows, never a per-group collect — and the fixed-point mean
+    * is a floor of an exact-integer IEEE division (deterministic
+    * across engines; avoids `div`, whose truncation direction differs
+    * from SQL floor-division on negative sums). */
+  def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(groupCol, "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * lit(1e6), 0).cast("bigint"))
+          .as("sum_x1e6"))
+      .withColumn("avg_x1e6",
+        floor(col("sum_x1e6").cast("double") / col("n").cast("double"))
+          .cast("bigint"))
+
   /** Unit-normalized double vector as a separate projection step: the
     * norm is computed ONCE per row (hoisted out of the per-pair work —
     * inside a join predicate it would re-evaluate per pair). Zero

@@ -48,4 +48,20 @@ class TextHygieneSpec extends AnyFunSuite {
     // doc 3: nothing survives -> empty row, not a missing row
     assert(got(3L) == (0L, ""))
   }
+
+  test("vocabulary: deterministic count-then-token order; oovStats edge cases") {
+    import spark.implicits._
+    val df = Seq((1L, "b b a a c"), (2L, "a d"), (3L, ""))
+      .toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, d=1 -> top-3 = a, b, c (tie c<d broken by token)
+    val vocab = TextFunctions.vocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(vocab == Seq(("a", 3L, 1L), ("b", 2L, 2L), ("c", 1L, 3L)))
+    val oov = TextFunctions.oovStats(df, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(oov(1L) == (5L, 0L, 0L))         // all in vocab
+    assert(oov(2L) == (2L, 1L, 5000L))      // "d" is OOV -> 1/2 = 5000bp
+    assert(oov(3L) == (0L, 0L, 0L))         // empty doc: no div-by-zero
+  }
 }
