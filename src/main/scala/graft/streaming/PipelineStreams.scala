@@ -70,6 +70,31 @@ object PipelineStreams {
     * by state. Within one batch the minimum doc id wins, so drops that
     * arrive in id order keep the globally-minimal doc — the batch
     * [[graft.dedup.Dedup.exactGroups]] keeper contract. */
+  /** The STATELESS ingest-hygiene chain — PII redaction, language ID,
+    * token stats, dataset-mixture resampling — as one DataFrame
+    * transform that runs IDENTICALLY in batch and in a stream (pure
+    * per-row expressions plus one stream-static broadcast join against
+    * the dimension-sized `weights` table; no aggregation, no state).
+    * This is the Structured Streaming contract working as designed:
+    * the hygiene logic is written once and applied to a drop-folder
+    * stream at O(drop) incremental cost, and the streamed output is
+    * row-identical to the batch run — which is exactly how the
+    * `q_stream_ingest` oracle checks it.
+    *
+    * Emits kept rows only: (doc_id, source, lang_pred, n_toks,
+    * keep_bp, redacted_md5). */
+  def hygieneTransform(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val red = TextFunctions.redactPii(col("text"))
+    docs
+      .join(broadcast(weights), Seq("source"))
+      .filter(graft.functions.Sampling.hashBucket(col("doc_id")) < col("keep_bp"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.languageId(col("text")).as("lang_pred"),
+        TextFunctions.tokenCount(col("text")).as("n_toks"),
+        col("keep_bp"),
+        md5(red).as("redacted_md5"))
+  }
+
   final case class BandDoc(band: Int, bh: Long, doc_id: Long)
   final case class CandPair(id_a: Long, id_b: Long)
 
