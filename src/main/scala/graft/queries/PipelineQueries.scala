@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
+import graft.ops.{HistogramOps => H}
 import graft.similarity.Similarity
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -107,6 +108,34 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_lines"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Token-length quantiles per language through the ENGINE'S CORE
+    // histogram machinery (banded array + native histogram_quantile
+    // semantics — the RTT A12 op generalizing to corpus stats): band =
+    // clamped token count, per-lang 120-slot array, quantile = lower
+    // band bound (min band with cum >= q*total, minus 1). All integer.
+    "q_t_len_quantile" -> ((s, d) => {
+      val bands = 120
+      val h = Tables.documents(s, d)
+        .select(col("lang"),
+          least(greatest(T.tokenCount(col("text")), lit(1L)), lit(bands.toLong))
+            .as("band"))
+        .groupBy("lang", "band").agg(count(lit(1)).as("c"))
+      h.groupBy("lang")
+        .agg(map_from_arrays(collect_list(col("band")), collect_list(col("c")))
+          .as("m"))
+        .select(col("lang"),
+          transform(sequence(lit(1), lit(bands)),
+            i => coalesce(try_element_at(col("m"), i.cast("bigint")), lit(0L)))
+            .as("hist"))
+        .withColumn("cum", H.cumulative(col("hist")))
+        .withColumn("total", element_at(col("cum"), bands))
+        .select(col("lang"),
+          H.quantile(col("cum"), col("total"), 0.5).as("median_band"),
+          H.quantile(col("cum"), col("total"), 0.95).as("p95_band"),
+          col("total"))
+        .orderBy("lang")
     }),
 
     // Vocabulary induction: corpus top-25 tokens, deterministic ties.
@@ -576,6 +605,28 @@ object PipelineQueries {
          |    '${T.ipv4Pattern}', '<IP>', 'g'),
          |    '${T.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_t_len_quantile" ->
+      """WITH spine AS (
+        |  SELECT l.lang, b.band FROM
+        |    (SELECT DISTINCT lang FROM documents) l
+        |    CROSS JOIN (SELECT unnest(generate_series(1, 120)) AS band) b),
+        |h AS (
+        |  SELECT lang,
+        |    least(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 120)
+        |      AS band,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT s.lang, s.band,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY s.lang ORDER BY s.band) AS cum,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY s.lang) AS total
+        |  FROM spine s LEFT JOIN h ON s.lang = h.lang AND s.band = h.band)
+        |SELECT lang,
+        |  count(*) FILTER (WHERE cum < 0.5 * total) AS median_band,
+        |  count(*) FILTER (WHERE cum < 0.95 * total) AS p95_band,
+        |  max(total) AS total
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_t_vocab" ->
       """WITH t AS (
         |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
