@@ -436,6 +436,22 @@ object PipelineQueries {
         .orderBy("label", "pos")
     }),
 
+    // RETRIEVAL: ANN top-k joined back to document metadata — the
+    // serving-side composition (embedding search -> fetch the doc).
+    // The top-k result is query-bounded, so IT broadcasts into the
+    // join against the (100 TB) documents table — never the reverse.
+    "q_sim_retrieval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      Tables.documents(s, d)
+        .select(col("doc_id").as("neighbor_id"), col("lang"), col("source"))
+        .join(broadcast(topk), Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+          col("lang"), col("source"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Brute-force cosine top-5 for the first 10 vectors — the exact
     // baseline for ANN.
     "q_sim_topk" -> ((s, d) => {
@@ -1113,6 +1129,22 @@ object PipelineQueries {
     // banding candidate set, which is exhaustive here (see above);
     // exact verification makes the output the true pair set.
     "q_stream_neardup" -> jaccardPairsSql,
+    "q_sim_retrieval" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_cosine_similarity(qv, cv), 4) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT r.query_id, r.rank, r.neighbor_id, r.sim, d.lang, d.source
+        |FROM r JOIN documents d ON r.neighbor_id = d.doc_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),
