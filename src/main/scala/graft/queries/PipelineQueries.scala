@@ -138,6 +138,28 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // APPROX distinct-token sketch per language — the 100 TB opt-in
+    // for SURVEY A6's exact countDistinct (one pass, fixed-size HLL++
+    // registers, no distinct shuffle). HLL register merges are
+    // max-operations (commutative/associative), so the estimate is
+    // DETERMINISTIC for fixed data regardless of partitioning — but
+    // not portable to DuckDB's HLL. The oracle therefore checks the
+    // CONTRACT: exact count (recomputable) plus an integer flag
+    // asserting the estimate landed within the configured 5% rsd
+    // envelope (x4 ≈ 4 sigma) — if the sketch ever drifts, the flag
+    // flips and the hash gate fails.
+    "q_t_approx_distinct" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(countDistinct(col("token")).as("n_exact"),
+          approx_count_distinct(col("token"), 0.05).as("n_approx"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) * 100 <= col("n_exact") * 20)
+            .cast("bigint").as("within_20pct"))
+        .orderBy("lang")
+    }),
+
     // Vocabulary induction: corpus top-25 tokens, deterministic ties.
     "q_t_vocab" -> ((s, d) => {
       T.vocabulary(Tables.documents(s, d), "text", 25)
@@ -621,6 +643,17 @@ object PipelineQueries {
          |    '${T.ipv4Pattern}', '<IP>', 'g'),
          |    '${T.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Exact side recomputed; the literal-1 flag column makes the gate
+    // FAIL if Spark's estimate ever leaves the error envelope.
+    "q_t_approx_distinct" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT token) AS n_exact,
+        |  CAST(1 AS BIGINT) AS within_20pct
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_t_len_quantile" ->
       """WITH spine AS (
         |  SELECT l.lang, b.band FROM
