@@ -48,6 +48,10 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "dans", "est", "pour"),
     "es" -> Seq("el", "los", "las", "y", "en", "que", "un", "una", "es", "por"))
 
+  /** Fixed language order for [[graft.plans.StopwordHitsExpr]]'s
+    * hit-count array (and the tie order of [[languageId]]). */
+  val stopwordLangs: Seq[String] = Seq("en", "de", "fr", "es")
+
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast("bigint")
 
@@ -75,12 +79,53 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards mid-length docs and
     * (language-appropriate) stopword presence, penalizes punctuation
     * walls. Deterministic arithmetic only. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, stopwordRatio(text))
+
+  private def qualityScoreFrom(text: Column, stop: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punct = punctRatio(text)
-    val stop = stopwordRatio(text)
     greatest(lit(0.0), least(lit(1.0),
-      lit(0.5) * lenScore + lit(0.5) * least(stop * 5.0, lit(1.0)) - punct))
+      lit(0.5) * lenScore + lit(0.5) * least(stop * 5.0, lit(1.0))
+        - punctRatio(text)))
+  }
+
+  // ---- Native-kernel variants of the stopword family -----------------
+  // Same semantics as the HOF forms above (TextHygieneSpec asserts
+  // equality); ONE compiled tokenization pass instead of 4 interpreted
+  // per-element lambdas — the shape to use on the 100 TB text path.
+  // (SparkSession-taking overloads: native expressions register
+  // through the Spark 4 call_function bridge.)
+
+  import org.apache.spark.sql.SparkSession
+
+  /** Per-language stopword hit counts, `array<bigint>` in
+    * [[stopwordLangs]] order — one kernel call per row. */
+  def stopwordHits(spark: SparkSession, text: Column): Column =
+    graft.plans.StopwordHitsExpr.stopwordHits(spark, text)
+
+  def stopwordRatio(spark: SparkSession, text: Column, lang: String): Column = {
+    val idx = stopwordLangs.indexOf(lang) + 1
+    require(idx > 0, s"unknown stopword language: $lang")
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(element_at(stopwordHits(spark, text), idx).cast("double") /
+        n.cast("double"))
+  }
+
+  def qualityScore(spark: SparkSession, text: Column): Column =
+    qualityScoreFrom(text, stopwordRatio(spark, text, "en"))
+
+  /** [[languageId]] over the native hit-count kernel: argmax with the
+    * same deterministic en > de > fr > es tie order. */
+  def languageId(spark: SparkSession, text: Column): Column = {
+    val h = stopwordHits(spark, text)
+    val Seq(en, de, fr, es) =
+      (1 to 4).map(i => element_at(h, i)): @unchecked
+    when(greatest(en, de, fr, es) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
   }
 
   /** Document fingerprint: hash of the whitespace-normalized,

@@ -182,8 +182,8 @@ object PipelineQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           round(avg(T.punctRatio(col("text"))), 5).as("avg_punct"),
-          round(avg(T.stopwordRatio(col("text"))), 5).as("avg_stop"),
-          round(avg(T.qualityScore(col("text"))), 5).as("avg_quality"))
+          round(avg(T.stopwordRatio(s, col("text"), "en")), 5).as("avg_stop"),
+          round(avg(T.qualityScore(s, col("text"))), 5).as("avg_quality"))
         .orderBy("source")
     }),
 
@@ -191,7 +191,7 @@ object PipelineQueries {
     "q_t_langid" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          T.languageId(col("text")).as("lang_pred"))
+          T.languageId(s, col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -397,7 +397,7 @@ object PipelineQueries {
         .select(col("id").as("doc_id"),
           (col("id") === col("cluster")).cast("bigint").as("is_keeper"))
       docs.select(col("doc_id"),
-          T.languageId(col("text")).as("lang_pred"),
+          T.languageId(s, col("text")).as("lang_pred"),
           T.tokenCount(col("text")).as("n_toks"),
           graft.functions.Sampling.splitLabel(col("doc_id")).as("split"))
         .join(rep, Seq("doc_id"))

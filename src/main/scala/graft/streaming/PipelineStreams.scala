@@ -65,11 +65,6 @@ object PipelineStreams {
   /** First-seen emission: the doc that claimed the fingerprint. */
   final case class Keeper(fingerprint: String, keeper: Long)
 
-  /** Emit exactly one [[Keeper]] per distinct fingerprint, on the
-    * micro-batch where it first appears; later sightings are filtered
-    * by state. Within one batch the minimum doc id wins, so drops that
-    * arrive in id order keep the globally-minimal doc — the batch
-    * [[graft.dedup.Dedup.exactGroups]] keeper contract. */
   /** The STATELESS ingest-hygiene chain — PII redaction, language ID,
     * token stats, dataset-mixture resampling — as one DataFrame
     * transform that runs IDENTICALLY in batch and in a stream (pure
@@ -89,7 +84,7 @@ object PipelineStreams {
       .join(broadcast(weights), Seq("source"))
       .filter(graft.functions.Sampling.hashBucket(col("doc_id")) < col("keep_bp"))
       .select(col("doc_id"), col("source"),
-        TextFunctions.languageId(col("text")).as("lang_pred"),
+        TextFunctions.languageId(docs.sparkSession, col("text")).as("lang_pred"),
         TextFunctions.tokenCount(col("text")).as("n_toks"),
         col("keep_bp"),
         md5(red).as("redacted_md5"))
@@ -160,6 +155,11 @@ object PipelineStreams {
       }
   }
 
+  /** Emit exactly one [[Keeper]] per distinct fingerprint, on the
+    * micro-batch where it first appears; later sightings are filtered
+    * by state. Within one batch the minimum doc id wins, so drops that
+    * arrive in id order keep the globally-minimal doc — the batch
+    * [[graft.dedup.Dedup.exactGroups]] keeper contract. */
   def firstSeenDedup(docs: DataFrame): Dataset[Keeper] = {
     val ss = docs.sparkSession
     import ss.implicits._

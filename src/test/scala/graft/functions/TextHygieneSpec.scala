@@ -49,6 +49,29 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(got(3L) == (0L, ""))
   }
 
+  test("native stopword kernel == HOF forms (languageId, stopwordRatio, qualityScore)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "  "), (9003L, "der der die und zzz"),
+        (9004L, "le la les mixed the and of to a in is that it was"))
+        .toDF("doc_id", "text"))
+    val cmp = docs.select(col("doc_id"),
+        TextFunctions.languageId(col("text")).as("hof_lang"),
+        TextFunctions.languageId(spark, col("text")).as("nat_lang"),
+        TextFunctions.stopwordRatio(col("text")).as("hof_ratio"),
+        TextFunctions.stopwordRatio(spark, col("text"), "en").as("nat_ratio"),
+        TextFunctions.qualityScore(col("text")).as("hof_q"),
+        TextFunctions.qualityScore(spark, col("text")).as("nat_q"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"lang mismatch doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"ratio mismatch doc ${r.getLong(0)}")
+      assert(r.getDouble(5) == r.getDouble(6), s"quality mismatch doc ${r.getLong(0)}")
+    }
+  }
+
   test("vocabulary: deterministic count-then-token order; oovStats edge cases") {
     import spark.implicits._
     val df = Seq((1L, "b b a a c"), (2L, "a d"), (3L, ""))
