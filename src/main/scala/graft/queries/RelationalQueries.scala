@@ -26,6 +26,24 @@ object RelationalQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // Skew-mitigation ops in the HASH GATE: salting only changes
+    // physical distribution, so the salted join + salted two-phase
+    // aggregate must be bit-identical to the plain SQL — the oracle
+    // proves the semantics-preserving claim directly (plan shape is
+    // asserted in ScaleOpsSpec). Integer-cast sums: partial grouping
+    // varies with the salt, so only order-proof aggregates belong here.
+    "q_scale_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_quantity").cast("bigint").as("qty"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      val joined = graft.ops.ScaleOps.saltedJoin(li, sup, "suppkey", buckets = 8)
+      graft.ops.ScaleOps.saltedAgg(joined, "s_nationkey", buckets = 8,
+          partial = Seq(sum(col("qty")).as("s"), count(lit(1)).as("c")),
+          combine = Seq(sum(col("s")).as("sum_qty"), sum(col("c")).as("n_rows")))
+        .orderBy("s_nationkey")
+    }),
     // P3+P4 — SCHEMA-DRIVEN projection: select columns matching a name
     // pattern off the LIVE schema (the reference's `Gt.*` band
     // selection) after dropping columns that are entirely null in the
@@ -431,6 +449,12 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_scale_salted" ->
+      """SELECT s_nationkey,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_p3_dynamic_projection" ->
       """SELECT 'o_orderdate' AS col_name, count(o_orderdate) AS n_nonnull FROM orders
         |UNION ALL SELECT 'o_orderkey', count(o_orderkey) FROM orders
