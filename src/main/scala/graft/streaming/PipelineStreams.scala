@@ -155,6 +155,60 @@ object PipelineStreams {
       }
   }
 
+  final case class FpDocTs(fingerprint: String, doc_id: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[firstSeenDedup]] with a DEDUP HORIZON: per-fingerprint state is
+    * EVICTED once the watermark passes `last sighting + horizon`, so
+    * state volume is bounded by the distinct fingerprints of one
+    * horizon window — not of the whole corpus history. This is the
+    * 100 TB knob the unbounded variant's doc promises: when upstream
+    * guarantees duplicates arrive within N days of the original, a
+    * fingerprint older than that can never be matched again and is
+    * dead weight in the state store.
+    *
+    * Semantics change accordingly (and deliberately): a duplicate
+    * arriving AFTER the horizon re-emits — the stream forgets, exactly
+    * as configured. That is why this variant is spec-verified
+    * (PipelineStreamsSpec: in-horizon filtering, eviction-then-
+    * re-emission) rather than oracled against the batch dedup SQL,
+    * whose semantics are horizon-free.
+    *
+    * Mechanics: EventTimeTimeout keyed state; each sighting re-arms
+    * the timeout at `event_time + horizon`; when the watermark (set by
+    * the caller via `withWatermark` on `eventCol`) passes it, Spark
+    * calls the function once more with `state.hasTimedOut` and the
+    * state is dropped. */
+  def firstSeenDedupTtl(docs: DataFrame, eventCol: String,
+      horizonMs: Long): Dataset[Keeper] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    // eventCol is selected UNTOUCHED: wrapping it (even a no-op cast)
+    // would mint a fresh attribute without the watermark tag, and
+    // EventTimeTimeout rejects plans whose event column lost it
+    docs.select(TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        col("doc_id"), col(eventCol).as("event_time"))
+      .as[FpDocTs]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Long, Keeper](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, rows: Iterator[FpDocTs], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last sighting + horizon: forget the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq
+            val latest = arrivals.map(_.event_time.getTime).max
+            val known = state.exists
+            state.update(latest)
+            state.setTimeoutTimestamp(latest + horizonMs)
+            if (known) Iterator.empty
+            else Iterator.single(Keeper(fp, arrivals.map(_.doc_id).min))
+          }
+      }
+  }
+
   /** Emit exactly one [[Keeper]] per distinct fingerprint, on the
     * micro-batch where it first appears; later sightings are filtered
     * by state. Within one batch the minimum doc id wins, so drops that

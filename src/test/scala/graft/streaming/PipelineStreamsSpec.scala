@@ -69,6 +69,62 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(k2.values.toSet == Set(1L, 3L, 11L))
   }
 
+  test("TTL dedup: in-horizon dups filtered, state evicted at watermark, late dup re-emits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-stream")
+    val sink = dir.resolve("out").toString
+    val drops = java.nio.file.Files.createDirectory(dir.resolve("drops"))
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    def stage(rows: Seq[(Long, String, java.sql.Timestamp)], idx: Int): Unit = {
+      val tmp = dir.resolve(s"d$idx.tmpdir").toString
+      rows.toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = drops.resolve(f"d$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000000L + idx * 60000L)
+    }
+    // horizon 3600s. Batch trace (watermark = prior batches' max event):
+    //  b1 A@1000 B@1000        -> emit A(1) B(2); timeouts armed 4600
+    //  b2 A-dup@2000 C@2000    -> A filtered (in horizon), re-armed 5600
+    //  b3 D@8000               -> watermark 2000: nothing expires yet
+    //  b4 E@9000               -> watermark 8000: A/B/C state EVICTED
+    //  b5 A-dup@9500           -> state gone: A RE-EMITS with keeper 30
+    stage(Seq((1L, "aaa", ts(1000)), (2L, "bbb", ts(1000))), 1)
+    stage(Seq((10L, "aaa", ts(2000)), (11L, "ccc", ts(2000))), 2)
+    stage(Seq((20L, "ddd", ts(8000))), 3)
+    stage(Seq((21L, "eee", ts(9000))), 4)
+    stage(Seq((30L, "aaa", ts(9500))), 5)
+
+    val q = PipelineStreams.firstSeenDedupTtl(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, event_time TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(drops.toString)
+          .withWatermark("event_time", "0 seconds"),
+        "event_time", horizonMs = 3600 * 1000L)
+      .toDF()
+      .writeStream.format("parquet").option("path", sink)
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000)); q.stop()
+
+    val keepers = spark.read.schema("fingerprint STRING, keeper BIGINT")
+      .parquet(sink).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(keepers.size == 5, s"five distinct fingerprints, got $keepers")
+    // "aaa" emitted TWICE: original keeper 1, then keeper 30 after the
+    // horizon evicted its state — the stream forgets, as configured
+    assert(keepers.values.count(_ == Set(1L, 30L)) == 1,
+      s"expected one fingerprint with keepers {1,30}, got $keepers")
+    // everything else exactly once (incl. the in-horizon dup at t=2000)
+    assert(keepers.values.filterNot(_ == Set(1L, 30L)).forall(_.size == 1),
+      s"unexpected keeper sets: $keepers")
+    assert(keepers.values.flatten.toSet == Set(1L, 2L, 11L, 20L, 21L, 30L))
+  }
+
   test("streamed LSH index emits cross-drop candidates from resumed state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
