@@ -155,6 +155,76 @@ object PipelineStreams {
       }
   }
 
+  final case class BandDocTs(band: Int, bh: Long, doc_id: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[lshCandidates]] with a NEAR-DUP HORIZON: a document can only
+    * pair with bucket members whose sighting is within `horizonMs` of
+    * the current watermark, and bucket state is reclaimed once the
+    * watermark passes its last sighting + horizon — bounding the
+    * streamed LSH index to one horizon window's documents, the same
+    * state-bounding knob as [[firstSeenDedupTtl]] applied to the
+    * near-dup index.
+    *
+    * The horizon is enforced in TWO layers: stale members are filtered
+    * on ACCESS against `getCurrentWatermarkMs` (exact semantics — an
+    * expired member can't pair even if Spark hasn't reclaimed the
+    * bucket yet, since timeouts only fire on batches where the key is
+    * silent), and `EventTimeTimeout` drops the whole entry from the
+    * state store (space reclamation). The caller must set
+    * `withWatermark` on `eventCol`; the column is selected untouched
+    * (a wrapped column loses the watermark tag and EventTimeTimeout
+    * rejects the plan). */
+  def lshCandidatesTtl(docs: DataFrame, eventCol: String, horizonMs: Long,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Dataset[CandPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val rows = numHashes / bands
+    docs.select(col("doc_id"), col(eventCol).as("event_time"),
+        graft.plans.MinHashSigExpr.minHashSignature(ss, col("text"), n, numHashes)
+          .as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id"), col("event_time"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
+          .as("bucket"))
+      .select(col("bucket.band").as("band"), col("bucket.bh").as("bh"),
+        col("doc_id"), col("event_time"))
+      .as[BandDocTs]
+      .groupByKey(bd => (bd.band, bd.bh))
+      .flatMapGroupsWithState[List[(Long, Long)], CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandDocTs],
+            state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val out = List.newBuilder[CandPair]
+            val arrivals = rows.toArray.sortBy(_.doc_id)
+            // exact horizon: members expire relative to the watermark
+            // even before the state store reclaims the bucket
+            var members = state.getOption.getOrElse(Nil)
+              .filter(_._2 + horizonMs > wm)
+            arrivals.foreach { bd =>
+              members.foreach { case (m, _) =>
+                if (m != bd.doc_id)
+                  out += (if (m < bd.doc_id) CandPair(m, bd.doc_id)
+                          else CandPair(bd.doc_id, m))
+              }
+              members = (bd.doc_id, bd.event_time.getTime) :: members
+            }
+            val latest = members.map(_._2).max
+            state.update(members)
+            state.setTimeoutTimestamp(math.max(latest + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   final case class FpDocTs(fingerprint: String, doc_id: Long,
       event_time: java.sql.Timestamp)
 

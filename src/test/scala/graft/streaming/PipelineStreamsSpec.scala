@@ -125,6 +125,51 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(keepers.values.flatten.toSet == Set(1L, 2L, 11L, 20L, 21L, 30L))
   }
 
+  test("TTL LSH index: in-horizon pair found, post-horizon member evicted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-lsh")
+    val sink = dir.resolve("out").toString
+    val drops = java.nio.file.Files.createDirectory(dir.resolve("drops"))
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    def stage(rows: Seq[(Long, String, java.sql.Timestamp)], idx: Int): Unit = {
+      val tmp = dir.resolve(s"d$idx.tmpdir").toString
+      rows.toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = drops.resolve(f"d$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000000L + idx * 60000L)
+    }
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // horizon 3600s: doc 10 (t=2000) pairs with doc 1 (t=1000); the
+    // watermark jump to 9000 (drop 3) evicts the bucket; doc 30
+    // (t=9500) repeats the text but finds an EMPTY index -> no pair
+    stage(Seq((1L, a, ts(1000))), 1)
+    stage(Seq((10L, a, ts(2000))), 2)
+    stage(Seq((20L, "entirely different filler words here now", ts(9000))), 3)
+    stage(Seq((30L, a, ts(9500))), 4)
+
+    val q = PipelineStreams.lshCandidatesTtl(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, event_time TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(drops.toString)
+          .withWatermark("event_time", "0 seconds"),
+        "event_time", horizonMs = 3600 * 1000L)
+      .toDF()
+      .writeStream.format("parquet").option("path", sink)
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000)); q.stop()
+
+    val pairs = spark.read.schema("id_a BIGINT, id_b BIGINT").parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)),
+      s"in-horizon pair only — the post-eviction repeat must find nothing: $pairs")
+  }
+
   test("streamed LSH index emits cross-drop candidates from resumed state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
