@@ -43,21 +43,27 @@ object PipelineStreams {
     * semantics coincide with min-id semantics). */
   def stageOrderedDrops(docs: DataFrame, idCol: String, chunks: Int,
       prefix: String): java.nio.file.Path = {
-    val cached = docs.cache()
-    val maxId = cached.agg(max(idCol)).head().getLong(0)
+    val maxId = docs.agg(max(idCol)).head().getLong(0)
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val span = maxId / chunks + 1
-    (0L until chunks.toLong).foreach { c =>
-      val tmp = dir.resolve(s"c$c.tmpdir").toString
-      cached.filter(col(idCol) >= c * span && col(idCol) < (c + 1) * span)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = dir.resolve(f"c$c%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(1000000000000L + c * 60000L)
+    // ONE write job: repartition by the chunk value puts each chunk in
+    // a single task, so partitionBy emits exactly one file per chunk
+    // dir (vs one filter+write job per chunk: 4x the scheduling and
+    // source scans)
+    val tmp = dir.resolve("staging.tmpdir").toString
+    docs.withColumn("__chunk", expr(s"$idCol div $span").cast("int"))
+      .repartition(chunks, col("__chunk"))
+      .write.mode("overwrite").partitionBy("__chunk").parquet(tmp)
+    (0 until chunks).foreach { c =>
+      // an id-range with no rows yields no partition dir — no drop file
+      Option(new java.io.File(s"$tmp/__chunk=$c").listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .foreach { part =>
+          val dest = dir.resolve(f"c$c%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          dest.toFile.setLastModified(1000000000000L + c * 60000L)
+        }
     }
-    cached.unpersist()
     dir
   }
 
