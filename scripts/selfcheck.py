@@ -36,9 +36,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def h(df: pd.DataFrame) -> str:
-    # %.17g = full double round-trip precision, mirroring the driver's
-    # full-precision hash (%.9g masked ulp-level drift in round 1).
-    return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
+    # Default to_csv rendering, NO float_format: the driver hashes raw
+    # pandas rendering, so an int64 123 vs float64 123.0 must differ.
+    # (%.17g masked DuckDB HUGEINT->float64 drift in round 2: every
+    # integer `sum()` in DuckDB returns HUGEINT, which pandas converts
+    # to float64 and renders "123.0" unless the oracle CASTs to BIGINT.)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 fails = 0
 names = sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)]))

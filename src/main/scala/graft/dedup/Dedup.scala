@@ -475,6 +475,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A silent exit at maxIter would hand back partially-propagated
+    // labels and corrupt every keep/drop decision built on them —
+    // chain-diameter graphs must fail loudly, not approximately.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter (diameter-shaped graph?) or switch to " +
+        "large-star/small-star")
     labels
   }
 }

@@ -27,7 +27,11 @@ object Ingest {
     * Explicit `schema` is the default contract; without one the columns
     * come back as STRINGS (cast downstream). `inferSchema = true` is
     * the opt-in exception — inference is a SECOND full scan of every
-    * CSV, which at monthly-extract scale doubles ingest cost. */
+    * CSV, which at monthly-extract scale doubles ingest cost.
+    *
+    * BREAKING (round 2): the no-schema default flipped from
+    * `inferSchema=true` to all-string columns; callers relying on the
+    * old inferred types must now pass `inferSchema = true`. */
   def csvMangledNames(spark: SparkSession, path: String,
       schema: Option[StructType] = None,
       inferSchema: Boolean = false): DataFrame = {

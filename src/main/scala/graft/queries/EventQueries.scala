@@ -131,8 +131,9 @@ object EventQueries {
         |  FROM l),
         |x AS (
         |  SELECT user_id, value, m,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
         |  FROM f)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(m) AS start_us, max(m) AS end_us, max(m) - min(m) AS dur_us,
@@ -155,8 +156,9 @@ object EventQueries {
         |  FROM l),
         |x AS (
         |  SELECT user_id, value, m,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY m, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
         |  FROM f),
         |s AS (
         |  SELECT user_id, session_idx, count(*) AS n_events,

@@ -66,7 +66,9 @@ object MultimodalQueries {
         |    octet_length(encode(text)) AS byte_len,
         |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS frames
         |  FROM documents)
-        |SELECT kind, count(*) AS n_media, sum(byte_len) AS total_bytes,
-        |  sum(frames) AS total_frames, sum(frames) AS total_feature_mass
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(frames) AS BIGINT) AS total_feature_mass
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 }

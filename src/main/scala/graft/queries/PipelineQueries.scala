@@ -674,7 +674,7 @@ object PipelineQueries {
         |SELECT lang,
         |  count(*) FILTER (WHERE cum < 0.5 * total) AS median_band,
         |  count(*) FILTER (WHERE cum < 0.95 * total) AS p95_band,
-        |  max(total) AS total
+        |  CAST(max(total) AS BIGINT) AS total
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_t_vocab" ->
       """WITH t AS (
@@ -740,10 +740,11 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "q_t_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS ws_tokens,
-        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
-        |    AS bpe_tokens,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
         |  CAST(round_even(avg(n_chars) * 1000.0, 0) AS BIGINT) AS avg_chars_x1000
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // mirrors the expression's rolling hash as a from-scratch k-gram
@@ -936,8 +937,8 @@ object PipelineQueries {
         |SELECT lang,
         |  CASE WHEN b < 8000 THEN 'train'
         |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split,
-        |  count(*) AS n, sum(doc_id) AS sum_ids,
-        |  sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS n_sampled
+        |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // The batch exact-dedup contract: keeper = min doc_id per
     // fingerprint. Valid because the streamed drops arrive in id order
@@ -958,7 +959,8 @@ object PipelineQueries {
         |  FROM documents d JOIN w USING (source)
         |  WHERE ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919)
         |    % 10000 < keep_bp)
-        |SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids,
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  max(keep_bp) AS keep_bp
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     // Composite oracle: near-dup cluster keepers (recursive closure
@@ -1120,7 +1122,8 @@ object PipelineQueries {
         |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
         |      (a, b) -> a + b)) * 1000000, 0) AS BIGINT) AS norm_x1e6
         |  FROM embeddings)
-        |SELECT label, count(*) AS n_vecs, sum(norm_x1e6) AS sum_norm_x1e6,
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(norm_x1e6) AS BIGINT) AS sum_norm_x1e6,
         |  min(norm_x1e6) AS min_norm_x1e6, max(norm_x1e6) AS max_norm_x1e6
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
     "q_emb_centroids" ->
@@ -1130,7 +1133,8 @@ object PipelineQueries {
         |  SELECT label, CAST(i AS INT) AS pos,
         |    CAST(round(v[CAST(i + 1 AS INT)] * 1000000, 0) AS BIGINT) AS x1e6
         |  FROM (SELECT label, v, unnest(range(len(v))) AS i FROM e))
-        |SELECT label, pos, count(*) AS n, sum(x1e6) AS sum_x1e6,
+        |SELECT label, pos, count(*) AS n,
+        |  CAST(sum(x1e6) AS BIGINT) AS sum_x1e6,
         |  CAST(floor(sum(x1e6) * 1.0 / count(*)) AS BIGINT) AS avg_x1e6
         |FROM c GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_sim_neardup_exact" ->

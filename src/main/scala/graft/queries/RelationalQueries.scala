@@ -451,7 +451,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q_scale_salted" ->
       """SELECT s_nationkey,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
@@ -647,7 +647,8 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE cum < 0.95 * total) AS p95_band,
         |  CAST(round_even(100.0 * max(CASE WHEN band = 18 THEN cum END) / max(total)
         |    * 10, 0) AS BIGINT) AS pct_le18_x10,
-        |  max(total) - max(CASE WHEN band = 45 THEN cum END) AS n_gt45,
-        |  max(total) AS total
+        |  CAST(max(total) - max(CASE WHEN band = 45 THEN cum END) AS BIGINT)
+        |    AS n_gt45,
+        |  CAST(max(total) AS BIGINT) AS total
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

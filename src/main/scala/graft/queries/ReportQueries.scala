@@ -195,7 +195,7 @@ object ReportQueries {
         |  SELECT region, priority, n FROM vol
         |  UNION ALL
         |  SELECT 'ENGLAND', priority, sum(n) FROM vol GROUP BY 2)
-        |SELECT region, priority, n,
+        |SELECT region, priority, CAST(n AS BIGINT) AS n,
         |  CAST(round_even(100.0 * n / sum(n) OVER (PARTITION BY region)
         |    * 10000, 0) AS BIGINT) AS share_x10k
         |FROM a ORDER BY region, priority""".stripMargin,

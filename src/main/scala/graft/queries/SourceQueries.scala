@@ -152,8 +152,8 @@ object SourceQueries {
         |FROM nation ORDER BY nkey""".stripMargin,
     "q_k2_partition_overwrite" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
-        |      THEN 1000000 ELSE 0 END) AS sum_cust
+        |  CAST(sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_s6_geocode" ->
       """WITH c AS (

@@ -154,8 +154,8 @@ object StatsQueries {
         |    max(tnm) - max(CASE WHEN band = 52 THEN cum END) AS n52p
         |  FROM t GROUP BY monthyr, grp, is_slice, pathway)
         |SELECT monthyr, grp, is_slice, pathway,
-        |  CASE WHEN pathway = 'completeadmitted' THEN tnm + unk
-        |       ELSE tnm END AS total_patients,
+        |  CAST(CASE WHEN pathway = 'completeadmitted' THEN tnm + unk
+        |       ELSE tnm END AS BIGINT) AS total_patients,
         |  CASE WHEN eligible THEN n18 END AS number_18_or_less,
         |  CASE WHEN eligible THEN
         |    CAST(round_even(100.0 * n18 / tnm * 10, 0) AS BIGINT) END

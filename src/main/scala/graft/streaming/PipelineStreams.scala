@@ -45,6 +45,14 @@ object PipelineStreams {
       prefix: String): java.nio.file.Path = {
     val maxId = docs.agg(max(idCol)).head().getLong(0)
     val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // repeated Verify/Bench invocations must not leak full corpus
+    // copies into /tmp — reap the staging dir when the JVM exits
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
     val span = maxId / chunks + 1
     // ONE write job: repartition by the chunk value puts each chunk in
     // a single task, so partitionBy emits exactly one file per chunk
@@ -61,7 +69,10 @@ object PipelineStreams {
         .foreach { part =>
           val dest = dir.resolve(f"c$c%02d.parquet")
           java.nio.file.Files.move(part.toPath, dest)
-          dest.toFile.setLastModified(1000000000000L + c * 60000L)
+          // the whole ordered-replay contract rides on ascending
+          // mtimes — fail at staging time, not as a flaky hash later
+          require(dest.toFile.setLastModified(1000000000000L + c * 60000L),
+            s"could not set mtime on $dest")
         }
     }
     dir
@@ -278,7 +289,11 @@ object PipelineStreams {
             val latest = arrivals.map(_.event_time.getTime).max
             val known = state.exists
             state.update(latest)
-            state.setTimeoutTimestamp(latest + horizonMs)
+            // clamp above the current watermark: with a zero/tiny
+            // horizon, latest + horizonMs can equal the watermark and
+            // setTimeoutTimestamp throws, killing the query
+            state.setTimeoutTimestamp(
+              math.max(latest + horizonMs, state.getCurrentWatermarkMs() + 1))
             if (known) Iterator.empty
             else Iterator.single(Keeper(fp, arrivals.map(_.doc_id).min))
           }
