@@ -484,4 +484,60 @@ object Dedup {
         "large-star/small-star")
     labels
   }
+
+  /** Cross-document duplicated SPANS — the scalable core of substring
+    * dedup (Lee et al. 2022: remove repeated substrings of length
+    * >= threshold from the corpus, rather than whole near-dup docs).
+    * The reference formulation builds a corpus-wide suffix array; that
+    * is a single-machine construction. The distributed restatement:
+    *
+    *  1. hash every k-char gram per position (native rolling-hash
+    *     expression [[graft.plans.KgramHashesExpr]], O(1)/position);
+    *  2. a k-gram hash occurring in >1 DISTINCT doc marks its
+    *     positions as inside a duplicated substring (one groupBy on
+    *     hash — `min(doc) != max(doc)` avoids a count-distinct);
+    *  3. semi-join the flagged hash set back to positions (equi-join
+    *     on hash — the only shuffles are the hash groupBy + join);
+    *  4. merge overlapping char intervals `[pos, pos+k)` per doc with
+    *     gaps-and-islands (a break opens where the gap between
+    *     consecutive flagged positions exceeds k), keep spans of at
+    *     least `minLen` chars.
+    *
+    * Every stage is a shuffle-on-key or a per-doc window — no
+    * suffix array, no driver state, no all-pairs; false merges only
+    * via 32-bit hash collisions (identical in the DuckDB oracle, which
+    * restates the hash as the from-scratch fold). Output:
+    * `(doc_id, span_start, span_end, span_len)` with `[start, end)`
+    * char offsets, ordered by doc and start.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    val pos = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.KgramHashesExpr.kgramHashes(spark, col(textCol), k).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val dupHashes = pos.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("h")
+    val flagged = pos.join(dupHashes, Seq("h"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .where(col("span_len") >= minLen)
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -264,6 +264,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-SPAN detection (substring dedup, Lee et al. 2022):
+    // maximal cross-doc duplicated char intervals via per-position
+    // k-gram hashes + gaps-and-islands — no suffix array, no driver
+    // state. k=20/minLen=40 keeps spans discriminative (k=8 would
+    // flag every shared English word); the planted near-dup docs
+    // surface as long spans.
+    "q_dedup_spans" -> ((s, d) => {
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 20, minLen = 40)
+    }),
+
+    // Greedy sequence packing into 512-token context windows, bins
+    // sealed inside (source, 200-id shard) so packing is
+    // embarrassingly parallel; oracle = recursive-CTE restatement of
+    // the same greedy fold.
+    "q_pack_sequences" -> ((s, d) => {
+      graft.ops.Packing.packSummary(
+        graft.ops.Packing.packGreedy(Tables.documents(s, d),
+          "source", "doc_id", T.tokenCount(col("text")),
+          budget = 512, shardSpan = 200))
+    }),
+
     // Deterministic train/valid/test split + 1% subsample: membership
     // is a pure arithmetic hash of doc_id (identical in DuckDB), NOT
     // df.sample's partition-seeded RNG — reruns, repartitions, and
@@ -929,6 +951,63 @@ object PipelineQueries {
         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Same hash family as q_t_winnow's oracle (from-scratch k-gram
+    // fold == the kernel's rolling recurrence, mod-2^32 identity);
+    // islands merge char intervals [i, i+20) wherever consecutive
+    // flagged positions gap by <= 20.
+    "q_dedup_spans" ->
+      raw"""WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text) - 20 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 20),
+        |kg AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(range(20),
+        |        j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 4294967296) AS h
+        |  FROM pos),
+        |dup AS (SELECT h FROM kg GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |c AS (SELECT doc_id, i FROM kg WHERE h IN (SELECT h FROM dup)),
+        |l AS (SELECT doc_id, i,
+        |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM c),
+        |f AS (SELECT doc_id, i,
+        |    CASE WHEN prev IS NULL OR i - prev > 20 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |x AS (SELECT doc_id, i,
+        |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 20 AS span_end,
+        |  max(i) + 20 - min(i) AS span_len
+        |FROM x GROUP BY doc_id, island
+        |HAVING max(i) + 20 - min(i) >= 40
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // The same greedy fold as Packing.packGreedy, restated as a
+    // recursive chain advance: each iteration extends every
+    // (grp, shard) chain by its next doc in id order.
+    "q_pack_sequences" ->
+      raw"""WITH RECURSIVE d AS (
+        |  SELECT source AS grp, doc_id // 200 AS shard, doc_id,
+        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+        |      512) AS toks,
+        |    row_number() OVER (PARTITION BY source, doc_id // 200
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT grp, shard, doc_id, toks, rn, toks AS fill, 0 AS bin
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.shard, d.doc_id, d.toks, d.rn,
+        |    CASE WHEN p.fill + d.toks > 512 THEN d.toks
+        |         ELSE p.fill + d.toks END,
+        |    CASE WHEN p.fill + d.toks > 512 THEN p.bin + 1 ELSE p.bin END
+        |  FROM p JOIN d ON d.grp = p.grp AND d.shard = p.shard
+        |    AND d.rn = p.rn + 1)
+        |SELECT grp, shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS fill_toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin,
     "q_split_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -193,4 +193,37 @@ class DedupSpec extends AnyFunSuite {
       n = 3, minShared = 1, maxDocFreq = Some(2))
     assert(capped.count() == 0)
   }
+
+  test("duplicatedSpans: hand-computed shared substring, self-repeats ignored") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "xx the quick brown fox yy"),
+      // internal repetition only — k-grams repeat within ONE doc, so
+      // min(doc) == max(doc) and nothing is flagged
+      (3L, "zqzqzqzqzqzqzqzqzqzqzqzqzqzq")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", k = 5, minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // shared substring "the quick brown fox " — INCLUDING the trailing
+    // space (both docs continue with ' ') — 20 chars: d1[0,20), d2[3,23)
+    assert(spans === List((1L, 0L, 20L, 20L), (2L, 3L, 23L, 20L)))
+  }
+
+  test("duplicatedSpans: every span's leading k-gram occurs in another doc") {
+    val k = 20
+    val docs = Tables.documents(spark, sf)
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k, minLen = 40)
+      .collect()
+    assert(spans.nonEmpty, "fixture should contain duplicated substrings")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans.foreach { r =>
+      val (id, start, end) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+      assert(end - start >= 40 && end <= texts(id).length)
+      val lead = texts(id).substring(start, start + k)
+      assert(texts.exists { case (o, t) => o != id && t.contains(lead) },
+        s"span lead of doc $id not found elsewhere: '$lead'")
+    }
+  }
 }
