@@ -359,6 +359,33 @@ object PipelineQueries {
       s.table("stream_dedup_out").orderBy("fingerprint")
     }),
 
+    // Streaming sequence packing through the real streaming engine:
+    // docs arrive as 4 ordered drops and are appended to open bins
+    // incrementally (state per (source, shard) = the open bin's fill
+    // — two longs). Under id-ordered arrival the streamed assignment
+    // equals the batch greedy fold, so the recursive-CTE oracle is
+    // shared with q_pack_sequences.
+    "q_stream_pack" -> ((s, d) => {
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        Tables.documents(s, d), "doc_id", 4, "graft-stream-pack")
+      s.catalog.dropTempView("stream_pack_out")
+      val q = graft.streaming.PipelineStreams.packStream(
+          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+          budget = 512, shardSpan = 200)
+        .toDF()
+        .writeStream.format("memory").queryName("stream_pack_out")
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished,
+        "q_stream_pack: streaming query timed out — refusing to read a partial sink")
+      graft.ops.Packing.packSummary(s.table("stream_pack_out"))
+    }),
+
     // Streaming NEAR-dup through the real streaming engine: documents
     // arrive as 4 ordered drops; the stateful LSH index
     // (flatMapGroupsWithState keyed on band buckets, per-row compiled
@@ -551,6 +578,25 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023 — public paper):
+    // keep one item per transitive cluster of embedding-cosine
+    // near-dups. Pairs come from the LSH bucket path at the same
+    // verified-exhaustive parameters as q_sim_embed_neardup (== brute
+    // force on this corpus), closure via distributed min-label
+    // propagation — the full composition never leaves hash-bucket
+    // equi-joins + per-round shuffles, so it scales where the paper's
+    // per-cluster numpy step would not.
+    "q_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.4, planes = 4, tables = 50)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(e.select(col("vec_id")), "vec_id", pairs)
+        .select(col("id").as("vec_id"), col("cluster").as("rep_id"),
+          (col("id") === col("cluster")).cast("bigint").as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // EXACT embedding-cosine near-dup pairs (brute force, oracle-able);
     // threshold 0.3 sits inside this corpus's similarity range.
     "q_sim_neardup_exact" -> ((s, d) => {
@@ -638,6 +684,33 @@ object PipelineQueries {
       |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
       |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  // Packing.packGreedy restated as a recursive chain advance: each
+  // iteration extends every (grp, shard) chain by its next doc in id
+  // order. Shared by the batch AND streamed packing queries.
+  private val packOracle: String =
+    raw"""WITH RECURSIVE d AS (
+      |  SELECT source AS grp, doc_id // 200 AS shard, doc_id,
+      |    least(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+      |      512) AS toks,
+      |    row_number() OVER (PARTITION BY source, doc_id // 200
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT grp, shard, doc_id, toks, rn, toks AS fill, 0 AS bin
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.grp, d.shard, d.doc_id, d.toks, d.rn,
+      |    CASE WHEN p.fill + d.toks > 512 THEN d.toks
+      |         ELSE p.fill + d.toks END,
+      |    CASE WHEN p.fill + d.toks > 512 THEN p.bin + 1 ELSE p.bin END
+      |  FROM p JOIN d ON d.grp = p.grp AND d.shard = p.shard
+      |    AND d.rn = p.rn + 1)
+      |SELECT grp, shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS fill_toks,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
@@ -984,30 +1057,12 @@ object PipelineQueries {
         |ORDER BY doc_id, span_start""".stripMargin,
     // The same greedy fold as Packing.packGreedy, restated as a
     // recursive chain advance: each iteration extends every
-    // (grp, shard) chain by its next doc in id order.
-    "q_pack_sequences" ->
-      raw"""WITH RECURSIVE d AS (
-        |  SELECT source AS grp, doc_id // 200 AS shard, doc_id,
-        |    least(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
-        |      512) AS toks,
-        |    row_number() OVER (PARTITION BY source, doc_id // 200
-        |      ORDER BY doc_id) AS rn
-        |  FROM documents),
-        |p AS (
-        |  SELECT grp, shard, doc_id, toks, rn, toks AS fill, 0 AS bin
-        |  FROM d WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.grp, d.shard, d.doc_id, d.toks, d.rn,
-        |    CASE WHEN p.fill + d.toks > 512 THEN d.toks
-        |         ELSE p.fill + d.toks END,
-        |    CASE WHEN p.fill + d.toks > 512 THEN p.bin + 1 ELSE p.bin END
-        |  FROM p JOIN d ON d.grp = p.grp AND d.shard = p.shard
-        |    AND d.rn = p.rn + 1)
-        |SELECT grp, shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS fill_toks,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin,
+    // (grp, shard) chain by its next doc in id order. Bound once and
+    // used for BOTH the batch and streamed queries: the streamed fold
+    // equals the batch fold under ordered drops (the q_dashboard_cube
+    // / q_stream_cube one-SQL-two-engines pattern).
+    "q_pack_sequences" -> packOracle,
+    "q_stream_pack" -> packOracle,
     "q_split_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,
@@ -1233,6 +1288,25 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force pair set at the same threshold/rounding as the LSH
+    // path (exhaustive at these parameters), then the q_dedup_clusters
+    // recursive min-label closure over it.
+    "q_semdedup" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pq AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pq
+        |      UNION ALL SELECT id_b, id_a FROM pq),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id AS vec_id, min(r) AS rep_id,
+        |  CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     // Valid because 16x4 LSH banding is exhaustive on this corpus's
     // pair set (all true pairs >= 0.88 jaccard) — see the query comment.
     "q_dedup_minhash" -> jaccardPairsSql,

@@ -324,4 +324,45 @@ object PipelineStreams {
           }
       }
   }
+
+  final case class PackDoc(grp: String, shard: Long, doc_id: Long, toks: Long)
+  final case class PackAssign(grp: String, shard: Long, doc_id: Long,
+      toks: Long, bin: Long)
+
+  /** Streaming greedy sequence packing — the training-feed shape of
+    * [[graft.ops.Packing.packGreedy]]: documents arrive in drops and
+    * are appended to open context-window bins incrementally, instead
+    * of re-packing the whole corpus per drop. State per (grp, shard)
+    * key is just the open bin's `(fill, bin)` — TWO longs, bounded by
+    * shard count, not corpus size. When drops arrive in ascending id
+    * order (the [[stageOrderedDrops]] replay, or any id-monotone
+    * ingest), the streamed assignment equals the batch fold exactly,
+    * so the batch recursive-CTE oracle carries over. Rows within one
+    * micro-batch are sorted per key in memory (bounded by per-shard
+    * drop size) because the group iterator's order is undefined. */
+  def packStream(docs: DataFrame, budget: Long,
+      shardSpan: Long): Dataset[PackAssign] = {
+    require(budget > 0 && shardSpan > 0, "budget and shardSpan must be positive")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("source").cast("string").as("grp"),
+        floor(col("doc_id").cast("long") / shardSpan).cast("long").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        least(TextFunctions.tokenCount(col("text")), lit(budget)).as("toks"))
+      .as[PackDoc]
+      .groupByKey(p => (p.grp, p.shard))
+      .flatMapGroupsWithState[(Long, Long), PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, Long), rows: Iterator[PackDoc],
+            state: GroupState[(Long, Long)]) =>
+          var (fill, bin) = state.getOption.getOrElse((0L, -1L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { p =>
+            if (bin < 0 || fill + p.toks > budget) { bin += 1; fill = p.toks }
+            else fill += p.toks
+            PackAssign(p.grp, p.shard, p.doc_id, p.toks, bin)
+          }
+          state.update((fill, bin))
+          out.iterator
+      }
+  }
 }

@@ -236,4 +236,32 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
   }
+
+  test("streamed packing == batch greedy fold under ordered drops") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = PipelineStreams.stageOrderedDrops(docs, "doc_id", 4, "graft-pack-corpus")
+    spark.catalog.dropTempView("pack_stream_test")
+    val q = PipelineStreams.packStream(
+        spark.readStream.schema(PipelineStreams.docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+        budget = 512, shardSpan = 200).toDF()
+      .writeStream.format("memory").queryName("pack_stream_test")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000)); q.stop()
+    val streamed = spark.table("pack_stream_test")
+      .select("grp", "shard", "doc_id", "toks", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.ops.Packing.packGreedy(docs, "source", "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        budget = 512, shardSpan = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
+  }
 }
