@@ -15,6 +15,10 @@ run / fork := true
 // logger prefix. The bench/verify drivers parse stdout for the one
 // JSON/marker line; sbt's log decoration was breaking that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and nothing may FOLLOW the JSON line either: "[success] Total
+// time: ..." after the forked JVM exits breaks a last-line parse.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

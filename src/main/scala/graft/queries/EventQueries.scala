@@ -67,7 +67,7 @@ object EventQueries {
     // Emits CLOSED sessions only (a stream cannot finalize each user's
     // open tail); the oracle applies the same exclusion.
     "q_stream_sessions" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev")
+      val dir = graft.util.TempDirs.scoped("graft-stream-ev")
       // absolute target: a relative sfDir would otherwise resolve
       // against the temp dir and dangle
       java.nio.file.Files.createSymbolicLink(

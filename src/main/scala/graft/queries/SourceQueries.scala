@@ -14,11 +14,8 @@ import graft.spatial.Spatial
 object SourceQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def tmpDir(tag: String): String =
+    graft.util.TempDirs.scoped(s"graft-$tag").toString
 
   val defs: Map[String, Q] = Map(
     // S1+K1 — write header CSV (mangled-style names), read back with

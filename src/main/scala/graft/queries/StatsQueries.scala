@@ -73,7 +73,7 @@ object StatsQueries {
     // streaming and batch must agree cell-for-cell.
     "q_stream_cube" -> ((s, d) => {
       val fact = rttFact(s, d).cache()
-      val dir = java.nio.file.Files.createTempDirectory("graft-cube-drop")
+      val dir = graft.util.TempDirs.scoped("graft-cube-drop")
       val months = fact.select("monthyr").distinct()
         .collect().map(_.getString(0)).sorted
       months.foreach { m => // one file per monthly drop

@@ -44,15 +44,9 @@ object PipelineStreams {
   def stageOrderedDrops(docs: DataFrame, idCol: String, chunks: Int,
       prefix: String): java.nio.file.Path = {
     val maxId = docs.agg(max(idCol)).head().getLong(0)
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
     // repeated Verify/Bench invocations must not leak full corpus
-    // copies into /tmp — reap the staging dir when the JVM exits
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
+    // copies into /tmp — graft.util.TempDirs reaps it at JVM exit
+    val dir = graft.util.TempDirs.scoped(prefix)
     val span = maxId / chunks + 1
     // ONE write job: repartition by the chunk value puts each chunk in
     // a single task, so partitionBy emits exactly one file per chunk
