@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling/splitting for training-data
@@ -58,4 +59,57 @@ object Sampling {
       sourceCol: String, weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.join(broadcast(weights), Seq(sourceCol))
       .filter(hashBucket(col(keyCol)) < col("keep_bp"))
+
+  // public: encoder codegen needs constructor access (see
+  // graft.similarity.Similarity.Bucket)
+  final case class StratumRow(stratum: String, key: Long, bucket: Long)
+
+  /** Deterministic per-stratum EXACT-QUOTA sample: each stratum keeps
+    * its `quota` lowest-hashed keys (ties broken by key) — balanced
+    * training mixtures with hard per-class counts, where a rate-based
+    * sample ([[mixtureSample]]) only hits the quota in expectation.
+    * Strata smaller than the quota are kept whole.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY stratum)`
+    * sorts ENTIRE strata — at 100 TB a stratum is billions of rows
+    * shuffled to rank rows of which only `quota` survive. Here a
+    * map-side prune (bounded worst-first heap per stratum, compiled
+    * mapPartitions kernel) keeps at most `quota` candidates per
+    * stratum PER INPUT PARTITION, so the shuffle carries
+    * `quota x partitions` rows per stratum; the window then ranks only
+    * those survivors. Selection is a pure function of the key set
+    * (engine-portable hash), so one SQL row_number restates it —
+    * pruning provably cannot change the winners. */
+  def stratifiedQuota(df: DataFrame, keyCol: String, stratumCol: String,
+      quota: Int): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val q = quota
+    val pruned = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(keyCol).cast("long").as("key"),
+        hashBucket(col(keyCol)).as("bucket"))
+      .as[StratumRow]
+      .mapPartitions { it =>
+        // worst-first heap per stratum: head = LARGEST kept (bucket, key)
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { r =>
+          val h = heaps.getOrElseUpdate(r.stratum,
+            new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.Tuple2[Long, Long]))
+          if (h.size < q) h.enqueue((r.bucket, r.key))
+          else if (Ordering.Tuple2[Long, Long].lt((r.bucket, r.key), h.head)) {
+            h.dequeue(); h.enqueue((r.bucket, r.key))
+          }
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (b, k) => StratumRow(s, k, b) }
+        }
+      }
+    val w = Window.partitionBy("stratum").orderBy(col("bucket"), col("key"))
+    pruned.toDF()
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= quota)
+  }
 }

@@ -278,4 +278,42 @@ object TextFunctions {
           col("top_2gram_cnt") * 5 <= col("n_2grams") &&
           col("top_3gram_cnt") * 50 <= col("n_3grams") * 9).cast("bigint"))
   }
+
+  /** TF-IDF TOP TERMS per document — keyword extraction / topic
+    * signal for corpus curation dashboards. IDF uses the INTEGER-
+    * SCALED rank-preserving form `idf_x1000 = (N * 1000) div df`
+    * (floor division) instead of `ln(N/df)`: `ln` is a libm call whose
+    * last-ulp behavior differs between engines, which would make the
+    * ranking non-portable at rounding boundaries; `N/df` is order-
+    * isomorphic to `ln(N/df)` (ln is monotone), so the top-k set is
+    * identical and every emitted number stays an exact integer.
+    *
+    * Scale shape: one explode + (doc, token) partial-aggregated count
+    * (the TF shuffle), a token-grain re-agg for document frequency,
+    * then a token-keyed join back. The DF side is vocabulary-sized —
+    * zipf-skewed but BOUNDED, and hot tokens (stopwords) carry high df
+    * = near-zero idf, so production runs drop `df > N/2` tokens before
+    * the join (the `maxDfHalf` knob) — that also desks the join skew.
+    * Final per-doc top-k is a window over doc partitions at (doc,
+    * token) grain — already shrunk to distinct tokens per doc. */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, dropMajorityTokens: Boolean = false):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = if (dropMajorityTokens) dfreq0.filter(col("df") * 2 <= n)
+                else dfreq0
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("idf_x1000", expr(s"(${n}L * 1000) div df"))
+      .withColumn("score", col("tf") * col("idf_x1000"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("idf_x1000"), col("score"))
+  }
 }

@@ -564,34 +564,45 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding-cosine near-dup pairs via LSH buckets. This synthetic
-    // corpus tops out near cos 0.5, so the threshold sits at 0.4
-    // (inside the similarity range — ~60 true pairs; r1's 0.9 returned
-    // 0 rows and verified nothing). planes=4/tables=50 gives per-pair
-    // recall >= 99.98% at the weakest pair, so the exact-verified LSH
-    // output EQUALS the brute-force pair set and the brute-force SQL
-    // is its oracle (SimilaritySpec asserts the equivalence in Spark).
+    // Embedding-cosine near-dup pairs via LSH buckets, in the HIGH-SIM
+    // regime — the regime LSH is FOR. At thresholds inside the corpus
+    // background (r2 ran 0.4 with planes=4 x tables=50) SRP buckets
+    // cannot separate signal from background: ~96% of ALL pairs
+    // collided in some table and the "LSH" degenerated to an all-pairs
+    // shuffle join (44 s at sf0.1 — the bench's slowest query; use
+    // q_sim_neardup_exact's compiled kernel for that regime instead).
+    // The corpus tops out near cos 0.5, so high-sim near-dups are
+    // PLANTED in-query (Similarity.plantCosineDups: engine-exact
+    // cos-1.0 copies) — non-empty output, and the true pair set is
+    // known in closed form. Planted pairs collide in EVERY table
+    // (identical unit vectors), so recall is exactly 1 and the
+    // brute-force SQL over the same augmented corpus is the oracle;
+    // planes=10 keeps background collisions at the 0.5^10 floor.
     "q_sim_embed_neardup" -> ((s, d) => {
-      Similarity.embeddingNearDupPairs(
-          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
-          planes = 4, tables = 50)
+      val aug = Similarity.plantCosineDups(
+        Tables.embeddings(s, d), "vec_id", "embedding", offset = 10000000L)
+      Similarity.embeddingNearDupPairs(aug, "vec_id", "embedding",
+          threshold = 0.95, planes = 10, tables = 8)
         .orderBy("id_a", "id_b")
     }),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023 — public paper):
     // keep one item per transitive cluster of embedding-cosine
-    // near-dups. Pairs come from the LSH bucket path at the same
-    // verified-exhaustive parameters as q_sim_embed_neardup (== brute
-    // force on this corpus), closure via distributed min-label
-    // propagation — the full composition never leaves hash-bucket
-    // equi-joins + per-round shuffles, so it scales where the paper's
-    // per-cluster numpy step would not.
+    // near-dups. Pairs come from the high-sim LSH bucket path over the
+    // same planted-dup corpus as q_sim_embed_neardup (recall exactly 1
+    // there — see that query's comment), closure via distributed
+    // min-label propagation — the full composition never leaves
+    // hash-bucket equi-joins + per-round shuffles, so it scales where
+    // the paper's per-cluster numpy step would not. Every cluster is a
+    // known {original, planted} pair, so the keep/drop verdict is
+    // fully determined and the recursive-CTE SQL oracles it.
     "q_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val pairs = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
-          threshold = 0.4, planes = 4, tables = 50)
+      val aug = Similarity.plantCosineDups(
+        Tables.embeddings(s, d), "vec_id", "embedding", offset = 10000000L)
+      val pairs = Similarity.embeddingNearDupPairs(aug, "vec_id", "embedding",
+          threshold = 0.95, planes = 10, tables = 8)
         .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(e.select(col("vec_id")), "vec_id", pairs)
+      Dedup.connectedComponents(aug.select(col("vec_id")), "vec_id", pairs)
         .select(col("id").as("vec_id"), col("cluster").as("rep_id"),
           (col("id") === col("cluster")).cast("bigint").as("keep"))
         .orderBy("vec_id")
@@ -603,6 +614,50 @@ object PipelineQueries {
       Similarity.bruteForceNearDupPairs(
           Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // INT8 quantization audit at vector grain: codes are exact
+    // integers, so integer summaries (sum/L1/extremes) pin the whole
+    // code matrix bit-for-bit; the per-vector scale is a x1e9 bigint.
+    "q_emb_quantize" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_x1e9"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + abs(x)).as("l1_codes"),
+          array_max(col("codes")).as("max_code"),
+          array_min(col("codes")).as("min_code"))
+        .orderBy("vec_id")
+    }),
+
+    // Integer-dot top-k over the quantized codes — the int8 serving
+    // kernel. Quantized cosine (int dot / int-norm product) is fully
+    // reconstructable in SQL, so the oracle restates the whole path:
+    // quantize, integer dot, one bit-portable double division.
+    "q_sim_quantized_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Stratified EXACT-QUOTA sample: 30 docs per language by portable
+    // hash rank — hard per-class counts where q_mix_sample's rate-based
+    // membership only hits targets in expectation. The map-side
+    // bounded-heap prune (see Sampling.stratifiedQuota) keeps the
+    // shuffle at quota x partitions per stratum, provably without
+    // changing the winners — so the plain row_number SQL oracles it.
+    "q_stratified_sample" -> ((s, d) => {
+      graft.functions.Sampling.stratifiedQuota(
+          Tables.documents(s, d), "doc_id", "lang", quota = 30)
+        .orderBy("stratum", "rk")
+    }),
+
+    // TF-IDF top-3 terms per doc under the integer-scaled
+    // rank-preserving idf (no libm ln in the ranking — see
+    // TextFunctions.tfIdfTopTerms).
+    "q_t_tfidf" -> ((s, d) => {
+      T.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     }))
 
   private val punctClass = """[.,;:!?''"()\-]""" // SQL-escaped ' as ''
@@ -1281,27 +1336,37 @@ object PipelineQueries {
     // Valid because exact-verified LSH at these parameters is
     // exhaustive on this corpus (see the query comment): the oracle is
     // the brute-force pair set at the same threshold.
+    // Brute force over the SAME planted-dup augmented corpus (vec_id +
+    // 10M, v * 2 — cosine-identical; see Similarity.plantCosineDups):
+    // valid as the LSH path's oracle because identical unit vectors
+    // collide in every table, so LSH recall is exactly 1 there.
     "q_sim_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 10000000, list_transform(v, x -> x * 2) FROM e0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
-    // Brute-force pair set at the same threshold/rounding as the LSH
-    // path (exhaustive at these parameters), then the q_dedup_clusters
-    // recursive min-label closure over it.
+    // Brute-force pair set over the same augmented corpus at the same
+    // threshold/rounding as the LSH path (recall exactly 1 there),
+    // then the q_dedup_clusters recursive min-label closure over it.
     "q_semdedup" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ea AS (SELECT vec_id, v FROM e0
+        |       UNION ALL
+        |       SELECT vec_id + 10000000, list_transform(v, x -> x * 2) FROM e0),
         |pq AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |  FROM ea a JOIN ea b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95),
         |e AS (SELECT id_a AS src, id_b AS dst FROM pq
         |      UNION ALL SELECT id_b, id_a FROM pq),
         |reach(id, r) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
+        |  SELECT vec_id, vec_id FROM ea
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
         |SELECT id AS vec_id, min(r) AS rep_id,
@@ -1379,5 +1444,94 @@ object PipelineQueries {
         |          ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin,
+    // Full restatement of Similarity.quantizeInt8: same absmax/127
+    // scale, same round-half-away division (round(x, 0) is
+    // away-from-zero in both engines, and the .5 boundaries are
+    // exactly representable doubles).
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CAST(round(scale * 1000000000, 0) AS BIGINT) AS scale_x1e9,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s)
+        |SELECT vec_id, scale_x1e9,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1_codes,
+        |  list_max(codes) AS max_code,
+        |  list_min(codes) AS min_code
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // Quantize + integer pairwise dot + the kernel's exact division
+    // order: dot / (sqrt(na) * sqrt(nb)), every input an exact int.
+    "q_sim_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |      FROM e),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |        END AS codes
+        |      FROM s),
+        |n AS (SELECT vec_id, codes,
+        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |      FROM c),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        round(CAST(list_sum(list_transform(range(len(q.codes)),
+        |                i -> q.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |              AS DOUBLE)
+        |          / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |          AS sim
+        |      FROM n q CROSS JOIN n t
+        |      WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id
+        |        AND q.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // Plain per-stratum row_number — valid because the map-side prune
+    // keeps a superset of every stratum's quota winners by
+    // construction (each partition keeps its own top-quota).
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919) % 10000
+        |      AS b
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, b,
+        |        row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang AS stratum, doc_id AS key, b AS bucket,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 30 ORDER BY stratum, rk""".stripMargin,
+    "q_t_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |         (n.n * 1000) // dfq.df AS idf_x1000,
+        |         tf.tf * ((n.n * 1000) // dfq.df) AS score
+        |       FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, df, idf_x1000, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, token) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(idf_x1000 AS BIGINT) AS idf_x1000, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 }

@@ -364,6 +364,107 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Symmetric per-vector INT8 quantization — the 100 TB memory lever
+    * for embedding search (4x smaller than float32, integer dot
+    * products in the kernel): `scale = max|x| / 127`,
+    * `code_i = round(x_i / scale)` in [-127, 127]. Codes are EXACT
+    * integers, so every downstream aggregate over them is engine-exact
+    * by construction; the scale is pinned as a x1e9 bigint. All-zero
+    * vectors quantize to all-zero codes with scale 0. Pure codegen'd
+    * HOF arithmetic — runs inside the scan projection. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("absmax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", col("absmax") / lit(127.0))
+      .select(col(idCol),
+        when(col("absmax") === 0.0,
+            transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("scale"), 0).cast("bigint")))
+          .as("codes"),
+        round(col("scale") * lit(1e9), 0).cast("bigint").as("scale_x1e9"))
+
+  /** Brute-force top-k over INT8-quantized vectors: the integer-dot
+    * serving kernel. Similarity = quantized cosine
+    * `dot(codes_a, codes_b) / (|codes_a| * |codes_b|)` — all three
+    * inputs exact integers (a 64-dim int8 dot tops out at ~10^6, far
+    * inside int64), so the one double division + sqrt is bit-portable.
+    * Same bounded-heap mapPartitions shape as [[bruteForceTopK]]:
+    * corpus-size work, constant memory, only per-partition winners
+    * shuffle. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, simDecimals: Int = 4): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val qArr = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .filter(_._2.exists(_ != 0L))
+    val qB = ss.sparkContext.broadcast(qArr)
+    val kk = k; val dec = simDecimals
+    val scored = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+        it.foreach { case (cid, cc) =>
+          var nb = 0L; var i = 0
+          while (i < cc.length) { nb += cc(i) * cc(i); i += 1 }
+          if (nb != 0L) {
+            val nbD = math.sqrt(nb.toDouble)
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, qc) = qs(qi)
+              if (qid != cid) {
+                var d = 0L; var na = 0L; var j = 0
+                while (j < qc.length) {
+                  d += qc(j) * cc(j); na += qc(j) * qc(j); j += 1
+                }
+                val sim = roundHalfUp(
+                  d.toDouble / (math.sqrt(na.toDouble) * nbD), dec)
+                val h = heaps(qi)
+                if (h.size < kk) h.enqueue((sim, cid))
+                else {
+                  val (ws, wid) = h.head
+                  if (sim > ws || (sim == ws && cid < wid)) { h.dequeue(); h.enqueue((sim, cid)) }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (s, cid) => Scored(qid, cid, s) }
+        }
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.toDF()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Corpus augmented with a cosine-identical PLANTED copy of every
+    * vector: `id' = id + offset`, `v' = 2v`. Scaling by a power of two
+    * is IEEE-exact and distributes over addition (`(2x)^2 = 4x^2`,
+    * `sum(4a_i) = 4 sum(a_i)`, `sqrt(4s) = 2 sqrt(s)` — all without
+    * rounding), so `v'` unit-normalizes to the BIT-IDENTICAL unit
+    * vector and `cos(v, v')` rounds to exactly 1.0 in any engine.
+    * Fixture machinery for high-threshold near-dup demos on corpora
+    * that lack natural near-dups (this synthetic corpus tops out near
+    * cos 0.5): the planted pair set is known in closed form, so an
+    * exact SQL oracle can verify the LSH path end-to-end. */
+  def plantCosineDups(df: DataFrame, idCol: String, vecCol: String,
+      offset: Long): DataFrame =
+    df.select(col(idCol), col(vecCol)).union(
+      df.select((col(idCol) + offset).as(idCol),
+        transform(col(vecCol), x => x * lit(2.0f)).as(vecCol)))
+
   /** Embedding-cosine near-dup pairs above `threshold`, LSH-bucketed
     * exactly like [[lshTopK]] (no cross join). NOTE: SRP buckets only
     * concentrate pairs whose cosine is well above the corpus background;

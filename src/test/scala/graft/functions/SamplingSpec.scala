@@ -69,4 +69,34 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(k2.subsetOf(k1))
   }
+
+  test("stratifiedQuota: exact quotas, small strata kept whole, prune == plain window") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("id")
+      .withColumn("stratum",
+        when(col("id") < 900, concat(lit("big"), (col("id") % 3).cast("string")))
+          .otherwise(lit("tiny"))) // 300/300/300/100
+    val out = Sampling.stratifiedQuota(df, "id", "stratum", quota = 150)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big0" -> 150L, "big1" -> 150L, "big2" -> 150L,
+      "tiny" -> 100L))
+    // the map-side prune must not change the winners: compare against
+    // the plain (unpruned) window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stratum")
+      .orderBy(Sampling.hashBucket(col("id")), col("id"))
+    val plain = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 150)
+      .select(col("stratum"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pruned = out.select(col("stratum"), col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pruned == plain)
+    // repartition-invariance (selection is a pure function of the keys)
+    val re = Sampling.stratifiedQuota(df.repartition(13), "id", "stratum", 150)
+      .select(col("stratum"), col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(re == pruned)
+  }
 }

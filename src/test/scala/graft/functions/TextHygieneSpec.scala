@@ -87,4 +87,29 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(oov(2L) == (2L, 1L, 5000L))      // "d" is OOV -> 1/2 = 5000bp
     assert(oov(3L) == (0L, 0L, 0L))         // empty doc: no div-by-zero
   }
+
+  test("tfIdfTopTerms: hand-computed scores, tie order, majority-token drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 1, durian 1
+    // idf_x1000: apple/cherry/durian 3000, banana 1500
+    val top = TextFunctions.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(5), r.getLong(6))).toMap
+    assert(top((1L, 1L)) == ("apple", 3000L, 6000L))
+    assert(top((1L, 2L)) == ("banana", 1500L, 1500L))
+    assert(top((2L, 1L)) == ("cherry", 3000L, 3000L))
+    assert(top((2L, 2L)) == ("banana", 1500L, 1500L))
+    assert(top((3L, 1L)) == ("durian", 3000L, 9000L))
+    assert(top.size == 5)
+    // dropMajorityTokens: banana appears in 2/3 docs > N/2 -> dropped
+    val dropped = TextFunctions
+      .tfIdfTopTerms(df, "doc_id", "text", k = 2, dropMajorityTokens = true)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(!dropped.contains("banana") && dropped == Set("apple", "cherry", "durian"))
+  }
 }

@@ -81,16 +81,56 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH near-dup at q_sim_embed_neardup parameters is exhaustive (== exact set)") {
     // the equivalence that licenses the brute-force SQL as the oracle
-    // for q_sim_embed_neardup: threshold 0.4 sits inside this corpus's
-    // similarity range (non-empty) and planes=4 x tables=50 yields
-    // per-pair recall >= 99.98% at the weakest pair — exhaustive here.
+    // for q_sim_embed_neardup: planted cos-1.0 copies collide in every
+    // table (identical unit vectors), so the LSH pair set equals the
+    // brute-force pair set — and both are exactly the planted pairs.
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val off = 10000000L
+    val aug = Similarity.plantCosineDups(emb, "vec_id", "embedding", off)
     val exact = pairSet(
-      Similarity.bruteForceNearDupPairs(emb, "vec_id", "embedding", 0.4))
+      Similarity.bruteForceNearDupPairs(aug, "vec_id", "embedding", 0.95))
     val lsh = pairSet(Similarity.embeddingNearDupPairs(
-      emb, "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 50))
-    assert(exact.nonEmpty, "threshold 0.4 should sit inside the corpus sim range")
+      aug, "vec_id", "embedding", threshold = 0.95, planes = 10, tables = 8))
+    val planted = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + off)).toSet
+    assert(exact == planted, "true pair set should be exactly the planted pairs")
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} / spurious ${(lsh -- exact).size}")
+  }
+
+  test("quantizeInt8: codes bounded, absmax component saturates, zero vector safe") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val rows = q.select(col("codes"), col("scale_x1e9")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](0)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // the max-|x| component must quantize to exactly +-127
+      assert(codes.exists(c => math.abs(c) == 127L))
+      assert(r.getLong(1) > 0L)
+    }
+    val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeInt8(z, "vec_id", "embedding").head()
+    assert(zr.getSeq[Long](1).forall(_ == 0L) && zr.getLong(2) == 0L)
+  }
+
+  test("quantizedTopK approximates the float top-k (int8 barely moves cosine)") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"int8 recall collapsed: $recall")
+  }
+
+  test("plantCosineDups copies are cosine-1.0 and nothing else reaches 0.95") {
+    val aug = Similarity.plantCosineDups(emb, "vec_id", "embedding", 10000000L)
+    val sims = Similarity.bruteForceNearDupPairs(aug, "vec_id", "embedding", 0.95)
+      .select("sim").collect().map(_.getDouble(0))
+    assert(sims.nonEmpty && sims.forall(_ == 1.0))
   }
 }
