@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reaps broadcast/shuffle blocks only after their
+      // references are GC'd, and its own fallback GC fires every 30 min
+      // — far longer than this whole run. Without a tighter bound, ~90
+      // queries of dead blocks pile onto the heap and mid-run queries
+      // degrade 10-25x from GC thrash (observed: the same query 128 s
+      // mid-run vs 2 s isolated).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     // ERROR: the bench contract is ONE JSON line on stdout — WARN-level
     // codegen/cache notices must not interleave with it (r1's driver
@@ -26,12 +33,26 @@ object Bench {
       // cost, but leaking them across queries pollutes later timings
       // (storage-memory pressure) and lets later twins reuse them
       spark.catalog.clearCache()
+      // a streaming query that failed to self-terminate would keep
+      // stealing cores from every later timing — stop strays here
+      spark.streams.active.foreach(_.stop())
+      // OUTSIDE the timed section: let the ContextCleaner actually
+      // reclaim this query's dead broadcasts/shuffles now instead of
+      // letting 90 queries' worth accumulate into heap thrash
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // context for reading the numbers: this box shows episodic
+    // noisy-neighbor contention (identical query sets measured 2-4x
+    // apart minutes apart) — load1 says how contended the run was
+    val load1 = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load1":$load1,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
