@@ -255,10 +255,20 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // ONE shingle derivation feeds signatures, sizes, and both
-    // verification joins
+    // shingle table feeds the exact-verification joins only; the
+    // signature leg runs the compiled per-row kernel instead (below)
     val sh = shingles(df, idCol, textCol, n).cache()
-    val withSig = minHashSignaturesFromShingles(sh, idCol, numHashes)
+    // signatures via the per-row compiled kernel — one pass over the
+    // doc text inside the scan projection, versus the explode+groupBy
+    // path's 64 hash columns over every (doc, shingle) row plus a
+    // signature shuffle. Bit-for-bit equal (MinHashSigExprSpec asserts
+    // kernel == HOF == explode+agg); empty-sig docs (< n tokens) get
+    // no buckets, exactly like docs with no shingle rows.
+    val ss = df.sparkSession
+    val withSig = df.select(col(idCol),
+        graft.plans.MinHashSigExpr.minHashSignature(
+          ss, col(textCol), n, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
     // cached: feeds both sides of the candidate join AND the candIds
     // derivation — uncached, the 64-hash signature aggregation would
     // replay once per consumer
