@@ -25,6 +25,14 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries
+    // untimed warmup: JVM/session/codegen/parquet-reader init otherwise
+    // lands entirely on whichever query happens to run first (map
+    // order), which measured 8.6 s for a ~3 s query
+    try {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey")
+        .groupBy("r_regionkey").count().count()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
