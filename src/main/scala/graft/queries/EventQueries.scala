@@ -108,6 +108,53 @@ object EventQueries {
           when(col("fv").isNotNull && col("fp").isNotNull
             && col("fv") < col("fp"), 1L).otherwise(0L).as("converted"))
         .orderBy("user_id")
+    }),
+
+    // AS-OF JOIN (J8 extension — absent from the reference and from
+    // Spark's join menu): every purchase enriched with the user's most
+    // recent prior-or-simultaneous view. ops.AsOfJoin is the
+    // union+window sort-merge-as-of shape — ONE shuffle on user_id, no
+    // inequality-join nested loop. DuckDB's native ASOF LEFT JOIN is
+    // the oracle. Times as exact micro longs; view value as exact
+    // cents (doubles pass through untouched otherwise).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("t_us", expr("ts_ns div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t_us").as("ts_us"))
+      // one view row per (user, microsecond): at equal right-side
+      // times "the most recent view" is ambiguous and both engines
+      // would tie-break arbitrarily — aggregate the tie away
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(bround(col("value") * lit(100.0), 0).cast("bigint"))
+          .as("view_value_c"))
+      graft.ops.AsOfJoin.backward(purchases, views, Seq("user_id"),
+          leftTime = "ts_us", rightTime = "t_us",
+          payload = Seq("view_value_c"), rightTimeOut = "view_ts_us")
+        .orderBy("purchase_id")
+    }),
+
+    // RANGE JOIN (point-in-interval): purchases landing inside the
+    // 3-day window after any signup by the same user. ops.RangeJoin
+    // bins intervals to 1-day buckets -> plain equi-join on
+    // (user_id, bin) + exact containment filter; the naive
+    // BETWEEN-join the oracle runs would be a per-key nested loop in
+    // Spark.
+    "q_range_join" -> ((s, d) => {
+      val DayUs = 86400L * 1000 * 1000
+      val ev = Tables.events(s, d).withColumn("t_us", expr("ts_ns div 1000"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("t_us").as("t0_us"), (col("t_us") + lit(3 * DayUs)).as("t1_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t_us").as("ts_us"))
+      graft.ops.RangeJoin.pointInInterval(purchases, signups,
+          Seq("user_id"), timeCol = "ts_us", startCol = "t0_us",
+          endCol = "t1_us", binWidth = DayUs)
+        .select("user_id", "signup_id", "purchase_id", "ts_us")
+        .orderBy("signup_id", "purchase_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +230,32 @@ object EventQueries {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN v ON u.user_id = v.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
-        |ORDER BY u.user_id""".stripMargin)
+        |ORDER BY u.user_id""".stripMargin,
+    // DuckDB's NATIVE ASOF LEFT JOIN oracles the union+window
+    // restatement: greatest v.t_us <= p.ts_us per purchase, nulls when
+    // no prior view. CASE-cast keeps viewed-value typing stable.
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |             epoch_ns(ts) // 1000 AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us,
+        |        max(CAST(round_even(value * 100.0, 0) AS BIGINT)) AS view_value_c
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_id, p.ts_us,
+        |  v.t_us AS view_ts_us, v.view_value_c
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.t_us
+        |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id,
+        |             epoch_ns(ts) // 1000 AS t0_us,
+        |             epoch_ns(ts) // 1000 + 259200000000 AS t1_us
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |        epoch_ns(ts) // 1000 AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_id, p.purchase_id, p.ts_us
+        |FROM s JOIN p
+        |  ON s.user_id = p.user_id AND p.ts_us BETWEEN s.t0_us AND s.t1_us
+        |ORDER BY signup_id, purchase_id""".stripMargin)
 }
