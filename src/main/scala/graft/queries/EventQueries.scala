@@ -110,6 +110,38 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // STREAM-STREAM inner join through the REAL engine: purchases ⋈
+    // views (same user, view within the 24 h before the purchase) over
+    // 4 ordered event drops with both sides watermarked — cross-drop
+    // pairs must come out of the join STATE, and the range condition
+    // is what lets the engine bound that state (see
+    // EventStreams.attributionJoin). withWatermark is a no-op in
+    // batch, so the plain BETWEEN-join SQL is the exact oracle.
+    "q_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.schema(graft.streaming.EventStreams.rawSchema)
+        .parquet(s"$d/events.parquet")
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        raw, "event_id", 4, "graft-stream-join")
+      val ev = graft.streaming.EventStreams.readEvents(
+        s, dir.toString, maxFilesPerTrigger = Some(1))
+      s.catalog.dropTempView("stream_join_out")
+      val q = graft.streaming.EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          horizonUs = 86400000000L)
+        .writeStream.format("memory").queryName("stream_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished,
+        "q_stream_join: streaming query timed out — refusing to read a partial sink")
+      s.table("stream_join_out").orderBy("purchase_id", "view_id")
+    }),
+
     // AS-OF JOIN (J8 extension — absent from the reference and from
     // Spark's join menu): every purchase enriched with the user's most
     // recent prior-or-simultaneous view. ops.AsOfJoin is the
@@ -231,6 +263,17 @@ object EventQueries {
         |LEFT JOIN v ON u.user_id = v.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+    "q_stream_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |             epoch_ns(ts) // 1000 AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id,
+        |        epoch_ns(ts) // 1000 AS view_ts_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, p.ts_us, v.view_id, v.view_ts_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.view_ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+        |ORDER BY purchase_id, view_id""".stripMargin,
     // DuckDB's NATIVE ASOF LEFT JOIN oracles the union+window
     // restatement: greatest v.t_us <= p.ts_us per purchase, nulls when
     // no prior view. CASE-cast keeps viewed-value typing stable.

@@ -47,9 +47,13 @@ object EventStreams {
 
   /** File-source stream over a drop folder (or a single parquet file)
     * of events; emits a proper microsecond `ts` timestamp column. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.fold(reader)(m =>
+        reader.option("maxFilesPerTrigger", m.toString))
+      .parquet(path)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
@@ -100,6 +104,46 @@ object EventStreams {
           if (cur != null) state.update(cur)
           out.iterator
       }
+  }
+
+  /** Watermarked STREAM-STREAM inner join — the attribution join:
+    * every purchase paired with each view by the same user in the
+    * `horizonUs` before it (equality included). The canonical
+    * two-stream stateful join: both sides buffer in keyed state, and
+    * Spark derives each side's EVICTION bound from the time-range
+    * condition + watermarks — a buffered view is dropped once the
+    * watermark guarantees no future purchase can reach back to it
+    * (`v_ts < wm - horizon`), so state is bounded by the horizon, not
+    * the stream's history. That is the 100 TB/day shape: without the
+    * range condition Spark would have to buffer both streams forever.
+    *
+    * Inner-join rows emit EAGERLY (no watermark wait — only outer
+    * sides delay for null emission), so an AvailableNow replay yields
+    * the complete pair set. `withWatermark` is a planning no-op in
+    * batch, so the SAME function is its own batch twin — which is what
+    * the q_stream_join oracle checks.
+    *
+    * @param wmDelay extra watermark slack on top of the horizon.
+    *   Correctness under replay needs arrivals no later than
+    *   `wmDelay` after the running max event time; the ordered-drop
+    *   fixtures replay in event-time order, where any slack works. */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+      horizonUs: Long, wmDelay: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", wmDelay)
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", wmDelay)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL '$horizonUs' MICROSECOND"))
+      .select(col("user_id"), col("purchase_id"),
+        unix_micros(col("p_ts")).as("ts_us"),
+        col("view_id"), unix_micros(col("v_ts")).as("view_ts_us"))
   }
 
   /** Batch -> typed events (for feeding [[sessionize]] in tests or

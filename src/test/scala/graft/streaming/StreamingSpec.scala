@@ -77,4 +77,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= 0)
     q.stop()
   }
+
+  test("stream-stream attribution join recovers cross-drop pairs from state") {
+    import spark.implicits._
+    // hand fixture: view in drop 1, matching purchase in drop 2 (the
+    // pair ONLY exists if the view survived in join state across the
+    // micro-batch boundary); a second view outside the horizon must
+    // not match. Times in micros; horizon 100 us.
+    val rows = Seq(
+      // (event_id, ts_ns, user_id, event_type, value, props)
+      (0L, 1000L * 1000, 1L, "view", 1.0, ""),     // t=1000us — too old for both purchases
+      (1L, 2000L * 1000, 1L, "view", 2.0, ""),     // t=2000us — in horizon of both
+      (2L, 2050L * 1000, 2L, "view", 3.0, ""),     // other user
+      (3L, 3000L * 1000, 1L, "purchase", 9.0, ""), // window [1950, 3000] -> id=1 only
+      (4L, 3050L * 1000, 1L, "purchase", 8.0, "")) // window [2000, 3050] -> id=1 only
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = PipelineStreams.stageOrderedDrops(rows, "event_id", 3,
+      "graft-ssj-spec")
+    val ev = EventStreams.readEvents(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+    spark.catalog.dropTempView("ssj_spec_out")
+    val q = EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        horizonUs = 1050L, wmDelay = "0 microseconds")
+      .writeStream.format("memory").queryName("ssj_spec_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    q.stop()
+    val got = spark.table("ssj_spec_out")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (4L, 1L)))
+  }
 }
