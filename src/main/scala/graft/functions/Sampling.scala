@@ -112,4 +112,70 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= quota)
   }
+
+  /** Fine-grained portable hash: same multiplicative scheme as
+    * [[hashBucket]] but folded to [0, 1e9) — enough resolution to
+    * order a billion-row stratum with negligible collision mass (and
+    * collisions only cost a deterministic id tie-break, not bias). */
+  def hash9(key: Column): Column =
+    ((key % lit(2147483648L)) * lit(1597334677L) +
+      shiftright(key, 31) * lit(7919L)) % lit(1000000000L)
+
+  final case class PriRow(stratum: String, key: Long, pri: Double)
+
+  /** WEIGHTED sampling without replacement, k per stratum — sequential
+    * Poisson / priority sampling (Ohlsson 1998; Duffield et al. 2007,
+    * both public): each row draws priority `u / w` with u uniform on
+    * (0,1) and keeps the k SMALLEST per stratum, which approximates
+    * probability-proportional-to-size without replacement. How corpora
+    * sample by quality/length weight reproducibly.
+    *
+    * Determinism + engine portability: u = (hash9(key) + 0.5) / 1e9 —
+    * so the priority is one IEEE division of an exactly-representable
+    * numerator by the caller's positive integer weight; both engines
+    * compute the bit-identical double, and (pri, key) ordering breaks
+    * the (measure-zero) collisions. NO libm in the ranking (an `ln`,
+    * as in textbook Efraimidis-Espirakis `u^(1/w)`, may differ in the
+    * last ulp across runtimes and flip near-ties).
+    *
+    * Scale shape: same as [[stratifiedQuota]] — a map-side bounded
+    * heap prunes every partition to <= k rows per stratum BEFORE the
+    * shuffle, so the window sees at most `k * partitions` rows per
+    * stratum regardless of corpus size. Weights must be positive;
+    * non-positive rows are dropped (they'd have infinite priority
+    * anyway).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, stratumCol: String): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val kk = k
+    val pruned = df
+      .filter(col(weightCol) > 0)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(keyCol).cast("long").as("key"),
+        ((hash9(col(keyCol)).cast("double") + lit(0.5)) /
+          col(weightCol).cast("double")).as("pri"))
+      .as[PriRow]
+      .mapPartitions { it =>
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { r =>
+          val h = heaps.getOrElseUpdate(r.stratum,
+            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+          if (h.size < kk) h.enqueue((r.pri, r.key))
+          else if (ord.lt((r.pri, r.key), h.head)) {
+            h.dequeue(); h.enqueue((r.pri, r.key))
+          }
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (p, key) => PriRow(s, key, p) }
+        }
+      }
+    val w = Window.partitionBy("stratum").orderBy(col("pri"), col("key"))
+    pruned.toDF()
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
 }

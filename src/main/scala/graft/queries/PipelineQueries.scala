@@ -148,6 +148,41 @@ object PipelineQueries {
     // asserting the estimate landed within the configured 5% rsd
     // envelope (x4 ≈ 4 sigma) — if the sketch ever drifts, the flag
     // flips and the hash gate fails.
+    // Approximate QUANTILE sketch (Greenwald-Khanna via
+    // approx_percentile, accuracy=100 -> rank error <= 1%) under the
+    // same error-contract oracle idiom as q_t_approx_distinct: the
+    // hash-compared payload is the EXACT discrete median (bit-exact
+    // integers via row_number), and the sketch contributes a
+    // rank-error flag — cnt_le/cnt_lt of the sketch's answer must
+    // bracket the target rank within +-2% (1% guarantee + boundary
+    // slack). If the sketch ever drifts, the flag flips and the gate
+    // goes red. Exact quantiles at scale need a full sort per group;
+    // the sketch is one pass + constant memory — the opt-in trade.
+    "q_t_approx_quantile" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), T.tokenCount(col("text")).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("n_toks")
+      val ranked = toks
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      val exact = ranked.filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("n_toks").as("p50_exact"),
+          col("n").cast("bigint").as("n"))
+      val sk = toks.groupBy("lang")
+        .agg(expr("approx_percentile(n_toks, 0.5, 100)").as("v_sketch"))
+      val rankCheck = toks.join(broadcast(sk), "lang")
+        .groupBy("lang")
+        .agg(sum((col("n_toks") <= col("v_sketch")).cast("long")).as("cnt_le"),
+          sum((col("n_toks") < col("v_sketch")).cast("long")).as("cnt_lt"))
+      exact.join(rankCheck, "lang")
+        .select(col("lang"), col("p50_exact"), col("n"),
+          (col("cnt_le") * 100 >= col("n") * 48 &&
+            col("cnt_lt") * 100 <= col("n") * 52).cast("bigint").as("sketch_ok"))
+        .orderBy("lang")
+    }),
+
     "q_t_approx_distinct" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
@@ -652,6 +687,18 @@ object PipelineQueries {
         .orderBy("stratum", "rk")
     }),
 
+    // WEIGHTED sampling without replacement (sequential Poisson /
+    // priority sampling): 20 docs per source, probability ~ n_chars —
+    // longer docs proportionally likelier, reproducibly. The priority
+    // is one IEEE division ((hash9+0.5)/weight), so the SQL oracle
+    // recomputes the identical doubles and the identical sample.
+    "q_weighted_sample" -> ((s, d) => {
+      graft.functions.Sampling.weightedSample(
+          Tables.documents(s, d), "doc_id", "n_chars", k = 20,
+          stratumCol = "source")
+        .orderBy("stratum", "rk")
+    }),
+
     // TF-IDF top-3 terms per doc under the integer-scaled
     // rank-preserving idf (no libm ln in the ranking — see
     // TextFunctions.tfIdfTopTerms).
@@ -795,6 +842,21 @@ object PipelineQueries {
          |FROM aug ORDER BY doc_id""".stripMargin,
     // Exact side recomputed; the literal-1 flag column makes the gate
     // FAIL if Spark's estimate ever leaves the error envelope.
+    // exact discrete median restated; sketch_ok = 1 is the CONTRACT —
+    // a drifting sketch flips the flag and fails the hash gate
+    "q_t_approx_quantile" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks
+        |  FROM documents),
+        |r AS (SELECT lang, n_toks,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_toks) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM t)
+        |SELECT lang, n_toks AS p50_exact, CAST(n AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS sketch_ok
+        |FROM r WHERE rk = (n + 1) // 2 ORDER BY lang""".stripMargin,
     "q_t_approx_distinct" ->
       """WITH t AS (
         |  SELECT lang,
@@ -1514,6 +1576,19 @@ object PipelineQueries {
         |SELECT lang AS stratum, doc_id AS key, b AS bucket,
         |  CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 30 ORDER BY stratum, rk""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    (CAST(((doc_id % 2147483648) * 1597334677
+        |           + (doc_id >> 31) * 7919) % 1000000000 AS DOUBLE) + 0.5)
+        |      / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT source, doc_id, pri,
+        |        row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)
+        |          AS rk
+        |      FROM h)
+        |SELECT source AS stratum, doc_id AS key, pri, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY stratum, rk""".stripMargin,
     "q_t_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -99,4 +99,34 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(re == pruned)
   }
+
+  test("weightedSample: k per stratum, weight-proportional, prune == window, w<=0 dropped") {
+    import spark.implicits._
+    // two weight classes in one stratum: ids 0-499 weight 1, ids
+    // 500-999 weight 20 — heavy rows must dominate the sample
+    val df = spark.range(1000).toDF("id")
+      .withColumn("s", lit("all"))
+      .withColumn("w", when(col("id") < 500, 1L).otherwise(20L))
+    val out = Sampling.weightedSample(df, "id", "w", k = 100, stratumCol = "s")
+    val picked = out.select("key").as[Long].collect().toSet
+    assert(picked.size == 100)
+    val heavy = picked.count(_ >= 500)
+    // E[heavy] ~ 95 under pps; even a loose bound separates the classes
+    assert(heavy > 75, s"heavy rows underrepresented: $heavy/100")
+    // prune == plain window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s").orderBy(
+      (Sampling.hash9(col("id")).cast("double") + lit(0.5)) /
+        col("w").cast("double"), col("id"))
+    val plain = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100).select("id").as[Long].collect().toSet
+    assert(picked == plain)
+    // repartition-invariance + zero/negative weights dropped
+    val withBad = df.withColumn("w",
+      when(col("id") % 10 === 0, -col("w")).otherwise(col("w")))
+    val good = Sampling.weightedSample(withBad.repartition(7), "id", "w",
+        k = 100, stratumCol = "s")
+      .select("key").as[Long].collect().toSet
+    assert(good.forall(_ % 10 != 0) && good.size == 100)
+  }
 }
