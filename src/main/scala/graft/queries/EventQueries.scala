@@ -79,6 +79,9 @@ object EventQueries {
       val q = graft.streaming.EventStreams.sessionize(typed)
         .writeStream.format("memory").queryName("stream_sessions_out")
         .outputMode("append")
+        // explicit tmpfs checkpoint: the implicit default lands on the
+        // disk-backed java.io.tmpdir (see TempDirs on fsync variance)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       val finished = q.awaitTermination(300000)

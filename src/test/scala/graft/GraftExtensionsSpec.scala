@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions route must expose every native function to PLAIN SQL
+  * in a fresh session context, and agree with the per-session
+  * register() route (same expression tree → same results). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // The `spark.sql.extensions` CONF is static: it only applies when
+  // the SparkContext itself is created, and this forked test JVM
+  // shares one context across all suites — so drive the injector
+  // through builder.withExtensions instead (the conf route calls the
+  // exact same GraftExtensions.apply through Spark's applyExtensions).
+  // Session slots are cleared so getOrCreate builds a NEW session
+  // rather than returning another suite's.
+  private lazy val spark = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("all injected functions resolve and compute from plain SQL") {
+    val q = spark.sql(
+      """SELECT
+        |  histogram_quantile(array(1L, 1L, 1L, 1L), 4L, 0.5D) AS hq,
+        |  minhash_signature('a b c d', 2, 4) AS sig,
+        |  kgram_hashes('abcd', 2) AS kg,
+        |  portable_hash64('abc') AS ph,
+        |  stopword_hits('the cat and the hat') AS sw,
+        |  winnow_fingerprints('abcdefgh', 3, 2) AS wf""".stripMargin).head()
+    assert(q.getLong(0) == 1L)                 // hand-checked quantile
+    assert(q.getSeq[Long](1).length == 4)      // 4 hash lanes
+    assert(q.getSeq[Long](2).length == 3)      // 4 chars, k=2 -> 3 grams
+    assert(!q.isNullAt(3))
+    // per-language hit vector; the English lane counts 'the' x2 + 'and'
+    assert(q.getSeq[Long](4).max >= 3L)
+    assert(q.getSeq[Long](5).nonEmpty)
+
+    // aggregate function route (analyzer wraps the AggregateFunction)
+    val agg = spark.sql(
+      """SELECT band_sum(w, 3) AS s FROM VALUES
+        |  (array(1L, 2L, 3L)), (array(10L, 20L, 30L)) AS t(w)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(agg == Seq(11L, 22L, 33L))
+  }
+
+  test("extensions route equals the per-session register() route") {
+    val viaExt = spark.sql(
+      "SELECT minhash_signature('x y z w v', 3, 8) AS sig").head().getSeq[Long](0)
+    val s2 = TestSpark.spark // separate session, register() route
+    graft.plans.MinHashSigExpr.register(s2)
+    val viaReg = s2.sql(
+      "SELECT minhash_signature('x y z w v', 3, 8) AS sig").head().getSeq[Long](0)
+    assert(viaExt == viaReg)
+  }
+}
