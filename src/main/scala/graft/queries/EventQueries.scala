@@ -76,18 +76,20 @@ object EventQueries {
       val typed = graft.streaming.EventStreams.toTypedEvents(
         graft.streaming.EventStreams.readEvents(s, dir.toString))
       s.catalog.dropTempView("stream_sessions_out")
-      val q = graft.streaming.EventStreams.sessionize(typed)
-        .writeStream.format("memory").queryName("stream_sessions_out")
-        .outputMode("append")
-        // explicit tmpfs checkpoint: the implicit default lands on the
-        // disk-backed java.io.tmpdir (see TempDirs on fsync variance)
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_sessions: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.sessionize(typed)
+          .writeStream.format("memory").queryName("stream_sessions_out")
+          .outputMode("append")
+          // explicit tmpfs checkpoint: the implicit default lands on
+          // the disk-backed java.io.tmpdir (see TempDirs)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_sessions: streaming query timed out — refusing to read a partial sink")
+      }
       s.table("stream_sessions_out")
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_us"), col("end_us"),
@@ -129,19 +131,23 @@ object EventQueries {
       val ev = graft.streaming.EventStreams.readEvents(
         s, dir.toString, maxFilesPerTrigger = Some(1))
       s.catalog.dropTempView("stream_join_out")
-      val q = graft.streaming.EventStreams.attributionJoin(
-          ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type") === "view"),
-          horizonUs = 86400000000L)
-        .writeStream.format("memory").queryName("stream_join_out")
-        .outputMode("append")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_join: streaming query timed out — refusing to read a partial sink")
+      // 8 fat state partitions: a stream-stream join keeps 4 stores
+      // per partition per micro-batch — see withShufflePartitions
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.attributionJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            horizonUs = 86400000000L)
+          .writeStream.format("memory").queryName("stream_join_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_join: streaming query timed out — refusing to read a partial sink")
+      }
       s.table("stream_join_out").orderBy("purchase_id", "view_id")
     }),
 

@@ -378,19 +378,21 @@ object PipelineQueries {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-dedup")
       s.catalog.dropTempView("stream_dedup_out")
-      val q = graft.streaming.PipelineStreams.firstSeenDedup(
-          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-            .option("maxFilesPerTrigger", "1").parquet(dir.toString))
-        .toDF()
-        .writeStream.format("memory").queryName("stream_dedup_out")
-        .outputMode("append")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_dedup: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.firstSeenDedup(
+            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+              .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+          .toDF()
+          .writeStream.format("memory").queryName("stream_dedup_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_dedup: streaming query timed out — refusing to read a partial sink")
+      }
       s.table("stream_dedup_out").orderBy("fingerprint")
     }),
 
@@ -404,20 +406,22 @@ object PipelineQueries {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-pack")
       s.catalog.dropTempView("stream_pack_out")
-      val q = graft.streaming.PipelineStreams.packStream(
-          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-            .option("maxFilesPerTrigger", "1").parquet(dir.toString),
-          budget = 512, shardSpan = 200)
-        .toDF()
-        .writeStream.format("memory").queryName("stream_pack_out")
-        .outputMode("append")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_pack: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.packStream(
+            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+              .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+            budget = 512, shardSpan = 200)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_pack_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_pack: streaming query timed out — refusing to read a partial sink")
+      }
       graft.ops.Packing.packSummary(s.table("stream_pack_out"))
     }),
 
@@ -439,20 +443,22 @@ object PipelineQueries {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         docs, "doc_id", 4, "graft-stream-neardup")
       s.catalog.dropTempView("stream_neardup_cand")
-      val q = graft.streaming.PipelineStreams.lshCandidates(
-          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-            .option("maxFilesPerTrigger", "1").parquet(dir.toString),
-          n = 3, numHashes = 64, bands = 16)
-        .toDF()
-        .writeStream.format("memory").queryName("stream_neardup_cand")
-        .outputMode("append")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_neardup: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.lshCandidates(
+            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+              .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+            n = 3, numHashes = 64, bands = 16)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_neardup_cand")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_neardup: streaming query timed out — refusing to read a partial sink")
+      }
       Dedup.verifyCandidatePairs(s.table("stream_neardup_cand"), docs,
           "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -512,20 +518,22 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com now"))).otherwise(lit("")))
-      val q = graft.streaming.PipelineStreams.hygieneTransform(
-          s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-            .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-            .withColumn("text", aug),
-          weights)
-        .writeStream.format("memory").queryName("stream_ingest_out")
-        .outputMode("append")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_ingest: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.hygieneTransform(
+            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
+              .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+              .withColumn("text", aug),
+            weights)
+          .writeStream.format("memory").queryName("stream_ingest_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_ingest: streaming query timed out — refusing to read a partial sink")
+      }
       s.table("stream_ingest_out").orderBy("doc_id")
     }),
 

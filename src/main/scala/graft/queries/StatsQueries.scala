@@ -86,18 +86,20 @@ object StatsQueries {
       }
       fact.unpersist()
       s.catalog.dropTempView("stream_cube_base")
-      val q = graft.streaming.DashboardStreams.incrementalBase(
-          graft.streaming.DashboardStreams.readFacts(s, dir.toString),
-          "provider", B)
-        .writeStream.format("memory").queryName("stream_cube_base")
-        .outputMode("complete")
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val finished = q.awaitTermination(300000)
-      q.stop()
-      require(finished,
-        "q_stream_cube: streaming query timed out — refusing to read a partial sink")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.DashboardStreams.incrementalBase(
+            graft.streaming.DashboardStreams.readFacts(s, dir.toString),
+            "provider", B)
+          .writeStream.format("memory").queryName("stream_cube_base")
+          .outputMode("complete")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_cube: streaming query timed out — refusing to read a partial sink")
+      }
       orderedStats(DashboardStats.statsFromBase(
         s.table("stream_cube_base"), DashboardStats.Config(maxBands = B)))
     }))

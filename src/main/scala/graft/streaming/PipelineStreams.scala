@@ -35,6 +35,23 @@ object PipelineStreams {
   def readDocs(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(path)
 
+  /** Run `body` with `spark.sql.shuffle.partitions = n`, restoring the
+    * previous value after. A streaming query FIXES its state-partition
+    * count from this conf at first start, and every state partition
+    * costs per-micro-batch store open/commit/maintenance (a
+    * stream-stream join keeps 4 stores per partition) — so KB-scale
+    * fixture drops want few fat partitions, where production sizes the
+    * same knob to data volume. Only the stream's own construction +
+    * run belongs inside `body`; downstream batch verification should
+    * run at the session's normal parallelism. */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage a static table as an ORDERED DROP FOLDER: `chunks` id-ranged
     * single-file parquet drops with ascending mtimes, so a file stream
     * with `maxFilesPerTrigger=1` replays them as one ordered
