@@ -299,6 +299,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE train/valid/test split: near-dup cluster members
+    // must land in the SAME split, or test docs are paraphrases of
+    // train docs and the eval is contaminated. Splitting hashes the
+    // CLUSTER representative (min member id), not the doc id — a pure
+    // composition of connectedComponents + the portable splitLabel
+    // hash, so the whole guarantee (same cluster -> same split) is
+    // bit-checkable in SQL.
+    "q_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          graft.functions.Sampling.splitLabel(col("cluster")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Duplicated-SPAN detection (substring dedup, Lee et al. 2022):
     // maximal cross-doc duplicated char intervals via per-position
     // k-gram hashes + gaps-and-islands — no suffix array, no driver
@@ -1149,6 +1167,44 @@ object PipelineQueries {
         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q_dedup_clusters' recursive closure + the portable split hash of
+    // the CLUSTER representative: same cluster -> same split, by
+    // construction, on both engines
+    "q_cluster_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pq AS (
+        |  SELECT id_a, id_b FROM p
+        |  JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pq
+        |      UNION ALL SELECT id_b, id_a FROM pq),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |c AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |      FROM reach GROUP BY id),
+        |hb AS (SELECT doc_id, cluster_id,
+        |         ((cluster_id % 2147483648) * 1597334677
+        |           + (cluster_id >> 31) * 7919) % 10000 AS b
+        |       FROM c)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+        |FROM hb ORDER BY doc_id""".stripMargin,
     // Same hash family as q_t_winnow's oracle (from-scratch k-gram
     // fold == the kernel's rolling recurrence, mod-2^32 identity);
     // islands merge char intervals [i, i+20) wherever consecutive
