@@ -22,9 +22,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // optional args = subset of query names (targeted timing runs);
     // driver invokes with no args -> all queries
+    // sorted name order: Map hash order scatters queries differently
+    // as the suite grows, so a query's noisy neighbors changed every
+    // round — stable order makes per-query numbers comparable across
+    // rounds
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
-      else SparkEntry.queries
+      (if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
+       else SparkEntry.queries).toSeq.sortBy(_._1)
     // untimed warmup: JVM/session/codegen/parquet-reader init otherwise
     // lands entirely on whichever query happens to run first (map
     // order), which measured 8.6 s for a ~3 s query
@@ -52,7 +56,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // context for reading the numbers: this box shows episodic
     // noisy-neighbor contention (identical query sets measured 2-4x
     // apart minutes apart) — load1 says how contended the run was
