@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def load1(): Double = try {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // >1 repeats each query and reports the min — the cleanest way to
+    // see through this box's episodic noisy-neighbor contention when
+    // adjudicating a specific regression (doubles run time; default 1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,34 +47,54 @@ object Bench {
       r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey")
         .groupBy("r_regionkey").count().count()
     } catch { case _: Throwable => () }
+    // results: name -> (best sec, per-attempt secs, max load1 seen
+    // during this query's attempts — contention context per MEASUREMENT,
+    // not per run: one load sample per whole run hid which queries a
+    // noisy-neighbor burst actually landed on)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: intra-query caches are part of a query's own
-      // cost, but leaking them across queries pollutes later timings
-      // (storage-memory pressure) and lets later twins reuse them
-      spark.catalog.clearCache()
-      // a streaming query that failed to self-terminate would keep
-      // stealing cores from every later timing — stop strays here
-      spark.streams.active.foreach(_.stop())
-      // OUTSIDE the timed section: let the ContextCleaner actually
-      // reclaim this query's dead broadcasts/shuffles now instead of
-      // letting 90 queries' worth accumulate into heap thrash
-      System.gc()
-      name -> dt
+      val attempts = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate queries: intra-query caches are part of a query's own
+        // cost, but leaking them across queries pollutes later timings
+        // (storage-memory pressure) and lets later twins reuse them
+        spark.catalog.clearCache()
+        // a streaming query that failed to self-terminate would keep
+        // stealing cores from every later timing — stop strays here
+        spark.streams.active.foreach(_.stop())
+        // OUTSIDE the timed section: let the ContextCleaner actually
+        // reclaim this query's dead broadcasts/shuffles now instead of
+        // letting 90 queries' worth accumulate into heap thrash
+        System.gc()
+        (dt, load1())
+      }
+      (name, attempts.map(_._1).min, attempts.map(_._1), attempts.map(_._2).max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // context for reading the numbers: this box shows episodic
-    // noisy-neighbor contention (identical query sets measured 2-4x
-    // apart minutes apart) — load1 says how contended the run was
-    val load1 = try {
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-    } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load1":$load1,"queries":$qs,"sf":"$sfDir"}""")
+    val runLoad = load1()
+    val stdoutLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"queries":$qs,"sf":"$sfDir"}"""
+    // FULL results file: the driver keeps only a ~2,000-char tail of
+    // stdout, which truncated the first 33 of 99 query timings in r3 —
+    // the complete per-query record (all attempts + per-query load)
+    // goes to a file the driver/judge can always read in full
+    val fullQs = results.map { case (k, best, atts, qLoad) =>
+      s"\"" + k + "\":{\"sec\":" + best +
+        ",\"attempts\":" + atts.mkString("[", ",", "]") +
+        ",\"load1\":" + qLoad + "}"
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir","queries":$fullQs}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // the stdout contract still stands
+    println(stdoutLine)
     spark.stop()
   }
 }

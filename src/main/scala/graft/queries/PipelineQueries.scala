@@ -289,10 +289,14 @@ object PipelineQueries {
     // dedup "apply" step (keep one doc per transitive cluster). Every
     // doc gets a row; cluster = min member id; singletons cluster to
     // themselves. Oracle: DuckDB recursive CTE over the same pair set.
+    // Candidates come from the LSH-bucketed path (bounded fan-out per
+    // band bucket — the 100 TB-safe default; q_dedup_minhash's gate
+    // entry and DedupSpec prove it yields the same pair set as the
+    // exact shared-shingle join on this corpus).
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
@@ -308,8 +312,8 @@ object PipelineQueries {
     // bit-checkable in SQL.
     "q_cluster_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
@@ -500,7 +504,11 @@ object PipelineQueries {
       val oov = T.oovStats(docs, "doc_id", "text", vocabSize = 20)
         .select(col("doc_id"), col("oov_bp"))
       val keepers = Dedup.connectedComponents(docs, "doc_id",
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          // LSH-bucketed candidates (scale-safe default; pair-set
+          // equality with the exact join proven by DedupSpec + the
+          // q_dedup_minhash gate entry on this corpus)
+          Dedup.minHashLshPairs(docs, "doc_id", "text",
+              n = 3, numHashes = 64, bands = 16, threshold = 0.5)
             .select("id_a", "id_b"))
         .select(col("id").as("doc_id"),
           (col("id") === col("cluster")).cast("bigint").as("is_keeper"))
