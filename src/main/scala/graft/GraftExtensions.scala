@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.plans._
 
 /** Library integration point — `SparkSessionExtensions` injector for
@@ -30,6 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  /** Scale arguments must be INTEGRAL LITERALS (they size compiled
+    * per-row kernels at plan time). A blind `eval().asInstanceOf[Int]`
+    * threw a raw ClassCastException from deep in analysis for
+    * `minhash_signature(t, 2L, 4)` or a non-foldable argument — match
+    * the literal and fail with the function's signature instead. */
+  private def intLit(usage: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _) => v.toInt
+    case other =>
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"argument '$arg' must be an integer literal, got " +
+            s"${other.sql}; usage: $usage")))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String,
         builder: Seq[Expression] => Expression): Unit =
@@ -41,22 +58,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("band_sum",
       "band_sum(weeks, maxBands) - null-skipping elementwise band-vector sum (A2)",
       es => BandSumAgg(es(0), es(1)))
-    inject("minhash_signature",
-      "minhash_signature(text, n, numHashes) - per-row MinHash signature",
+    val mhUsage = "minhash_signature(text, n, numHashes) - per-row MinHash signature"
+    inject("minhash_signature", mhUsage,
       es => MinHashSigExpr(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]))
-    inject("kgram_hashes",
-      "kgram_hashes(text, k) - rolling k-gram hash per character position",
-      es => KgramHashesExpr(es(0), es(1).eval().asInstanceOf[Int]))
+        intLit(mhUsage, "n", es(1)), intLit(mhUsage, "numHashes", es(2))))
+    val kgUsage = "kgram_hashes(text, k) - rolling k-gram hash per character position"
+    inject("kgram_hashes", kgUsage,
+      es => KgramHashesExpr(es(0), intLit(kgUsage, "k", es(1))))
     inject("portable_hash64",
       "portable_hash64(s) - engine-portable 64-bit string hash",
       es => PortableHash64Expr(es(0)))
     inject("stopword_hits",
       "stopword_hits(text) - stopword occurrence count in one pass",
       es => StopwordHitsExpr(es(0)))
-    inject("winnow_fingerprints",
-      "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprint set",
+    val wfUsage = "winnow_fingerprints(text, k, w) - MOSS winnowing fingerprint set"
+    inject("winnow_fingerprints", wfUsage,
       es => WinnowFingerprintsExpr(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]))
+        intLit(wfUsage, "k", es(1)), intLit(wfUsage, "w", es(2))))
   }
 }

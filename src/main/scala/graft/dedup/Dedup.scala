@@ -454,10 +454,11 @@ object Dedup {
     * fixpoint, so this needs no row-level diff). Rounds = component
     * diameter; near-dup clusters are dense (diameter 1-2 — every copy
     * pairs with every other), so 2-3 rounds in practice. For graphs
-    * with LONG CHAINS at billion-node scale, swap in the
-    * large-star/small-star scheme (Kiveris et al.) — same join shape,
-    * O(log n) rounds; propagation is chosen here because dedup
-    * components are clique-like, where it converges faster with
+    * with LONG CHAINS at billion-node scale, use
+    * [[connectedComponentsStar]] (Kiveris et al. large-star/small-star
+    * — same join shape, O(log n) rounds, same output contract);
+    * propagation is chosen as the default because dedup components are
+    * clique-like, where it converges faster with
     * simpler rounds. `localCheckpoint` truncates the per-round lineage
     * (iterative plans otherwise grow exponentially in the optimizer).
     */
@@ -491,8 +492,90 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds; " +
         "raise maxIter (diameter-shaped graph?) or switch to " +
-        "large-star/small-star")
+        "connectedComponentsStar (large-star/small-star, O(log n) rounds)")
     labels
+  }
+
+  /** [[connectedComponents]] for DIAMETER-SHAPED graphs: the
+    * large-star/small-star scheme (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) converges in
+    * O(log n) ROUNDS regardless of component diameter, where min-label
+    * propagation needs diameter-many rounds — the right tool when the
+    * dedup graph contains long chains (A~B~C~... paraphrase chains)
+    * rather than the clique-like clusters propagation is chosen for.
+    * Same contract: `(id, cluster)` for every doc, cluster = min
+    * member id, singletons cluster to themselves.
+    *
+    * Per round (each a handful of key-shuffles, like one propagation
+    * round):
+    *  - LARGE-STAR: each node u attaches every LARGER neighbor to
+    *    `m = min(N(u) ∪ u)` — long chains fold toward small ids from
+    *    every node at once, which is where the log comes from;
+    *  - SMALL-STAR: each node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum — canonicalizing toward stars.
+    * Fixpoint = edge set unchanged, checked by (count, hash-sum)
+    * signature (set equality would cost an except() per round; a
+    * 64-bit hash-sum collision on differing consecutive edge sets is
+    * negligible against ~2^64). At the fixpoint the edge set is a
+    * union of stars centered on component minima, so labels read off
+    * edges directly. Ids need only an ordering (numeric or string).
+    */
+  def connectedComponentsStar(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = or.groupBy("u").agg(min("v").as("mn")) // all v < u, so mn is the min incl. u
+      or.join(mins, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(mins.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, BigInt) = {
+      // decimal(38,0) sum: exact and overflow-proof under ANSI mode
+      // (a long sum of 64-bit hashes overflows after a handful of rows)
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
+    }
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = signature(edges)
+      converged = s == sig
+      sig = s
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "O(log n) bound exceeded; raise maxIter")
+    // converged edge set = stars on component minima: min(u, v) IS the label
+    val lab = edges.select(col("u").as("id"), least(col("u"), col("v")).as("cluster"))
+      .union(edges.select(col("v").as("id"), least(col("u"), col("v")).as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    docs.select(col(idCol).as("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Cross-document duplicated SPANS — the scalable core of substring

@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   * `tolerance`: when set, a match older than `t - tolerance` is
   * discarded (nulls out, row kept) — `merge_asof(tolerance=)`
   * semantics.
+  *
+  * NULL CONTRACT (equi-join/DuckDB-ASOF semantics — nulls never
+  * match): right rows with a null time or any null key are discarded
+  * before the race (they could otherwise win it — a null time sorts
+  * first but its payload struct carrier is non-null); left rows with
+  * null keys or a null time are KEPT and take the no-match path (null
+  * payload), like an outer join's null-key rows.
   */
 object AsOfJoin {
 
@@ -59,7 +66,13 @@ object AsOfJoin {
     require(!(payload :+ rightTimeOut).exists(leftCols.contains),
       "payload/rightTimeOut names must not clash with left columns")
 
-    val rTagged = right.select(
+    // nulls never match: see the null contract above. Left null-key
+    // rows need no special handling — with null-key right rows gone,
+    // their window partition contains no right rows and the match
+    // column stays null.
+    val rValid = right.filter(
+      (col(rightTime) +: keyCols.map(col)).map(_.isNotNull).reduce(_ && _))
+    val rTagged = rValid.select(
       keyCols.map(col) :+
         col(rightTime).as("__t") :+
         lit(0).as("__side") :+

@@ -33,25 +33,44 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param maxBinsPerInterval loud per-row guard: a single degenerate
+    *   interval spanning more bins than this (bad data, or a binWidth
+    *   far below the interval scale) would otherwise materialize a
+    *   huge `sequence()` array per row — task OOM with no explanation.
+    *   The failure message says which knob to turn. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keyCols: Seq[String], timeCol: String, startCol: String,
-      endCol: String, binWidth: Long): DataFrame = {
+      endCol: String, binWidth: Long,
+      maxBinsPerInterval: Long = 1000000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // floor division for possibly-negative longs, in EXACT integer
-    // arithmetic (a double-division floor drifts at epoch-micro
-    // magnitudes): subtract the non-negative remainder, then the
-    // division is exact
-    // (l - pmod) is an exact multiple of binWidth, so the double
-    // division below is exact (an integer quotient < 2^53 is
-    // representable, and IEEE division of exact operands with an
-    // exactly-representable true quotient returns it)
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    // non-key columns present on both sides would come out ambiguous —
+    // same contract as AsOfJoin's payload-name check
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"non-key columns on both sides would be ambiguous in the " +
+        s"output: ${overlap.mkString(", ")} — rename or drop them first")
+    // floor division for possibly-negative longs in EXACT integer
+    // arithmetic end-to-end: subtract the non-negative remainder, then
+    // integral-divide (`div`). No double round-trip — a double floor
+    // division is only exact for |t| < 2^53, which generic long
+    // encodings (not epoch micros) can exceed and silently mis-bin.
     def floorDiv(c: org.apache.spark.sql.Column) = {
       val l = c.cast("long")
-      ((l - pmod(l, lit(binWidth))) / lit(binWidth)).cast("long")
+      call_function("div", l - pmod(l, lit(binWidth)), lit(binWidth))
     }
     val p = points.withColumn("__bin", floorDiv(col(timeCol)))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
+    val startBin = floorDiv(col(startCol))
+    val endBin = floorDiv(col(endCol))
+    val guardedEnd = when(endBin - startBin >= lit(maxBinsPerInterval),
+        raise_error(format_string(
+          s"RangeJoin: interval [%s, %s] spans %s bins at binWidth=$binWidth" +
+            s" (cap $maxBinsPerInterval) — raise binWidth, split " +
+            "mixed-scale intervals by magnitude, or raise maxBinsPerInterval",
+          col(startCol), col(endCol), endBin - startBin + lit(1))))
+      .otherwise(endBin)
+    val i = intervals.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
     p.join(i, keyCols :+ "__bin")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
       .drop("__bin")

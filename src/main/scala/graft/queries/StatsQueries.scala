@@ -72,19 +72,11 @@ object StatsQueries {
     // the identical DuckDB GROUPING SETS SQL as q_dashboard_cube —
     // streaming and batch must agree cell-for-cell.
     "q_stream_cube" -> ((s, d) => {
-      val fact = rttFact(s, d).cache()
-      val dir = graft.util.TempDirs.scoped("graft-cube-drop")
-      val months = fact.select("monthyr").distinct()
-        .collect().map(_.getString(0)).sorted
-      months.foreach { m => // one file per monthly drop
-        val tmp = dir.resolve(s"$m.tmpdir").toString
-        fact.filter(col("monthyr") === m)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, dir.resolve(s"$m.parquet"))
-      }
-      fact.unpersist()
+      // one partitionBy write job stages every monthly drop at once
+      // (vs one filter+write job per month: ~7x the scheduling and
+      // fact scans at fixture scale, unbounded at a real month count)
+      val dir = graft.streaming.PipelineStreams.stageKeyedDrops(
+        rttFact(s, d), "monthyr", "graft-cube-drop")
       s.catalog.dropTempView("stream_cube_base")
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.DashboardStreams.incrementalBase(

@@ -89,6 +89,38 @@ object PipelineStreams {
     dir
   }
 
+  /** [[stageOrderedDrops]] for a STRING drop key (e.g. `monthyr`): one
+    * single-file parquet drop per distinct key value, ascending mtimes
+    * in sorted-key order, in ONE Spark write job (repartition-by-key +
+    * `partitionBy` — not one filter+write job per key). The key column
+    * is duplicated into the partition path so the drop files retain
+    * it. Key values must be path-safe (no URI-escaped characters) —
+    * fixture keys are year/month strings. */
+  def stageKeyedDrops(df: DataFrame, keyCol: String,
+      prefix: String): java.nio.file.Path = {
+    val dir = graft.util.TempDirs.scoped(prefix)
+    val tmp = dir.resolve("staging.tmpdir").toString
+    df.withColumn("__drop", col(keyCol))
+      .repartition(col("__drop"))
+      .write.mode("overwrite").partitionBy("__drop").parquet(tmp)
+    val parts = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__drop="))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (pdir, i) =>
+      val key = pdir.getName.stripPrefix("__drop=")
+      val part = pdir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for drop key $key"))
+      val dest = dir.resolve(s"$key.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // the ordered-replay contract rides on ascending mtimes — fail
+      // at staging time, not as a flaky hash later
+      require(dest.toFile.setLastModified(1000000000000L + i * 60000L),
+        s"could not set mtime on $dest")
+    }
+    dir
+  }
+
   final case class FpDoc(fingerprint: String, doc_id: Long)
   /** First-seen emission: the doc that claimed the fingerprint. */
   final case class Keeper(fingerprint: String, keeper: Long)

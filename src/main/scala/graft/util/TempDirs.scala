@@ -26,16 +26,35 @@ object TempDirs {
     * the single largest bench-variance source (the same streaming
     * query measured 9.7 s vs 60.8 s across runs on identical code —
     * disk-latency bursts, not compute). Production checkpoints need
-    * durable storage; throwaway test fixtures do not. */
-  private lazy val base: Option[Path] = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+    * durable storage; throwaway test fixtures do not.
+    *
+    * tmpfs shares RAM with the JVM heap, so staged corpus copies at a
+    * big SF could starve it into ENOSPC mid-run or OOM-killer pressure
+    * instead of a clear failure. Guard rails: `GRAFT_TMP_ON_DISK=1`
+    * forces java.io.tmpdir, and tmpfs is only used while it has
+    * comfortable headroom (checked per allocation, since usage grows
+    * over a run) — otherwise fall back to disk. */
+  private val minTmpfsHeadroomBytes: Long =
+    sys.env.get("GRAFT_TMPFS_MIN_FREE_MB").flatMap(_.toLongOption)
+      .getOrElse(4096L) * 1024L * 1024L
+
+  private def tmpfsBase(): Option[Path] = {
+    if (sys.env.get("GRAFT_TMP_ON_DISK").contains("1")) None
+    else {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      try {
+        if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+            Files.getFileStore(shm).getUsableSpace > minTmpfsHeadroomBytes)
+          Some(shm)
+        else None
+      } catch { case _: java.io.IOException => None }
+    }
   }
 
   /** Create a temp dir deleted (recursively) at JVM exit. */
   def scoped(prefix: String): Path = {
     hook
-    val d = base match {
+    val d = tmpfsBase() match {
       case Some(b) => Files.createTempDirectory(b, prefix)
       case None => Files.createTempDirectory(prefix)
     }

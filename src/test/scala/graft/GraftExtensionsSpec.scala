@@ -52,6 +52,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(agg == Seq(11L, 22L, 33L))
   }
 
+  test("integral-literal scale args: BIGINT literals accepted, rest rejected usably") {
+    // a Scala/SQL Long literal must work (was a raw ClassCastException)
+    val sig = spark.sql("SELECT minhash_signature('a b c d', 2L, 4L) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    // non-literal argument: a usable signature error, not a CCE
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kgram_hashes(t, length(t)) FROM VALUES ('ab') AS v(t)")
+        .collect()
+    }
+    assert(e.getMessage.contains("kgram_hashes(text, k)"))
+  }
+
   test("extensions route equals the per-session register() route") {
     val viaExt = spark.sql(
       "SELECT minhash_signature('x y z w v', 3, 8) AS sig").head().getSeq[Long](0)

@@ -160,6 +160,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar: path graph with diameter > 50 in O(log n) rounds") {
+    import spark.implicits._
+    // a 64-node PATH — diameter 63 — is exactly the graph propagation's
+    // default 50-round budget cannot close; large/small-star must close
+    // it in ~log2(64) + change rounds (maxIter = 15 enforces the bound)
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(nodes, "doc_id", pairs, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponentsStar equals propagation on random graphs (+ singletons)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val nNodes = 200
+      val nodes = (0L until nNodes.toLong).toDF("doc_id")
+      // sparse random graph: ~0.7 edges/node leaves a mix of chains,
+      // small trees, and isolated nodes
+      val pairs = Seq.fill(140)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"trial $trial")
+    }
+  }
+
   test("contamination pairs: hand-computed shared n-gram counts") {
     import spark.implicits._
     val train = Seq(

@@ -95,6 +95,44 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("x3", "i2")))                   // t=31 > 30, i1 end excluded? no: 31>30 out
   }
 
+  test("nulls never match: null right time/key filtered, null left kept") {
+    val left = Seq((Some("a"), Some(20L), "ok"), (None, Some(20L), "nullkey"),
+      (Some("a"), Option.empty[Long], "nulltime")).toDF("k", "t", "tag")
+    val right = Seq( // null rt / null key rows must never win the race
+      (Some("a"), Option.empty[Long], 666L), (Option.empty[String], Some(1L), 777L),
+      (Some("a"), Some(10L), 1L)).toDF("k", "rt", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"),
+        rightTimeOut = "mt")
+      .select("tag", "mt", "v").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got == Set(
+      ("ok", 10L, 1L),         // the only valid right row wins
+      ("nullkey", null, null), // left null key: kept, no-match path
+      ("nulltime", null, null))) // left null time: kept, no-match path
+  }
+
+  test("range join refuses ambiguous non-key columns on both sides") {
+    val points = Seq(("a", 1L, "x")).toDF("k", "t", "tag")
+    val ivals = Seq(("a", 0L, 2L, "y")).toDF("k", "t0", "t1", "tag")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, ivals, Seq("k"), "t", "t0", "t1", 5L)
+    }
+    assert(e.getMessage.contains("tag"))
+  }
+
+  test("range join fails loudly on a degenerate interval, not with OOM") {
+    val points = Seq(("a", 1L)).toDF("k", "t")
+    val ivals = Seq(("a", 0L, Long.MaxValue / 2)).toDF("k", "t0", "t1")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, ivals, Seq("k"), "t", "t0", "t1",
+        binWidth = 5L, maxBinsPerInterval = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("raise binWidth")))
+  }
+
   test("range join handles negative times (floor, not truncate, binning)") {
     val points = Seq(("a", -8L, "p"), ("a", -1L, "q")).toDF("k", "t", "ptag")
     val ivals = Seq(("a", -9L, -2L, "i")).toDF("k", "t0", "t1", "itag")
