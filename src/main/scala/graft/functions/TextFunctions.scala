@@ -65,7 +65,14 @@ object TextFunctions {
 
   /** N-gram/stopword-heuristic language ID: argmax of per-language
     * stopword hit counts over {en,de,fr,es}; no hits at all -> "und"
-    * (undetermined). Deterministic tie order: en > de > fr > es. */
+    * (undetermined). Deterministic tie order: en > de > fr > es.
+    *
+    * SCOPE: a deterministic, oracle-checkable GATE FIXTURE for the
+    * language-ID column boundary — 4 languages, 10 stopwords each, no
+    * script/encoding handling. A production pipeline swaps in a real
+    * classifier (fastText/CLD3-class) behind the SAME per-row column
+    * contract; everything downstream (filters, mixture sampling,
+    * per-language stats) is classifier-agnostic. */
   def languageId(text: Column): Column = {
     val t = tokens(text)
     val s = Seq("en", "de", "fr", "es").map(l => l -> hitCount(t, stopwords(l))).toMap

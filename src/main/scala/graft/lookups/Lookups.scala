@@ -25,7 +25,14 @@ object Lookups {
     * (`1a.:106-128`): weighted mean of LSOA scores by LSOA population,
     * then `11 - ntile(10)` / `6 - ntile(5)` so decile 1 = most
     * deprived. One shuffle on CCG; ntile windows over the small
-    * aggregate. */
+    * aggregate.
+    *
+    * SMALL-DATA CONTRACT: the unpartitioned ntile windows move the
+    * whole aggregate to ONE partition — correct AND cheap here because
+    * the window input is dimension-sized BY CONSTRUCTION (one row per
+    * CCG, ~200 rows; mirrors the reference's global decile cut). Do
+    * not lift this pattern to fact-grain data — rank there with a
+    * partitioned window or a sampled-quantile cut instead. */
   def imdByCcg(lsoaCcg: DataFrame, imd: DataFrame, pop: DataFrame): DataFrame = {
     val joined = lsoaCcg
       .join(imd, Seq("LSOA11CD"), "left")

@@ -308,6 +308,29 @@ object RelationalQueries {
         .orderBy("sort_rank", "o_orderpriority")
     }),
 
+    // O2b — DATA-DRIVEN categorical ordering (SU:169-179: regions
+    // ordered by mean ophthalmology share, not by a literal level
+    // list): compute the order table, join the rank back, sort by it.
+    // The rank key is an x100-bigint (bround, rateX10 pattern) so
+    // cross-engine avg ulp drift can't flip near-tied ranks. The order
+    // table's global window is DIMENSION-SIZED by construction (25
+    // nations) — the detail rows join the broadcast rank, they never
+    // pass through the window.
+    "q_o2b_data_order" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      val order = cust.groupBy("n_name")
+        .agg(bround(avg("c_acctbal") * 100.0, 0).cast("bigint").as("mean_bal_c"))
+        .withColumn("nation_rank", row_number()
+          .over(Window.orderBy(col("mean_bal_c").desc, col("n_name")))
+          .cast("bigint"))
+      cust.groupBy("n_name", "c_mktsegment").agg(count(lit(1)).as("n"))
+        .join(broadcast(order), Seq("n_name"))
+        .orderBy("nation_rank", "c_mktsegment")
+        .select("n_name", "c_mktsegment", "n", "nation_rank", "mean_bal_c")
+    }),
+
     // O3 — ordered top-k (blog:109-115 head(11)); unique tiebreaker so
     // the k-boundary is deterministic across engines.
     "q_o3_topk" -> ((s, d) => {
@@ -573,6 +596,22 @@ object RelationalQueries {
         |    ELSE 9223372036854775807 END AS sort_rank
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY sort_rank, o_orderpriority""".stripMargin,
+    "q_o2b_data_order" ->
+      """WITH c AS (
+        |  SELECT n_name, c_mktsegment, c_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |ord AS (
+        |  SELECT n_name,
+        |    CAST(round_even(avg(c_acctbal) * 100.0, 0) AS BIGINT) AS mean_bal_c
+        |  FROM c GROUP BY n_name),
+        |rnk AS (
+        |  SELECT n_name, mean_bal_c,
+        |    row_number() OVER (ORDER BY mean_bal_c DESC, n_name) AS nation_rank
+        |  FROM ord)
+        |SELECT c.n_name, c_mktsegment, count(*) AS n, nation_rank, mean_bal_c
+        |FROM c JOIN rnk ON c.n_name = rnk.n_name
+        |GROUP BY c.n_name, c_mktsegment, nation_rank, mean_bal_c
+        |ORDER BY nation_rank, c_mktsegment""".stripMargin,
     "q_o3_topk" ->
       """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_orders
         |FROM orders GROUP BY o_custkey

@@ -58,7 +58,85 @@ object StatsQueries {
     df.drop("specialty") // constant 'Total' in this recast
       .orderBy("monthyr", "grp", "is_slice", "pathway")
 
+  /** Reference-shaped wide band-column name, pre-mangling (spaces —
+    * the R `check.names` shim turns them into the canonical dotted
+    * form): `Gt 00 To 01 Weeks SUM 1` ... plus the open-ended final
+    * band `Gt 104 Weeks SUM 1` of the 105-band era. */
+  private def bandColName(i: Int, nBands: Int): String =
+    if (nBands == 105 && i == 105) "Gt 104 Weeks SUM 1"
+    else f"Gt ${i - 1}%02d To $i%02d Weeks SUM 1"
+
+  private val dims = Seq("monthyr", "provider", "specialty", "pathway",
+    "is_provider", "commissioner_code")
+
   val defs: Map[String, Q] = Map(
+    // ERA DRIFT through the INGEST PATH (SURVEY §7.4-3; reference
+    // `2.:141-144`): the fact arrives as wide per-band CSV columns
+    // whose set CHANGES mid-history — 52 bands before 2021, 105 after
+    // (years <= 1997 / >= 1998 stand in here). Each era is staged as a
+    // reference-shaped wide CSV (R-mangled names, null dead bands),
+    // read back via the S1 shim, normalized to the array encoding,
+    // pruned to its live bands, era-unioned by name, and pushed
+    // through the SAME DashboardStats cube as q_dashboard_cube. The
+    // oracle recomputes the cube straight from lineitem — the whole
+    // wide-CSV staging leg must be value-invisible.
+    "q_ingest_band_drift" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      // era-dependent band: era A occupies bands 1..50 of 52 declared
+      // columns (51-52 all-null -> pruneDeadBands must drop them);
+      // era B occupies 56..105 of 105 (a genuinely wider histogram)
+      val f0 = Tables.lineitem(s, d).select(
+        year(col("l_shipdate")).cast("string").as("monthyr"),
+        col("l_linestatus").as("provider"),
+        lit("Total").as("specialty"),
+        when(col("l_returnflag") === "A", "incomplete")
+          .when(col("l_returnflag") === "N", "completeadmitted")
+          .otherwise("newRTT").as("pathway"),
+        when(col("l_discount") > 0.05, 1).otherwise(0).as("is_provider"),
+        lit("C1").as("commissioner_code"),
+        when(col("l_tax") >= 0.04, 1L).otherwise(0L).as("unk"),
+        (col("l_quantity").cast("bigint") +
+          when(year(col("l_shipdate")) >= 1998, 55L).otherwise(0L)).as("band"))
+      val dir = graft.util.TempDirs.scoped("graft-band-drift")
+      def stageEra(era: DataFrame, nBands: Int, path: String): Unit = {
+        // wide fixture shape: one count column per band (pivot), plus
+        // the reference's unknown-start and row-total columns. Absent
+        // (band x cell) combos stay NULL in the CSV — all-null columns
+        // are exactly what the drift handling must detect and drop.
+        val counts = era.groupBy(dims.map(col): _*)
+          .pivot("band", 1 to nBands).agg(count(lit(1)))
+        val totals = era.groupBy(dims.map(col): _*)
+          .agg(sum("unk").as("Patients with unknown clock start date"),
+            count(lit(1)).as("Total All"))
+        val wide = (1 to nBands).foldLeft(counts) { (df, i) =>
+          df.withColumnRenamed(i.toString, bandColName(i, nBands))
+        }.join(totals, dims)
+        wide.coalesce(1).write.option("header", "true")
+          .mode("overwrite").csv(path)
+      }
+      stageEra(f0.filter(col("monthyr") <= "1997"), 52, dir.resolve("eraA").toString)
+      stageEra(f0.filter(col("monthyr") >= "1998"), 105, dir.resolve("eraB").toString)
+      def readEra(nBands: Int, path: String): DataFrame = {
+        val schema = StructType(
+          Seq(StructField("monthyr", StringType), StructField("provider", StringType),
+            StructField("specialty", StringType), StructField("pathway", StringType),
+            StructField("is_provider", IntegerType),
+            StructField("commissioner_code", StringType)) ++
+          (1 to nBands).map(i => StructField(bandColName(i, nBands), LongType)) ++
+          Seq(StructField("Patients with unknown clock start date", LongType),
+            StructField("Total All", LongType)))
+        val raw = graft.ingest.Ingest.csvMangledNames(s, path, Some(schema))
+          .withColumnRenamed("Patients.with.unknown.clock.start.date", "unknown_start")
+          .withColumnRenamed("Total.All", "total_all")
+        graft.schema.RttSchema.pruneDeadBands(
+          graft.schema.RttSchema.normalizeWeeks(raw))
+      }
+      val fact = graft.ops.RelationalOps.rbindFill(
+        Seq(readEra(52, dir.resolve("eraA").toString),
+          readEra(105, dir.resolve("eraB").toString)))
+      orderedStats(DashboardStats.compute(fact, "provider",
+        DashboardStats.Config(maxBands = 105)))
+    }),
     "q_dashboard_cube" -> ((s, d) => {
       orderedStats(DashboardStats.compute(rttFact(s, d), "provider",
         DashboardStats.Config(maxBands = B)))
@@ -96,16 +174,18 @@ object StatsQueries {
         s.table("stream_cube_base"), DashboardStats.Config(maxBands = B)))
     }))
 
-  // One SQL, two engines-under-test: the batch plan and the streaming
-  // incremental plan must both hash-match this independent formulation.
-  private val cubeOracle: String =
+  // One SQL, THREE engines-under-test: the batch plan, the streaming
+  // incremental plan, and the wide-CSV-staged ingest plan must all
+  // hash-match this independent formulation (parameterized only by the
+  // band derivation and band-domain width).
+  private def cubeOracleFor(bandSql: String, B: Int): String =
     s"""WITH f AS (
         |  SELECT CAST(year(l_shipdate) AS VARCHAR) AS monthyr,
         |    l_linestatus AS grp0,
         |    CASE l_returnflag WHEN 'A' THEN 'incomplete'
         |         WHEN 'N' THEN 'completeadmitted' ELSE 'newRTT' END AS pathway,
         |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS is0,
-        |    CAST(l_quantity AS BIGINT) + 10 AS band,
+        |    $bandSql AS band,
         |    CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS unk
         |  FROM lineitem),
         |base AS (
@@ -163,7 +243,12 @@ object StatsQueries {
         |  CASE WHEN eligible THEN w95 END AS weeks_95
         |FROM agg ORDER BY monthyr, grp, is_slice, pathway""".stripMargin
 
+  private val cubeOracle = cubeOracleFor("CAST(l_quantity AS BIGINT) + 10", B)
+
   val oracles: Map[String, String] = Map(
     "q_dashboard_cube" -> cubeOracle,
-    "q_stream_cube" -> cubeOracle)
+    "q_stream_cube" -> cubeOracle,
+    "q_ingest_band_drift" -> cubeOracleFor(
+      "CAST(l_quantity AS BIGINT) + CASE WHEN year(l_shipdate) >= 1998 THEN 55 ELSE 0 END",
+      105))
 }

@@ -130,6 +130,70 @@ object ExcelConvert {
     } finally w.close()
   }
 
+  /** S3 (ODS leg) — OpenDocument spreadsheet to rows: the reference's
+    * landing pages ship some monthly drops as .ods (`README.md:49`),
+    * which is ALSO a zip of XML (one `content.xml` carries every
+    * sheet). Same contract as [[sheetRows]]: named sheet, `skipRows`,
+    * sparse/blank structure reconstructed — here from ODS's
+    * `number-rows/columns-repeated` run-length encoding rather than
+    * xlsx's A1 refs. Repeat runs are capped and trailing empties
+    * trimmed: ODS pads the used area to the full 16k x 1M grid with
+    * one huge repeated empty cell/row, which must not materialize. */
+  private val OdsRepeatCap = 10000
+
+  def odsSheetRows(odsPath: String, sheetName: String,
+      skipRows: Int = 0): Seq[Seq[String]] = {
+    val zip = new ZipFile(odsPath)
+    try {
+      val doc = parse(zip, "content.xml").getOrElse(
+        throw new IllegalArgumentException(s"missing content.xml in $odsPath"))
+      val tables = elems(doc, "table:table")
+      val table = tables.find(_.getAttribute("table:name") == sheetName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"sheet '$sheetName' not found; have " +
+            tables.map(_.getAttribute("table:name")).mkString(", ")))
+      def repeatOf(e: Element, attr: String): Int =
+        Option(e.getAttribute(attr)).filter(_.nonEmpty)
+          .map(_.toInt.min(OdsRepeatCap).max(1)).getOrElse(1)
+      val rows = mutable.ArrayBuffer.empty[Seq[String]]
+      elems0(table, "table:table-row").foreach { r =>
+        val cells = mutable.ArrayBuffer.empty[String]
+        elems0(r, "table:table-cell").foreach { c =>
+          val v = c.getAttribute("office:value-type") match {
+            case "float" | "currency" | "percentage" =>
+              c.getAttribute("office:value")
+            case "boolean" =>
+              if (c.getAttribute("office:boolean-value") == "true") "TRUE"
+              else "FALSE"
+            case "date" => c.getAttribute("office:date-value")
+            case _ => elems0(c, "text:p").map(_.getTextContent).mkString
+          }
+          (0 until repeatOf(c, "table:number-columns-repeated"))
+            .foreach(_ => cells += v)
+        }
+        while (cells.nonEmpty && cells.last.isEmpty)
+          cells.remove(cells.length - 1) // grid-padding tail
+        val rowOut = cells.toSeq
+        (0 until repeatOf(r, "table:number-rows-repeated"))
+          .foreach(_ => rows += rowOut)
+      }
+      while (rows.nonEmpty && rows.last.isEmpty)
+        rows.remove(rows.length - 1) // grid-padding tail rows
+      rows.drop(skipRows).toSeq
+    } finally zip.close()
+  }
+
+  /** Convert one .ods sheet to a CSV file; returns rows written. */
+  def odsToCsv(odsPath: String, csvPath: String, sheetName: String,
+      skipRows: Int = 0): Int = {
+    val rows = odsSheetRows(odsPath, sheetName, skipRows)
+    val w = new BufferedWriter(new FileWriter(csvPath))
+    try {
+      rows.foreach(r => { w.write(r.map(csvQuote).mkString(",")); w.newLine() })
+      rows.length
+    } finally w.close()
+  }
+
   /** S4 — unzip a monthly "Full CSV" drop into a folder (`1b.:184-191`:
     * download -> unzip -> delete zip; the download leg stays
     * driver-side, extraction is this). Rejects entries that would

@@ -152,6 +152,49 @@ class IngestSpec extends AnyFunSuite {
     assert(back.head.getString(0) == "RX1")
   }
 
+  test("ExcelConvert: ODS named sheet + repeats + grid-padding trim -> CSV (S3 ODS leg)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ods")
+    val ods = dir.resolve("book.ods").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(ods))
+    zos.putNextEntry(new ZipEntry("content.xml"))
+    // sheet 2 exercises: a title row, a 2-row repeated BLANK gap (so
+    // skipRows must see 3 leading rows), a mid-row repeated value run,
+    // numeric/date typed cells, and the full-grid empty padding tail
+    // that must be trimmed, not materialized
+    zos.write(
+      """<office:document-content>
+        |<table:table table:name="Notes"><table:table-row/></table:table>
+        |<table:table table:name="IS Provider">
+        |<table:table-row><table:table-cell office:value-type="string">
+        |  <text:p>skip me</text:p></table:table-cell></table:table-row>
+        |<table:table-row table:number-rows-repeated="2"/>
+        |<table:table-row>
+        |  <table:table-cell office:value-type="string"><text:p>Code</text:p></table:table-cell>
+        |  <table:table-cell office:value-type="string" table:number-columns-repeated="2"><text:p>dup</text:p></table:table-cell>
+        |  <table:table-cell office:value-type="float" office:value="42.5"/>
+        |</table:table-row>
+        |<table:table-row>
+        |  <table:table-cell office:value-type="string"><text:p>RX1</text:p></table:table-cell>
+        |  <table:table-cell table:number-columns-repeated="2"/>
+        |  <table:table-cell office:value-type="date" office:date-value="2021-07-01"/>
+        |  <table:table-cell table:number-columns-repeated="16380"/>
+        |</table:table-row>
+        |<table:table-row table:number-rows-repeated="1048570"/>
+        |</table:table>
+        |</office:document-content>""".stripMargin.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val csv = dir.resolve("out.csv").toString
+    val n = graft.tools.ExcelConvert.odsToCsv(ods, csv, "IS Provider", skipRows = 3)
+    assert(n == 2)
+    val lines = scala.io.Source.fromFile(csv).getLines().toSeq
+    assert(lines == Seq("Code,dup,dup,42.5", "RX1,,,2021-07-01"))
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.ExcelConvert.odsSheetRows(ods, "Missing")
+    }
+    assert(e.getMessage.contains("IS Provider")) // names listed in the error
+  }
+
   test("unzip extracts a monthly drop and rejects zip-slip entries (S4)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-zip")
