@@ -391,11 +391,15 @@ object PipelineQueries {
 
     // Streaming exact dedup through the REAL streaming engine: the
     // corpus arrives as 4 id-ranged drop files (ascending mtimes +
-    // maxFilesPerTrigger=1 -> one micro-batch each, in order), and
-    // flatMapGroupsWithState emits each fingerprint once, on first
-    // sight. Drops arrive in id order, so the streamed keeper set must
-    // equal the batch exact-dedup contract (min doc_id per
-    // fingerprint) — which is the DuckDB oracle.
+    // maxFilesPerTrigger=2 -> two ordered micro-batches; every state
+    // partition pays a store open/commit PER BATCH, and first-sight
+    // semantics here are batch-boundary-invariant under id-ordered
+    // drops, so fatter batches buy the same multi-batch incremental
+    // proof at half the fixed cost), and flatMapGroupsWithState emits
+    // each fingerprint once, on first sight. Drops arrive in id order,
+    // so the streamed keeper set must equal the batch exact-dedup
+    // contract (min doc_id per fingerprint) — which is the DuckDB
+    // oracle.
     "q_stream_dedup" -> ((s, d) => {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-dedup")
@@ -403,7 +407,7 @@ object PipelineQueries {
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.firstSeenDedup(
             s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+              .option("maxFilesPerTrigger", "2").parquet(dir.toString))
           .toDF()
           .writeStream.format("memory").queryName("stream_dedup_out")
           .outputMode("append")
@@ -431,7 +435,7 @@ object PipelineQueries {
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.packStream(
             s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+              .option("maxFilesPerTrigger", "2").parquet(dir.toString),
             budget = 512, shardSpan = 200)
           .toDF()
           .writeStream.format("memory").queryName("stream_pack_out")
@@ -448,10 +452,12 @@ object PipelineQueries {
     }),
 
     // Streaming NEAR-dup through the real streaming engine: documents
-    // arrive as 4 ordered drops; the stateful LSH index
-    // (flatMapGroupsWithState keyed on band buckets, per-row compiled
-    // minhash signatures) emits candidate pairs incrementally — each
-    // drop is checked against every earlier drop at O(drop) cost.
+    // arrive as 4 ordered drops (2 per micro-batch — the candidate
+    // PAIR SET is batch-boundary-invariant, see q_stream_dedup); the
+    // stateful LSH index (flatMapGroupsWithState keyed on band
+    // buckets, per-row compiled minhash signatures) emits candidate
+    // pairs incrementally — each arrival is checked against every
+    // earlier document at O(drop) cost.
     // Exact-jaccard verification of the streamed candidates then runs
     // batch-side against the corpus (production: against the accepted
     // shingle store). The result must equal the batch
@@ -468,7 +474,7 @@ object PipelineQueries {
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.lshCandidates(
             s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+              .option("maxFilesPerTrigger", "2").parquet(dir.toString),
             n = 3, numHashes = 64, bands = 16)
           .toDF()
           .writeStream.format("memory").queryName("stream_neardup_cand")
@@ -547,7 +553,7 @@ object PipelineQueries {
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.hygieneTransform(
             s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+              .option("maxFilesPerTrigger", "2").parquet(dir.toString)
               .withColumn("text", aug),
             weights)
           .writeStream.format("memory").queryName("stream_ingest_out")
