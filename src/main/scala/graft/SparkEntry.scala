@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
       graft.queries.SourceQueries.defs ++
+      graft.queries.LookupQueries.defs ++
       graft.queries.ReportQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
+      graft.queries.LookupQueries.oracles ++
       graft.queries.ReportQueries.oracles
 }

@@ -99,6 +99,120 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // S3+S4 — the monthly WORKBOOK DROP chain end-to-end: supplier is
+    // published as a zip-wrapped .xlsx (SheetWrite: title row + blank
+    // row + header, trailing Notes sheet — the reference workbooks'
+    // shape, `1b.:242-260`), then ingested back through the real
+    // pipeline: unzip (S4, zip-slip-guarded) -> named-sheet xlsx->CSV
+    // conversion with skipRows (S3) -> S1 mangled-name CSV reader.
+    // The oracle reads the original parquet: the whole staged
+    // spreadsheet round-trip must be value-invisible (doubles survive
+    // via shortest-round-trip rendering). Fixture staging is driver-
+    // side BY CONTRACT — one monthly workbook is one small file;
+    // supplier is dimension-sized.
+    "q_s3_xlsx_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.util.TempDirs.scoped("graft-s3x")
+      val rows = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy("s_suppkey").collect()
+      val sheet = Seq(
+        Seq("Incomplete Provider monthly extract"), Seq.empty[String],
+        Seq("Provider Code", "Provider Name", "Region Code", "Acct Balance")) ++
+        rows.map(r => Seq(r.getLong(0).toString, r.getString(1),
+          r.getInt(2).toString, r.getDouble(3).toString))
+      val xlsx = dir.resolve("Incomplete-Provider-Jul21.xlsx")
+      graft.tools.SheetWrite.xlsx(xlsx.toString,
+        Seq("IS Provider" -> sheet, "Notes" -> Seq(Seq("footnotes"))))
+      val zip = dir.resolve("Incomplete-Provider-Jul21.zip")
+      graft.tools.SheetWrite.zip(zip.toString,
+        Seq("Incomplete-Provider-Jul21.xlsx" -> xlsx))
+      val extracted = graft.tools.ExcelConvert.unzip(
+        zip.toString, dir.resolve("unzipped").toString)
+      val csv = dir.resolve("extract.csv").toString
+      graft.tools.ExcelConvert.xlsxToCsv(
+        extracted.find(_.endsWith(".xlsx")).get, csv, "IS Provider",
+        skipRows = 2)
+      val schema = StructType(Seq(
+        StructField("Provider Code", LongType),
+        StructField("Provider Name", StringType),
+        StructField("Region Code", LongType),
+        StructField("Acct Balance", DoubleType)))
+      Ingest.csvMangledNames(s, csv, Some(schema))
+        .select(col("`Provider.Code`").as("code"),
+          col("`Provider.Name`").as("name"),
+          col("`Region.Code`").as("region"),
+          col("`Acct.Balance`").as("balance"))
+        .orderBy("code")
+    }),
+
+    // S3 (ODS leg) — same chain for an OpenDocument drop: nation
+    // published as .ods (title + blank gap + header), converted via
+    // the ODS reader's repeat-run/grid-padding handling, read back
+    // through S1. Oracle on the original parquet.
+    "q_s3_ods_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.util.TempDirs.scoped("graft-s3o")
+      val rows = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey").collect()
+      val sheet = Seq(
+        Seq("Org reference"), Seq.empty[String],
+        Seq("Org Code", "Org Name", "Region Code")) ++
+        rows.map(r => Seq(r.getInt(0).toString, r.getString(1),
+          r.getInt(2).toString))
+      val ods = dir.resolve("org-ref.ods")
+      graft.tools.SheetWrite.ods(ods.toString,
+        Seq("Notes" -> Seq(Seq("skip")), "IS Provider" -> sheet))
+      val csv = dir.resolve("org-ref.csv").toString
+      graft.tools.ExcelConvert.odsToCsv(ods.toString, csv, "IS Provider",
+        skipRows = 2)
+      val schema = StructType(Seq(
+        StructField("Org Code", LongType),
+        StructField("Org Name", StringType),
+        StructField("Region Code", LongType)))
+      Ingest.csvMangledNames(s, csv, Some(schema))
+        .select(col("`Org.Code`").as("code"), col("`Org.Name`").as("name"),
+          col("`Region.Code`").as("region"))
+        .orderBy("code")
+    }),
+
+    // S5 — the landing-page SCRAPE chain through the gate: one HTML
+    // page per month is BUILT IN SPARK from the orders calendar (one
+    // anchor per published series; even-keyed months omit the New-
+    // Periods file and a NonAdmitted decoy guards the lookbehind),
+    // then anchorLinks pulls the anchor table and return_links_rtt
+    // classifies first-matches per (month, series). Links are
+    // deterministic functions of the month string, so the DuckDB
+    // oracle restates them directly from orders — the HTML leg must
+    // be value-invisible.
+    "q_s5_scrape_links" -> ((s, d) => {
+      val months = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "MMMyy").as("month"),
+          (month(col("o_orderdate")) % 2).as("evenm"))
+        .distinct()
+      val pages = months.select(lit("rtt").as("series"), concat(
+          lit("<html><body><p>RTT waiting times data</p>"),
+          lit("<a href=\"/x/full-extract-"), col("month"),
+          lit(".zip\">Full CSV data file "), col("month"), lit("</a>"),
+          lit("<a href=\"/x/NonAdmitted-Provider-"), col("month"),
+          lit(".xls\">NonAdmitted Provider "), col("month"), lit("</a>"),
+          lit("<a href=\"/x/Admitted-Provider-"), col("month"),
+          lit(".xls\">Admitted Provider "), col("month"), lit("</a>"),
+          when(col("evenm") === 0,
+            concat(lit("<a href=\"/x/New-Periods-Provider-"), col("month"),
+              lit(".xls\">New Periods Provider "), col("month"), lit("</a>")))
+            .otherwise(lit("")),
+          lit("<a href=\"/x/Incomplete-Provider-"), col("month"),
+          lit(".xls\">Incomplete Provider "), col("month"), lit("</a>"),
+          lit("</body></html>")).as("page"))
+      val cal = months.select(col("month"), lit("rtt").as("series"))
+      Ingest.returnLinksRtt(cal,
+          Ingest.anchorLinks(pages, "page"))
+        .orderBy("month")
+    }),
+
     // A4 — deterministic first(): min_by with a pinned order column.
     "q_a4_first_per_group" -> ((s, d) => {
       Tables.customer(s, d)
@@ -174,6 +288,28 @@ object SourceQueries {
         |       ELSE -5.0 + ((cs // 7) % 1000) / 100.0 END AS lon,
         |  CASE WHEN cs IS NULL THEN NULL ELSE name || ', ' || postcode END AS address
         |FROM s ORDER BY code""".stripMargin,
+    "q_s3_xlsx_ingest" ->
+      """SELECT s_suppkey AS code, s_name AS name,
+        |  CAST(s_nationkey AS BIGINT) AS region, s_acctbal AS balance
+        |FROM supplier ORDER BY code""".stripMargin,
+    "q_s3_ods_ingest" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS code, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS region
+        |FROM nation ORDER BY code""".stripMargin,
+    "q_s5_scrape_links" ->
+      """WITH m AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%b%y') AS month,
+        |    month(o_orderdate) % 2 AS evenm
+        |  FROM orders)
+        |SELECT month, 'rtt' AS series,
+        |  '/x/full-extract-' || month || '.zip' AS full_csv_link,
+        |  '/x/Incomplete-Provider-' || month || '.xls' AS providers_link_incomp,
+        |  CASE WHEN evenm = 0
+        |    THEN '/x/New-Periods-Provider-' || month || '.xls' END
+        |    AS providers_link_new,
+        |  '/x/Admitted-Provider-' || month || '.xls' AS providers_link_adm,
+        |  '/x/NonAdmitted-Provider-' || month || '.xls' AS providers_link_nonadm
+        |FROM m ORDER BY month""".stripMargin,
     "q_a4_first_per_group" ->
       """SELECT c_nationkey, min(c_custkey) AS first_key,
         |  min_by(c_name, c_custkey) AS first_name
