@@ -122,6 +122,12 @@ object EventQueries {
     // is what lets the engine bound that state (see
     // EventStreams.attributionJoin). withWatermark is a no-op in
     // batch, so the plain BETWEEN-join SQL is the exact oracle.
+    // 2 files per micro-batch: an INNER join's result set is batch-
+    // boundary-invariant (the horizon lives in the join condition;
+    // fewer batches only means fewer watermark evictions, already
+    // lossless at 1 file/trigger since the batch oracle matches), and
+    // a stream-stream join pays 4 state stores per partition PER
+    // MICRO-BATCH — the most commit-heavy fixture in the suite.
     "q_stream_join" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.schema(graft.streaming.EventStreams.rawSchema)
@@ -129,7 +135,7 @@ object EventQueries {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         raw, "event_id", 4, "graft-stream-join")
       val ev = graft.streaming.EventStreams.readEvents(
-        s, dir.toString, maxFilesPerTrigger = Some(1))
+        s, dir.toString, maxFilesPerTrigger = Some(2))
       s.catalog.dropTempView("stream_join_out")
       // 8 fat state partitions: a stream-stream join keeps 4 stores
       // per partition per micro-batch — see withShufflePartitions

@@ -303,6 +303,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The SAME clustering through the large-star/small-star algorithm
+    // (Kiveris et al. SoCC'14 — O(log n) rounds regardless of
+    // component diameter, the chain-graph fallback to propagation).
+    // Connected components are algorithm-independent, so this shares
+    // q_dedup_clusters' recursive-closure oracle verbatim: both
+    // engines-under-test must produce identical min-member labels.
+    "q_dedup_ccstar" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponentsStar(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // LEAKAGE-SAFE train/valid/test split: near-dup cluster members
     // must land in the SAME split, or test docs are paraphrases of
     // train docs and the eval is contaminated. Splitting hashes the
@@ -854,6 +870,38 @@ object PipelineQueries {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin
 
+  // Recursive closure over exact-jaccard pairs — shared by
+  // q_dedup_clusters (min-label propagation) and q_dedup_ccstar
+  // (large-star/small-star): connected components are unique, so both
+  // algorithms must hash-match the same SQL.
+  private val clustersOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(len(a) - 2),
+      |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pq AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |  WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pq
+      |      UNION ALL SELECT id_b, id_a FROM pq),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
     // Same planted-PII augmentation, same Java/RE2-common patterns.
@@ -1154,33 +1202,10 @@ object PipelineQueries {
         |FROM tr JOIN ev USING (shingle)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(len(a) - 2),
-        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
-        |  FROM t),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pq AS (
-        |  SELECT id_a, id_b FROM p
-        |  JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-        |  WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pq
-        |      UNION ALL SELECT id_b, id_a FROM pq),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-        |SELECT id AS doc_id, min(r) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersOracle,
+    // same closure — components are algorithm-independent, so the
+    // star-scheme run must hash-match the propagation run's oracle
+    "q_dedup_ccstar" -> clustersOracle,
     // q_dedup_clusters' recursive closure + the portable split hash of
     // the CLUSTER representative: same cluster -> same split, by
     // construction, on both engines

@@ -16,7 +16,7 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.RelationalQueries.defs, graft.queries.StatsQueries.defs,
       graft.queries.PipelineQueries.defs, graft.queries.EventQueries.defs,
       graft.queries.MultimodalQueries.defs, graft.queries.SourceQueries.defs,
-      graft.queries.ReportQueries.defs)
+      graft.queries.LookupQueries.defs, graft.queries.ReportQueries.defs)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.toSeq.sorted}")
