@@ -132,6 +132,50 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a bloom-filter PRE-PRUNE on the train
+    * side — the shape that actually survives 100 TB. The plain version
+    * shuffles every train shingle to meet the eval side; at a 100 TB
+    * train corpus that shuffle IS the job. Here the (benchmark-sized)
+    * eval shingle set is folded into a bloom filter
+    * ([[graft.plans.BloomFilterOps]], Catalyst's own runtime-filter
+    * aggregate), and train shingles are tested BEFORE the join's
+    * shuffle: only true matches plus an `fpp` sliver of the rest ever
+    * leave their input partition. False positives can't reach the
+    * output — the exact equi-join discards them — so the result is
+    * row-identical to [[contaminationPairs]] at any fpp.
+    *
+    * Same decontamination semantics as GPT-3 appendix C / The Pile
+    * (13-gram collision checks); the bloom semi-join is the standard
+    * distributed pre-filter for small×huge joins. */
+  def contaminationPairsBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minShared: Int = 1,
+      maxDocFreq: Option[Int] = None, fpp: Double = 0.01): DataFrame = {
+    val tr = shingles(train, idCol, textCol, n)
+      .withColumnRenamed(idCol, "train_id")
+    val ev0 = shingles(eval, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id")
+    val ev = maxDocFreq match {
+      case None => ev0
+      case Some(cap) =>
+        val rare = ev0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        ev0.join(rare, Seq("shingle"), "left_semi")
+    }
+    val spark = train.sparkSession
+    // two passes over the SMALL side (count to size the filter, then
+    // build) — eval is benchmark-suite-sized by contract, the train
+    // side is scanned exactly once
+    val evKeys = ev.select(col("shingle")).distinct()
+    val bloom = graft.plans.BloomFilterOps.buildBloom(
+      evKeys, col("shingle"), expectedItems = evKeys.count())
+    val prunedTr = tr.filter(
+      graft.plans.BloomFilterOps.mightContain(spark, bloom, col("shingle")))
+    prunedTr.join(ev, "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact jaccard over an (id, shingle) table: one self-join on the
     * shingle value (cost Σ_shingle df² — common-shingle skew is the
     * scale hazard, see [[ngramJaccardPairs]]), one pair aggregate, two

@@ -100,6 +100,29 @@ object EventQueries {
     // Event funnel: per user, did view precede purchase — ONE
     // conditional aggregation pass (null-skipping min per event type),
     // not per-type subqueries re-scanning the stream (3 scans -> 1).
+    // Semi-structured JSON payload parsing (§2.9 function family):
+    // events.props carries a JSON object per row — the universal
+    // event-bus/CDC payload shape. `from_json` with an EXPLICIT schema
+    // parses each row exactly once inside whole-stage codegen; schema
+    // inference (or repeated `get_json_object` calls, one parse EACH)
+    // would re-scan or re-parse the 100 TB side. Null-safety arms:
+    // malformed JSON and missing keys both surface as NULL k, counted
+    // separately from k's aggregates.
+    "q_f_json" -> ((s, d) => {
+      val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "k", org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          sum(col("k").cast("bigint")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))
+        .orderBy("event_type")
+    }),
+
     "q_e_funnel" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("m", expr("ts_ns div 1000"))
@@ -205,6 +228,15 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_f_json" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_e_hourly" ->
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS hour_us,
         |  event_type, count(*) AS n,

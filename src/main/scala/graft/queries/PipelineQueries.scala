@@ -285,6 +285,21 @@ object PipelineQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // Same decontamination through the bloom-semi-join scale path: the
+    // eval shingle set folds into Catalyst's runtime-filter bloom
+    // aggregate and prunes train shingles BEFORE their shuffle — at a
+    // 100 TB train corpus this is the difference between shuffling the
+    // corpus and shuffling the matches. Result-identical by
+    // construction (shares q_decontaminate's oracle).
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairsBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // Connected components over the verified near-dup pairs — the
     // dedup "apply" step (keep one doc per transitive cluster). Every
     // doc gets a row; cluster = min member id; singletons cluster to
@@ -870,6 +885,26 @@ object PipelineQueries {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin
 
+  // Shared-shingle contamination closure — shared by q_decontaminate
+  // and q_decontaminate_bloom (the bloom pre-prune cannot change the
+  // result set, only the shuffle volume).
+  private val decontaminateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(len(a) - 2),
+      |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+      |  FROM t),
+      |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0)
+      |SELECT train_id, eval_id, count(*) AS shared
+      |FROM tr JOIN ev USING (shingle)
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY train_id, eval_id""".stripMargin
+
   // Recursive closure over exact-jaccard pairs — shared by
   // q_dedup_clusters (min-label propagation) and q_dedup_ccstar
   // (large-star/small-star): connected components are unique, so both
@@ -1186,22 +1221,10 @@ object PipelineQueries {
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(len(a) - 2),
-        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
-        |  FROM t),
-        |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0),
-        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0)
-        |SELECT train_id, eval_id, count(*) AS shared
-        |FROM tr JOIN ev USING (shingle)
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY train_id, eval_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    // bloom pre-prune is result-invariant (false positives die in the
+    // exact join), so the bloom run must hash-match the same closure
+    "q_decontaminate_bloom" -> decontaminateOracle,
     "q_dedup_clusters" -> clustersOracle,
     // same closure — components are algorithm-independent, so the
     // star-scheme run must hash-match the propagation run's oracle

@@ -54,6 +54,33 @@ object SourceQueries {
         .orderBy("nkey")
     }),
 
+    // S8b — JSONL (newline-delimited JSON) round-trip: THE interchange
+    // format of LLM training corpora (every public text dump ships as
+    // *.jsonl.zst). Write the documents table as JSONL, read it back
+    // with an EXPLICIT schema — at 100 TB, schema inference is a full
+    // extra pass over the corpus before the first real job — and prove
+    // the text column survived JSON escaping (quotes, newlines,
+    // unicode) bit-exactly via per-source md5 extremes against the
+    // original parquet.
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val out = tmpDir("jsonl") + "/docs"
+      Tables.documents(s, d).write.mode("overwrite").json(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"))
+        .orderBy("source")
+    }),
+
     // S6 — REST geocode enrichment through the real mapPartitions
     // pipeline (partition-local client, per-row error capture), with
     // the SQL-portable deterministic client so the whole path sits
@@ -261,6 +288,14 @@ object SourceQueries {
     "q_s2_headerless_csv" ->
       """SELECT n_nationkey AS nkey, n_name AS nname, n_regionkey AS rkey
         |FROM nation ORDER BY nkey""".stripMargin,
+    // restated over the original parquet: identical aggregates prove
+    // the JSONL leg neither lost nor altered a single text byte
+    "q_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_texts,
+        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_k2_partition_overwrite" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
