@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("band_sum",
       "band_sum(weeks, maxBands) - null-skipping elementwise band-vector sum (A2)",
       es => BandSumAgg(es(0), es(1)))
+    inject("heavy_hitters",
+      "heavy_hitters(item, k) - Misra-Gries top-frequency sketch (mergeable)",
+      es => HeavyHittersAgg(es(0), es(1)))
     val mhUsage = "minhash_signature(text, n, numHashes) - per-row MinHash signature"
     inject("minhash_signature", mhUsage,
       es => MinHashSigExpr(es(0),

@@ -183,6 +183,36 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // Heavy hitters (Misra-Gries sketch, k=32) under the error-contract
+    // oracle idiom: the hash-compared payload is the EXACT count of
+    // every true heavy hitter (frequency > n/(k+1) — the set the
+    // sketch PROVABLY contains), and the sketch contributes a contract
+    // flag per key: present in the sketch, estimate ≤ true count, and
+    // undercount ≤ n/(k+1). At scale this sketch is the one-pass
+    // hot-key detector that feeds ngramJaccardPairs' doc-freq cap and
+    // ScaleOps.saltedJoin — an exact answer costs a full shuffle of
+    // the key column; the sketch's map-side partials are k-entry maps.
+    "q_t_heavy_hitters" -> ((s, d) => {
+      val k = 32
+      val toks = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n_tok"))
+      val total = exact.agg(sum("n_tok").cast("bigint").as("n_total"))
+      val sketch = toks
+        .agg(graft.plans.HeavyHittersAgg.heavyHitters(s, col("token"), k)
+          .as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est"))
+      exact.crossJoin(broadcast(total))
+        .filter(col("n_tok") * (k + 1) > col("n_total"))
+        .join(sketch, Seq("token"), "left")
+        .select(col("token"), col("n_tok"), col("n_total"),
+          (col("est").isNotNull && col("est") <= col("n_tok") &&
+            (col("n_tok") - col("est")) * (k + 1) <= col("n_total"))
+            .cast("bigint").as("sketch_ok"))
+        .orderBy(col("n_tok").desc, col("token"))
+    }),
+
     "q_t_approx_distinct" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
@@ -980,6 +1010,19 @@ object PipelineQueries {
         |SELECT lang, n_toks AS p50_exact, CAST(n AS BIGINT) AS n,
         |  CAST(1 AS BIGINT) AS sketch_ok
         |FROM r WHERE rk = (n + 1) // 2 ORDER BY lang""".stripMargin,
+    // exact restatement of the true-heavy-hitter set; the sketch's
+    // contribution is the contract flag (1 unless the MG guarantee is
+    // violated, which flips the hash gate red)
+    "q_t_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |e AS (SELECT token, count(*) AS n_tok FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM e)
+        |SELECT token, n_tok, n_total, CAST(1 AS BIGINT) AS sketch_ok
+        |FROM e, tot WHERE n_tok * 33 > n_total
+        |ORDER BY n_tok DESC, token""".stripMargin,
     "q_t_approx_distinct" ->
       """WITH t AS (
         |  SELECT lang,

@@ -54,6 +54,46 @@ object SourceQueries {
         .orderBy("nkey")
     }),
 
+    // S1c — malformed-row quarantine: PERMISSIVE parse with the
+    // corrupt-record capture column, the production answer to "the
+    // 100 TB CSV drop has broken lines in it". DROPMALFORMED silently
+    // loses data and FAILFAST kills the whole job for one bad line;
+    // PERMISSIVE + _corrupt_record keeps every byte — good rows parse,
+    // bad rows land null-padded with the raw line preserved for a
+    // quarantine sink — in ONE pass with no driver involvement. The
+    // fixture plants a non-numeric value in a numeric column on every
+    // 5th nation row; the oracle restates good/bad aggregates from the
+    // original parquet, so the gate proves bad rows are EXACTLY the
+    // planted ones and good rows parse bit-exactly.
+    "q_s1_bad_records" -> ((s, d) => {
+      val out = tmpDir("badrec") + "/nation"
+      Tables.nation(s, d)
+        .select(when(col("n_nationkey") % 5 === 2,
+            concat_ws(",", col("n_nationkey"), col("n_name"),
+              lit("not-a-number")))
+          .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nname", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("rkey")))
+            .cast("bigint").as("sum_rkey"),
+          countDistinct(when(col("_corrupt_record").isNull, col("nname")))
+            .as("n_names"))
+    }),
+
     // S8b — JSONL (newline-delimited JSON) round-trip: THE interchange
     // format of LLM training corpora (every public text dump ships as
     // *.jsonl.zst). Write the documents table as JSONL, read it back
@@ -288,6 +328,15 @@ object SourceQueries {
     "q_s2_headerless_csv" ->
       """SELECT n_nationkey AS nkey, n_name AS nname, n_regionkey AS rkey
         |FROM nation ORDER BY nkey""".stripMargin,
+    // restated over the original parquet: bad rows are exactly the
+    // planted ones, good-row aggregates match the unmangled source
+    "q_s1_bad_records" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 2 THEN n_regionkey END) AS BIGINT) AS sum_rkey,
+        |  count(DISTINCT CASE WHEN n_nationkey % 5 <> 2 THEN n_name END) AS n_names
+        |FROM nation""".stripMargin,
     // restated over the original parquet: identical aggregates prove
     // the JSONL leg neither lost nor altered a single text byte
     "q_jsonl_roundtrip" ->
