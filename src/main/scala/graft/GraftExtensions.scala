@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_signature", mhUsage,
       es => MinHashSigExpr(es(0),
         intLit(mhUsage, "n", es(1)), intLit(mhUsage, "numHashes", es(2))))
+    val wsUsage = "word_shingles(text, n, distinct) - word n-gram shingles in one kernel pass"
+    inject("word_shingles", wsUsage,
+      es => WordShinglesExpr(es(0),
+        intLit(wsUsage, "n", es(1)), intLit(wsUsage, "distinct", es(2)) != 0))
+    val tgUsage = "top_gram_count(text, n) - count of the most repeated word n-gram in the row"
+    inject("top_gram_count", tgUsage,
+      es => TopGramCountExpr(es(0), intLit(tgUsage, "n", es(1))))
     val kgUsage = "kgram_hashes(text, k) - rolling k-gram hash per character position"
     inject("kgram_hashes", kgUsage,
       es => KgramHashesExpr(es(0), intLit(kgUsage, "k", es(1))))

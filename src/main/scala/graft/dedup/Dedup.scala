@@ -32,24 +32,28 @@ object Dedup {
   /** Distinct word-n-gram shingles per document (the comparison units
     * for near-dup detection).
     *
-    * Implemented as posexplode + lead-window rather than the
-    * [[TextFunctions.wordShingles]] HOF: higher-order-function lambdas
-    * are interpreted (and re-evaluate the tokenizing split per
-    * element), while explode + window + concat are fully codegen'd —
-    * at corpus scale this is the difference between regex-splitting
-    * each document once vs hundreds of times. */
+    * One native kernel pass ([[graft.plans.WordShinglesExpr]],
+    * distinct = true) + explode — ZERO shuffles. The previous
+    * posexplode + lead-window + distinct shape needed an Exchange+Sort
+    * over the exploded token stream (one row per corpus token through
+    * the shuffle) plus a second exchange for the distinct, before any
+    * dedup operator had run; the per-document shingle SET is a pure
+    * row-local function, so both exchanges were pure overhead. The
+    * (id, shingle) relation produced is identical: per-doc distinct ==
+    * global (id, shingle) distinct. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t0")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val withNext = toks.select(Seq(col(idCol), col("t0")) ++
-      (1 until n).map(j => lead(col("t0"), j).over(w).as(s"t$j")): _*)
-    withNext
-      .filter(col(s"t${n - 1}").isNotNull) // tail positions lack full n-grams
-      .select(col(idCol),
-        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("shingle"))
-      .distinct()
+    val out = df.select(col(idCol),
+      explode(graft.plans.WordShinglesExpr.wordShingles(
+        df.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
+    // The kernel output inherits the SCAN's split count. At corpus
+    // scale input splits >= cluster parallelism and this guard is a
+    // no-op; a small fixture file is ONE split, which would leave the
+    // (cached, multiply-consumed) shingle relation — and the map side
+    // of every downstream join — on a single core. Fan out once,
+    // round-robin, only in that degenerate case.
+    if (df.isStreaming) return out // .rdd is undefined on streams
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 4 < target) out.repartition(target) else out
   }
 
   /** EXACT n-gram Jaccard near-dup pairs >= `threshold`.

@@ -253,31 +253,30 @@ object TextFunctions {
     *
     * Thresholds (fail when exceeded): duplicate-token fraction > 0.3,
     * top 2-gram fraction > 0.2, top 3-gram fraction > 0.18; empty docs
-    * fail. Shape: one fact-grain scan, two partial-aggregated n-gram
-    * shuffles keyed by (doc, gram), then doc-grain joins — no
-    * collect, no cross product, scales linearly in corpus size.
+    * fail. Shape: a ZERO-SHUFFLE map — every signal here is a pure
+    * function of one document, so the top-n-gram numerators come from
+    * the native per-row kernel ([[graft.plans.TopGramCountExpr]])
+    * instead of the relational explode → (doc, gram) shuffle → max →
+    * join-back detour, which moved the whole gram stream through two
+    * exchanges per n for a row-local answer. Gram DENOMINATORS are
+    * arithmetic: `max(0, n_toks - (n-1))`, exactly `size(wordShingles)`
+    * without materializing the arrays.
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol),
+    val spark = df.sparkSession
+    df.select(col(idCol),
         tokens(col(textCol)).as("toks"),
-        wordShingles(col(textCol), 2).as("g2"),
-        wordShingles(col(textCol), 3).as("g3"))
+        graft.plans.TopGramCountExpr.topGramCount(spark, col(textCol), 2)
+          .as("top_2gram_cnt"),
+        graft.plans.TopGramCountExpr.topGramCount(spark, col(textCol), 3)
+          .as("top_3gram_cnt"))
       .select(col(idCol),
         size(col("toks")).cast("bigint").as("n_toks"),
         size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_toks"),
-        size(col("g2")).cast("bigint").as("n_2grams"),
-        size(col("g3")).cast("bigint").as("n_3grams"),
-        col("g2"), col("g3"))
-    def topCount(gramCol: String, out: String) =
-      base.select(col(idCol), explode(col(gramCol)).as("g"))
-        .groupBy(idCol, "g").count()
-        .groupBy(idCol).agg(max("count").as(out))
-    base.drop("g2", "g3")
-      .join(topCount("g2", "top_2gram_cnt"), Seq(idCol), "left")
-      .join(topCount("g3", "top_3gram_cnt"), Seq(idCol), "left")
-      .withColumn("top_2gram_cnt", coalesce(col("top_2gram_cnt"), lit(0L)))
-      .withColumn("top_3gram_cnt", coalesce(col("top_3gram_cnt"), lit(0L)))
+        greatest(size(col("toks")) - 1, lit(0)).cast("bigint").as("n_2grams"),
+        greatest(size(col("toks")) - 2, lit(0)).cast("bigint").as("n_3grams"),
+        col("top_2gram_cnt"), col("top_3gram_cnt"))
       // integer cross-multiplication: frac <= t  <=>  cnt * scale <= n * (t*scale)
       .withColumn("repetition_ok",
         (col("n_toks") > 0 &&
