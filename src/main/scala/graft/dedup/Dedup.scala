@@ -45,15 +45,9 @@ object Dedup {
     val out = df.select(col(idCol),
       explode(graft.plans.WordShinglesExpr.wordShingles(
         df.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
-    // The kernel output inherits the SCAN's split count. At corpus
-    // scale input splits >= cluster parallelism and this guard is a
-    // no-op; a small fixture file is ONE split, which would leave the
-    // (cached, multiply-consumed) shingle relation — and the map side
-    // of every downstream join — on a single core. Fan out once,
-    // round-robin, only in that degenerate case.
-    if (df.isStreaming) return out // .rdd is undefined on streams
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions * 4 < target) out.repartition(target) else out
+    // single-fixture-split guard — a provable no-op at corpus scale
+    // (see graft.util.Parallelism)
+    if (df.isStreaming) out else graft.util.Parallelism.fanOut(out)
   }
 
   /** EXACT n-gram Jaccard near-dup pairs >= `threshold`.
@@ -326,6 +320,9 @@ object Dedup {
             xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
           .as("bucket"))
       .select(col(idCol), col("bucket.band"), col("bucket.bh"))
+      // single-fixture-split guard: this cache feeds BOTH sides of the
+      // band-bucket self-join plus the candIds derivation
+      .transform(graft.util.Parallelism.fanOut)
       .cache()
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -378,6 +375,8 @@ object Dedup {
     val fpsAll = df.select(col(idCol),
       explode(graft.plans.WinnowFingerprintsExpr.winnowFingerprints(
         df.sparkSession, col(textCol), k, w)).as("fp"))
+      // single-fixture-split guard (graft.util.Parallelism): 3 consumers
+      .transform(graft.util.Parallelism.fanOut)
       .cache()
     val cap = math.max(5L, math.ceil(df.count() * maxDocFreqRatio).toLong)
     // df >= 2: a fingerprint seen in one doc generates no pair — the

@@ -484,8 +484,10 @@ object Similarity {
     val ss = df.sparkSession
     import ss.implicits._
     // cache: the self-join would otherwise recompute the plane
-    // projections on both sides
-    val b = srpBuckets(df, idCol, vecCol, planeSets).cache()
+    // projections on both sides; fan-out guards the single-fixture-
+    // split case (graft.util.Parallelism)
+    val b = graft.util.Parallelism.fanOut(
+      srpBuckets(df, idCol, vecCol, planeSets)).cache()
     val candidates = b.as("a").join(b.as("b2"),
         col("a.t") === col("b2.t") && col("a.b") === col("b2.b") &&
           col("a.id") < col("b2.id"))
