@@ -90,6 +90,53 @@ class HeavyHittersAggSpec extends AnyFunSuite {
     assert(rows === Set(("g1", "a", 10L), ("g1", "b", 2L), ("g2", "z", 7L)))
   }
 
+  test("streaming aggregation: sketch state merges across micro-batches") {
+    import spark.implicits._
+    val k = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-stream")
+    val drops = java.nio.file.Files.createDirectory(dir.resolve("drops"))
+    def stage(rows: Seq[String], name: String): Unit = {
+      val tmp = dir.resolve(name + ".tmpdir").toString
+      rows.toDF("v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, drops.resolve(name))
+    }
+    // two drops with DIFFERENT hot keys — the merged sketch must carry
+    // drop-1 heavy hitters through the state store into the final answer
+    val d1 = (1 to 12).flatMap(i => Seq.fill(1200 / i)(s"a-$i"))
+    val d2 = (1 to 12).flatMap(i => Seq.fill(1200 / i)(s"b-$i"))
+    stage(d1, "d1.parquet")
+    stage(d2, "d2.parquet")
+    val q = spark.readStream.schema("v STRING")
+      .option("maxFilesPerTrigger", 1) // force 2 micro-batches
+      .parquet(drops.toString)
+      .agg(HeavyHittersAgg.heavyHitters(spark, col("v"), k).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000)); q.stop()
+    val hh = spark.table("hh_stream_test")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = d1 ++ d2
+    val n = all.size.toLong
+    val bound = n / (k + 1)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueHH = exact.filter(_._2 > bound)
+    assert(trueHH.nonEmpty, "fixture must contain true heavy hitters")
+    // both drops' hot keys must survive the cross-micro-batch merge
+    assert(trueHH.keys.exists(_.startsWith("a-")))
+    assert(trueHH.keys.exists(_.startsWith("b-")))
+    trueHH.foreach { case (item, cnt) =>
+      assert(hh.contains(item), s"$item missing from streamed sketch")
+      assert(hh(item) <= cnt && cnt - hh(item) <= bound,
+        s"$item est ${hh(item)} outside [${cnt - bound}, $cnt]")
+    }
+  }
+
   test("SQL registration via extensions name") {
     import spark.implicits._
     HeavyHittersAgg.register(spark)
