@@ -52,7 +52,7 @@ object Bench {
     // not per run: one load sample per whole run hid which queries a
     // noisy-neighbor burst actually landed on)
     val results = selected.map { case (name, fn) =>
-      val attempts = (1 to repeats).map { _ =>
+      def attempt(): (Double, Double) = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -69,6 +69,15 @@ object Bench {
         System.gc()
         (dt, load1())
       }
+      var attempts = (1 to repeats).map(_ => attempt()).toVector
+      // contention re-try: this box shows episodic noisy-neighbor
+      // bursts (phantom load 10-20 with zero user processes) that
+      // inflate whatever query they land on 2-4x. The bench's own
+      // 32-thread activity keeps load1 around 3-7, so a reading well
+      // above that means a neighbor burst hit this measurement — take
+      // ONE extra attempt so a single-repeat driver run doesn't record
+      // the burst as the query's cost. Bounded: at most one extra.
+      if (attempts.map(_._2).min > cpus.toInt * 0.3) attempts :+= attempt()
       (name, attempts.map(_._1).min, attempts.map(_._1), attempts.map(_._2).max)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
