@@ -680,4 +680,54 @@ object Dedup {
       .where(col("span_len") >= minLen)
       .orderBy("doc_id", "span_start")
   }
+
+  /** The APPLY step for [[duplicatedSpans]] — Lee et al. 2022's
+    * "remove the repeated substring, keep the rest of the document"
+    * (the paper cuts exactly the duplicated span, not the whole doc).
+    *
+    * Shape: detect spans (see [[duplicatedSpans]]), collect each
+    * doc's spans into one row (`collect_list` is safe here — a doc's
+    * span count is bounded by `len/k`, and the merged intervals are
+    * disjoint by construction, so the per-doc array is small and
+    * NEVER corpus-sized), left-join back to the corpus on `doc_id`
+    * (one shuffle; span side is a per-doc aggregate, far smaller than
+    * the text side), then cut with a single `aggregate` HOF fold over
+    * the sorted spans — codegen'd string work, no UDF, no driver
+    * involvement. Docs with no spans pass through byte-identical
+    * (the fold over a NULL span array yields NULL → coalesce to the
+    * original text).
+    *
+    * Output: the input row plus `clean_text` (spans of length >=
+    * `minLen` removed), `n_spans_cut`, `chars_cut`.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minLen: Int): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minLen)
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"))
+    // Fold state: (last = end of the previous cut span, acc = kept
+    // prefix). Each span appends the gap [last, span_start) to acc;
+    // the finish step appends the tail [last, len). Spans are sorted
+    // and disjoint (islands are separated by > k chars), so substring
+    // lengths are always >= 0.
+    val cut = expr(
+      s"""aggregate(
+         |  __spans,
+         |  struct(CAST(0 AS BIGINT) AS last, '' AS acc),
+         |  (s, sp) -> struct(
+         |    sp.span_end AS last,
+         |    concat(s.acc, substring(`$textCol`,
+         |      CAST(s.last + 1 AS INT),
+         |      CAST(sp.span_start - s.last AS INT))) AS acc),
+         |  s -> concat(s.acc, substring(`$textCol`, CAST(s.last + 1 AS INT)))
+         |)""".stripMargin)
+    df.withColumn("__id", col(idCol).cast("long"))
+      .join(perDoc.withColumnRenamed("doc_id", "__id"), Seq("__id"), "left")
+      .withColumn("clean_text", coalesce(cut, col(textCol)))
+      .withColumn("n_spans_cut", coalesce(size(col("__spans")), lit(0)))
+      .withColumn("chars_cut", length(col(textCol)) - length(col("clean_text")))
+      .drop("__id", "__spans")
+  }
 }

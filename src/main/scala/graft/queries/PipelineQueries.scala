@@ -393,6 +393,20 @@ object PipelineQueries {
         k = 20, minLen = 40)
     }),
 
+    // The APPLY step for span dedup — cut the flagged spans out of
+    // the text (Lee et al. remove-the-substring semantics), keep the
+    // rest of the doc byte-exact. md5 over the cleaned text proves
+    // the HOF cut fold equals the oracle's segment-stitch exactly;
+    // docs with no spans must pass through unchanged.
+    "q_dedup_spans_cut" -> ((s, d) => {
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 20, minLen = 40)
+        .select(col("doc_id"), col("n_spans_cut"), col("chars_cut"),
+          length(col("clean_text")).as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Greedy sequence packing into 512-token context windows, bins
     // sealed inside (source, 200-id shard) so packing is
     // embarrassingly parallel; oracle = recursive-CTE restatement of
@@ -1341,6 +1355,60 @@ object PipelineQueries {
         |FROM x GROUP BY doc_id, island
         |HAVING max(i) + 20 - min(i) >= 40
         |ORDER BY doc_id, span_start""".stripMargin,
+    // Apply leg: same span CTE chain, then stitch the KEPT segments
+    // (gap before each span + the tail after the last) with an
+    // ordered string_agg — the from-scratch restatement of the HOF
+    // cut fold. Docs with no spans fall through the left join intact.
+    "q_dedup_spans_cut" ->
+      raw"""WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text) - 20 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 20),
+        |kg AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(range(20),
+        |        j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 4294967296) AS h
+        |  FROM pos),
+        |dup AS (SELECT h FROM kg GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |c AS (SELECT doc_id, i FROM kg WHERE h IN (SELECT h FROM dup)),
+        |l AS (SELECT doc_id, i,
+        |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM c),
+        |f AS (SELECT doc_id, i,
+        |    CASE WHEN prev IS NULL OR i - prev > 20 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |x AS (SELECT doc_id, i,
+        |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f),
+        |sp AS (SELECT doc_id, min(i) AS s, max(i) + 20 AS e
+        |  FROM x GROUP BY doc_id, island HAVING max(i) + 20 - min(i) >= 40),
+        |seg AS (
+        |  SELECT doc_id,
+        |    lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS gs,
+        |    s AS ge, s AS ord
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT doc_id, max(e) AS gs, NULL AS ge,
+        |    9223372036854775807 AS ord
+        |  FROM sp GROUP BY doc_id),
+        |kept AS (
+        |  SELECT seg.doc_id,
+        |    string_agg(CASE WHEN ge IS NULL
+        |        THEN substr(d.text, CAST(gs + 1 AS INT))
+        |        ELSE substr(d.text, CAST(gs + 1 AS INT), CAST(ge - gs AS INT))
+        |      END, '' ORDER BY ord) AS clean,
+        |    count(*) - 1 AS n_spans
+        |  FROM seg JOIN documents d USING (doc_id)
+        |  GROUP BY seg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(k.n_spans, 0) AS INT) AS n_spans_cut,
+        |  CAST(length(d.text) - length(coalesce(k.clean, d.text)) AS INT)
+        |    AS chars_cut,
+        |  CAST(length(coalesce(k.clean, d.text)) AS INT) AS clean_len,
+        |  md5(coalesce(k.clean, d.text)) AS clean_md5
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // The same greedy fold as Packing.packGreedy, restated as a
     // recursive chain advance: each iteration extends every
     // (grp, shard) chain by its next doc in id order. Bound once and

@@ -121,6 +121,39 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // S8c — parquet schema evolution across drops: a corpus ingested
+    // over years has early drops missing columns that later drops
+    // carry (the `lang` column here). Reading the whole lake with the
+    // UNIFIED explicit schema null-fills the missing column per
+    // row-group natively — no mergeSchema footer scan over every file
+    // (an extra listing+footer pass at 100 TB), no rewrite of old
+    // drops, no driver involvement. The oracle restates the aggregates
+    // from the original table with lang nulled for the old-drop rows.
+    "q_s8_schema_evolution" -> ((s, d) => {
+      val out = tmpDir("schevo")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text", "source", "n_chars") // old drop: no lang
+        .write.mode("overwrite").parquet(out + "/drop=old")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(out + "/drop=new")
+      val unified = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      s.read.schema(unified).parquet(out + "/drop=old", out + "/drop=new")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("lang")).as("n_with_lang"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .orderBy("source")
+    }),
+
     // S6 — REST geocode enrichment through the real mapPartitions
     // pipeline (partition-local client, per-row error capture), with
     // the SQL-portable deterministic client so the whole path sits
@@ -337,6 +370,16 @@ object SourceQueries {
         |  CAST(sum(CASE WHEN n_nationkey % 5 <> 2 THEN n_regionkey END) AS BIGINT) AS sum_rkey,
         |  count(DISTINCT CASE WHEN n_nationkey % 5 <> 2 THEN n_name END) AS n_names
         |FROM nation""".stripMargin,
+    // restated over the original table with lang nulled on the
+    // old-drop rows — proves the schema-evolved read null-fills
+    // exactly the missing column and nothing else
+    "q_s8_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 3 <> 0 THEN lang END) AS n_with_lang,
+        |  count(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN lang END) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // restated over the original parquet: identical aggregates prove
     // the JSONL leg neither lost nor altered a single text byte
     "q_jsonl_roundtrip" ->

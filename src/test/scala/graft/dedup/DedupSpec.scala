@@ -258,4 +258,46 @@ class DedupSpec extends AnyFunSuite {
         s"span lead of doc $id not found elsewhere: '$lead'")
     }
   }
+
+  test("removeDuplicatedSpans: cut equals scala-side splice; no-span docs intact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "AAAA the quick brown fox jumps BBBB"),
+      (2L, "CC the quick brown fox jumps DDDDDD"),
+      (3L, "totally unrelated content here")).toDF("doc_id", "text")
+    val k = 5; val minLen = 10
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", k, minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // scala-side splice: delete each [start, end) right-to-left
+    val expected = texts.map { case (id, t) =>
+      val cuts = spans.filter(_._1 == id).sortBy(-_._2)
+      id -> cuts.foldLeft(t) { case (acc, (_, s, e)) =>
+        acc.substring(0, s) + acc.substring(e) }
+    }
+    val out = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k, minLen)
+      .select("doc_id", "clean_text", "n_spans_cut", "chars_cut").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == expected(id), s"doc $id clean_text mismatch")
+      assert(r.getInt(3) == texts(id).length - expected(id).length)
+    }
+    // doc 3 shares nothing: untouched, zero spans
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getString(1) == texts(3L) && r3.getInt(2) == 0)
+    assert(spans.exists(_._1 == 1L) && spans.exists(_._1 == 2L))
+  }
+
+  test("removeDuplicatedSpans: fully-duplicated doc collapses to empty text") {
+    import spark.implicits._
+    val dup = "0123456789" * 5 // 50 chars, shared verbatim
+    val d = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 5, minLen = 10)
+      .select("doc_id", "clean_text", "chars_cut").collect()
+    out.foreach { r =>
+      assert(r.getString(1) == "", s"doc ${r.getLong(0)} should be fully cut")
+      assert(r.getInt(2) == 50)
+    }
+  }
 }
