@@ -85,5 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fingerprints", wfUsage,
       es => WinnowFingerprintsExpr(es(0),
         intLit(wfUsage, "k", es(1)), intLit(wfUsage, "w", es(2))))
+    val ctUsage = "chunk_text(text, maxChars) - greedy whitespace-aligned context-window chunks"
+    inject("chunk_text", ctUsage,
+      es => ChunkTextExpr(es(0), intLit(ctUsage, "maxChars", es(1))))
   }
 }

@@ -418,6 +418,23 @@ object PipelineQueries {
           budget = 512, shardSpan = 200))
     }),
 
+    // Context-window chunking (the pre-tokenization step): greedy
+    // split at the last whitespace inside each 120-char window, hard
+    // cut only for an unbroken 120-char token. One native kernel pass
+    // per row (plans.ChunkTextExpr) + posexplode — no shuffle until
+    // the final ORDER BY; concat(chunks) == text byte-exact, which the
+    // per-chunk md5 vs the oracle's recursive-CTE restatement proves.
+    "q_chunk_docs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.plans.ChunkTextExpr.chunkText(s, col("text"), 120))
+            .as(Seq("ord", "chunk")))
+        .select(col("doc_id"), col("ord"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "ord")
+    }),
+
     // Deterministic train/valid/test split + 1% subsample: membership
     // is a pure arithmetic hash of doc_id (identical in DuckDB), NOT
     // df.sample's partition-seeded RNG — reruns, repartitions, and
@@ -1416,6 +1433,31 @@ object PipelineQueries {
     // equals the batch fold under ordered drops (the q_dashboard_cube
     // / q_stream_cube one-SQL-two-engines pattern).
     "q_pack_sequences" -> packOracle,
+    // Greedy chunker restated as a recursive chain advance: each
+    // iteration emits the next chunk of every still-unfinished doc.
+    // clen = the greedy cut — whole remainder if it fits, else up to
+    // the LAST whitespace in the window ((?s) so `.` crosses
+    // newlines), else the 120-char hard cut.
+    "q_chunk_docs" ->
+      raw"""WITH RECURSIVE ch AS (
+        |  SELECT doc_id, text, CAST(0 AS BIGINT) AS pos, 0 AS ord,
+        |    CAST(NULL AS VARCHAR) AS chunk
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, pos + clen, ord + 1,
+        |    substr(text, CAST(pos + 1 AS INT), CAST(clen AS INT))
+        |  FROM (
+        |    SELECT doc_id, text, pos, ord,
+        |      CASE WHEN length(text) - pos <= 120 THEN length(text) - pos
+        |           ELSE coalesce(nullif(length(regexp_extract(
+        |             substr(text, CAST(pos + 1 AS INT), 120),
+        |             '(?s)^(.*[ \t\n\r])', 1)), 0), 120)
+        |      END AS clen
+        |    FROM ch WHERE pos < length(text)) t)
+        |SELECT doc_id, CAST(ord - 1 AS INT) AS ord,
+        |  CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM ch WHERE chunk IS NOT NULL
+        |ORDER BY doc_id, ord""".stripMargin,
     "q_stream_pack" -> packOracle,
     "q_split_sample" ->
       """WITH h AS (
