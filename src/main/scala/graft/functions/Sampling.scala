@@ -178,4 +178,57 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
   }
+
+  /** Full-range seeded shuffle hash: [[hashBucket]]'s under-2^31
+    * arithmetic with the seed folded in, spread over [0, 2^31) — fine
+    * enough that collisions cost only a deterministic key tie-break.
+    * Every intermediate stays under 2^63 (ANSI-safe) and the whole
+    * expression evaluates identically as DuckDB SQL. */
+  def shuffleHash(key: Column, seed: Long): Column = {
+    require(seed >= 0 && seed < 2147483648L, "seed must fit in [0, 2^31)")
+    ((key % lit(2147483648L)) * lit(1597334677L) +
+      shiftright(key, 31) * lit(7919L) +
+      lit(seed) * lit(2654435761L)) % lit(2147483648L)
+  }
+
+  /** Deterministic corpus SHUFFLE with explicit global positions —
+    * the reproducible training-order export. Every epoch/rerun/engine
+    * must agree on position `i`'s document, so the order is a pure
+    * function of (key, seed): ascending ([[shuffleHash]], key).
+    *
+    * Scale shape — a global `row_number()` window would move the
+    * whole corpus to ONE partition, so instead:
+    *   1. range-shard the hash (`shard = h / ceil(2^31/shards)` —
+    *      monotonic in h, so shard order IS global order);
+    *   2. `row_number` per shard (shuffle on shard key, corpus-sized
+    *      but parallel);
+    *   3. global position = per-shard rank + the shard's cumulative
+    *      offset — offsets come from a shards-sized count aggregate
+    *      (the only global window runs over <= `shards` rows) and
+    *      broadcast back.
+    * Two corpus shuffles total (the per-shard sort window + its agg
+    * sharing the same exchange), nothing corpus-sized ever on one
+    * core. New epoch = new seed, full re-shuffle, zero state.
+    *
+    * Output: input row + `pos` in [0, n) — a permutation, bit-stable
+    * across runs, partitionings, and engines. */
+  def shuffledPositions(df: DataFrame, keyCol: String, seed: Long,
+      shards: Int = 1024): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val width = (2147483648L + shards - 1) / shards
+    val withShard = df
+      .withColumn("__h", shuffleHash(col(keyCol), seed))
+      .withColumn("__shard", (col("__h") / lit(width)).cast("long"))
+    val offsets = withShard.groupBy("__shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum("__n").over(Window.orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val within = row_number().over(
+      Window.partitionBy("__shard").orderBy(col("__h"), col(keyCol)))
+    withShard.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("pos", col("__offset") + within.cast("long") - 1L)
+      .drop("__h", "__shard", "__offset")
+  }
 }

@@ -450,6 +450,20 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    // Deterministic corpus shuffle with explicit global positions
+    // (the reproducible training-order export): ascending (seeded
+    // portable hash, key) is the order; positions come from
+    // range-sharded per-shard row_number + broadcast shard offsets —
+    // never a corpus-sized single-partition window. The oracle's
+    // global row_number over the same hash proves the sharded
+    // composition IS the global permutation.
+    "q_shuffle_positions" -> ((s, d) => {
+      graft.functions.Sampling.shuffledPositions(
+          Tables.documents(s, d), "doc_id", seed = 7L, shards = 16)
+        .select(col("doc_id"), col("pos"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset-mixture resampling: each source down-sampled to its
     // target basis-point rate (derived here from the source ordinal so
     // the weights table is data-driven at every SF); same portable key
@@ -1470,6 +1484,17 @@ object PipelineQueries {
         |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(CASE WHEN b < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // Global row_number over the same seeded portable hash — one
+    // window is fine ENGINE-SIDE (DuckDB is single-node anyway); the
+    // Spark side must match it through the sharded composition.
+    "q_shuffle_positions" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY
+        |    ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919
+        |      + 7 * 2654435761) % 2147483648,
+        |    doc_id) - 1 AS pos,
+        |  source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The batch exact-dedup contract: keeper = min doc_id per
     // fingerprint. Valid because the streamed drops arrive in id order
     // (see the query comment), so first-sight == minimal id.

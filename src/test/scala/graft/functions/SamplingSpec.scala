@@ -100,6 +100,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(re == pruned)
   }
 
+  test("shuffledPositions: permutation, equals global-order rank, seed-sensitive, shard-invariant") {
+    import spark.implicits._
+    val n = 5000L
+    val df = spark.range(n).toDF("id").repartition(7)
+    val out = Sampling.shuffledPositions(df, "id", seed = 7L, shards = 16)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation of [0, n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n))
+    // equals the single-window global rank over the same (hash, key)
+    val global = df
+      .withColumn("h", Sampling.shuffleHash(col("id"), 7L))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("id")))
+        .cast("long") - 1L)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (id, pos) => assert(pos == global(id), s"id $id") }
+    // shard count must not change the permutation
+    val out2 = Sampling.shuffledPositions(df, "id", seed = 7L, shards = 3)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (id, pos) => assert(out2(id) == pos) }
+    // a different seed reorders (overwhelmingly likely on 5000 keys)
+    val reseeded = Sampling.shuffledPositions(df, "id", seed = 8L, shards = 16)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.count { case (id, pos) => reseeded(id) != pos } > n / 2)
+  }
+
   test("weightedSample: k per stratum, weight-proportional, prune == window, w<=0 dropped") {
     import spark.implicits._
     // two weight classes in one stratum: ids 0-499 weight 1, ids
