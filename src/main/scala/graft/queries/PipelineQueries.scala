@@ -688,6 +688,19 @@ object PipelineQueries {
         .orderBy("label", "pos")
     }),
 
+    // Distributed Lloyd k-means over int8 codes (the IVF training
+    // leg): 2 update rounds + final assignment, k=8, all arithmetic
+    // on exact-integer grids so the DuckDB oracle replays the whole
+    // training loop as chained CTEs and the assignment hash-matches.
+    // n + sum_ids pin the exact membership of every cell.
+    "q_kmeans_cells" -> ((s, d) => {
+      Similarity.kmeansFitInt8(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"), sum("id").as("sum_ids"))
+        .orderBy("cell")
+    }),
+
     // RETRIEVAL: ANN top-k joined back to document metadata — the
     // serving-side composition (embedding search -> fetch the doc).
     // The top-k result is query-bounded, so IT broadcasts into the
@@ -1692,6 +1705,86 @@ object PipelineQueries {
         |  CAST(sum(x1e6) AS BIGINT) AS sum_x1e6,
         |  CAST(floor(sum(x1e6) * 1.0 / count(*)) AS BIGINT) AS avg_x1e6
         |FROM c GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // The whole Lloyd loop replayed as chained CTEs: quantize (the
+    // proven q_emb_quantize CTE), seed on the 8 lowest ids (milli
+    // grid), then assign/update x2 and a final assignment. Distances
+    // are exact-integer squared-L2 on the milli grid; centroid update
+    // = round((1000.0 * sum) / n) — exact-int product, IEEE division,
+    // half-away rounding, identical in Spark. Ties break on cell id
+    // (row_number ORDER BY dist, cell == Spark's struct array_min).
+    "q_kmeans_cells" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1)
+        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin,
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -245,14 +245,90 @@ object Similarity {
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Distributed LLOYD K-MEANS over INT8-quantized vectors — the IVF
+    * coarse-quantizer TRAINING step ([[ivfTopK]]'s scaladoc promises
+    * "a k-means refinement drops in"; this is it).
+    *
+    * Engine-exact by construction, so the whole training loop can sit
+    * behind the DuckDB hash gate:
+    *   - points are [[quantizeInt8]] codes (exact integers);
+    *   - centroids live on the integer MILLI-grid:
+    *     `cent_d = round((1000.0 * sum_d) / n)` — an exact-integer
+    *     product, one IEEE double division, and half-away-from-zero
+    *     rounding, each bit-identical across engines;
+    *   - distances are exact int64 sums of `(1000*code_d - cent_d)^2`
+    *     (|diff| <= 254,000, squared ~6.5e10, x dim far inside
+    *     int64 — no ANSI overflow at any dim the codes support);
+    *   - argmin tie-breaks on the lower cell id (struct array_min);
+    *   - empty cells keep their previous centroid;
+    *   - seeds = the k lowest-id vectors' codes (deterministic).
+    *
+    * Scale shape per round: centroids go DOWN as a k x dim broadcast
+    * literal (driver-built, dimension-sized), assignments are a pure
+    * map, and the update comes UP as one (cell, pos)-keyed
+    * partial-agg shuffle of k x dim rows — the corpus is scanned
+    * `iters + 1` times and never collected, the driver holds k x dim
+    * longs of state. Returns `(id, cell)` — the trained assignment
+    * under the final centroids. */
+  def kmeansFitInt8(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 1, "iters must be positive")
+    val codes = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
+      .cache()
+    val init = codes.orderBy("id").limit(k).collect()
+    require(init.length == k, s"k-means needs >= $k vectors, got ${init.length}")
+    var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
+    }.toMap
+    def centsCol: Column = array(cents.toSeq.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("cell"), typedlit(v.toSeq).as("cent"))
+    }: _*)
+    // argmin by (exact int distance, cell id): structs order
+    // lexicographically, so array_min IS the deterministic argmin
+    val assignExpr = expr(
+      """array_min(transform(__cents, ct -> struct(
+        |  aggregate(zip_with(codes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
+        |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+        |  ct.cell AS c))).c""".stripMargin)
+    for (_ <- 1 to iters) {
+      val sums = codes.withColumn("__cents", centsCol)
+        .withColumn("cell", assignExpr)
+        .select(col("cell"), posexplode(col("codes")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .collect() // k x dim rows — dimension-sized by construction
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (c, old) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach { r =>
+              // exact-int product, IEEE division, HALF_UP — matches
+              // round((1000.0 * sum) / n, 0) in both engines
+              v(r.getInt(1)) = roundHalfUp(
+                1000.0 * r.getLong(3) / r.getLong(2), 0).toLong
+            }
+            c -> v
+          case None => c -> old // empty cell keeps its centroid
+        }
+      }
+    }
+    codes.withColumn("__cents", centsCol)
+      .withColumn("cell", assignExpr)
+      .select(col("id"), col("cell"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN
     * scale path: partition the corpus into `nCells` Voronoi cells
     * around centroids, store an inverted list per cell, and probe only
     * the `nProbe` cells nearest each query.
     *
     * Centroids here are a deterministic evenly-spaced-by-id sample of
-    * the corpus (a k-means refinement drops in without changing the
-    * plan shape). Cell assignment and scoring are compiled
+    * the corpus (the [[kmeansFitInt8]] training loop refines them
+    * without changing the plan shape). Cell assignment and scoring are compiled
     * mapPartitions kernels; the corpus is scanned ONCE to build
     * assignments and once to score — each row only scored when one of
     * its queries probes its cell. */

@@ -133,4 +133,59 @@ class SimilaritySpec extends AnyFunSuite {
       .select("sim").collect().map(_.getDouble(0))
     assert(sims.nonEmpty && sims.forall(_ == 1.0))
   }
+
+  test("kmeansFitInt8 equals a driver-side Lloyd reference; repartition-invariant") {
+    val k = 4; val iters = 2
+    val out = Similarity.kmeansFitInt8(emb, "vec_id", "embedding", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver-side reference over the same int8 codes
+    val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def hu(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var cents = codes.take(k).zipWithIndex
+      .map { case ((_, v), i) => i -> v.map(_ * 1000L) }.toMap
+    def assign(v: Array[Long]): Int =
+      (0 until k).map { c =>
+        val ct = cents(c)
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = 1000L * v(i) - ct(i); d += t * t; i += 1 }
+        (d, c)
+      }.min._2
+    for (_ <- 1 to iters) {
+      val grouped = codes.groupBy { case (_, v) => assign(v) }
+      cents = cents.map { case (c, old) =>
+        grouped.get(c) match {
+          case Some(members) =>
+            val dim = old.length
+            val nv = Array.tabulate(dim) { d =>
+              val s = members.map(_._2(d)).sum
+              hu(1000.0 * s / members.length)
+            }
+            c -> nv
+          case None => c -> old
+        }
+      }
+    }
+    val expected = codes.map { case (id, v) => id -> assign(v) }.toMap
+    assert(out == expected)
+    assert(out.values.toSet.size > 1, "degenerate single-cell clustering")
+    // partitioning must not change the result
+    val out2 = Similarity.kmeansFitInt8(emb.repartition(13), "vec_id",
+        "embedding", k, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2 == expected)
+  }
+
+  test("kmeansFitInt8: identical points collapse to cell 0, empty cells survive") {
+    import spark.implicits._
+    val same = Seq.fill(6)(Array(1.0f, 2.0f, 3.0f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansFitInt8(same, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(_.getInt(1))
+    // all points equidistant (zero) from every centroid -> tie-break
+    // lands everything on cell 0; cells 1, 2 stay empty without error
+    assert(out.forall(_ == 0))
+  }
 }
