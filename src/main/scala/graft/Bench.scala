@@ -97,8 +97,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir","queries":$fullQs}"""
+    // subset (targeted) runs must never clobber the committed
+    // full-suite record — they land in BENCH_SUBSET.json unless the
+    // caller routes them explicitly via SPARK_GRAFT_BENCH_OUT
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      if (args.nonEmpty) "/root/repo/BENCH_SUBSET.json"
+      else "/root/repo/BENCH_FULL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
