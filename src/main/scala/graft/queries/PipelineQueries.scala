@@ -758,6 +758,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // END-TO-END TRAINED IVF: Lloyd-trained coarse quantizer, corpus
+    // cell assignment, nProbe=2 < nCells=8 probe pruning, quantized-
+    // cosine ranking — all exact-integer, so the oracle replays
+    // training AND serving and the hash gate tests the trained
+    // centroids and the pruning themselves (q_sim_ann_ivf's
+    // exhaustive-probe oracle, by contrast, is centroid-invariant).
+    "q_sim_ann_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKQuantized(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 2, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs via LSH buckets, in the HIGH-SIM
     // regime — the regime LSH is FOR. At thresholds inside the corpus
     // background (r2 ran 0.4 with planes=4 x tables=50) SRP buckets
@@ -1785,6 +1799,110 @@ object PipelineQueries {
         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
         |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin,
+    // Trained-IVF serving on top of the SAME training replay: corpus
+    // assignment under the trained centroids, nProbe=2 nearest cells
+    // per query by the identical exact distance, quantized-cosine
+    // ranking inside probed cells (int dot, one portable division).
+    "q_sim_ann_ivf_trained" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
+        |n AS (SELECT vec_id, codes,
+        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |      FROM c),
+        |cand AS (
+        |  SELECT q.query_id, t.vec_id AS neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
+        |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |          AS DOUBLE)
+        |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |      AS sim
+        |  FROM qp q
+        |  JOIN a3 a ON a.cell = q.cell
+        |  JOIN n t ON t.vec_id = a.vec_id
+        |  JOIN n qn ON qn.vec_id = q.query_id
+        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM cand)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -272,30 +272,49 @@ object Similarity {
     * under the final centroids. */
   def kmeansFitInt8(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(iters >= 1, "iters must be positive")
     val codes = quantizeInt8(df, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
       .cache()
+    val cents = kmeansTrain(codes, k, iters)
+    codes.withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", assignCellExpr("codes"))
+      .select(col("id"), col("cell"))
+  }
+
+  /** The k x dim centroid map as a broadcast array-of-struct literal
+    * (`__cents` convention: `struct(cell INT, cent ARRAY<BIGINT>)`,
+    * sorted by cell). */
+  private def centsLiteral(cents: Map[Int, Array[Long]]): Column =
+    array(cents.toSeq.sortBy(_._1).map { case (c, v) =>
+      struct(lit(c).as("cell"), typedlit(v.toSeq).as("cent"))
+    }: _*)
+
+  /** Deterministic argmin cell over `__cents` by (exact int64
+    * squared-L2 on the milli grid, cell id): structs order
+    * lexicographically, so array_min IS the argmin with the lower
+    * cell id breaking ties. */
+  private def assignCellExpr(codesCol: String): Column = expr(
+    s"""array_min(transform(__cents, ct -> struct(
+       |  aggregate(zip_with(`$codesCol`, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
+       |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+       |  ct.cell AS c))).c""".stripMargin)
+
+  /** The Lloyd training loop over a cached `(id, codes)` relation —
+    * see [[kmeansFitInt8]] for the exactness and scale contract.
+    * Returns the trained cell -> milli-grid centroid map. */
+  private def kmeansTrain(codes: DataFrame, k: Int,
+      iters: Int): Map[Int, Array[Long]] = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 1, "iters must be positive")
     val init = codes.orderBy("id").limit(k).collect()
     require(init.length == k, s"k-means needs >= $k vectors, got ${init.length}")
     var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
       i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
     }.toMap
-    def centsCol: Column = array(cents.toSeq.sortBy(_._1).map { case (c, v) =>
-      struct(lit(c).as("cell"), typedlit(v.toSeq).as("cent"))
-    }: _*)
-    // argmin by (exact int distance, cell id): structs order
-    // lexicographically, so array_min IS the deterministic argmin
-    val assignExpr = expr(
-      """array_min(transform(__cents, ct -> struct(
-        |  aggregate(zip_with(codes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
-        |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
-        |  ct.cell AS c))).c""".stripMargin)
     for (_ <- 1 to iters) {
-      val sums = codes.withColumn("__cents", centsCol)
-        .withColumn("cell", assignExpr)
+      val sums = codes.withColumn("__cents", centsLiteral(cents))
+        .withColumn("cell", assignCellExpr("codes"))
         .select(col("cell"), posexplode(col("codes")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"))
@@ -316,9 +335,67 @@ object Similarity {
         }
       }
     }
-    codes.withColumn("__cents", centsCol)
-      .withColumn("cell", assignExpr)
-      .select(col("id"), col("cell"))
+    cents
+  }
+
+  /** END-TO-END TRAINED IVF over int8 codes: train the coarse
+    * quantizer with [[kmeansFitInt8]]'s Lloyd loop, assign the corpus
+    * to cells, probe only the `nProbe` cells nearest each query, and
+    * rank candidates by quantized cosine — the full
+    * train -> index -> serve ANN path, every step on exact integer
+    * arithmetic (assignment/probing by exact int64 milli-grid
+    * distances, scoring by the [[quantizedTopK]] int-dot + one
+    * bit-portable division), so the WHOLE pipeline sits behind the
+    * DuckDB hash gate with `nProbe < nCells` — unlike an
+    * exhaustive-probe oracle, the trained centroids and the probe
+    * pruning are themselves under test.
+    *
+    * Scale shape: centroids broadcast down as k x dim literals; the
+    * corpus is assigned map-side; query probes are query-bounded and
+    * broadcast into the candidate join (the corpus side streams, only
+    * probed-cell rows are scored); final top-k is a per-query window
+    * over candidate rows. Zero-norm vectors score null and are
+    * filtered, matching the cosine contract. */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, nProbe: Int,
+      iters: Int = 2, simDecimals: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    val nsq = (c: Column) => aggregate(c,
+      lit(0L), (a, x) => a + x * x)
+    val corpusCodes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut)
+      .cache()
+    val cents = kmeansTrain(corpusCodes, nCells, iters)
+    val assigned = corpusCodes
+      .withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", assignCellExpr("codes"))
+      .select(col("id"), col("codes"), nsq(col("codes")).as("nsq"), col("cell"))
+    // nProbe nearest cells per query by the same exact distance
+    // (sort_array on struct(d, c) = (distance, cell-id) order)
+    val qProbes = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("query_id"), col("codes").as("qcodes"))
+      .withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", explode(expr(
+        s"""transform(slice(array_sort(transform(__cents, ct -> struct(
+           |  aggregate(zip_with(qcodes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
+           |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+           |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
+      .select(col("query_id"), col("qcodes"),
+        nsq(col("qcodes")).as("qnsq"), col("cell"))
+    val scored = broadcast(qProbes).join(assigned, Seq("cell"))
+      .where(col("id") =!= col("query_id") &&
+        col("qnsq") > 0L && col("nsq") > 0L)
+      .withColumn("sim", round(
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).cast("double") /
+          (sqrt(col("qnsq").cast("double")) * sqrt(col("nsq").cast("double"))),
+        simDecimals))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN

@@ -178,6 +178,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out2 == expected)
   }
 
+  test("ivfTopKQuantized: shape, sims agree with exhaustive, recall floor, exhaustive-probe == brute") {
+    val q = emb.filter(col("vec_id") < 10)
+    val tr = Similarity.ivfTopKQuantized(q, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2, iters = 2).collect()
+    val byQ = tr.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length) &&
+        rows.length <= 5)
+      // ranks follow (sim desc, id) exactly
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(r => (-r.getDouble(3), r.getLong(2))).toSeq ==
+        sorted.map(r => (-r.getDouble(3), r.getLong(2))).sortBy(identity).toSeq)
+    }
+    val ex = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 5)
+      .collect()
+    val exSims = ex.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // any (query, neighbor) the pruned index returns must score exactly
+    // as the exhaustive kernel scores it
+    tr.foreach { r =>
+      exSims.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        assert(s == r.getDouble(3)) }
+    }
+    val trSet = tr.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exSet = ex.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = trSet.intersect(exSet).size.toDouble / exSet.size
+    assert(recall >= 0.5, s"recall@5 $recall under nProbe=2/8") // measured 0.82
+    // probing every cell makes the trained index exhaustive == brute
+    val full = Similarity.ivfTopKQuantized(q, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == ex.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("kmeansFitInt8: identical points collapse to cell 0, empty cells survive") {
     import spark.implicits._
     val same = Seq.fill(6)(Array(1.0f, 2.0f, 3.0f)).zipWithIndex
