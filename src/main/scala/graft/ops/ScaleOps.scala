@@ -55,4 +55,32 @@ object ScaleOps {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** SMALL-FILES COMPACTION for a parquet path — the lake-hygiene op
+    * every incremental pipeline needs: micro-batch/per-drop sinks
+    * accumulate thousands of KB-sized files, and at 100 TB the
+    * listing + per-file open cost starts to dominate scans. Rewrites
+    * the path at `ceil(totalBytes / targetBytes)` files via a
+    * round-robin `repartition` (even output sizes — `coalesce` would
+    * merge unevenly and can collapse upstream parallelism).
+    *
+    * Only file METADATA is listed driver-side (names + sizes — the
+    * same listing every scan does anyway); the data itself moves
+    * through one distributed read -> shuffle -> write. Returns the
+    * output file count. Content is untouched — that is the
+    * q_k4_compaction gate's claim. */
+  def compactPath(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

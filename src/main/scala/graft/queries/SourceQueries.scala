@@ -199,6 +199,34 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // K4 — small-files compaction: a per-drop sink leaves the lake as
+    // 64 KB-sized fragments (staged here by a repartition(64) write);
+    // ScaleOps.compactPath rewrites at ceil(bytes/target) files.
+    // The gate proves content invariance through the rewrite (count,
+    // id sum, and per-text md5 distinct per source) plus the
+    // compaction contract itself (fewer files, exactly the computed
+    // count — booleans the oracle states as literals).
+    "q_k4_compaction" -> ((s, d) => {
+      val out = tmpDir("k4")
+      val docs = Tables.documents(s, d)
+      docs.repartition(64).write.mode("overwrite")
+        .parquet(out + "/fragmented")
+      val nAfter = graft.ops.ScaleOps.compactPath(s, out + "/fragmented",
+        out + "/compacted", targetBytes = 64L * 1024 * 1024)
+      val fs = new org.apache.hadoop.fs.Path(out + "/compacted")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(out + "/compacted"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      s.read.parquet(out + "/compacted")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .withColumn("fewer_files", lit(files < 64))
+        .withColumn("file_count_as_computed", lit(files == nAfter))
+        .orderBy("source")
+    }),
+
     // S3+S4 — the monthly WORKBOOK DROP chain end-to-end: supplier is
     // published as a zip-wrapped .xlsx (SheetWrite: title row + blank
     // row + header, trailing Notes sheet — the reference workbooks'
@@ -393,6 +421,14 @@ object SourceQueries {
         |  CAST(sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
         |      THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // compaction is value-invisible: the aggregates come straight from
+    // the original table, and the contract booleans are literals
+    "q_k4_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  count(DISTINCT md5(text)) AS n_texts,
+        |  TRUE AS fewer_files, TRUE AS file_count_as_computed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_s6_geocode" ->
       """WITH c AS (
         |  SELECT c_custkey AS code,

@@ -74,4 +74,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS or_bkt")
     }
   }
+
+  test("compactPath: fewer files at the computed count, content byte-identical") {
+    val dir = graft.util.TempDirs.scoped("graft-compact").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(16).write.mode("overwrite").parquet(dir + "/frag")
+    def parquetFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(hp)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val fragFiles = parquetFiles(dir + "/frag")
+    assert(fragFiles.length == 16)
+    // target sized to force a 2+-file result so the ceil math is
+    // actually exercised (not just the n=1 collapse)
+    val total = fragFiles.map(_.getLen).sum
+    val target = total / 3 + 1
+    val n = ScaleOps.compactPath(spark, dir + "/frag", dir + "/out", target)
+    assert(n == math.ceil(total.toDouble / target).toInt && n >= 2 && n < 16)
+    assert(parquetFiles(dir + "/out").length == n)
+    val before = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = spark.read.parquet(dir + "/out").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+  }
 }
