@@ -199,6 +199,27 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // S8d — ORC scan + sink: the other columnar lake format (some
+    // upstream estates publish ORC; an engine that only reads its own
+    // parquet can't ingest them). Same explicit-schema discipline as
+    // the parquet/JSONL legs; text byte-exactness proven through the
+    // roundtrip by per-text md5 distincts. DuckDB cannot read ORC, so
+    // the oracle restates the aggregates from the original table —
+    // the roundtrip must be value-invisible, exactly the
+    // q_jsonl_roundtrip contract.
+    "q_s8_orc_roundtrip" -> ((s, d) => {
+      val out = tmpDir("orc")
+      Tables.documents(s, d).write.mode("overwrite").orc(out + "/docs")
+      s.read.schema(Tables.documents(s, d).schema).orc(out + "/docs")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"))
+        .orderBy("source")
+    }),
+
     // K4 — small-files compaction: a per-drop sink leaves the lake as
     // 64 KB-sized fragments (staged here by a repartition(64) write);
     // ScaleOps.compactPath rewrites at ceil(bytes/target) files.
@@ -421,6 +442,14 @@ object SourceQueries {
         |  CAST(sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
         |      THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // ORC roundtrip is value-invisible (DuckDB has no ORC reader; the
+    // jsonl-roundtrip contract oracle)
+    "q_s8_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_texts,
+        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // compaction is value-invisible: the aggregates come straight from
     // the original table, and the contract booleans are literals
     "q_k4_compaction" ->

@@ -68,6 +68,42 @@ class ChunkTextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("property: invariants hold on random whitespace-heavy strings") {
+    // fixed-seed manual sampling (scalacheck runner isn't on the
+    // offline classpath — same convention as HashKernelPropertySpec)
+    val rng = new scala.util.Random(1234)
+    val ws = " \t\n\r"
+    def randomText(): String = {
+      val n = rng.nextInt(400)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        if (rng.nextInt(4) == 0) sb.append(ws(rng.nextInt(ws.length)))
+        else sb.append(('a' + rng.nextInt(26)).toChar)
+      }
+      sb.toString
+    }
+    val expr = ChunkTextExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), maxChars = 1)
+    (0 until 500).foreach { _ =>
+      val m = 1 + rng.nextInt(50)
+      val s = randomText()
+      val got = ChunkTextExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), m)
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .array.map(_.toString)
+      assert(got.mkString("") == s, s"m=$m text='$s'")
+      got.foreach(c => assert(c.nonEmpty && c.length <= m))
+      got.dropRight(1).foreach(c =>
+        assert(c.length == m || ws.contains(c.last)))
+      assert(got.toSeq == refChunks(s, m), s"m=$m text='$s'")
+    }
+    // degenerate window: maxChars=1 must emit one chunk per char
+    val one = expr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab c"))
+      .array.map(_.toString)
+    assert(one.toSeq == Seq("a", "b", " ", "c"))
+  }
+
   test("whole-stage codegen path == interpreted eval") {
     // same pattern as the other kernels: force both paths and compare
     val df = Tables.documents(spark, sf).select(col("text"))
