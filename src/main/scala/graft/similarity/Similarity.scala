@@ -247,7 +247,11 @@ object Similarity {
 
   /** Distributed LLOYD K-MEANS over INT8-quantized vectors — the IVF
     * coarse-quantizer TRAINING step ([[ivfTopK]]'s scaladoc promises
-    * "a k-means refinement drops in"; this is it).
+    * "a k-means refinement drops in"; this is it). Lloyd's algorithm
+    * (1957/1982, public) in the standard scalable formulation:
+    * broadcast centroids down, partial-aggregate assignments up —
+    * the same shape as the classic MapReduce k-means (public
+    * literature throughout, e.g. Zhao et al. 2009).
     *
     * Engine-exact by construction, so the whole training loop can sit
     * behind the DuckDB hash gate:
@@ -399,9 +403,11 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN
-    * scale path: partition the corpus into `nCells` Voronoi cells
-    * around centroids, store an inverted list per cell, and probe only
-    * the `nProbe` cells nearest each query.
+    * scale path (Jegou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search", public — the coarse-quantizer half): partition
+    * the corpus into `nCells` Voronoi cells around centroids, store an
+    * inverted list per cell, and probe only the `nProbe` cells nearest
+    * each query.
     *
     * Centroids here are a deterministic evenly-spaced-by-id sample of
     * the corpus (the [[kmeansFitInt8]] training loop refines them
