@@ -652,17 +652,29 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, minLen: Int): DataFrame = {
-    val spark = df.sparkSession
-    val pos = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        graft.plans.KgramHashesExpr.kgramHashes(spark, col(textCol), k).as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val pos = kgramPositions(df, idCol, textCol, k)
     val dupHashes = pos.groupBy("h")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .where(col("mn") =!= col("mx"))
       .select("h")
-    val flagged = pos.join(dupHashes, Seq("h"), "left_semi")
+    mergeIslands(pos.join(dupHashes, Seq("h"), "left_semi"), k, minLen)
+  }
+
+  /** Per-position k-gram hash table `(doc_id, pos, h)` — shared by the
+    * cross-doc and within-doc span detectors. */
+  private def kgramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.KgramHashesExpr.kgramHashes(
+          df.sparkSession, col(textCol), k).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+
+  /** Gaps-and-islands merge of flagged positions into maximal char
+    * spans `[min, max+k)`, keeping spans >= `minLen` — the shared tail
+    * of both span detectors. */
+  private def mergeIslands(flagged: DataFrame, k: Int,
+      minLen: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     flagged
@@ -679,6 +691,31 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_len"))
       .where(col("span_len") >= minLen)
       .orderBy("doc_id", "span_start")
+  }
+
+  /** WITHIN-DOC self-repetition spans — the intra-document half of
+    * substring dedup (Lee et al. 2022 strip repeats wherever they
+    * occur; [[duplicatedSpans]] covers the cross-document case, this
+    * covers boilerplate repeated INSIDE one document — nav blocks,
+    * chorus lines, template stubs). A position is flagged when its
+    * k-gram occurs at MORE THAN ONE position of the SAME doc; flagged
+    * positions merge to maximal spans exactly as in
+    * [[duplicatedSpans]] (shared tail). ALL occurrences are flagged,
+    * matching the cross-doc detector's symmetric semantics — the
+    * detector reports the repeated regions, a keep-first policy
+    * belongs to the apply step.
+    *
+    * Scale shape: one groupBy on (doc_id, h) — partial-aggregated,
+    * doc-local keys so the shuffle is well-spread — plus the same
+    * per-doc windows; no self-join at all. */
+  def selfRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minLen: Int): DataFrame = {
+    val pos = kgramPositions(df, idCol, textCol, k)
+    val rep = pos.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .select("doc_id", "h")
+    mergeIslands(pos.join(rep, Seq("doc_id", "h"), "left_semi"), k, minLen)
   }
 
   /** The APPLY step for [[duplicatedSpans]] — Lee et al. 2022's

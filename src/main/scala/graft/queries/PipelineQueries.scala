@@ -393,6 +393,18 @@ object PipelineQueries {
         k = 20, minLen = 40)
     }),
 
+    // WITHIN-DOC self-repetition spans (the intra-document half of
+    // Lee et al. substring dedup): a k-gram occurring at 2+ positions
+    // of the SAME doc flags its positions; islands merge as in
+    // q_dedup_spans. One (doc, hash) groupBy — no self-join. k=10
+    // (vs the cross-doc detector's 20): within-doc repeats are
+    // shorter-period — the fixture's natural phrase repetitions
+    // surface at this scale and the output is non-trivially sized.
+    "q_dedup_selfspans" -> ((s, d) => {
+      Dedup.selfRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 10, minLen = 20)
+    }),
+
     // The APPLY step for span dedup — cut the flagged spans out of
     // the text (Lee et al. remove-the-substring semantics), keep the
     // rest of the doc byte-exact. md5 over the cleaned text proves
@@ -1412,6 +1424,37 @@ object PipelineQueries {
         |  max(i) + 20 - min(i) AS span_len
         |FROM x GROUP BY doc_id, island
         |HAVING max(i) + 20 - min(i) >= 40
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // Same k-gram fold; dup = (doc, hash) pairs hit 2+ times IN THAT
+    // DOC, islands identical to q_dedup_spans
+    "q_dedup_selfspans" ->
+      raw"""WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text) - 10 + 1)) AS i
+        |  FROM documents WHERE length(text) >= 10),
+        |kg AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(list_transform(range(10),
+        |        j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 4294967296) AS h
+        |  FROM pos),
+        |dup AS (SELECT doc_id, h FROM kg GROUP BY doc_id, h
+        |        HAVING count(*) >= 2),
+        |c AS (SELECT kg.doc_id, kg.i FROM kg
+        |      JOIN dup ON kg.doc_id = dup.doc_id AND kg.h = dup.h),
+        |l AS (SELECT doc_id, i,
+        |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM c),
+        |f AS (SELECT doc_id, i,
+        |    CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |x AS (SELECT doc_id, i,
+        |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 10 AS span_end,
+        |  max(i) + 10 - min(i) AS span_len
+        |FROM x GROUP BY doc_id, island
+        |HAVING max(i) + 10 - min(i) >= 20
         |ORDER BY doc_id, span_start""".stripMargin,
     // Apply leg: same span CTE chain, then stitch the KEPT segments
     // (gap before each span + the tail after the last) with an

@@ -199,6 +199,51 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bucketed co-located fact-to-fact join THROUGH THE GATE: both
+    // sides written bucketed on the join key, then joined with
+    // broadcast disabled — the contract booleans pin that the join
+    // plan has NO Exchange on either side and reads bucket-aware
+    // scans (the 100 TB repeated-join payoff ScaleOpsSpec asserts;
+    // here the driver gate sees it too). Values oracle = the plain
+    // join restated in DuckDB: bucketing must be value-invisible.
+    "q_scale_bucketed" -> ((s, d) => {
+      // DROP alone is not enough: a FRESH JVM's derby metastore has no
+      // table entry, but the warehouse LOCATION from a previous run
+      // persists on disk and saveAsTable refuses to reuse it
+      // (LOCATION_ALREADY_EXISTS) — clear both, like ScaleOpsSpec
+      Seq("g_li_bkt", "g_or_bkt").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.ops.ScaleOps.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "g_li_bkt", "l_orderkey", 8)
+      graft.ops.ScaleOps.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        "g_or_bkt", "l_orderkey", 8)
+      def joined = s.table("g_li_bkt").join(s.table("g_or_bkt"), "l_orderkey")
+      // plan shape probed under the no-broadcast regime the tables
+      // would face at fact-to-fact scale; values computed normally
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (noExchange, bucketScan) =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val plan = joined.queryExecution.executedPlan.toString
+          (!plan.contains("Exchange"), plan.contains("Bucketed: true"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_keys"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("no_exchange", lit(noExchange))
+        .withColumn("bucket_scan", lit(bucketScan))
+        .orderBy("o_orderpriority")
+    }),
+
     // S8d — ORC scan + sink: the other columnar lake format (some
     // upstream estates publish ORC; an engine that only reads its own
     // parquet can't ingest them). Same explicit-schema discipline as
@@ -442,6 +487,15 @@ object SourceQueries {
         |  CAST(sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
         |      THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // bucketing is value-invisible; the plan-shape contract booleans
+    // are literals
+    "q_scale_bucketed" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(l.l_orderkey) AS BIGINT) AS sum_keys,
+        |  count(DISTINCT l.l_orderkey) AS n_orders,
+        |  TRUE AS no_exchange, TRUE AS bucket_scan
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     // ORC roundtrip is value-invisible (DuckDB has no ORC reader; the
     // jsonl-roundtrip contract oracle)
     "q_s8_orc_roundtrip" ->

@@ -259,6 +259,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("selfRepeatedSpans: within-doc repeats flagged, cross-doc-only repeats ignored") {
+    import spark.implicits._
+    val d = Seq(
+      // "abcdefghij" (10 chars) repeats at 0 and 12 -> both occurrences
+      // flagged, two spans of exactly k
+      (1L, "abcdefghij##abcdefghij"),
+      // shares a run with doc 1 but repeats NOTHING internally
+      (2L, "abcdefghij the quick brown fox"),
+      (3L, "no repetition in here at all!!")).toDF("doc_id", "text")
+    val spans = Dedup.selfRepeatedSpans(d, "doc_id", "text", k = 10, minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(spans == List((1L, 0L, 10L), (1L, 12L, 22L)))
+    // the cross-doc detector sees doc1/doc2's shared run instead
+    val cross = Dedup.duplicatedSpans(d, "doc_id", "text", k = 10, minLen = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(cross == Set(1L, 2L))
+  }
+
   test("removeDuplicatedSpans: cut equals scala-side splice; no-span docs intact") {
     import spark.implicits._
     val d = Seq(
