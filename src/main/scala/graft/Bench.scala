@@ -80,12 +80,29 @@ object Bench {
       if (attempts.map(_._2).min > cpus.toInt * 0.3) attempts :+= attempt()
       (name, attempts.map(_._1).min, attempts.map(_._1), attempts.map(_._2).max)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val runLoad = load1()
+    // The driver stores only a ~2,000-char TAIL of stdout and then
+    // parses it as JSON: r4's full 123-query line exceeded that, its
+    // opening brace was cut off, and the whole round's bench parsed as
+    // null. Emit a line GUARANTEED to fit — 3-decimal timings for the
+    // costliest queries up to a char budget (they carry ~all the
+    // total), plus the full-record file pointer for everything else.
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val budget = 1550
+    val picked = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var used = 0
+      for ((k, v, _, _) <- results.sortBy(-_._2)) {
+        val len = k.length + f3(v).length + 4 // quotes + colon + comma
+        if (used + len <= budget) { buf += ((k, v)); used += len }
+      }
+      buf.sortBy(_._1)
+    }
+    val qs = picked.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
     // FULL results file: the driver keeps only a ~2,000-char tail of
     // stdout, which truncated the first 33 of 99 query timings in r3 —
     // the complete per-query record (all attempts + per-query load)

@@ -25,19 +25,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it with the
-    * legacy nanos-as-long conf and surface BOTH the raw nanos (`ts_ns`,
-    * bigint) and a proper microsecond `ts` timestamp. Integer `div` —
-    * not `/` — because nano epochs (~1.7e18) exceed a double's exact
-    * integer range (2^53). */
+  /** The `events.ts` on-disk encoding has varied across driver data
+    * generations: INT64 TIMESTAMP(NANOS) (readable only via the legacy
+    * nanos-as-long conf — Spark rejects TIMESTAMP(NANOS) natively) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * [[normalizeEventTs]] accepts either — plus a plain bigint-nanos
+    * column, the shape test fixtures write — so every consumer sees one
+    * contract: `ts_ns` (bigint epoch nanos) + `ts` (microsecond
+    * timestamp). Integer `div` — not `/` — because nano epochs
+    * (~1.7e18) exceed a double's exact integer range (2^53). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize a raw `ts` column of any supported encoding (bigint
+    * epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ) to the `ts_ns` +
+    * microsecond-`ts` contract. NTZ casts through TimestampType: the
+    * session timezone is pinned to UTC (Verify/Bench/TestSpark), so the
+    * cast is epoch-identity, matching DuckDB's `epoch_ns(ts)` oracle
+    * arithmetic on the same file. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

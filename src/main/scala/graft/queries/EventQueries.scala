@@ -152,9 +152,11 @@ object EventQueries {
     // a stream-stream join pays 4 state stores per partition PER
     // MICRO-BATCH — the most commit-heavy fixture in the suite.
     "q_stream_join" -> ((s, d) => {
+      // stage with the file's OWN schema (no forced ts type): the
+      // staged drops then carry the same encoding, and readEvents
+      // re-peeks it — one spot adapts to driver data regenerations
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.schema(graft.streaming.EventStreams.rawSchema)
-        .parquet(s"$d/events.parquet")
+      val raw = s.read.parquet(s"$d/events.parquet")
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         raw, "event_id", 4, "graft-stream-join")
       val ev = graft.streaming.EventStreams.readEvents(

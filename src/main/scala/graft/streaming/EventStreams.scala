@@ -15,15 +15,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of the events table: ts is INT64 nanos (read
-    * with nanosAsLong — Spark rejects TIMESTAMP(NANOS) natively). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema of the events table, parameterized on the ts
+    * encoding — driver data generations have shipped both INT64 nanos
+    * (read with nanosAsLong; Spark rejects TIMESTAMP(NANOS) natively)
+    * and TIMESTAMP(MICROS) NTZ. A file-source stream REQUIRES an
+    * explicit schema, and forcing the wrong ts type silently
+    * misreads the epoch scale — so [[readEvents]] peeks the real type
+    * off the already-staged files instead of assuming. */
+  def rawSchemaFor(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, tsUs: Long)
@@ -46,16 +52,20 @@ object EventStreams {
       .setScale(0, java.math.RoundingMode.HALF_EVEN).longValue
 
   /** File-source stream over a drop folder (or a single parquet file)
-    * of events; emits a proper microsecond `ts` timestamp column. */
+    * of events, normalized to the `ts_ns` + microsecond-`ts` contract
+    * ([[graft.Tables.normalizeEventTs]]). The drop folder must already
+    * hold at least one file when the stream is DEFINED (every fixture
+    * stages first): a one-off batch peek supplies the ts encoding for
+    * the forced stream schema. */
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
-    maxFilesPerTrigger.fold(reader)(m =>
-        reader.option("maxFilesPerTrigger", m.toString))
-      .parquet(path)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val reader = spark.readStream.schema(rawSchemaFor(tsType))
+    graft.Tables.normalizeEventTs(
+      maxFilesPerTrigger.fold(reader)(m =>
+          reader.option("maxFilesPerTrigger", m.toString))
+        .parquet(path))
   }
 
   /** Watermarked tumbling-window counts per event type. Event-time,
