@@ -246,10 +246,18 @@ object Dedup {
     * dedups), so band-collision multiplicity needs no upstream
     * `distinct`. */
   def verifyCandidatePairs(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(candidates, shingles(df, idCol, textCol, n).cache(),
-        idCol, threshold)
+      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // same logical plan as verifyJaccard's internal cache -> one entry
+    val cand = candidates.cache()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b"))).distinct()
+    // shingle only the docs verification can touch (see
+    // minHashLshPairs) — candidate sets are a sliver of the corpus
+    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n).cache()
+    verifyJaccard(cand, sh, idCol, threshold, candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** MinHash signature as a Column (nested HOFs): reference semantics
     * in one expression — fine for tests/small data, but higher-order
@@ -297,9 +305,6 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // shingle table feeds the exact-verification joins only; the
-    // signature leg runs the compiled per-row kernel instead (below)
-    val sh = shingles(df, idCol, textCol, n).cache()
     // signatures via the per-row compiled kernel — one pass over the
     // doc text inside the scan projection, versus the explode+groupBy
     // path's 64 hash columns over every (doc, shingle) row plus a
@@ -336,8 +341,17 @@ object Dedup {
       .select("band", "bh")
     val candIds = buckets.join(shared2, Seq("band", "bh"), "left_semi")
       .select(idCol).distinct()
-    // exact verification on the candidate set only (shares `sh`); no
-    // pair-level distinct — verifyJaccard's final semi-join dedups
+    // shingle table for exact verification, restricted to CANDIDATE
+    // docs BEFORE the shingle kernel ever runs: the previous
+    // full-corpus shingles(df).cache() materialized every doc's
+    // shingle set only for verifyJaccard's semi-join to discard all
+    // non-candidates — at a 10% candidate rate that cache was 10x the
+    // rows verification can touch (measured ~2s of the per-query cost
+    // at sf0.1). candIds is a superset of the ids in `candidates`, so
+    // verification still sees every needed shingle.
+    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n).cache()
+    // no pair-level distinct — verifyJaccard's final semi-join dedups
     verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
   }
@@ -389,14 +403,16 @@ object Dedup {
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // no pair-level distinct — verifyJaccard's final semi-join dedups;
-    // cached: verifyJaccard reads `sh` for the candidate slice, the
-    // self-join, and the per-doc sizes
-    val sh = shingles(df, idCol, textCol, n).cache()
     // every doc in a candidate pair holds a live fingerprint, so the
     // fp table (not the pair stream) supplies the candidate doc ids
+    val candIds = fps.select(idCol).distinct()
+    // shingles restricted to candidate docs BEFORE the kernel runs —
+    // see minHashLshPairs: the full-corpus shingle cache existed only
+    // to be semi-joined down to this same set
+    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n).cache()
     verifyJaccard(candidates, sh, idCol, threshold,
-      candIdsHint = Some(fps.select(idCol).distinct()))
+      candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
   }
 

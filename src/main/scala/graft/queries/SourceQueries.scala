@@ -382,10 +382,16 @@ object SourceQueries {
     // oracle restates them directly from orders — the HTML leg must
     // be value-invisible.
     "q_s5_scrape_links" -> ((s, d) => {
+      // cached: dimension-sized (one row per published month) but
+      // derived from a fact scan — the page build, the broadcast cal
+      // of returnLinksRtt's join, AND its final left join each replay
+      // the 150k-row distinct otherwise (measured 9.8s -> 0.8s at
+      // sf0.1; at 100 TB the recomputation would be a corpus re-scan
+      // per consumer)
       val months = Tables.orders(s, d)
         .select(date_format(col("o_orderdate"), "MMMyy").as("month"),
           (month(col("o_orderdate")) % 2).as("evenm"))
-        .distinct()
+        .distinct().cache()
       val pages = months.select(lit("rtt").as("series"), concat(
           lit("<html><body><p>RTT waiting times data</p>"),
           lit("<a href=\"/x/full-extract-"), col("month"),
