@@ -293,6 +293,77 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // K5 — Z-ORDER clustered layout (the OPTIMIZE ZORDER primitive):
+    // lineitem rewritten clustered on the Morton interleave of two
+    // bucketed dimensions, then queried with a range predicate on
+    // BOTH. The layout must be value-invisible (the oracle restates
+    // the filter+aggregate from the original table), and the plan
+    // contract pins that both range predicates reach the parquet scan
+    // as pushed filters — the min/max pruning the clustering exists
+    // to feed. LayoutSpec asserts the physical payoff (per-file
+    // envelopes a fraction of the global range).
+    "q_layout_zorder" -> ((s, d) => {
+      val out = tmpDir("zorder") + "/li"
+      val li = Tables.lineitem(s, d).select(
+        pmod(col("l_orderkey"), lit(256)).as("zx"),
+        pmod(col("l_partkey"), lit(256)).as("zy"),
+        col("l_quantity"))
+      graft.ops.Layout.clusteredWrite(li, out,
+        graft.ops.Layout.zorderValue(Seq(col("zx"), col("zy")), 8),
+        numFiles = 16)
+      val back = s.read.parquet(out)
+        .filter(col("zx").between(16, 47) && col("zy").between(64, 95))
+      // formatted mode: the plain toString elides long filter lists
+      // ("GreaterThanOrEq...") — formatted prints them in full
+      val planStr = back.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = Seq("GreaterThanOrEqual(zx,16)", "LessThanOrEqual(zx,47)",
+        "GreaterThanOrEqual(zy,64)", "LessThanOrEqual(zy,95)")
+        .forall(planStr.contains)
+      back.groupBy("zx")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum("zy").as("sum_zy"))
+        .withColumn("filters_pushed", lit(pushed))
+        .orderBy("zx")
+    }),
+
+    // K6 — keyed MERGE (upsert) by partition-scoped rewrite: orders
+    // staged partitioned by month, then one year's revision batch
+    // (updated prices for key%7, inserted keys for key%13) merged in.
+    // Updates override, inserts land, every other month is never read
+    // or rewritten — and the full-table read-back aggregate the
+    // oracle restates proves the untouched months survived
+    // bit-exactly alongside the merged ones.
+    "q_k5_merge_upsert" -> ((s, d) => {
+      val out = tmpDir("k5") + "/orders"
+      def withShape(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        bround(col("o_totalprice") * lit(100.0), 0).cast("bigint")
+          .as("price_c"),
+        lit(0L).as("version"))
+      withShape(Tables.orders(s, d))
+        .write.mode("overwrite").partitionBy("month").parquet(out)
+      val base95 = withShape(Tables.orders(s, d))
+        .filter(col("month").startsWith("1995"))
+      val updates = base95.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price_c", col("price_c") + 100000L)
+          .withColumn("version", lit(1L))
+        .unionByName(base95.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("version", lit(1L)))
+      graft.ops.MergeUpsert.mergeByKey(s, out, updates,
+        keyCols = Seq("o_orderkey"), versionCol = "version",
+        partitionCol = "month")
+      s.read.parquet(out)
+        .groupBy("month")
+        .agg(count(lit(1)).as("n"),
+          sum("price_c").as("sum_price_c"),
+          sum("version").as("n_revised"))
+        .orderBy("month")
+    }),
+
     // S3+S4 — the monthly WORKBOOK DROP chain end-to-end: supplier is
     // published as a zip-wrapped .xlsx (SheetWrite: title row + blank
     // row + header, trailing Notes sheet — the reference workbooks'
@@ -502,6 +573,42 @@ object SourceQueries {
         |  TRUE AS no_exchange, TRUE AS bucket_scan
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // the clustered layout is value-invisible: the oracle filters and
+    // aggregates the original table; the pushdown contract is a literal
+    "q_layout_zorder" ->
+      """WITH z AS (
+        |  SELECT l_orderkey % 256 AS zx, l_partkey % 256 AS zy, l_quantity
+        |  FROM lineitem)
+        |SELECT zx, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(zy) AS BIGINT) AS sum_zy,
+        |  TRUE AS filters_pushed
+        |FROM z WHERE zx BETWEEN 16 AND 47 AND zy BETWEEN 64 AND 95
+        |GROUP BY zx ORDER BY zx""".stripMargin,
+    // the merge must reproduce exactly the keep-latest state the SQL
+    // computes from scratch — updated months and untouched months both
+    "q_k5_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT) AS price_c,
+        |    0 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, month, price_c + 100000 AS price_c, 1 AS version
+        |  FROM base WHERE o_orderkey % 7 = 0 AND month LIKE '1995%'
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, month, price_c, 1
+        |  FROM base WHERE o_orderkey % 13 = 0 AND month LIKE '1995%'),
+        |merged AS (
+        |  SELECT o_orderkey, month, price_c, version FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY version DESC) AS rn
+        |    FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        |  WHERE rn = 1)
+        |SELECT month, count(*) AS n,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(version) AS BIGINT) AS n_revised
+        |FROM merged GROUP BY month ORDER BY month""".stripMargin,
     // ORC roundtrip is value-invisible (DuckDB has no ORC reader; the
     // jsonl-roundtrip contract oracle)
     "q_s8_orc_roundtrip" ->

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** [[MergeUpsert.mergeByKey]]: updates override, inserts land,
+  * untouched partitions are physically untouched (same files, same
+  * modification times), and the staging dir never survives. */
+class MergeUpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("mergeByKey: update + insert semantics, partition-scoped rewrite") {
+    val dir = graft.util.TempDirs.scoped("merge-spec").resolve("t").toString
+    val base = Seq(
+      (1L, "a", 100L, 0L), (2L, "a", 200L, 0L),
+      (3L, "b", 300L, 0L), (4L, "b", 400L, 0L),
+      (5L, "c", 500L, 0L))
+      .toDF("k", "part", "v", "version")
+    base.write.partitionBy("part").parquet(dir)
+    val untouchedFiles = fs(dir).listStatus(new Path(dir, "part=c"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getModificationTime)).toSeq
+    // update k=1 (part a), insert k=9 into part b; part c untouched
+    val updates = Seq((1L, "a", 111L, 1L), (9L, "b", 900L, 1L))
+      .toDF("k", "part", "v", "version")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      keyCols = Seq("k"), versionCol = "version", partitionCol = "part")
+    val got = spark.read.parquet(dir)
+      .select("k", "part", "v", "version").orderBy("k").collect().toSeq
+    assert(got == Seq(
+      Row(1L, "a", 111L, 1L),  // updated
+      Row(2L, "a", 200L, 0L),  // kept (touched partition, unmatched key)
+      Row(3L, "b", 300L, 0L),
+      Row(4L, "b", 400L, 0L),
+      Row(5L, "c", 500L, 0L),  // untouched partition
+      Row(9L, "b", 900L, 1L))) // inserted
+    // untouched partition: identical files, identical mtimes
+    val after = fs(dir).listStatus(new Path(dir, "part=c"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getModificationTime)).toSeq
+    assert(after == untouchedFiles, "untouched partition was rewritten")
+    // staging is cleaned up
+    val leftovers = fs(dir).globStatus(new Path(dir + "-staging-*"))
+    assert(leftovers == null || leftovers.isEmpty, "staging dir survived")
+  }
+
+  test("mergeByKey: repeated merge of the same batch is idempotent") {
+    val dir = graft.util.TempDirs.scoped("merge-spec2").resolve("t").toString
+    Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L))
+      .toDF("k", "part", "v", "version")
+      .write.partitionBy("part").parquet(dir)
+    val updates = Seq((1L, "a", 111L, 1L)).toDF("k", "part", "v", "version")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      Seq("k"), "version", "part")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      Seq("k"), "version", "part")
+    val got = spark.read.parquet(dir)
+      .select("k", "v", "version").orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1L, 111L, 1L), Row(2L, 200L, 0L)))
+  }
+}
