@@ -52,7 +52,17 @@ object MergeUpsert {
     // partition-count-sized driver work, not data movement.
     val staging = new Path(path + "-staging-" +
       java.util.UUID.randomUUID.toString)
-    merged.write.mode("overwrite")
+    // co-locate each partition's rows before the partitioned write:
+    // the keep-latest window leaves a month's rows scattered over
+    // every key-hash task, and an unrepartitioned partitionBy write
+    // then emits one file per (task x partition) — a small-file
+    // explosion that multiplies open/close cost here and file-listing
+    // cost on every later scan. One hash shuffle on the partition
+    // column makes it ~one file per partition (a hot partition that
+    // overflows one task's memory would call for salting this
+    // repartition by a file-count divisor — not needed at
+    // month-partition grain).
+    merged.repartition(col(partitionCol)).write.mode("overwrite")
       .partitionBy(partitionCol).parquet(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {

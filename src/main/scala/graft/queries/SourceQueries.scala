@@ -344,6 +344,8 @@ object SourceQueries {
           .as("price_c"),
         lit(0L).as("version"))
       withShape(Tables.orders(s, d))
+        // co-located partitioned write — see MergeUpsert.mergeByKey
+        .repartition(col("month"))
         .write.mode("overwrite").partitionBy("month").parquet(out)
       val base95 = withShape(Tables.orders(s, d))
         .filter(col("month").startsWith("1995"))
