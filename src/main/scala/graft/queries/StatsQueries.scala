@@ -85,6 +85,8 @@ object StatsQueries {
       // era-dependent band: era A occupies bands 1..50 of 52 declared
       // columns (51-52 all-null -> pruneDeadBands must drop them);
       // era B occupies 56..105 of 105 (a genuinely wider histogram)
+      // cached: the two era stagings each run a pivot AND a totals
+      // aggregate over their era slice — four fact scans otherwise
       val f0 = Tables.lineitem(s, d).select(
         year(col("l_shipdate")).cast("string").as("monthyr"),
         col("l_linestatus").as("provider"),
@@ -97,6 +99,7 @@ object StatsQueries {
         when(col("l_tax") >= 0.04, 1L).otherwise(0L).as("unk"),
         (col("l_quantity").cast("bigint") +
           when(year(col("l_shipdate")) >= 1998, 55L).otherwise(0L)).as("band"))
+        .cache()
       val dir = graft.util.TempDirs.scoped("graft-band-drift")
       def stageEra(era: DataFrame, nBands: Int, path: String): Unit = {
         // wide fixture shape: one count column per band (pivot), plus
