@@ -524,8 +524,8 @@ object PipelineQueries {
       s.catalog.dropTempView("stream_dedup_out")
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.firstSeenDedup(
-            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "2").parquet(dir.toString))
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(2)))
           .toDF()
           .writeStream.format("memory").queryName("stream_dedup_out")
           .outputMode("append")
@@ -552,8 +552,8 @@ object PipelineQueries {
       s.catalog.dropTempView("stream_pack_out")
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.packStream(
-            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "2").parquet(dir.toString),
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(2)),
             budget = 512, shardSpan = 200)
           .toDF()
           .writeStream.format("memory").queryName("stream_pack_out")
@@ -591,8 +591,8 @@ object PipelineQueries {
       s.catalog.dropTempView("stream_neardup_cand")
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.lshCandidates(
-            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "2").parquet(dir.toString),
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(2)),
             n = 3, numHashes = 64, bands = 16)
           .toDF()
           .writeStream.format("memory").queryName("stream_neardup_cand")
@@ -670,8 +670,8 @@ object PipelineQueries {
             lit("@example.com now"))).otherwise(lit("")))
       graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
         val q = graft.streaming.PipelineStreams.hygieneTransform(
-            s.readStream.schema(graft.streaming.PipelineStreams.docSchema)
-              .option("maxFilesPerTrigger", "2").parquet(dir.toString)
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(2))
               .withColumn("text", aug),
             weights)
           .writeStream.format("memory").queryName("stream_ingest_out")

@@ -25,6 +25,12 @@ object PipelineStreams {
 
   /** `documents`-shaped drop-folder schema (one parquet file per
     * arriving batch). */
+  /** Canonical documents shape — used by specs to BUILD fixtures. For
+    * READING a staged drop folder prefer [[readDocs]]: a file-source
+    * stream requires an explicit schema, and a forced one silently
+    * diverges when the driver regenerates testdata with different
+    * physical types (exactly how round 4 lost the event streams —
+    * see graft.Tables.normalizeEventTs). */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -32,8 +38,18 @@ object PipelineStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  def readDocs(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(docSchema).parquet(path)
+  /** Documents file-source stream over an ALREADY-STAGED drop folder:
+    * the stream schema is peeked off the staged files themselves
+    * (every fixture stages before defining the stream), so the staged
+    * encoding — whatever the driver's data generation produced — is
+    * read back exactly. */
+  def readDocs(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    maxFilesPerTrigger.fold(reader)(m =>
+        reader.option("maxFilesPerTrigger", m.toString))
+      .parquet(path)
+  }
 
   /** Run `body` with `spark.sql.shuffle.partitions = n`, restoring the
     * previous value after. A streaming query FIXES its state-partition
