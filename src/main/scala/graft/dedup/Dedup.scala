@@ -539,10 +539,24 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster"))
+      // the convergence metric rides the checkpoint's own job via
+      // observe() instead of costing a separate aggregate job per
+      // round; the listener delivery is async, so a short wait plus
+      // the old aggregate as fallback keeps this hang-proof (the
+      // fallback reads the in-memory checkpoint — cheap, just not
+      // free)
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.union(viaEdges)
         .groupBy("id").agg(min("cluster").as("cluster"))
+        .observe(obs, coalesce(sum("cluster"), lit(0L)).as("s"))
         .localCheckpoint()
-      val s = next.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      val s = try {
+        scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(2, "s"))
+          .getAs[Long]("s")
+      } catch { case _: java.util.concurrent.TimeoutException =>
+        next.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      }
       converged = prevSum.contains(s)
       prevSum = Some(s)
       labels = next
