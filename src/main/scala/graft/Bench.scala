@@ -101,8 +101,16 @@ object Bench {
     }
     val qs = picked.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // the full-record pointer must name the file THIS run writes —
+    // subset runs land in BENCH_SUBSET.json (or the env override), and
+    // a hardcoded BENCH_FULL.json would point readers at a stale
+    // previous full-suite record
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (args.nonEmpty) "/root/repo/BENCH_SUBSET.json"
+      else "/root/repo/BENCH_FULL.json")
+    val outName = new java.io.File(outPath).getName
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName","queries":$qs,"sf":"$sfDir"}"""
     // FULL results file: the driver keeps only a ~2,000-char tail of
     // stdout, which truncated the first 33 of 99 query timings in r3 —
     // the complete per-query record (all attempts + per-query load)
@@ -117,9 +125,6 @@ object Bench {
     // subset (targeted) runs must never clobber the committed
     // full-suite record — they land in BENCH_SUBSET.json unless the
     // caller routes them explicitly via SPARK_GRAFT_BENCH_OUT
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (args.nonEmpty) "/root/repo/BENCH_SUBSET.json"
-      else "/root/repo/BENCH_FULL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -29,16 +29,31 @@ object MergeUpsert {
     * `versionCol` decides the winner per key (strictly greater wins;
     * versions must be distinct per key — base rows at version v and an
     * update at the same v would tie-break arbitrarily, so don't).
-    * `updates` must carry the table's full schema. */
+    * `updates` must carry the table's full schema, and its types pin
+    * the read-back schema (so numeric-LOOKING string partition values
+    * like "01" survive as written instead of being inferred to int 1
+    * and re-rendered into a different directory name).
+    *
+    * PRECONDITION — keys do not move between partitions: an update
+    * whose key exists in the base under a DIFFERENT partition value
+    * leaves the old row in place (that partition is untouched by
+    * design), yielding two live rows for the key. Partition the table
+    * on a key-derived or immutable column (month of a fixed event
+    * date, tenant, shard-of-key); a merge that must relocate keys is a
+    * rewrite of both partitions, not a partition-scoped upsert. */
   def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], versionCol: String,
       partitionCol: String): Unit = {
     val touched = updates.select(partitionCol).distinct()
     // base scan restricted to touched partitions BEFORE any shuffle —
-    // the semi-join key is the partition column, so the filter reaches
-    // the scan as partition pruning
-    val base = spark.read.parquet(path)
-      .join(touched, Seq(partitionCol), "left_semi")
+    // the join key is the partition column, so the filter reaches the
+    // scan as partition pruning. Null-safe: a null partition value is
+    // a legal directory (__HIVE_DEFAULT_PARTITION__), and a plain
+    // equi-semi-join would silently drop the base's null-partition
+    // rows while the swap still replaced their directory.
+    val base = spark.read.schema(updates.schema).parquet(path)
+      .join(touched.withColumnRenamed(partitionCol, "__tp"),
+        col(partitionCol) <=> col("__tp"), "left_semi")
     val all = base.unionByName(updates)
     val merged = all
       .withColumn("__rn", row_number().over(
@@ -65,15 +80,19 @@ object MergeUpsert {
     merged.repartition(col(partitionCol)).write.mode("overwrite")
       .partitionBy(partitionCol).parquet(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      fs.listStatus(staging).iterator
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .foreach { st =>
-          val target = new Path(path, st.getPath.getName)
-          if (fs.exists(target)) fs.delete(target, true)
-          require(fs.rename(st.getPath, target),
-            s"mergeByKey: failed to move ${st.getPath} into place")
-        }
-    } finally fs.delete(staging, true)
+    // swap; on a mid-swap failure the staging dir is PRESERVED — it
+    // holds the only copy of the not-yet-swapped merged partitions, so
+    // deleting it would leave the table half-merged with no recovery
+    // path. The error names the staging dir for manual completion.
+    fs.listStatus(staging).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        val target = new Path(path, st.getPath.getName)
+        if (fs.exists(target)) fs.delete(target, true)
+        require(fs.rename(st.getPath, target),
+          s"mergeByKey: failed to move ${st.getPath} into place — " +
+            s"remaining merged partitions preserved under $staging")
+      }
+    fs.delete(staging, true)
   }
 }

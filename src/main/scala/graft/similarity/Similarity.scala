@@ -496,7 +496,11 @@ object Similarity {
            |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
       .select(col("query_id"), col("qcodes"),
         nsqOf(col("qcodes")).as("qnsq"), col("cell"))
-      .cache()
+    // no cache: the probe derivation is query-side work (bounded by
+    // contract) and the result is lazy — a cache here would outlive
+    // the call and leak storage memory across serving calls. The
+    // distinct-cells collect recomputes it once; the broadcast join
+    // recomputes it once more.
     val probed = qProbes.select("cell").distinct()
       .collect().map(_.getInt(0)) // query-bounded by contract
     val postings = spark.read.parquet(path + "/postings")

@@ -51,6 +51,45 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(leftovers == null || leftovers.isEmpty, "staging dir survived")
   }
 
+  test("mergeByKey: null partition values merge (null-safe touch join)") {
+    val dir = graft.util.TempDirs.scoped("merge-spec-null").resolve("t").toString
+    Seq((1L, Option("a"), 100L, 0L), (2L, Option.empty[String], 200L, 0L))
+      .toDF("k", "part", "v", "version")
+      .write.partitionBy("part").parquet(dir)
+    // update the null-partition key AND insert another null-partition
+    // key: the base's null-partition rows must be read (a plain
+    // equi-semi-join would drop them and the swap would lose k=2)
+    val updates = Seq((2L, Option.empty[String], 222L, 1L),
+      (9L, Option.empty[String], 900L, 1L)).toDF("k", "part", "v", "version")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      Seq("k"), "version", "part")
+    val got = spark.read.parquet(dir)
+      .select("k", "v", "version").orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1L, 100L, 0L), Row(2L, 222L, 1L),
+      Row(9L, 900L, 1L)))
+  }
+
+  test("mergeByKey: numeric-looking STRING partition values keep their " +
+      "directory spelling (no int inference on read-back)") {
+    val dir = graft.util.TempDirs.scoped("merge-spec-str").resolve("t").toString
+    Seq((1L, "01", 100L, 0L), (2L, "02", 200L, 0L))
+      .toDF("k", "part", "v", "version")
+      .write.partitionBy("part").parquet(dir)
+    val updates = Seq((1L, "01", 111L, 1L)).toDF("k", "part", "v", "version")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      Seq("k"), "version", "part")
+    // the rewritten partition must land back in part=01 (inference
+    // would have read it as int 1 and staged a NEW part=1 dir)
+    assert(fs(dir).exists(new Path(dir, "part=01")))
+    assert(!fs(dir).exists(new Path(dir, "part=1")))
+    val got = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k LONG, part STRING, v LONG, version LONG"))
+      .parquet(dir)
+      .select("k", "part", "v", "version").orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1L, "01", 111L, 1L), Row(2L, "02", 200L, 0L)))
+  }
+
   test("mergeByKey: repeated merge of the same batch is idempotent") {
     val dir = graft.util.TempDirs.scoped("merge-spec2").resolve("t").toString
     Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L))
