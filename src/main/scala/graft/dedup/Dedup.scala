@@ -179,7 +179,73 @@ object Dedup {
     * scale hazard, see [[ngramJaccardPairs]]), one pair aggregate, two
     * size attaches, threshold filter. */
   private def jaccardFromShingles(sh: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    sharedCounts(sh, idCol)
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+
+  /** ASYMMETRIC near-dup: CONTAINMENT pairs. Jaccard misses the
+    * one-sided case — a tweet quoted whole inside an article scores
+    * |A∩B| / |A∪B| ≈ |A|/|B| ≈ 0, yet for training-data dedup the
+    * contained side IS a duplicate (Broder 1997 distinguishes
+    * resemblance from containment for exactly this reason). Reported
+    * per ORDERED pair: `containment = shared / n_small` with the
+    * smaller shingle set as `contained_id` (ties -> lower id), so a
+    * 0.9 threshold reads "90% of the smaller doc's shingles appear in
+    * the larger".
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: candidates from the
+    * shared-shingle equi-join under the same `maxDocFreq` skew cap
+    * (containment of pure boilerplate is not a dedup signal), exact
+    * counts on full shingle sets. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    // shared-counts relation (id_a, id_b, shared, n_a, n_b): exact
+    // path scores straight off the full self-join; capped path
+    // generates candidates from the df-pruned join, then RE-COUNTS on
+    // full shingle sets restricted to candidate docs (the
+    // ngramJaccardPairs discipline: the cap bounds candidate fan-out,
+    // reported values stay exact)
+    val counts = maxDocFreq match {
+      case None => sharedCounts(sh, idCol)
+      case Some(cap) =>
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        val pruned = sh.join(rare, Seq("shingle"), "left_semi")
+        val candidates = pruned.as("a")
+          .join(pruned.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct().cache()
+        val candIds = candidates.select(col("id_a").as(idCol))
+          .union(candidates.select(col("id_b"))).distinct()
+        sharedCounts(sh.join(candIds, Seq(idCol), "left_semi"), idCol)
+          .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    }
+    counts
+      .withColumn("contained_id",
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
+      .withColumn("container_id",
+        when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a")))
+      .withColumn("containment",
+        col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("contained_id", "container_id", "shared", "containment")
+  }
+
+  /** (id_a, id_b, shared, n_a, n_b) over a shingle relation — the
+    * shared head of [[jaccardFromShingles]] and [[containmentPairs]].
+    * Sizes come from the relation passed in, so callers restricting
+    * to candidate docs keep per-doc set sizes exact (restriction is
+    * per-doc, never per-shingle). */
+  private def sharedCounts(sh: DataFrame, idCol: String): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(sh.as("b"),
@@ -189,11 +255,6 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
   /** Exact-jaccard verification of a candidate pair set against the

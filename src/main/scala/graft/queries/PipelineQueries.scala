@@ -276,6 +276,26 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ASYMMETRIC near-dup: CONTAINMENT (Broder's resemblance vs
+    // containment split) — the quote/excerpt case jaccard scores near
+    // zero. Excerpt docs are PLANTED in-query (first 20 words of every
+    // 100th doc, re-joined on single spaces — a construction both
+    // engines state identically), so the true containment-1.0 pair
+    // set is known and non-empty; the oracle recomputes the whole
+    // ordered-pair relation from scratch.
+    "q_dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 20), " ")
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("contained_id"), col("container_id"), col("shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("contained_id", "container_id")
+    }),
+
     // MinHash+LSH near-dup pairs — the billion-doc path. xxhash64 isn't
     // portable to DuckDB, but the CONTRACT is: every true pair in this
     // corpus sits at jaccard >= 0.88, where 16x4 banding misses a pair
@@ -1368,6 +1388,41 @@ object PipelineQueries {
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // q_dedup_jaccard's shingle machinery over the excerpt-augmented
+    // corpus, scored as containment = shared / min(n_a, n_b) with the
+    // smaller side reported as contained_id (ties -> lower id, which
+    // the id_a < id_b join order provides)
+    "q_dedup_containment" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(trim(text), '\s+'), 1, 20), ' ') AS text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM u),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT id_a, id_b, shared, na.n_sh AS n_a, nb.n_sh AS n_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id)
+        |SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+        |  CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS container_id,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  round(1.0 * shared / least(n_a, n_b), 6) AS containment
+        |FROM c WHERE 1.0 * shared / least(n_a, n_b) >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
     "q_decontaminate" -> decontaminateOracle,
     // bloom pre-prune is result-invariant (false positives die in the
     // exact join), so the bloom run must hash-match the same closure

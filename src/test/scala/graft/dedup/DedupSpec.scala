@@ -318,4 +318,34 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getInt(2) == 50)
     }
   }
+
+  test("containmentPairs: excerpt fully contained scores 1.0; jaccard misses it; " +
+      "cap path re-verifies on full sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")  // 8 toks -> 6 shingles
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, words), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.9).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)   // contained, container
+    assert(r.getLong(2) == 6L)                          // all 6 excerpt shingles
+    assert(r.getDouble(3) == 1.0)
+    // jaccard at the same pair: 6 / (38 + 6 - 6) = 0.157... -> the
+    // symmetric metric misses what containment catches
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.15).where(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j < 0.2, s"jaccard $j should be far below the 1.0 containment")
+    // cap path: reported values must equal the exact path's wherever
+    // the capped candidate generation retains the pair
+    val exact = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.9).collect().toSet
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = Some(100)).collect().toSet
+    assert(capped == exact)
+  }
 }
