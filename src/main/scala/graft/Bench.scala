@@ -129,7 +129,18 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // the stdout contract still stands
+    // NOTHING may print after the JSON line — the driver keeps only a
+    // ~2,000-char stdout tail, and one async stack trace after the line
+    // (streaming-stop race, abandoned Observation future) pushes it out
+    // and nulls the round's bench (r5's tail opened mid-stacktrace).
+    // Order of defense: silence log4j entirely, swallow any async
+    // uncaught-exception traces, stop Spark, THEN print and halt —
+    // halt(), not exit(), so no shutdown hook gets a last word.
+    spark.sparkContext.setLogLevel("OFF")
+    Thread.setDefaultUncaughtExceptionHandler((_, _) => ())
+    try spark.stop() catch { case _: Throwable => () }
     println(stdoutLine)
-    spark.stop()
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -13,6 +13,8 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup via normalized-text fingerprint: one hash-groupBy
     * (single shuffle, partial-agg). Returns one row per distinct
     * fingerprint with the group size and the kept (minimum) id. */
@@ -360,12 +362,64 @@ object Dedup {
     * fixed small blow-up — then ONE shuffle on the bucket key, exact
     * verification only within buckets. This is the billion-document
     * near-dup path (vs [[ngramJaccardPairs]]'s shared-shingle join).
+    *
+    * DUPLICATE-FLOOD GUARD (the web-scale failure mode): m
+    * shingle-identical copies of one page share identical signatures,
+    * so all m land in the same bucket in EVERY band — 16·m²/2
+    * candidate rows before verification, a job-killing quadratic
+    * shuffle at m ~ 10⁷. Two layers:
+    *
+    *  1. EXACT-COLLAPSE FIRST (always on, lossless): shingle-identical
+    *     docs (same whitespace-collapsed text — exactly the
+    *     equivalence the tokenizer induces, so identical text ⟺
+    *     identical shingle set ⟺ identical signature) collapse to
+    *     their min-id representative; LSH runs on representatives
+    *     only; the pair set is re-expanded afterwards (within-group
+    *     cliques at jaccard 1.0 + cross-group member products carrying
+    *     the rep pair's exact jaccard). The OUTPUT is pair-for-pair
+    *     identical to running LSH uncollapsed — identical docs always
+    *     collide in every band and score 1.0, and a member pair's
+    *     jaccard equals its reps' (same shingle sets) — but the
+    *     candidate JOIN sees each group once, so candidate rows stay
+    *     O(distinct docs), not O(copies²). (DedupSpec proves both
+    *     properties on a 200-copy corpus.)
+    *  2. `maxBucketSize` (opt-in): buckets still larger than the cap
+    *     after collapse (near-identical — not byte-identical —
+    *     floods, e.g. templated pages differing in one counter) are
+    *     dropped from candidate generation with a logged drop count.
+    *     Recall-lossy by design, like [[winnowNearDupPairs]]'
+    *     `maxDocFreqRatio`: members of a 10⁷-doc bucket are
+    *     boilerplate-grade duplicates of each other, and any pair also
+    *     colliding in a sane bucket of another band is still found.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // ---- exact-collapse leg -------------------------------------
+    // Collapse key = whitespace-collapsed text (NOT the case-folding
+    // exactDedup fingerprint: shingles are case-sensitive, so the key
+    // must induce exactly the tokenizer's equivalence — same key ⟺
+    // same token sequence ⟺ same shingle set).
+    val sk = df.select(col(idCol),
+      md5(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__sk"))
+    val dupGroups = sk.groupBy("__sk")
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
+      .filter(col("__m") >= 2)
+    // (rep, member) for docs with at least one shingle-identical twin
+    // — empty on a dup-free corpus, duplicate-count-sized otherwise
+    // (broadcast by AQE when small). Cached: feeds the rep anti-join,
+    // the clique join (both sides) and both expansion joins.
+    val dupMem = sk.join(dupGroups.select(col("__sk"), col("__rep")), "__sk")
+      .select(col("__rep"), col(idCol).as("__mid"))
+      .cache()
+    val nonReps = dupMem.filter(col("__mid") =!= col("__rep"))
+      .select(col("__mid").as(idCol))
+    // representatives = corpus minus the duplicate extras
+    val reps = df.join(nonReps, Seq(idCol), "left_anti")
+    // ---- LSH on representatives ---------------------------------
     // signatures via the per-row compiled kernel — one pass over the
     // doc text inside the scan projection, versus the explode+groupBy
     // path's 64 hash columns over every (doc, shingle) row plus a
@@ -373,7 +427,7 @@ object Dedup {
     // kernel == HOF == explode+agg); empty-sig docs (< n tokens) get
     // no buckets, exactly like docs with no shingle rows.
     val ss = df.sparkSession
-    val withSig = df.select(col(idCol),
+    val withSig = reps.select(col(idCol),
         graft.plans.MinHashSigExpr.minHashSignature(
           ss, col(textCol), n, numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
@@ -390,18 +444,32 @@ object Dedup {
       // band-bucket self-join plus the candIds derivation
       .transform(graft.util.Parallelism.fanOut)
       .cache()
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
+    // live buckets: >= 2 members, and <= maxBucketSize when capped —
+    // oversize buckets leave CANDIDATE GENERATION with a logged count
+    // (an eagerly-counted small job on the cached bucket table, paid
+    // only on the opt-in path)
+    val sized = buckets.groupBy("band", "bh").agg(count(lit(1)).as("k"))
+    val shared2 = maxBucketSize match {
+      case None => sized.filter(col("k") >= 2).select("band", "bh")
+      case Some(cap) =>
+        val d = sized.filter(col("k") > cap)
+          .agg(count(lit(1)), coalesce(sum(col("k") * (col("k") - 1)), lit(0L)))
+          .head()
+        if (d.getLong(0) > 0)
+          log.warn(s"minHashLshPairs: dropped ${d.getLong(0)} LSH buckets " +
+            s"larger than $cap (${d.getLong(1) / 2} candidate pairs) from " +
+            "candidate generation")
+        sized.filter(col("k").between(2, cap)).select("band", "bh")
+    }
+    val live = buckets.join(shared2, Seq("band", "bh"), "left_semi")
+    val candidates = live.as("a")
+      .join(live.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // candidate doc ids straight from the bucket table (docs sharing a
-    // bucket with >= 2 members) — cheaper than scanning the pair stream
-    val shared2 = buckets.groupBy("band", "bh")
-      .agg(count(lit(1)).as("k")).filter(col("k") >= 2)
-      .select("band", "bh")
-    val candIds = buckets.join(shared2, Seq("band", "bh"), "left_semi")
-      .select(idCol).distinct()
+    // candidate doc ids straight from the live-bucket table — cheaper
+    // than scanning the pair stream
+    val candIds = live.select(idCol).distinct()
     // shingle table for exact verification, restricted to CANDIDATE
     // docs BEFORE the shingle kernel ever runs: the previous
     // full-corpus shingles(df).cache() materialized every doc's
@@ -413,8 +481,36 @@ object Dedup {
     val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n).cache()
     // no pair-level distinct — verifyJaccard's final semi-join dedups
-    verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
+    val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
+    // ---- re-expansion -------------------------------------------
+    // Cross-group: each rep pair fans out to its member products,
+    // carrying the EXACT jaccard (identical shingle sets per group).
+    // Left joins + coalesce keep singleton reps (the common case) on
+    // the cheap path; dupMem broadcasts when small.
+    val expanded = repPairs
+      .join(dupMem.select(col("__rep").as("id_a"), col("__mid").as("__ma")),
+        Seq("id_a"), "left")
+      .withColumn("__ma", coalesce(col("__ma"), col("id_a")))
+      .join(dupMem.select(col("__rep").as("id_b"), col("__mid").as("__mb")),
+        Seq("id_b"), "left")
+      .withColumn("__mb", coalesce(col("__mb"), col("id_b")))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // Within-group cliques at jaccard 1.0 — exactly the pairs the
+    // uncollapsed join would emit (identical sigs collide in every
+    // band), restricted to groups whose rep holds a non-empty
+    // signature (docs of < n tokens never bucket, so their copies
+    // never pair — same as uncollapsed).
+    val sigGroups = dupMem.join(
+      withSig.select(col(idCol).as("__rep")), Seq("__rep"), "left_semi")
+    val cliques = sigGroups.as("a")
+      .join(sigGroups.as("b"),
+        col("a.__rep") === col("b.__rep") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    expanded.union(cliques)
   }
 
   /** Winnowing near-dup pairs: candidate generation by SHARED WINNOW
@@ -585,14 +681,26 @@ object Dedup {
     * clique-like, where it converges faster with
     * simpler rounds. `localCheckpoint` truncates the per-round lineage
     * (iterative plans otherwise grow exponentially in the optimizer).
+    *
+    * CLUSTER DURABILITY: `localCheckpoint` stores blocks on executors —
+    * fast, but NOT recoverable after executor loss, which on a
+    * 1000-executor cluster would kill an hour-long CC job at iteration
+    * 40 over one lost node. Pass `checkpointDir = Some(reliableFsPath)`
+    * (HDFS/S3) for cluster runs: per-round truncation then goes through
+    * `df.checkpoint()` against that directory, and a re-submitted stage
+    * recomputes from the durable files instead of dying. Labels are
+    * bit-identical either way (DedupSpec asserts it) — the knob trades
+    * per-round write cost for fault tolerance, nothing else.
     */
   def connectedComponents(docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    bindCheckpointDir(docs, checkpointDir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .cache()
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
-      .localCheckpoint()
+    var labels = truncateLineage(
+      docs.select(col(idCol).as("id"), col(idCol).as("cluster")), checkpointDir)
     var prevSum = Option.empty[Long]
     var iter = 0
     var converged = false
@@ -607,15 +715,23 @@ object Dedup {
       // fallback reads the in-memory checkpoint — cheap, just not
       // free)
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.union(viaEdges)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .observe(obs, coalesce(sum("cluster"), lit(0L)).as("s"))
-        .localCheckpoint()
+      val next = truncateLineage(
+        labels.union(viaEdges)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+          .observe(obs, coalesce(sum("cluster"), lit(0L)).as("s")),
+        checkpointDir)
       val s = try {
         scala.concurrent.Await
           .result(obs.future, scala.concurrent.duration.Duration(2, "s"))
           .getAs[Long]("s")
       } catch { case _: java.util.concurrent.TimeoutException =>
+        // visible, not silent: a configuration where the observed
+        // metric never posts (checkpoint job not wrapped in a SQL
+        // execution) would otherwise pay 2s + a fallback aggregate
+        // EVERY round with no signal
+        log.warn(s"connectedComponents: observe() metric did not post " +
+          s"within 2s at iteration $iter — falling back to an explicit " +
+          "convergence aggregate (correct, but one extra job per round)")
         next.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
       }
       converged = prevSum.contains(s)
@@ -657,9 +773,14 @@ object Dedup {
     * negligible against ~2^64). At the fixpoint the edge set is a
     * union of stars centered on component minima, so labels read off
     * edges directly. Ids need only an ordering (numeric or string).
+    *
+    * `checkpointDir`: same cluster-durability knob as
+    * [[connectedComponents]] — reliable per-round truncation instead
+    * of executor-resident `localCheckpoint`.
     */
   def connectedComponentsStar(docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
@@ -689,16 +810,18 @@ object Dedup {
           lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
     }
-    var edges = pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    bindCheckpointDir(docs, checkpointDir)
+    var edges = truncateLineage(
+      pairs
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      checkpointDir)
     var sig = signature(edges)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = truncateLineage(smallStar(largeStar(edges)), checkpointDir)
       val s = signature(edges)
       converged = s == sig
       sig = s
@@ -715,6 +838,23 @@ object Dedup {
       .join(lab, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
+
+  /** Per-round lineage truncation for the iterative CC loops:
+    * executor-resident `localCheckpoint` by default (fast, dies with
+    * an executor), reliable `df.checkpoint()` when the caller passed a
+    * durable directory (cluster runs — see [[connectedComponents]]'s
+    * Scaladoc). The context checkpoint dir is set ONCE per CC call by
+    * [[bindCheckpointDir]] — `setCheckpointDir` mints a fresh UUID
+    * subdirectory each time, so per-round re-binding would scatter one
+    * directory per iteration. */
+  private def truncateLineage(df: DataFrame, dir: Option[String]): DataFrame =
+    if (dir.isEmpty) df.localCheckpoint() else df.checkpoint()
+
+  /** Bind the reliable checkpoint base directory (UUID-subdir'd per
+    * call, so concurrent jobs sharing a base don't collide). No-op
+    * when the caller keeps the localCheckpoint default. */
+  private def bindCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
+    dir.foreach(d => df.sparkSession.sparkContext.setCheckpointDir(d))
 
   /** Cross-document duplicated SPANS — the scalable core of substring
     * dedup (Lee et al. 2022: remove repeated substrings of length

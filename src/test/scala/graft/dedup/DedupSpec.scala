@@ -31,6 +31,51 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed ${(exactPairs -- lsh).size} of ${exactPairs.size} pairs")
   }
 
+  test("minhash LSH collapses exact duplicates: floods never ride the bucket join") {
+    import spark.implicits._
+    // A 200-copy flood (the web-scale hazard: identical signatures put
+    // all copies in the same bucket in EVERY band -> 16*m^2/2 candidate
+    // rows uncollapsed), a 3-copy near-dup group, an unrelated doc and
+    // a too-short-to-shingle identical pair.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val flood = (1L to 199L).map(i => (i, a)) :+
+      // whitespace-variant copy: same token stream, must collapse too
+      (200L, "alpha  beta\tgamma delta epsilon zeta eta theta iota kappa")
+    val corpus = (flood ++ Seq((201L, b), (202L, b), (203L, b),
+      (300L, "one two three four five six seven"),
+      (400L, "a b"), (401L, "a b"))).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = pairSet(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+    val exact = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5))
+    // pair-set equality with the exact shared-shingle join: 19900
+    // within-flood pairs at 1.0, 3 within-B pairs at 1.0, 600 cross
+    // A-B pairs at 7/9; nothing for the short identical pair.
+    assert(exact.size == 19900 + 3 + 600)
+    assert(lsh == exact,
+      s"missed ${(exact.keySet -- lsh.keySet).size} / " +
+        s"spurious ${(lsh.keySet -- exact.keySet).size}")
+    assert(lsh((1L, 200L)) == 1.0 && lsh((1L, 201L)) == 7.0 / 9.0)
+    // maxBucketSize = 1 kills EVERY multi-member bucket: pairs that
+    // ride the bucket join (the cross A-B products) vanish, while both
+    // identical-doc cliques survive untouched — proof the flood is
+    // collapsed BEFORE candidate generation, exactly the property
+    // COVERAGE.md claims.
+    val capped = pairSet(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucketSize = Some(1)))
+    assert(capped == exact.filter { case (_, j) => j == 1.0 })
+    // a generous cap is a no-op (all post-collapse buckets are small)
+    val roomy = pairSet(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      maxBucketSize = Some(16)))
+    assert(roomy == exact)
+  }
+
   test("minhash signature approximates Jaccard (similar docs share mins)") {
     import spark.implicits._
     val sig = Seq(
@@ -189,6 +234,34 @@ class DedupSpec extends AnyFunSuite {
       val prop = Dedup.connectedComponents(nodes, "doc_id", pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == prop, s"trial $trial")
+    }
+  }
+
+  test("reliable checkpointDir path yields identical labels (both CC algorithms)") {
+    import spark.implicits._
+    // chain + clique + singleton — multi-round on both algorithms, so
+    // every round truncates through the RELIABLE df.checkpoint() leg
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val prop = Dedup.connectedComponents(nodes, "doc_id", pairs,
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == expected)
+      val star = Dedup.connectedComponentsStar(nodes, "doc_id", pairs,
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expected)
+      // the durable leg actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint wrote no files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
 
