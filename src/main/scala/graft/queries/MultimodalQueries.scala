@@ -47,6 +47,41 @@ object MultimodalQueries {
           sum(expr("aggregate(feature, cast(0.0 as double), (a, x) -> a + double(x))"))
             .cast("bigint").as("total_feature_mass"))
         .orderBy("kind")
+    }),
+
+    // REAL image decode gate: per-doc two-tone PNGs are encoded by the
+    // JVM's ImageIO writer from a closed-form color/size recipe, then
+    // DECODED BACK by graft's ImageIoDecoder leg — actual compressed
+    // PNG bytes through the actual codec, distributed via the same
+    // typed mapPartitions plumbing as the stub path. The output columns
+    // are the DECODED integer pixel sums; the oracle recomputes them
+    // from the recipe arithmetically (PNG is lossless), so a decoder
+    // that misreads dimensions, channel order, or any pixel breaks the
+    // hash. Scale shape: pixels never leave the executor — only the
+    // fixed-width summary row per image shuffles.
+    "q_mm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          ((col("doc_id") % 13) + 4).cast("int").as("w"),
+          ((col("doc_id") % 7) + 3).cast("int").as("h"),
+          (col("doc_id") * 37 % 256).cast("int").as("ra"),
+          (col("doc_id") * 59 % 256).cast("int").as("ga"),
+          (col("doc_id") * 83 % 256).cast("int").as("ba"),
+          ((col("doc_id") * 101 + 7) % 256).cast("int").as("rb"),
+          ((col("doc_id") * 131 + 11) % 256).cast("int").as("gb"),
+          ((col("doc_id") * 151 + 13) % 256).cast("int").as("bb"))
+        .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+        .map { case (id, w, h, ra, ga, ba, rb, gb, bb) =>
+          Multimodal.ImagePayload(id, Multimodal.encodeTwoTonePng(
+            w, h, (ra << 16) | (ga << 8) | ba, (rb << 16) | (gb << 8) | bb))
+        }
+      Multimodal.imageStats(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -70,5 +105,23 @@ object MultimodalQueries {
         |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
         |  CAST(sum(frames) AS BIGINT) AS total_frames,
         |  CAST(sum(frames) AS BIGINT) AS total_feature_mass
-        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // the decode gate's oracle: pure arithmetic over the same two-tone
+    // recipe — h * (leftCols*colorA + rightCols*colorB) per channel,
+    // leftCols = w/2 (integer division; columns x < w/2 are the left
+    // tone). The engine-side numbers come from REAL PNG decode.
+    "q_mm_decode" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
+        |    (doc_id * 37) % 256 AS ra, (doc_id * 59) % 256 AS ga,
+        |    (doc_id * 83) % 256 AS ba,
+        |    (doc_id * 101 + 7) % 256 AS rb, (doc_id * 131 + 11) % 256 AS gb,
+        |    (doc_id * 151 + 13) % 256 AS bb
+        |  FROM documents)
+        |SELECT media_id, w AS width, h AS height,
+        |  h * ((w // 2) * ra + (w - w // 2) * rb) AS sum_r,
+        |  h * ((w // 2) * ga + (w - w // 2) * gb) AS sum_g,
+        |  h * ((w // 2) * ba + (w - w // 2) * bb) AS sum_b
+        |FROM r ORDER BY media_id""".stripMargin)
 }
