@@ -631,6 +631,105 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // TTL-BOUNDED streaming exact dedup — the state-eviction knob that
+    // separates a demo from an unbounded-state production stream. Docs
+    // arrive as 4 hourly drops (drop = doc_id % 4, event_time = T0 +
+    // drop hours, watermark delay 0); the dedup horizon is 30 min, so
+    // per-fingerprint state is evicted at the first FULLY-SILENT batch
+    // whose start watermark (= previous drop's event time) has passed
+    // last sighting + horizon — i.e. a repeat ≥ 3 drops later
+    // RE-EMITS, while closer repeats are suppressed. The corpus has no
+    // natural exact dups, so both branches are planted: %20==0 docs get
+    // a copy in drop 1 (suppressed) and %20==4 docs a copy in drop 3
+    // (horizon passed -> re-emitted); the oracle restates the whole
+    // protocol as a lag-over-sighted-drops rule (emit iff first
+    // sighting or gap >= 3) — exactly the eviction semantics derived
+    // from watermark mechanics at these parameters.
+    "q_stream_dedup_ttl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val base = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % 4).cast("int").as("drop_idx"))
+      val injNear = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"),
+          lit(1).as("drop_idx"))
+      val injFar = docs.filter(col("doc_id") % 20 === 4)
+        .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"),
+          lit(3).as("drop_idx"))
+      val staged = base.unionByName(injNear).unionByName(injFar)
+        .withColumn("event_time",
+          expr("timestamp'2024-01-01 00:00:00' + drop_idx * INTERVAL '1' HOUR"))
+        .withColumn("drop_key", concat(lit("d"), col("drop_idx")))
+        .drop("drop_idx")
+      val dir = graft.streaming.PipelineStreams.stageKeyedDrops(
+        staged, "drop_key", "graft-stream-dedup-ttl")
+      s.catalog.dropTempView("stream_dedup_ttl_out")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.firstSeenDedupTtl(
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+                maxFilesPerTrigger = Some(1))
+              .withWatermark("event_time", "0 seconds"),
+            "event_time", horizonMs = 30L * 60L * 1000L)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_dedup_ttl_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_dedup_ttl: streaming query timed out — refusing to read a partial sink")
+      }
+      s.table("stream_dedup_ttl_out").orderBy("fingerprint", "keeper")
+    }),
+
+    // TTL-BOUNDED streaming LSH index: same hourly drops (drop =
+    // doc_id % 4), 30-min near-dup horizon. Members are filtered on
+    // ACCESS against the watermark (exact event-time semantics) and
+    // the bucket entry is reclaimed by EventTimeTimeout — so a pair
+    // can only form across ADJACENT drops (member event + 30 min must
+    // beat the arrival batch's watermark = previous drop's hour) or
+    // within one drop. Streamed candidates are exact-verified batch-
+    // side; the oracle is the exact-jaccard pair set restricted to
+    // |drop_a - drop_b| <= 1 — the horizon restated declaratively.
+    // (Fixture mix at sf0.01: 20 adjacent pairs emitted, 5 distant
+    // pairs suppressed — both branches live.)
+    "q_stream_neardup_ttl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val staged = docs
+        .withColumn("drop_idx", (col("doc_id") % 4).cast("int"))
+        .withColumn("event_time",
+          expr("timestamp'2024-01-01 00:00:00' + drop_idx * INTERVAL '1' HOUR"))
+        .withColumn("drop_key", concat(lit("d"), col("drop_idx")))
+        .drop("drop_idx")
+      val dir = graft.streaming.PipelineStreams.stageKeyedDrops(
+        staged, "drop_key", "graft-stream-neardup-ttl")
+      s.catalog.dropTempView("stream_neardup_ttl_cand")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.lshCandidatesTtl(
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+                maxFilesPerTrigger = Some(1))
+              .withWatermark("event_time", "0 seconds"),
+            "event_time", horizonMs = 30L * 60L * 1000L,
+            n = 3, numHashes = 64, bands = 16)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_neardup_ttl_cand")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_neardup_ttl: streaming query timed out — refusing to read a partial sink")
+      }
+      Dedup.verifyCandidatePairs(s.table("stream_neardup_ttl_cand"), docs,
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // THE CORPUS-CLEANING VERDICT — the end-to-end composition a 100 TB
     // training-data pipeline actually ships: every per-doc hygiene
     // signal (language ID, token count, Gopher repetition gate, OOV
@@ -2186,6 +2285,55 @@ object PipelineQueries {
     // banding candidate set, which is exhaustive here (see above);
     // exact verification makes the output the true pair set.
     "q_stream_neardup" -> jaccardPairsSql,
+    // the 30-min horizon at hourly drops restated declaratively: only
+    // same-drop or adjacent-drop pairs can form (see the query comment)
+    "q_stream_neardup_ttl" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |  AND abs(id_a % 4 - id_b % 4) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // eviction protocol as a lag rule: at 30-min horizon over hourly
+    // drops, state survives until the first fully-silent batch whose
+    // start watermark (= previous drop's hour) passes last sighting +
+    // horizon -> a sighted drop re-emits iff the previous sighted drop
+    // is >= 3 back; keeper = min doc of the emitting drop
+    "q_stream_dedup_ttl" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |allrows AS (
+        |  SELECT doc_id, text, doc_id % 4 AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT mx FROM m) + 1, text, 1
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT mx FROM m) + 1, text, 3
+        |  FROM documents WHERE doc_id % 20 = 4),
+        |f AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    doc_id, c
+        |  FROM allrows),
+        |sight AS (SELECT fp, c, min(doc_id) AS keeper FROM f GROUP BY fp, c),
+        |r AS (SELECT fp, c, keeper,
+        |    lag(c) OVER (PARTITION BY fp ORDER BY c) AS pc
+        |  FROM sight)
+        |SELECT fp AS fingerprint, keeper FROM r
+        |WHERE pc IS NULL OR c - pc >= 3
+        |ORDER BY fingerprint, keeper""".stripMargin,
     "q_sim_retrieval" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),
