@@ -923,6 +923,27 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // RECALL@K AS AN OBSERVABLE over the persistent index: the same
+    // build+append+serve as q_sim_ann_index, but every approx row also
+    // carries (n_exact, n_hit, recall_at_k) against the exact
+    // quantized top-5 — computed by probing ALL cells over the same
+    // on-disk postings, so the metric isolates probe-pruning loss and
+    // an operator can watch index quality drift under appends without
+    // retraining blind. The ENTIRE metric is inside the hash gate: the
+    // oracle recomputes exact-vs-approx overlap per query in SQL.
+    "q_sim_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-recall").toString
+      Similarity.ivfIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, iters = 2, path = path)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      Similarity.ivfIndexTopKWithRecall(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path,
+          sampleMod = 1L)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup pairs via LSH buckets, in the HIGH-SIM
     // regime — the regime LSH is FOR. At thresholds inside the corpus
     // background (r2 ran 0.4 with planes=4 x tables=50) SRP buckets
@@ -1090,6 +1111,112 @@ object PipelineQueries {
     * oracle of every near-dup operator whose candidate generation is
     * verified-exhaustive on this corpus (minhash LSH, winnowing, and
     * the streamed LSH index). */
+  // Shared CTE chain for the persistent-IVF-index oracles: quantize,
+  // train on the base slice (vec_id %% 10 <> 9), assign EVERYTHING under
+  // the trained centroids, probe nProbe=2, score, rank -> `r`. Ends
+  // without a final SELECT so both the index gate and the recall gate
+  // can extend it.
+  private val ivfIndexServeCtes: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |cb AS (SELECT vec_id, codes FROM c WHERE vec_id % 10 <> 9),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM cb)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM cb ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM cb v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM cb v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
+        |n AS (SELECT vec_id, codes,
+        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |      FROM c),
+        |cand AS (
+        |  SELECT q.query_id, t.vec_id AS neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
+        |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |          AS DOUBLE)
+        |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |      AS sim
+        |  FROM qp q
+        |  JOIN a3 a ON a.cell = q.cell
+        |  JOIN n t ON t.vec_id = a.vec_id
+        |  JOIN n qn ON qn.vec_id = q.query_id
+        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM cand)
+      |""".stripMargin
+
   private val jaccardPairsSql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
@@ -2127,106 +2254,46 @@ object PipelineQueries {
     // what ivfIndexBuild (base) + ivfIndexAppend (delta, persisted
     // centroids, no retrain) must reconstruct from the on-disk index.
     "q_sim_ann_index" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (
-        |  SELECT vec_id, v,
-        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
-        |  FROM e),
-        |c AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
-        |    END AS codes
-        |  FROM s),
-        |cb AS (SELECT vec_id, codes FROM c WHERE vec_id % 10 <> 9),
-        |x AS (
-        |  SELECT vec_id, CAST(i AS INT) AS pos,
-        |    codes[CAST(i + 1 AS INT)] AS x
-        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM cb)),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-        |    list_transform(codes, x -> 1000 * x) AS cent
-        |  FROM (SELECT vec_id, codes FROM cb ORDER BY vec_id LIMIT 8) seeds),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM cb v CROSS JOIN cents0 s) t WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents1 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM cb v CROSS JOIN cents1 s) t WHERE rn = 1),
-        |u2 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents2 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a3 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
-        |qp AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
-        |n AS (SELECT vec_id, codes,
-        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
-        |      FROM c),
-        |cand AS (
-        |  SELECT q.query_id, t.vec_id AS neighbor_id,
+      (ivfIndexServeCtes +
+      """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+    // the recall observable: approx = the served nProbe=2 top-5 (CTE
+    // chain above); exact = quantized top-5 with NO probe pruning over
+    // the same codes (what probing all cells computes); recall_at_k =
+    // overlap / exact count per query, carried on every approx row —
+    // the whole metric hash-checked, not just the serving rows.
+    "q_sim_ann_recall" ->
+      (ivfIndexServeCtes +
+      """, excand AS (
+        |  SELECT qn.vec_id AS query_id, t.vec_id AS neighbor_id,
         |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
         |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
         |          AS DOUBLE)
         |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
         |      AS sim
-        |  FROM qp q
-        |  JOIN a3 a ON a.cell = q.cell
-        |  JOIN n t ON t.vec_id = a.vec_id
-        |  JOIN n qn ON qn.vec_id = q.query_id
-        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM cand)
-        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |  FROM n qn JOIN n t ON t.vec_id <> qn.vec_id
+        |  WHERE qn.vec_id < 10 AND qn.nsq > 0 AND t.nsq > 0),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rk
+        |    FROM excand) t WHERE rk <= 5),
+        |approx AS (
+        |  SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5),
+        |nex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+        |hit AS (
+        |  SELECT a.query_id, count(*) AS n_hit
+        |  FROM approx a JOIN exact e
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT a.query_id, a.rank, a.neighbor_id, a.sim, nx.n_exact,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  round(1.0 * coalesce(h.n_hit, 0) / nx.n_exact, 4) AS recall_at_k
+        |FROM approx a
+        |JOIN nex nx USING (query_id)
+        |LEFT JOIN hit h ON a.query_id = h.query_id
+        |ORDER BY query_id, rank""".stripMargin),
     "q_sim_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

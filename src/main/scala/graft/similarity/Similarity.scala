@@ -521,6 +521,44 @@ object Similarity {
         col("sim"))
   }
 
+  /** [[ivfIndexTopK]] with RECALL@K AS AN OBSERVABLE — the index-
+    * quality monitor that keeps [[ivfIndexAppend]] honest: appends
+    * never retrain, so centroid drift silently erodes probe recall,
+    * and without a served metric an operator only notices when users
+    * do. For queries in a deterministic sample (`idCol % sampleMod ==
+    * 0`; 1 = every query, the gate configuration), the EXACT quantized
+    * top-k is computed over the same on-disk postings by probing ALL
+    * cells — identical scoring arithmetic, so the ratio isolates
+    * exactly what IVF sacrifices (probe pruning), not quantization —
+    * and each approx row carries `n_exact`, `n_hit` and
+    * `recall_at_k = n_hit / n_exact` (null for unsampled queries).
+    * Cost model: the exact pass is one unpruned postings scan for the
+    * sampled slice — `sampleMod` is the dial between monitoring
+    * fidelity and serving cost; production keeps it large, so the
+    * full-scan leg rides on a sliver of the query stream. */
+  def ivfIndexTopKWithRecall(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, path: String,
+      sampleMod: Long = 10L, simDecimals: Int = 4): DataFrame = {
+    val approx = ivfIndexTopK(queries, idCol, vecCol, k, nProbe, path,
+      simDecimals)
+    val nCells = readCents(queries.sparkSession, path).size
+    val sampled = queries.filter(col(idCol) % sampleMod === 0)
+    val exact = ivfIndexTopK(sampled, idCol, vecCol, k, nProbe = nCells,
+      path, simDecimals)
+    val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = approx
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    approx
+      .join(nEx.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit")),
+        Seq("query_id"), "left")
+      .withColumn("recall_at_k",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN
     * scale path (Jegou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search", public — the coarse-quantizer half): partition

@@ -265,4 +265,37 @@ class SimilaritySpec extends AnyFunSuite {
       plan.contains("cell#") && plan.contains("INSET"),
       s"no partition pruning visible in plan")
   }
+
+  test("recall observable: sampled queries carry honest recall, full probing reads 1.0") {
+    import org.apache.spark.sql.functions._
+    val path = graft.util.TempDirs.scoped("ivf-recall-spec").toString
+    Similarity.ivfIndexBuild(emb, "vec_id", "embedding",
+      nCells = 4, iters = 2, path = path)
+    val queries = emb.filter(col("vec_id") < 10)
+    // sampleMod=2: odd query ids are unsampled -> null recall columns
+    val r = Similarity.ivfIndexTopKWithRecall(queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, path = path, sampleMod = 2L).cache()
+    val sampledRows = r.filter(col("query_id") % 2 === 0)
+    val unsampled = r.filter(col("query_id") % 2 =!= 0)
+    assert(unsampled.count() > 0 &&
+      unsampled.filter(col("recall_at_k").isNotNull).count() == 0)
+    assert(sampledRows.filter(col("recall_at_k").isNull).count() == 0)
+    // honesty: recall == n_hit/n_exact, and n_hit is the true overlap
+    // with the all-cells exact serve
+    val exact = Similarity.ivfIndexTopK(queries.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 3, nProbe = 4, path = path)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val approx = sampledRows.select("query_id", "neighbor_id", "n_hit")
+      .collect()
+    approx.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val hits = rows.count(x => exact.contains((qid, x.getLong(1))))
+      assert(rows.forall(_.getLong(2) == hits), s"n_hit mismatch for query $qid")
+    }
+    // full probing is exhaustive -> recall exactly 1 everywhere sampled
+    val full = Similarity.ivfIndexTopKWithRecall(queries, "vec_id", "embedding",
+      k = 3, nProbe = 4, path = path, sampleMod = 1L)
+    assert(full.filter(col("recall_at_k") =!= 1.0).count() == 0)
+    r.unpersist()
+  }
 }
