@@ -10,6 +10,23 @@ import graft.functions.TextFunctions
   * all pairs at scale — candidate generation must go through a
   * hash/bucket equi-join (shuffle on bucket key), with exact
   * verification only inside buckets.
+  *
+  * CACHE LIFECYCLE: several operators `.cache()` intermediates
+  * (shingle/fingerprint/bucket tables) that the RETURNED lazy plan
+  * consumes more than once — without the cache the kernel would replay
+  * per consumer. Because the result is lazy, the operator cannot
+  * unpersist before the caller materializes it, so those entries
+  * outlive the call. Growth is bounded in practice by two mechanisms:
+  * Spark's `CacheManager` dedups by canonicalized plan (re-invoking an
+  * operator on the same input re-uses the existing entry — the "Asked
+  * to cache already cached data" warning — rather than stacking a new
+  * one), and entries are MEMORY_AND_DISK with LRU eviction, so cold
+  * intermediates age out under memory pressure instead of failing the
+  * job. A session running MANY DIFFERENT dedup plans back-to-back
+  * (the bench/verify harnesses) should still call
+  * `spark.catalog.clearCache()` between operators, as `graft.Bench`
+  * and `graft.Verify` do — dead plans' storage is reclaimable but not
+  * free, and clearing it keeps later queries' storage memory clean.
   */
 object Dedup {
 

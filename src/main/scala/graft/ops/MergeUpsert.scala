@@ -80,19 +80,46 @@ object MergeUpsert {
     merged.repartition(col(partitionCol)).write.mode("overwrite")
       .partitionBy(partitionCol).parquet(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // swap; on a mid-swap failure the staging dir is PRESERVED — it
-    // holds the only copy of the not-yet-swapped merged partitions, so
-    // deleting it would leave the table half-merged with no recovery
-    // path. The error names the staging dir for manual completion.
+    // swap via RENAME-TO-TOMBSTONE (target -> .target.old, staging ->
+    // target, delete .old): at every instant some on-disk copy of the
+    // partition exists — the old delete-then-rename order had a crash
+    // window where the only copy sat in the staging dir. The tombstone
+    // name is DOT-PREFIXED so Hadoop/Spark listings ignore it (a
+    // `month=...old` sibling would be discovered as a phantom
+    // partition value by a concurrent reader). Every filesystem verb's
+    // return value is checked: a false return (permission, non-empty
+    // semantics, eventual-consistency store) must halt the swap with
+    // the staging dir PRESERVED — it holds the only copy of the
+    // not-yet-swapped merged partitions, so deleting it would leave
+    // the table half-merged with no recovery path. Errors name both
+    // dirs for manual completion.
     fs.listStatus(staging).iterator
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach { st =>
         val target = new Path(path, st.getPath.getName)
-        if (fs.exists(target)) fs.delete(target, true)
+        val tomb = new Path(path, "." + st.getPath.getName + ".old")
+        // a leftover tombstone from a previous crashed swap: the live
+        // target (if any) supersedes it — clear it before swapping
+        if (fs.exists(tomb))
+          require(fs.delete(tomb, true),
+            s"mergeByKey: could not clear leftover tombstone $tomb — " +
+              s"staging preserved under $staging")
+        val hadTarget = fs.exists(target)
+        if (hadTarget)
+          require(fs.rename(target, tomb),
+            s"mergeByKey: could not tombstone $target — " +
+              s"staging preserved under $staging")
         require(fs.rename(st.getPath, target),
           s"mergeByKey: failed to move ${st.getPath} into place — " +
-            s"remaining merged partitions preserved under $staging")
+            s"previous data under $tomb, remaining merged partitions " +
+            s"preserved under $staging")
+        if (hadTarget)
+          require(fs.delete(tomb, true),
+            s"mergeByKey: partition swapped but tombstone $tomb " +
+              s"survives — delete it manually (staging: $staging)")
       }
-    fs.delete(staging, true)
+    require(fs.delete(staging, true),
+      s"mergeByKey: all partitions swapped but the empty staging dir " +
+        s"$staging could not be removed — delete it manually")
   }
 }

@@ -60,7 +60,15 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"readEvents: could not peek the event schema from '$path' — " +
+            "the drop folder must hold at least one staged parquet file " +
+            "BEFORE the stream is defined (stage fixtures first, then " +
+            "build the stream)", e)
+      }
     val reader = spark.readStream.schema(rawSchemaFor(tsType))
     graft.Tables.normalizeEventTs(
       maxFilesPerTrigger.fold(reader)(m =>

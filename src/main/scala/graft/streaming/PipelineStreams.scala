@@ -45,7 +45,16 @@ object PipelineStreams {
     * read back exactly. */
   def readDocs(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    val peeked =
+      try spark.read.parquet(path).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"readDocs: could not peek the drop schema from '$path' — " +
+            "the drop folder must hold at least one staged parquet file " +
+            "BEFORE the stream is defined (stage fixtures first, then " +
+            "build the stream)", e)
+      }
+    val reader = spark.readStream.schema(peeked)
     maxFilesPerTrigger.fold(reader)(m =>
         reader.option("maxFilesPerTrigger", m.toString))
       .parquet(path)

@@ -86,5 +86,19 @@ class LayoutSpec extends AnyFunSuite {
       .agg(avg("sx"), avg("sy")).as[(Double, Double)].head
     assert(spreads._1 < 140, s"mean zx file-spread ${spreads._1} not tight")
     assert(spreads._2 < 140, s"mean zy file-spread ${spreads._2} not tight")
+    // the pushdown contract the clustering exists to feed: both range
+    // predicates must reach the parquet scan as PushedFilters. Matched
+    // loosely (column names inside the PushedFilters list) — the exact
+    // rendering of filter literals is a Spark formatting detail, and a
+    // gate result must never depend on it (it used to: q_layout_zorder
+    // carried the explain-string match as a result column).
+    val planStr = back
+      .filter(col("zx").between(16, 47) && col("zy").between(64, 95))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushedSection = planStr.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushedSection.contains("zx") && pushedSection.contains("zy"),
+      s"range predicates not pushed to the scan:\n$pushedSection")
   }
 }

@@ -90,6 +90,29 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(got == Seq(Row(1L, "01", 111L, 1L), Row(2L, "02", 200L, 0L)))
   }
 
+  test("mergeByKey: leftover crash tombstone is cleared; no tombstone survives") {
+    val dir = graft.util.TempDirs.scoped("merge-spec-tomb").resolve("t").toString
+    Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L))
+      .toDF("k", "part", "v", "version")
+      .write.partitionBy("part").parquet(dir)
+    // simulate a previous crashed swap: a stale dot-prefixed tombstone
+    // for part=a sits in the table dir (dot-prefixed => invisible to
+    // Spark partition discovery, so it never reads as a phantom value)
+    val tomb = new Path(dir, ".part=a.old")
+    fs(dir).mkdirs(tomb)
+    val updates = Seq((1L, "a", 111L, 1L)).toDF("k", "part", "v", "version")
+    MergeUpsert.mergeByKey(spark, dir, updates,
+      Seq("k"), "version", "part")
+    val got = spark.read.parquet(dir)
+      .select("k", "v", "version").orderBy("k").collect().toSeq
+    assert(got == Seq(Row(1L, 111L, 1L), Row(2L, 200L, 0L)))
+    // swap completed: neither the stale nor a fresh tombstone survives
+    assert(!fs(dir).exists(tomb), "stale tombstone not cleared")
+    val hidden = fs(dir).listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".old"))
+    assert(hidden.isEmpty, "tombstone survived a completed swap")
+  }
+
   test("mergeByKey: repeated merge of the same batch is idempotent") {
     val dir = graft.util.TempDirs.scoped("merge-spec2").resolve("t").toString
     Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L))
