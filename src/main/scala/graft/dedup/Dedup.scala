@@ -415,13 +415,25 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // single-fixture-split guard on the INPUT, not just derived
+    // tables: a one-file fixture scan is ONE split, which would run
+    // every per-row kernel below (collapse md5, minhash signatures,
+    // verification shingles) on a single core before any downstream
+    // fanOut could help — the exchange must sit UNDER the kernels.
+    // Provable no-op on real multi-split inputs (see
+    // graft.util.Parallelism).
+    val fdf = graft.util.Parallelism.fanOut(df)
     // ---- exact-collapse leg -------------------------------------
     // Collapse key = whitespace-collapsed text (NOT the case-folding
     // exactDedup fingerprint: shingles are case-sensitive, so the key
     // must induce exactly the tokenizer's equivalence — same key ⟺
     // same token sequence ⟺ same shingle set).
-    val sk = df.select(col(idCol),
+    // transient cache: sk feeds the group aggregate AND the member
+    // join — uncached the md5+regex kernel runs the corpus twice; the
+    // cache is dropped as soon as dupMem is materialized below
+    val sk = fdf.select(col(idCol),
       md5(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__sk"))
+      .cache()
     val dupGroups = sk.groupBy("__sk")
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
       .filter(col("__m") >= 2)
@@ -432,10 +444,25 @@ object Dedup {
     val dupMem = sk.join(dupGroups.select(col("__sk"), col("__rep")), "__sk")
       .select(col("__rep"), col(idCol).as("__mid"))
       .cache()
-    val nonReps = dupMem.filter(col("__mid") =!= col("__rep"))
-      .select(col("__mid").as(idCol))
+    // EAGER SHORT-CIRCUIT: one map-side-combined pass over the corpus
+    // (md5 collapse key + tiny shuffle) decides whether any collapse
+    // group exists. A dup-free corpus — the common case for inputs
+    // already exact-deduped upstream — then skips the anti-join, both
+    // expansion joins and the clique join entirely, leaving the prior
+    // plan shape plus just this probe. Duplicate-heavy corpora engage
+    // the full machinery — exactly when it pays. count() (not
+    // isEmpty's limit-1 probe) so the tiny dupMem cache materializes
+    // FULLY here, letting sk drop right away — no lazy consumer
+    // reaches sk after this point.
+    val hasDups = dupMem.count() > 0
+    sk.unpersist()
+    if (!hasDups) dupMem.unpersist()
     // representatives = corpus minus the duplicate extras
-    val reps = df.join(nonReps, Seq(idCol), "left_anti")
+    val reps = if (!hasDups) fdf else {
+      val nonReps = dupMem.filter(col("__mid") =!= col("__rep"))
+        .select(col("__mid").as(idCol))
+      fdf.join(nonReps, Seq(idCol), "left_anti")
+    }
     // ---- LSH on representatives ---------------------------------
     // signatures via the per-row compiled kernel — one pass over the
     // doc text inside the scan projection, versus the explode+groupBy
@@ -461,13 +488,16 @@ object Dedup {
       // band-bucket self-join plus the candIds derivation
       .transform(graft.util.Parallelism.fanOut)
       .cache()
-    // live buckets: >= 2 members, and <= maxBucketSize when capped —
-    // oversize buckets leave CANDIDATE GENERATION with a logged count
-    // (an eagerly-counted small job on the cached bucket table, paid
-    // only on the opt-in path)
+    // the self-join's source and the candidate-doc derivation. Default
+    // path: the raw bucket table — a single-member bucket can't pair
+    // with itself, so no explicit >= 2 filter is needed on the JOIN
+    // (adding one would recompute the size aggregate on both join
+    // sides). Capped path: buckets above `maxBucketSize` leave
+    // CANDIDATE GENERATION with a logged drop count (the eager count
+    // is a small job on the cached bucket table, paid only opt-in).
     val sized = buckets.groupBy("band", "bh").agg(count(lit(1)).as("k"))
-    val shared2 = maxBucketSize match {
-      case None => sized.filter(col("k") >= 2).select("band", "bh")
+    val joinSrc = maxBucketSize match {
+      case None => buckets
       case Some(cap) =>
         val d = sized.filter(col("k") > cap)
           .agg(count(lit(1)), coalesce(sum(col("k") * (col("k") - 1)), lit(0L)))
@@ -476,17 +506,23 @@ object Dedup {
           log.warn(s"minHashLshPairs: dropped ${d.getLong(0)} LSH buckets " +
             s"larger than $cap (${d.getLong(1) / 2} candidate pairs) from " +
             "candidate generation")
-        sized.filter(col("k").between(2, cap)).select("band", "bh")
+        buckets.join(sized.filter(col("k").between(2, cap))
+          .select("band", "bh"), Seq("band", "bh"), "left_semi")
     }
-    val live = buckets.join(shared2, Seq("band", "bh"), "left_semi")
-    val candidates = live.as("a")
-      .join(live.as("b"),
+    val candidates = joinSrc.as("a")
+      .join(joinSrc.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // candidate doc ids straight from the live-bucket table — cheaper
-    // than scanning the pair stream
-    val candIds = live.select(idCol).distinct()
+    // candidate doc ids straight from the bucket table (docs sharing a
+    // live bucket with >= 2 members) — cheaper than scanning the pair
+    // stream; on the capped path the join source is already
+    // size-restricted, so its multi-member buckets are the live set
+    val candIds = (maxBucketSize match {
+      case None => buckets.join(sized.filter(col("k") >= 2)
+        .select("band", "bh"), Seq("band", "bh"), "left_semi")
+      case Some(_) => joinSrc
+    }).select(idCol).distinct()
     // shingle table for exact verification, restricted to CANDIDATE
     // docs BEFORE the shingle kernel ever runs: the previous
     // full-corpus shingles(df).cache() materialized every doc's
@@ -495,12 +531,13 @@ object Dedup {
     // rows verification can touch (measured ~2s of the per-query cost
     // at sf0.1). candIds is a superset of the ids in `candidates`, so
     // verification still sees every needed shingle.
-    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
+    val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n).cache()
     // no pair-level distinct — verifyJaccard's final semi-join dedups
     val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
-    // ---- re-expansion -------------------------------------------
+    if (!hasDups) return repPairs
+    // ---- re-expansion (duplicate groups exist) ------------------
     // Cross-group: each rep pair fans out to its member products,
     // carrying the EXACT jaccard (identical shingle sets per group).
     // Left joins + coalesce keep singleton reps (the common case) on
