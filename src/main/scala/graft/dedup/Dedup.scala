@@ -61,12 +61,15 @@ object Dedup {
     * (id, shingle) relation produced is identical: per-doc distinct ==
     * global (id, shingle) distinct. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val out = df.select(col(idCol),
+    // single-fixture-split guard UNDER the kernel — a provable no-op
+    // at corpus scale (see graft.util.Parallelism). Guarding the
+    // OUTPUT (the pre-r6 shape) fixed downstream parallelism but still
+    // ran the shingle kernel itself on the one split a single-file
+    // fixture scan produces.
+    val src = if (df.isStreaming) df else graft.util.Parallelism.fanOut(df)
+    src.select(col(idCol),
       explode(graft.plans.WordShinglesExpr.wordShingles(
         df.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
-    // single-fixture-split guard — a provable no-op at corpus scale
-    // (see graft.util.Parallelism)
-    if (df.isStreaming) out else graft.util.Parallelism.fanOut(out)
   }
 
   /** EXACT n-gram Jaccard near-dup pairs >= `threshold`.
@@ -596,12 +599,12 @@ object Dedup {
       maxDocFreqRatio: Double = 0.04): DataFrame = {
     // cached: feeds the df-aggregate, the semi-join, and both sides of
     // the candidate self-join — without it the winnowing kernel runs
-    // 4x over the corpus
-    val fpsAll = df.select(col(idCol),
+    // 4x over the corpus. Single-fixture-split guard UNDER the kernel
+    // (input side), so the rolling-hash pass itself is distributed on
+    // one-split fixture scans.
+    val fpsAll = graft.util.Parallelism.fanOut(df).select(col(idCol),
       explode(graft.plans.WinnowFingerprintsExpr.winnowFingerprints(
         df.sparkSession, col(textCol), k, w)).as("fp"))
-      // single-fixture-split guard (graft.util.Parallelism): 3 consumers
-      .transform(graft.util.Parallelism.fanOut)
       .cache()
     val cap = math.max(5L, math.ceil(df.count() * maxDocFreqRatio).toLong)
     // df >= 2: a fingerprint seen in one doc generates no pair — the
@@ -665,7 +668,7 @@ object Dedup {
     * Docs with no tokens get signature 0. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = graft.util.Parallelism.fanOut(df).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val h = toks.select(col(idCol), tokenHash(col("tok")).as("h"))
     val packs = (0 until 32).map { p =>
@@ -949,7 +952,10 @@ object Dedup {
     * cross-doc and within-doc span detectors. */
   private def kgramPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // input-side fanOut: the rolling-hash kernel runs distributed even
+    // on a one-split fixture scan (no-op at corpus scale)
+    graft.util.Parallelism.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         graft.plans.KgramHashesExpr.kgramHashes(
           df.sparkSession, col(textCol), k).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
