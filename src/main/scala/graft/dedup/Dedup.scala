@@ -753,9 +753,14 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     bindCheckpointDir(docs, checkpointDir)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b"), col("id_a")))
+    // cache the BASE pair leg, not the symmetrized union: Spark does
+    // not common-subexpression the two union branches, so caching the
+    // union materializes the (possibly expensive — LSH verify) pair
+    // subtree twice in one job. The per-iteration union over the
+    // cached base is a free cache read.
+    val base = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .cache()
+    val edges = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = truncateLineage(
       docs.select(col(idCol).as("id"), col(idCol).as("cluster")), checkpointDir)
     var prevSum = Option.empty[Long]
@@ -796,7 +801,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    base.unpersist()
     // A silent exit at maxIter would hand back partially-propagated
     // labels and corrupt every keep/drop decision built on them —
     // chain-diameter graphs must fail loudly, not approximately.
