@@ -119,7 +119,9 @@ object Similarity {
     val qArr = collectUnitQueries(queries, idCol, vecCol)
     val qB = ss.sparkContext.broadcast(qArr)
     val kk = k; val dec = simDecimals
-    val scored = withUnitVec(corpus, vecCol, "cv")
+    // input-side single-split guard: the scoring kernel must not run
+    // on the one split a single-file fixture scan produces
+    val scored = withUnitVec(graft.util.Parallelism.fanOut(corpus), vecCol, "cv")
       .select(col(idCol).cast("long").as("neighbor_id"), col("cv"))
       .filter(col("cv").isNotNull)
       .as[(Long, Array[Double])]
@@ -221,7 +223,10 @@ object Similarity {
     // deduped candidate set — keeps the bucket shuffle narrow at scale
     val qb = srpBuckets(queries, idCol, vecCol, planeSets)
       .withColumnRenamed("id", "query_id")
-    val cb = srpBuckets(corpus, idCol, vecCol, planeSets)
+    // corpus side only: the query frame is contract-small, and fanning
+    // it out would cost a 32-task stage per broadcast for a few rows
+    val cb = srpBuckets(graft.util.Parallelism.fanOut(corpus),
+        idCol, vecCol, planeSets)
       .withColumnRenamed("id", "neighbor_id")
     val candidates = qb.join(cb, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -720,7 +725,7 @@ object Similarity {
       .filter(_._2.exists(_ != 0L))
     val qB = ss.sparkContext.broadcast(qArr)
     val kk = k; val dec = simDecimals
-    val scored = quantizeInt8(corpus, idCol, vecCol)
+    val scored = quantizeInt8(graft.util.Parallelism.fanOut(corpus), idCol, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
@@ -801,9 +806,9 @@ object Similarity {
     import ss.implicits._
     // cache: the self-join would otherwise recompute the plane
     // projections on both sides; fan-out guards the single-fixture-
-    // split case (graft.util.Parallelism)
-    val b = graft.util.Parallelism.fanOut(
-      srpBuckets(df, idCol, vecCol, planeSets)).cache()
+    // split case UNDER the projection kernel (graft.util.Parallelism)
+    val b = srpBuckets(graft.util.Parallelism.fanOut(df),
+      idCol, vecCol, planeSets).cache()
     val candidates = b.as("a").join(b.as("b2"),
         col("a.t") === col("b2.t") && col("a.b") === col("b2.b") &&
           col("a.id") < col("b2.id"))
