@@ -1063,4 +1063,101 @@ object Dedup {
       .withColumn("chars_cut", length(col(textCol)) - length(col("clean_text")))
       .drop("__id", "__spans")
   }
+
+  // ------------------------------------------------------------------
+  // Incremental ingest against a persisted fingerprint store
+  // ------------------------------------------------------------------
+
+  /** Initialize a fingerprint STORE from a corpus: one row per
+    * distinct exact-dedup fingerprint ([[TextFunctions.fingerprint]])
+    * with the first (minimum) id that carried it. The store is the
+    * durable state of batch incremental dedup — daily drops are
+    * checked against it, then extend it ([[incrementalIngest]]);
+    * unlike the streaming first-seen state it lives as plain parquet,
+    * so any engine can audit it and a reprocess can rebuild it. */
+  def fingerprintStoreInit(corpus: DataFrame, idCol: String,
+      textCol: String, storePath: String): Unit =
+    exactGroups(corpus, idCol, textCol)
+      .select(col("fingerprint"), col("keeper").as("first_id"))
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Classify a NEW DROP against the persisted store and extend the
+    * store with the drop's novel fingerprints — the production shape
+    * of exact dedup over a corpus that arrives in batches. Per drop
+    * row:
+    *
+    *   - `dup_in_store` — fingerprint already in the store (seen by a
+    *     previous batch);
+    *   - `dup_in_drop`  — novel fingerprint, but another drop row with
+    *     a smaller id carries it (within-batch duplicate);
+    *   - `accepted`     — novel fingerprint, first carrier in the
+    *     drop. Exactly these fingerprints are APPENDED to the store
+    *     (with the accepted id as `first_id`), so re-running the next
+    *     drop sees them.
+    *
+    * Scale shape: the drop is increment-sized, the store is
+    * corpus-sized — classification is one groupBy on the drop's
+    * fingerprints plus ONE equi-join against the store, shuffled on
+    * the fingerprint key. Nothing store-sized is broadcast, windowed,
+    * or collected; the store append writes only accepted-count rows.
+    * The method is eager by design, mirroring how a batch ingest job
+    * commits: the classification is written to `<storePath>.batch`
+    * FIRST, then the store is extended, and the returned frame reads
+    * the committed batch output. (A cache would not survive the
+    * append: Spark's CacheManager invalidates-by-path any cached plan
+    * that reads a path being written, so a lazy classification plan
+    * would silently recompute against the grown store and classify
+    * every accepted row as dup_in_store.)
+    *
+    * Left-anti/semi vs the store would also work; the left join keeps
+    * `first_id` so dup_in_store rows can point at their original. */
+  def incrementalIngest(drop: DataFrame, idCol: String, textCol: String,
+      storePath: String): DataFrame = {
+    val spark = drop.sparkSession
+    val store = spark.read.parquet(storePath)
+    val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
+      .as("fingerprint"))
+    val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
+    val batchPath = storePath.stripSuffix("/") + ".batch"
+    fp.join(keeper, Seq("fingerprint"))
+      .join(store.select(col("fingerprint"), col("first_id")),
+        Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        when(col("first_id").isNotNull, lit("dup_in_store"))
+          .when(col(idCol) =!= col("__keeper"), lit("dup_in_drop"))
+          .otherwise(lit("accepted")).as("status"),
+        col("first_id"))
+      .write.mode("overwrite").parquet(batchPath)
+    val classified = spark.read.parquet(batchPath)
+    classified
+      .where(col("status") === "accepted")
+      .select(col("fingerprint"), col(idCol).as("first_id"))
+      .write.mode("append").parquet(storePath)
+    classified
+  }
+
+  /** QUALITY-AWARE representative per near-dup cluster. Min-id keeps
+    * an arbitrary member; production dedup keeps the BEST member (the
+    * longest / highest-quality-score doc — near-dup clusters typically
+    * hold one full page and its truncated or boilerplate-wrapped
+    * copies). Input: one row per doc with its cluster label
+    * ([[connectedComponents]] output joined to a score); output: one
+    * row per cluster with the argmax member (score DESC, id ASC on
+    * ties) plus member count and score mass.
+    *
+    * Scale shape: ONE map-side-combined aggregate — the argmax rides a
+    * `max(struct(score, -id))` instead of a per-cluster sort window,
+    * so a pathological mega-cluster costs one combiner slot, not a
+    * single-task sort. Requires a numeric score and a signed numeric
+    * id (the negation is how struct-max breaks ties toward MIN id). */
+  def clusterRepresentatives(labeled: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame =
+    labeled.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col(scoreCol)).as("total_score"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid")))
+          .as("__best"))
+      .select(col(clusterCol), (-col("__best.negid")).as("rep_id"),
+        col("__best.s").as("rep_score"), col("n_members"),
+        col("total_score"))
 }

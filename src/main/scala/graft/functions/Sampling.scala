@@ -231,4 +231,59 @@ object Sampling {
       .withColumn("pos", col("__offset") + within.cast("long") - 1L)
       .drop("__h", "__shard", "__offset")
   }
+
+  /** Token-BUDGETED per-source selection — how training mixes are
+    * actually specified ("200 B tokens of web, 30 B of code"), as
+    * opposed to [[mixtureSample]]'s per-document keep rates. Each
+    * source keeps its documents in deterministic-shuffle order
+    * (ascending [[shuffleHash]], then key) until the source's token
+    * budget is exhausted: a doc is kept iff the running token total
+    * through that doc is <= `token_budget`. Nested under budget
+    * growth — raising a budget only ADDS documents, never swaps them.
+    *
+    * Scale shape (the [[shuffledPositions]] range-shard idiom, per
+    * source): a per-source `sum() OVER (ORDER BY hash)` window would
+    * sort each source's full corpus on however many cores its hash
+    * range lands on — and the budget cut typically keeps a tiny prefix
+    * of a huge source, so almost all of that sort is wasted. Instead:
+    *   1. range-shard the hash; per-(source, shard) token sums are one
+    *      map-side-combined aggregate, and per-source prefix offsets
+    *      over that (sources x shards)-sized table are the only
+    *      cross-shard window;
+    *   2. shards whose offset already exceeds the budget are dropped
+    *      BEFORE the sort window — the exact cumulative sum only runs
+    *      inside shards that can still contribute (for a source kept
+    *      at 1%, ~99% of its rows never enter a sort);
+    *   3. kept row: shard offset + within-shard running sum <= budget.
+    *
+    * `budgets`: one row per source, (`sourceCol`, `token_budget`) —
+    * dimension-sized, broadcast. Output: kept rows + `cum_tokens`, the
+    * source-global running total through each kept document. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, sourceCol: String,
+      tokenCol: String, budgets: DataFrame, seed: Long = 17L,
+      shards: Int = 256): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    val width = (2147483648L + shards - 1) / shards
+    val withShard = df
+      .withColumn("__h", shuffleHash(col(keyCol), seed))
+      .withColumn("__shard", (col("__h") / lit(width)).cast("long"))
+    val offsets = withShard.groupBy(sourceCol, "__shard")
+      .agg(sum(col(tokenCol)).as("__t"))
+      .withColumn("__offset",
+        coalesce(sum("__t").over(Window.partitionBy(sourceCol)
+          .orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__t")
+    val withinShardCum = sum(col(tokenCol)).over(
+      Window.partitionBy(col(sourceCol), col("__shard"))
+        .orderBy(col("__h"), col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withShard
+      .join(broadcast(offsets), Seq(sourceCol, "__shard"))
+      .join(broadcast(budgets), Seq(sourceCol))
+      .where(col("__offset") < col("token_budget"))
+      .withColumn("cum_tokens", col("__offset") + withinShardCum)
+      .where(col("cum_tokens") <= col("token_budget"))
+      .drop("__h", "__shard", "__offset")
+  }
 }

@@ -322,4 +322,57 @@ object TextFunctions {
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
         col("idf_x1000"), col("score"))
   }
+
+  /** Corpus bigram-LM familiarity scoring — the n-gram-LM
+    * perplexity-filter shape (CCNet / Wenzek et al. 2020 score
+    * documents with a KenLM 5-gram; the reference has no LM ops, this
+    * is pipeline-extension surface) in EXACT integer arithmetic so the
+    * score is bit-identical on any engine: per corpus bigram (w1 w2),
+    * p(w2|w1) = c(w1 w2) / c(w1 ·), kept as the parts-per-million
+    * floor `(c * 1000000) div cp` (integral division — no float, no
+    * log, no ulp drift). A document's `score_sum` adds that ppm over
+    * its bigram OCCURRENCES; `fam_ppm = score_sum div n_bigrams` is
+    * the mean — low values = documents full of corpus-rare
+    * transitions (gibberish, OCR noise, wrong-language), the rows a
+    * perplexity filter drops.
+    *
+    * Scale shape: tokenize+shingle is one codegen'd pass; bigram and
+    * prefix counts are map-side-combined aggregates at distinct-
+    * bigram / distinct-prefix grain; the scoring join runs at (doc,
+    * distinct-bigram) grain — never at raw occurrence grain — and the
+    * ppm fits any corpus with < 2^43 occurrences of one prefix (the
+    * `c * 1000000` headroom under ANSI int64). Self-inclusion: the
+    * corpus that trains the counts includes the scored doc (the
+    * standard in-domain-LM setup; train on a reference slice by
+    * passing it as `lmCorpus`). */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      lmCorpus: Option[org.apache.spark.sql.DataFrame] = None):
+      org.apache.spark.sql.DataFrame = {
+    val bg = df.select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+    val lmBg = lmCorpus match {
+      case Some(c) => c.select(explode(wordShingles(col(textCol), 2)).as("bg"))
+      case None => bg.select("bg")
+    }
+    val occ = bg.groupBy(idCol, "bg").agg(count(lit(1)).as("k"))
+    val cnt = lmBg.groupBy("bg").agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val pref = cnt.groupBy("w1").agg(sum("c").as("cp"))
+    val scored = cnt.join(pref, Seq("w1"))
+      .select(col("bg"), expr("(c * 1000000) div cp").as("s"))
+    // left join: a bigram unseen by the LM corpus scores 0 ppm (the
+    // OOV-transition floor) but still counts toward n_bigrams — with
+    // lmCorpus=None every bigram self-counts, so left == inner
+    val perDoc = occ.join(scored, Seq("bg"), "left")
+      .groupBy(idCol)
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * coalesce(col("s"), lit(0L))).as("score_sum"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("score_sum div n_bigrams")).as("fam_ppm"))
+  }
 }

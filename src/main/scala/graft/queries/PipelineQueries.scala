@@ -513,6 +513,83 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Token-BUDGETED mixture: each source keeps docs in deterministic-
+    // shuffle order until its token budget runs out — mixes are specced
+    // in tokens ("200 B web, 30 B code"), not doc keep-rates. The
+    // range-shard prefilter (Sampling.tokenBudgetSample) keeps the
+    // exact running sum off sources' full corpora; the oracle restates
+    // the cut as one plain per-source cumsum window.
+    "q_mix_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), T.tokenCount(col("text")).as("toks"))
+      val budgets = docs.select("source").distinct()
+        .withColumn("token_budget", lit(400L) +
+          regexp_extract(col("source"), "[0-9]+", 0).cast("bigint") * 777 % 700)
+      graft.functions.Sampling
+        .tokenBudgetSample(docs, "doc_id", "source", "toks", budgets)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("toks").as("tokens_kept"),
+          sum("doc_id").as("sum_ids"), max("token_budget").as("token_budget"),
+          max("cum_tokens").as("max_cum"))
+        .orderBy("source")
+    }),
+
+    // Bigram-LM familiarity scoring (the CCNet perplexity-filter
+    // shape) in exact integer ppm arithmetic — every per-transition
+    // probability floor and both integral divisions are bit-portable,
+    // so the whole score hash-matches DuckDB with no float tolerance.
+    "q_t_bigram_lm" -> ((s, d) => {
+      T.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental ingest vs a PERSISTED fingerprint store: init the
+    // store from the standing corpus (doc_id % 3 <> 0), then classify
+    // a new drop holding genuinely-new docs, planted within-drop
+    // duplicates (doc_id % 9 twins at +1e6) and planted already-in-
+    // store duplicates (% 10 = 1 twins at +2e6), appending accepted
+    // fingerprints back to the store. The corpus is duplicate-free, so
+    // WITHOUT the plants both dup classes would be empty and verify
+    // nothing (the r1 embed_neardup lesson).
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.util.TempDirs.scoped("graft-fpstore").toString + "/store"
+      Dedup.fingerprintStoreInit(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", dir)
+      val drop = docs.where(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val classified = Dedup.incrementalIngest(drop, "doc_id", "text", dir)
+      val after = s.read.parquet(dir).count()
+      classified.groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .withColumn("store_after", lit(after))
+        .orderBy("status")
+    }),
+
+    // Quality-aware cluster representatives: same LSH->CC clusters as
+    // q_dedup_clusters, but each cluster keeps its LONGEST member
+    // (token-count argmax, min-id ties) instead of the arbitrary
+    // min-id — what production near-dedup actually ships. The argmax
+    // is one struct-max aggregate, not a per-cluster sort window.
+    "q_dedup_best_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      val labeled = Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), T.tokenCount(col("text")).as("toks")), Seq("doc_id"))
+      Dedup.clusterRepresentatives(labeled, "doc_id", "cluster_id", "toks")
+        .select(col("cluster_id"), col("rep_id").as("rep_doc_id"),
+          col("rep_score").as("rep_tokens"), col("n_members"),
+          col("total_score").as("cluster_tokens"))
+        .orderBy("cluster_id")
+    }),
+
     // SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures),
     // under the ENGINE-PORTABLE token hash so the DuckDB gate can
     // recompute the whole signature pipeline — token hash, per-bit
@@ -1289,7 +1366,10 @@ object PipelineQueries {
   // q_dedup_clusters (min-label propagation) and q_dedup_ccstar
   // (large-star/small-star): connected components are unique, so both
   // algorithms must hash-match the same SQL.
-  private val clustersOracle: String =
+  /** Recursive-closure CTE chain shared by every LSH->CC oracle:
+    * exhaustive jaccard>=0.5 pair set + reachability. Append a final
+    * SELECT (labels = min reachable id per doc). */
+  private val clusterClosureCtes: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
       |  FROM documents),
@@ -1313,9 +1393,13 @@ object PipelineQueries {
       |reach(id, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-      |SELECT id AS doc_id, min(r) AS cluster_id
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)""".stripMargin
+
+  private val clustersOracle: String =
+    clusterClosureCtes +
+      """
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
@@ -1657,6 +1741,30 @@ object PipelineQueries {
     // same closure — components are algorithm-independent, so the
     // star-scheme run must hash-match the propagation run's oracle
     "q_dedup_ccstar" -> clustersOracle,
+    // same closure + token counts: per cluster keep the (tokens DESC,
+    // id ASC) argmax member — the quality-aware keeper
+    "q_dedup_best_rep" ->
+      (clusterClosureCtes +
+      """,
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |        FROM reach GROUP BY id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT lab.cluster_id, lab.doc_id, tok.toks,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY toks DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |    sum(toks) OVER (PARTITION BY cluster_id) AS cluster_tokens
+        |  FROM lab JOIN tok USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_doc_id,
+        |  CAST(toks AS BIGINT) AS rep_tokens,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(cluster_tokens AS BIGINT) AS cluster_tokens
+        |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
     // q_dedup_clusters' recursive closure + the portable split hash of
     // the CLUSTER representative: same cluster -> same split, by
     // construction, on both engines
@@ -1889,6 +1997,96 @@ object PipelineQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  max(keep_bp) AS keep_bp
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    // the range-sharded budget cut restated as ONE per-source cumsum
+    // window — kept set = docs whose running token total (shuffle-hash
+    // order, seed 17) stays within the source budget
+    "q_mix_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919
+        |      + 17 * 2654435761) % 2147483648 AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    400 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) * 777 % 700
+        |      AS token_budget
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |c AS (
+        |  SELECT t.doc_id, t.source, t.toks, b.token_budget,
+        |    sum(toks) OVER (PARTITION BY t.source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t JOIN b USING (source))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  max(token_budget) AS token_budget,
+        |  CAST(max(cum) AS BIGINT) AS max_cum
+        |FROM c WHERE cum <= token_budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // per-corpus-bigram conditional ppm floor ((c * 1000000) // cp is
+    // integral on both engines for positive ints), summed over each
+    // doc's bigram occurrences — no float, no log, no tolerance
+    "q_t_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(a) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 1),
+        |        i -> a[i+1] || ' ' || a[i+2]) END) AS bg
+        |  FROM t),
+        |occ AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+        |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+        |pref AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cp
+        |  FROM cnt GROUP BY 1),
+        |sc AS (
+        |  SELECT bg, (c * 1000000) // cp AS s
+        |  FROM cnt JOIN pref ON split_part(bg, ' ', 1) = w1),
+        |pd AS (
+        |  SELECT doc_id, sum(k) AS n_bigrams, sum(k * s) AS score_sum
+        |  FROM occ JOIN sc USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(score_sum, 0) AS BIGINT) AS score_sum,
+        |  CASE WHEN n_bigrams > 0
+        |    THEN CAST(score_sum // n_bigrams AS BIGINT) END AS fam_ppm
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // store = distinct fingerprints of the standing corpus; the drop's
+    // three-way classification and the post-append store size restated
+    // as pure set logic over the same table
+    "q_incremental_dedup" ->
+      """WITH drop AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
+        |store AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM drop),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1),
+        |c AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN f.fp IN (SELECT fp FROM store) THEN 'dup_in_store'
+        |      WHEN f.doc_id <> k.keeper THEN 'dup_in_drop'
+        |      ELSE 'accepted' END AS status
+        |  FROM f JOIN k USING (fp))
+        |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  (SELECT count(*) FROM store)
+        |    + (SELECT count(*) FROM c WHERE status = 'accepted') AS store_after
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
     // Composite oracle: near-dup cluster keepers (recursive closure
     // over the exact-jaccard pair set), Gopher repetition gate, OOV
     // rate, language ID, split hash — joined at doc grain exactly as

@@ -353,6 +353,27 @@ object RelationalQueries {
       R.rbindFill(Seq(c, sup)).orderBy("name")
     }),
 
+    // Snapshot diff / CDC derivation (ops.SnapshotDiff): classify
+    // every order key across two deterministic snapshots of the same
+    // table (adds at % 13 = 3, deletes at % 13 = 5, price patches at
+    // % 7 = 0) — money compared in exact cents, one full-outer join.
+    "q_cdc_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        bround(col("o_totalprice") * 100, 0).cast("bigint").as("o_cents"))
+      val oldSnap = base.where(col("o_orderkey") % 13 =!= 3)
+      val newSnap = base.where(col("o_orderkey") % 13 =!= 5)
+        .withColumn("o_cents", when(col("o_orderkey") % 7 === 0,
+          col("o_cents") + 10000L).otherwise(col("o_cents")))
+      graft.ops.SnapshotDiff
+        .diff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "o_cents"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_keys"),
+          sum(coalesce(col("new_o_cents"), lit(0L)) -
+            coalesce(col("old_o_cents"), lit(0L))).as("sum_delta_cents"))
+        .orderBy("change_type")
+    }),
+
     // U3 — distinct.
     "q_u3_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -624,6 +645,38 @@ object RelationalQueries {
     "q_u3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+        |  FROM orders),
+        |o AS (SELECT * FROM base WHERE o_orderkey % 13 <> 3),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_cents + 10000
+        |      ELSE o_cents END AS o_cents
+        |  FROM base WHERE o_orderkey % 13 <> 5),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |    o.o_cents AS oc, n.o_cents AS nc
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        |c AS (
+        |  SELECT k,
+        |    CASE WHEN NOT in_old THEN 'added'
+        |      WHEN NOT in_new THEN 'removed'
+        |      WHEN os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc
+        |        THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type,
+        |    oc, nc
+        |  FROM j)
+        |SELECT change_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_keys,
+        |  CAST(sum(coalesce(nc, 0) - coalesce(oc, 0)) AS BIGINT)
+        |    AS sum_delta_cents
+        |FROM c WHERE change_type <> 'unchanged'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_r1_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,

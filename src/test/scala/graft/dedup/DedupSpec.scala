@@ -421,4 +421,47 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.9, maxDocFreq = Some(100)).collect().toSet
     assert(capped == exact)
   }
+
+  test("incrementalIngest classifies against the store and extends it") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-incr").toString + "/store"
+    val standing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    Dedup.fingerprintStoreInit(standing, "doc_id", "text", dir)
+
+    // drop 1: store dup (case/space-normalized), within-drop dup pair, one new
+    val drop1 = Seq(
+      (10L, "ALPHA   beta"),  // dup_in_store (normalized fingerprint)
+      (11L, "epsilon zeta"),  // accepted (keeper of the pair)
+      (12L, "epsilon zeta"),  // dup_in_drop
+      (13L, "eta theta")      // accepted
+    ).toDF("doc_id", "text")
+    val c1 = Dedup.incrementalIngest(drop1, "doc_id", "text", dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(c1 == Map(10L -> "dup_in_store", 11L -> "accepted",
+      12L -> "dup_in_drop", 13L -> "accepted"))
+    // dup_in_store rows point at the original carrier
+    assert(spark.read.parquet(dir).count() == 4) // 2 init + 2 accepted
+
+    // drop 2: drop 1's accepted text must now hit the store
+    val drop2 = Seq((20L, "epsilon zeta"), (21L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val c2 = Dedup.incrementalIngest(drop2, "doc_id", "text", dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(c2 == Map(20L -> "dup_in_store", 21L -> "accepted"))
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("clusterRepresentatives keeps the (score DESC, id ASC) argmax per cluster") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // tie at 9 -> min id 2
+      (7L, 7L, 4L)                              // singleton
+    ).toDF("doc_id", "cluster_id", "toks")
+    val out = Dedup.clusterRepresentatives(labeled, "doc_id", "cluster_id", "toks")
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Long]("rep_score"),
+          r.getAs[Long]("n_members"), r.getAs[Long]("total_score")))).toMap
+    assert(out(1L) == ((2L, 9L, 3L, 23L)))
+    assert(out(7L) == ((7L, 4L, 1L, 4L)))
+  }
 }

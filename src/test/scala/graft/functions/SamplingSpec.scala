@@ -155,4 +155,54 @@ class SamplingSpec extends AnyFunSuite {
       .select("key").as[Long].collect().toSet
     assert(good.forall(_ % 10 != 0) && good.size == 100)
   }
+
+  test("tokenBudgetSample keeps the exact budget prefix per source, any shard count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 401).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+      .withColumn("toks", (col("id") % 37) + 1L)
+    val budgets = Seq(("s0", 700L), ("s1", 400L), ("s2", 5L))
+      .toDF("src", "token_budget")
+    // reference: plain per-source cumsum over (shuffleHash, id) order
+    val byHash = df
+      .withColumn("h", Sampling.shuffleHash(col("id"), 17L))
+      .select("src", "id", "toks", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val budgetMap = Map("s0" -> 700L, "s1" -> 400L, "s2" -> 5L)
+    val expected = byHash.toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).toSeq.flatMap { r =>
+        cum += r._3
+        if (cum <= budgetMap(src)) Some((r._2, cum)) else None
+      }
+    }.toMap
+    for (shards <- Seq(1, 4, 64)) {
+      val got = Sampling.tokenBudgetSample(df, "id", "src", "toks", budgets,
+          seed = 17L, shards = shards)
+        .select("id", "cum_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"shards=$shards")
+    }
+    // s2's budget (5) is below many docs' token counts: only hash-first
+    // docs with tiny counts can fit; assert the cut actually bites
+    assert(expected.nonEmpty && expected.size < 400)
+  }
+
+  test("tokenBudgetSample is nested under budget growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 301).toDF("id")
+      .withColumn("src", lit("s"))
+      .withColumn("toks", (col("id") % 11) + 1L)
+    def kept(b: Long): Set[Long] =
+      Sampling.tokenBudgetSample(df, "id", "src", "toks",
+          Seq(("s", b)).toDF("src", "token_budget"))
+        .select("id").as[Long].collect().toSet
+    val small = kept(100L)
+    val big = kept(500L)
+    assert(small.subsetOf(big), "raising a budget must only ADD docs")
+    assert(small.nonEmpty && big.size > small.size)
+  }
 }
