@@ -143,6 +143,72 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("meta_width"),
       (col("n_chars") % 480).cast("int").as("meta_height"))
 
+  final case class PerceptualHash(media_id: Long, b0: Long, b1: Long,
+      b2: Long, b3: Long)
+
+  /** PERCEPTUAL average-hash (aHash) over a media payload — the
+    * standard first-pass image near-dup signature (downscale to 8x8,
+    * threshold each cell against the mean, 64-bit fingerprint;
+    * Hamming distance = perceptual difference). Here the downscale is
+    * 64 equal tiles over the byte stream (`tile(j) = 64*j div n`, the
+    * 1-D analogue — feed decoded grayscale rows for real images),
+    * tile energy = exact byte sums, bit_i = `64*sum_i > total`
+    * (integer compare, no float mean), packed as FOUR 16-bit bands so
+    * candidate generation can pigeonhole: two hashes within Hamming
+    * distance 3 must agree on at least one band.
+    *
+    * All integer arithmetic — engine-portable, so the DuckDB gate
+    * recomputes every bit. Empty payloads hash to all-zero bands. */
+  def perceptualHashes(media: Dataset[ImagePayload]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.payload
+      val n = b.length
+      val sums = new Array[Long](64)
+      var j = 0
+      while (j < n) { sums((64L * j / n).toInt) += (b(j) & 0xFF).toLong; j += 1 }
+      var tot = 0L
+      var i = 0
+      while (i < 64) { tot += sums(i); i += 1 }
+      val bands = new Array[Long](4)
+      i = 0
+      while (i < 64) {
+        if (sums(i) * 64 > tot) bands(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      PerceptualHash(r.media_id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
+  /** Near-dup media pairs by banded pigeonhole over [[perceptualHashes]]
+    * + exact Hamming verification. EXHAUSTIVE for `maxHamming <= 3`:
+    * with 4 bands, 3 differing bits cannot touch all four, so every
+    * qualifying pair shares at least one band bucket — the same
+    * guarantee shape as MinHash banding, but deterministic. Scale:
+    * one equi-join shuffled on (band index, band value); no all-pairs
+    * scan; verification is a codegen'd xor/bit_count projection on
+    * candidate rows only. */
+  def perceptualNearDupPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole is only exhaustive for maxHamming <= 3")
+    val bands = hashes.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("bj", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bj") === col("b.bj") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val ham = (0 to 3).map(i =>
+        bit_count(col(s"ha.b$i").bitwiseXOR(col(s"hb.b$i"))).cast("bigint"))
+      .reduce(_ + _)
+    cand
+      .join(hashes.as("ha"), col("id_a") === col("ha.media_id"))
+      .join(hashes.as("hb"), col("id_b") === col("hb.media_id"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Batched feature extraction: partition-local, `batchSize` records
     * per decode call (mirrors arrow-batch decode APIs); executors never
     * materialize more than one batch of payloads at once beyond the

@@ -123,6 +123,30 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Cohort retention matrix: cohort = the user's FIRST-activity
+    // week, cell = distinct users from that cohort active `offset`
+    // weeks later, plus an integer-basis-point retention rate. Scale
+    // shape: (user, week) distinct + per-user min are both
+    // partial-aggregated shuffles on user_id (shared exchange), the
+    // matrix itself is cohort x offset — tiny at any corpus size.
+    "q_e_retention" -> ((s, d) => {
+      val weekUs = 7L * 24 * HourUs
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_ns div 1000 div $weekUs").as("wk"))
+      val first = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val cohortSize = first.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_size"))
+      wk.distinct()
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(broadcast(cohortSize), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          expr("(n_active * 10000) div cohort_size").as("retained_bp"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     "q_e_funnel" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("m", expr("ts_ns div 1000"))
@@ -299,6 +323,24 @@ object EventQueries {
         |FROM (SELECT s.*, max(session_idx) OVER (PARTITION BY user_id) AS mx FROM s)
         |WHERE session_idx < mx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_e_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 // 604800000000 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1),
+        |cs AS (
+        |  SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM w),
+        |r AS (
+        |  SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_wk, r.week_offset,
+        |  CAST(r.n_active AS BIGINT) AS n_active,
+        |  CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST((r.n_active * 10000) // cs.cohort_size AS BIGINT) AS retained_bp
+        |FROM r JOIN cs USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
     "q_e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS m FROM events),
         |v AS (SELECT user_id, min(m) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -82,6 +82,36 @@ object MultimodalQueries {
           col("height").cast("bigint").as("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual near-dup (aHash + banded pigeonhole): planted
+    // "re-encodes" of every % 10 = 7 payload (3 bytes substituted at
+    // spread positions — the pixel-noise analogue; an APPEND would
+    // shift all 64 tile boundaries and is exactly the transform a
+    // perceptual hash should NOT match) must collide with their
+    // original within Hamming 2, while word-salad background pairs
+    // sit at median distance ~31. The 4-band pigeonhole is exhaustive
+    // for Hamming <= 3, so DuckDB's all-pairs scan is the exact
+    // oracle for the banded join's output.
+    "q_mm_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val twins = Tables.documents(s, d).where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000L).as("media_id"),
+          expr("""concat(
+            substring(text, 1, length(text) div 4), '~',
+            substring(text, length(text) div 4 + 2,
+              length(text) div 2 - length(text) div 4 - 1), '~',
+            substring(text, length(text) div 2 + 2,
+              3 * length(text) div 4 - length(text) div 2 - 1), '~',
+            substring(text, 3 * length(text) div 4 + 2))""").as("text"))
+      val media = base.unionByName(twins)
+        .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[Multimodal.ImagePayload]
+      val hashes = Multimodal.perceptualHashes(media).toDF()
+      Multimodal.perceptualNearDupPairs(hashes, maxHamming = 2)
+        .orderBy("id_a", "id_b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +153,51 @@ object MultimodalQueries {
         |  h * ((w // 2) * ra + (w - w // 2) * rb) AS sum_r,
         |  h * ((w // 2) * ga + (w - w // 2) * gb) AS sum_g,
         |  h * ((w // 2) * ba + (w - w // 2) * bb) AS sum_b
-        |FROM r ORDER BY media_id""".stripMargin)
+        |FROM r ORDER BY media_id""".stripMargin,
+    // every aHash bit recomputed from character arithmetic (ASCII
+    // corpus: ascii(char) == payload byte), then the banded join's
+    // output restated as the EXHAUSTIVE all-pairs Hamming scan — equal
+    // by the 4-band pigeonhole guarantee (ham <= 3 shares a band)
+    "q_mm_neardup" ->
+      """WITH m0 AS (SELECT doc_id AS media_id, text AS t FROM documents),
+        |tw AS (
+        |  SELECT doc_id + 3000000 AS media_id,
+        |    substr(text, 1, length(text)//4) || '~' ||
+        |    substr(text, length(text)//4 + 2,
+        |      length(text)//2 - length(text)//4 - 1) || '~' ||
+        |    substr(text, length(text)//2 + 2,
+        |      (3*length(text))//4 - length(text)//2 - 1) || '~' ||
+        |    substr(text, (3*length(text))//4 + 2) AS t
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |m AS (SELECT * FROM m0 UNION ALL SELECT * FROM tw),
+        |pos AS (
+        |  SELECT media_id, t, length(t) AS n, unnest(range(length(t))) AS j
+        |  FROM m),
+        |ts AS (
+        |  SELECT media_id, CAST((64*j) // n AS INT) AS tile,
+        |    ascii(substr(t, CAST(j+1 AS INT), 1)) AS v
+        |  FROM pos),
+        |bs AS (SELECT media_id, tile, sum(v) AS sv FROM ts GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(sv) AS tv FROM bs GROUP BY 1),
+        |bits AS (
+        |  SELECT b.media_id, b.tile FROM bs b JOIN tot USING (media_id)
+        |  WHERE sv * 64 > tv),
+        |bands AS (
+        |  SELECT media_id, tile // 16 AS bj,
+        |    CAST(sum(CAST(1 AS BIGINT) << (tile % 16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |h AS (
+        |  SELECT m.media_id,
+        |    coalesce(max(CASE WHEN bj = 0 THEN bv END), 0) AS b0,
+        |    coalesce(max(CASE WHEN bj = 1 THEN bv END), 0) AS b1,
+        |    coalesce(max(CASE WHEN bj = 2 THEN bv END), 0) AS b2,
+        |    coalesce(max(CASE WHEN bj = 3 THEN bv END), 0) AS b3
+        |  FROM m LEFT JOIN bands USING (media_id) GROUP BY 1),
+        |p AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+        |  FROM h a JOIN h b ON a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin)
 }

@@ -81,4 +81,50 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.media_id -> f.feature.toSeq).toMap
     assert(a == b)
   }
+
+  test("perceptualHashes: hand-computed tiles on a tiny payload") {
+    import spark.implicits._
+    // payload of 128 bytes: first half 0x00, second half 0xFF ->
+    // tiles 0..31 sum 0 (bit off), tiles 32..63 sum 510 (bit on):
+    // b0 = b1 = 0, b2 = b3 = 0xFFFF
+    val payload = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(0xFF.toByte)
+    val h = Multimodal.perceptualHashes(
+      Seq(Multimodal.ImagePayload(1L, payload)).toDS()).head()
+    assert((h.b0, h.b1, h.b2, h.b3) == ((0L, 0L, 0xFFFFL, 0xFFFFL)))
+    // empty payload -> all-zero bands, no crash
+    val e = Multimodal.perceptualHashes(
+      Seq(Multimodal.ImagePayload(2L, Array.emptyByteArray)).toDS()).head()
+    assert((e.b0, e.b1, e.b2, e.b3) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("perceptual near-dup: banded join equals brute-force Hamming scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      Multimodal.ImagePayload(i.toLong,
+        Array.fill[Byte](200 + rnd.nextInt(100))((rnd.nextInt(96) + 32).toByte))
+    }
+    // noisy twins of every 5th payload: 2 substituted bytes
+    val twins = base.filter(_.media_id % 5 == 0).map { p =>
+      val b = p.payload.clone()
+      b(b.length / 3) = '~'.toByte
+      b(2 * b.length / 3) = '~'.toByte
+      Multimodal.ImagePayload(p.media_id + 1000L, b)
+    }
+    val hashes = Multimodal.perceptualHashes((base ++ twins).toDS()).toDF()
+    val got = Multimodal.perceptualNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over collected hashes
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      ham = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (ia, ib, ham.toLong)).toSet
+    assert(got == brute)
+    // the planted twins are found
+    val twinPairs = got.collect { case (a, b, _) if b == a + 1000L => a }
+    assert(twinPairs.nonEmpty, "no planted twin collided — fixture too noisy")
+  }
 }
