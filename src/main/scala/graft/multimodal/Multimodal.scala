@@ -143,6 +143,62 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("meta_width"),
       (col("n_chars") % 480).cast("int").as("meta_height"))
 
+  /** REAL image RESIZE leg — explicit nearest-neighbor sampling
+    * (target pixel (x,y) reads source pixel `(x*w div tw, y*h div th)`),
+    * not `Graphics2D` scaling, whose interpolation is implementation-
+    * defined and would break bit-reproducibility across JVMs. Resize
+    * is the standard pre-normalization before feature extraction /
+    * perceptual hashing (aHash's 8x8 downscale IS a nearest/mean
+    * resize). Runs inside the same partition-local decode pass:
+    * compressed bytes in, a thumbnail-sized stat row out, full-res
+    * pixels never shuffle. */
+  def resizeNearest(img: java.awt.image.BufferedImage, tw: Int,
+      th: Int): java.awt.image.BufferedImage = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < th) {
+      val sy = ((y.toLong * h) / th).toInt
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB(((x.toLong * w) / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode -> nearest-neighbor resize to (tw x th) -> exact integer
+    * channel sums of the THUMBNAIL. The distributed normalize-then-
+    * summarize shape: per image, only the fixed-width thumbnail
+    * summary leaves the executor. */
+  def thumbStats(media: Dataset[ImagePayload], tw: Int,
+      th: Int): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"undecodable image payload (${r.payload.length} bytes)")
+      val t = resizeNearest(img, tw, th)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val rgb = t.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(r.media_id, tw, th, sr, sg, sb)
+    })
+  }
+
   final case class PerceptualHash(media_id: Long, b0: Long, b1: Long,
       b2: Long, b3: Long)
 

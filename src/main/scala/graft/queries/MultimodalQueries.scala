@@ -84,6 +84,38 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL resize gate: the q_mm_decode two-tone PNGs decoded and
+    // nearest-neighbor-downscaled to 8x8 by the engine; the oracle
+    // recomputes the thumbnail arithmetically (target column x samples
+    // source column x*w div 8 — left tone iff that lands under w div 2;
+    // rows are color-uniform, so sums = 8 * per-row sums). A resize
+    // that misindexes by one pixel or swaps channel order breaks the
+    // hash.
+    "q_mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          ((col("doc_id") % 13) + 4).cast("int").as("w"),
+          ((col("doc_id") % 7) + 3).cast("int").as("h"),
+          (col("doc_id") * 37 % 256).cast("int").as("ra"),
+          (col("doc_id") * 59 % 256).cast("int").as("ga"),
+          (col("doc_id") * 83 % 256).cast("int").as("ba"),
+          ((col("doc_id") * 101 + 7) % 256).cast("int").as("rb"),
+          ((col("doc_id") * 131 + 11) % 256).cast("int").as("gb"),
+          ((col("doc_id") * 151 + 13) % 256).cast("int").as("bb"))
+        .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+        .map { case (id, w, h, ra, ga, ba, rb, gb, bb) =>
+          Multimodal.ImagePayload(id, Multimodal.encodeTwoTonePng(
+            w, h, (ra << 16) | (ga << 8) | ba, (rb << 16) | (gb << 8) | bb))
+        }
+      Multimodal.thumbStats(media, 8, 8).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Perceptual near-dup (aHash + banded pigeonhole): planted
     // "re-encodes" of every % 10 = 7 payload (3 bytes substituted at
     // spread positions — the pixel-noise analogue; an APPEND would
@@ -154,6 +186,28 @@ object MultimodalQueries {
         |  h * ((w // 2) * ga + (w - w // 2) * gb) AS sum_g,
         |  h * ((w // 2) * ba + (w - w // 2) * bb) AS sum_b
         |FROM r ORDER BY media_id""".stripMargin,
+    // nearest-neighbor 8x8 thumbnail restated arithmetically: target
+    // column x samples source column (x*w)//8, which carries the left
+    // tone iff it lands under w//2; all 8 rows are color-uniform
+    "q_mm_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
+        |    (doc_id * 37) % 256 AS ra, (doc_id * 59) % 256 AS ga,
+        |    (doc_id * 83) % 256 AS ba,
+        |    (doc_id * 101 + 7) % 256 AS rb, (doc_id * 131 + 11) % 256 AS gb,
+        |    (doc_id * 151 + 13) % 256 AS bb
+        |  FROM documents),
+        |n AS (
+        |  SELECT r.*,
+        |    len(list_filter(range(8), x -> (x * w) // 8 < w // 2)) AS n_left
+        |  FROM r)
+        |SELECT media_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  8 * (n_left * ra + (8 - n_left) * rb) AS sum_r,
+        |  8 * (n_left * ga + (8 - n_left) * gb) AS sum_g,
+        |  8 * (n_left * ba + (8 - n_left) * bb) AS sum_b
+        |FROM n ORDER BY media_id""".stripMargin,
     // every aHash bit recomputed from character arithmetic (ASCII
     // corpus: ascii(char) == payload byte), then the banded join's
     // output restated as the EXHAUSTIVE all-pairs Hamming scan — equal

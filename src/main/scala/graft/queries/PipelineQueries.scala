@@ -909,6 +909,23 @@ object PipelineQueries {
         .orderBy("cell")
     }),
 
+    // DIVERSITY-balanced subset: k-means cells as semantic strata, an
+    // exact per-cell quota sampled deterministically inside each —
+    // the embedding-space analogue of source-balanced mixing (a
+    // cluster-balanced subset can't be dominated by one dense topic,
+    // the property SemDeDup-style curation is after). Pure composition:
+    // kmeansFitInt8 cells |> stratifiedQuota, both already gate-proven;
+    // the oracle chains the kmeans training replay into the quota
+    // window.
+    "q_diversity_sample" -> ((s, d) => {
+      val cells = Similarity.kmeansFitInt8(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 2)
+      graft.functions.Sampling.stratifiedQuota(
+          cells.select(col("id").as("vec_id"), col("cell")),
+          "vec_id", "cell", quota = 12)
+        .orderBy("stratum", "rk")
+    }),
+
     // RETRIEVAL: ANN top-k joined back to document metadata — the
     // serving-side composition (embedding search -> fetch the doc).
     // The top-k result is query-bounded, so IT broadcasts into the
@@ -1400,6 +1417,80 @@ object PipelineQueries {
       """
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The q_kmeans_cells training replay (int8 quantize, seeds, two
+    * Lloyd rounds, final corpus assignment) as a reusable CTE chain
+    * ending at `a3(vec_id, cell)` — append a final SELECT. */
+  private val kmeansAssignCtes: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
@@ -2269,78 +2360,27 @@ object PipelineQueries {
     // half-away rounding, identical in Spark. Ties break on cell id
     // (row_number ORDER BY dist, cell == Spark's struct array_min).
     "q_kmeans_cells" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (
-        |  SELECT vec_id, v,
-        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
-        |  FROM e),
-        |c AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
-        |    END AS codes
-        |  FROM s),
-        |x AS (
-        |  SELECT vec_id, CAST(i AS INT) AS pos,
-        |    codes[CAST(i + 1 AS INT)] AS x
-        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-        |    list_transform(codes, x -> 1000 * x) AS cent
-        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents1 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
-        |u2 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents2 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a3 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1)
+      (kmeansAssignCtes +
+      """
         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
-        |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin,
+        |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin),
+    // the same training replay chained into the stratified-quota
+    // window (the q_stratified_sample rule, stratum = trained cell)
+    "q_diversity_sample" ->
+      (kmeansAssignCtes +
+      """,
+        |hq AS (
+        |  SELECT CAST(cell AS VARCHAR) AS stratum, vec_id,
+        |    ((vec_id % 2147483648) * 1597334677 + (vec_id >> 31) * 7919) % 10000
+        |      AS b
+        |  FROM a3),
+        |rq AS (
+        |  SELECT stratum, vec_id, b,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY b, vec_id) AS rk
+        |  FROM hq)
+        |SELECT stratum, vec_id AS key, b AS bucket, CAST(rk AS BIGINT) AS rk
+        |FROM rq WHERE rk <= 12 ORDER BY stratum, rk""".stripMargin),
     // Trained-IVF serving on top of the SAME training replay: corpus
     // assignment under the trained centroids, nProbe=2 nearest cells
     // per query by the identical exact distance, quantized-cosine

@@ -127,4 +127,40 @@ class MultimodalSpec extends AnyFunSuite {
     val twinPairs = got.collect { case (a, b, _) if b == a + 1000L => a }
     assert(twinPairs.nonEmpty, "no planted twin collided — fixture too noisy")
   }
+
+  test("resizeNearest: hand-computed nearest-neighbor sampling") {
+    // 4x2 source: columns 0,1 red, columns 2,3 blue (two-tone w/2=2)
+    val src = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      src.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    // downscale to 2x1: samples source (0,0) and (2,0) -> red, blue
+    val t = Multimodal.resizeNearest(src, 2, 1)
+    assert((t.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((t.getRGB(1, 0) & 0xFFFFFF) == 0x0000FF)
+    // upscale to 8x2: column x samples source x*4/8 = x/2
+    val u = Multimodal.resizeNearest(src, 8, 2)
+    for (x <- 0 until 8) {
+      val want = if (x / 2 < 2) 0xFF0000 else 0x0000FF
+      assert((u.getRGB(x, 1) & 0xFFFFFF) == want, s"col $x")
+    }
+    // identity resize is pixel-exact
+    val id = Multimodal.resizeNearest(src, 4, 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((id.getRGB(x, y) & 0xFFFFFF) == (src.getRGB(x, y) & 0xFFFFFF))
+  }
+
+  test("thumbStats: decode -> resize -> sums matches direct pixel math") {
+    import spark.implicits._
+    val png = Multimodal.encodeTwoTonePng(10, 6, 0x102030, 0x405060)
+    val out = Multimodal.thumbStats(
+      Seq(Multimodal.ImagePayload(5L, png)).toDS(), 8, 8).head()
+    // left tone iff (x*10)//8 < 5: x in 0..3 -> sx 0,1,2,3; x=4 -> 5 (right)
+    val nL = (0 until 8).count(x => x * 10 / 8 < 5)
+    assert(nL == 4)
+    assert(out.width == 8 && out.height == 8)
+    assert(out.sum_r == 8L * (nL * 0x10 + (8 - nL) * 0x40))
+    assert(out.sum_g == 8L * (nL * 0x20 + (8 - nL) * 0x50))
+    assert(out.sum_b == 8L * (nL * 0x30 + (8 - nL) * 0x60))
+  }
 }
