@@ -615,6 +615,41 @@ object PipelineQueries {
     // so the streamed keeper set must equal the batch exact-dedup
     // contract (min doc_id per fingerprint) — which is the DuckDB
     // oracle.
+    // Streaming CDC apply through the REAL engine: a versioned change
+    // feed derived from orders (key = orderkey % 1000 so keys see ~15
+    // changes each; version = a multiplicative scramble so arrivals
+    // are version-UNORDERED and the last-writer-wins rejection path
+    // actually fires) replayed as 4 ordered drops; state = one long
+    // per key. The oracle restates acceptance as the per-key prefix-
+    // maxima of version in arrival order — batch-boundary-invariant,
+    // so the drop count cannot change the answer.
+    "q_stream_upsert" -> ((s, d) => {
+      val changes = Tables.orders(s, d).select(
+        (col("o_orderkey") % 1000).as("key"),
+        (col("o_orderkey") * 7919 % 100000).as("ver"),
+        bround(col("o_totalprice") * 100, 0).cast("bigint").as("value_c"),
+        col("o_orderkey").as("arrival"))
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        changes, "arrival", 4, "graft-stream-upsert")
+      s.catalog.dropTempView("stream_upsert_out")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.upsertStream(
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(2)))
+          .toDF()
+          .writeStream.format("memory").queryName("stream_upsert_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_upsert: streaming query timed out — refusing to read a partial sink")
+      }
+      s.table("stream_upsert_out").orderBy("key", "ver")
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-dedup")
@@ -2073,6 +2108,24 @@ object PipelineQueries {
         |    AS fingerprint,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // acceptance = per-key prefix maxima of version in arrival order;
+    // prev_ver = the superseded version (running max over earlier
+    // arrivals, NULL on first sighting)
+    "q_stream_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey % 1000 AS key,
+        |    (o_orderkey * 7919) % 100000 AS ver,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS value_c,
+        |    o_orderkey AS arrival
+        |  FROM orders),
+        |w AS (
+        |  SELECT key, ver, value_c, arrival,
+        |    max(ver) OVER (PARTITION BY key ORDER BY arrival
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM ch)
+        |SELECT key, ver, value_c, prev_max AS prev_ver
+        |FROM w WHERE prev_max IS NULL OR ver > prev_max
+        |ORDER BY key, ver""".stripMargin,
     "q_mix_sample" ->
       """WITH w AS (
         |  SELECT source,

@@ -433,4 +433,48 @@ object PipelineStreams {
           out.iterator
       }
   }
+
+  final case class ChangeRow(key: Long, ver: Long, value_c: Long,
+      arrival: Long)
+  final case class UpsertEmit(key: Long, ver: Long, value_c: Long,
+      prev_ver: Option[Long])
+
+  /** Streaming CDC APPLY — the incremental twin of
+    * [[graft.ops.MergeUpsert]]: a change feed (key, version, value)
+    * folds into per-key LAST-WRITER-WINS state, emitting one row per
+    * ACCEPTED change (arriving version strictly above the stored one);
+    * stale/duplicate versions are dropped — replaying a feed, or
+    * re-delivering a drop after a checkpoint recovery, cannot regress
+    * the table (the idempotence CDC consumers need). `prev_ver` on
+    * each emit is the version it superseded (None for the key's first
+    * sighting) — the audit edge a downstream can chain.
+    *
+    * State per key = ONE long (the current version): bounded by key
+    * cardinality, the same state story as a keyed table itself. The
+    * emitted sequence is batch-boundary-invariant: rows are folded in
+    * `arrival` order inside each group (micro-batch iterators carry
+    * no order guarantee), so N drops or 1 produce the same accepted
+    * prefix-maxima sequence per key. */
+  def upsertStream(changes: DataFrame): Dataset[UpsertEmit] = {
+    val ss = changes.sparkSession
+    import ss.implicits._
+    changes.select(col("key"), col("ver"), col("value_c"), col("arrival"))
+      .as[ChangeRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, UpsertEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[ChangeRow], state: GroupState[Long]) =>
+          var cur = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[UpsertEmit]
+          rows.toSeq.sortBy(_.arrival).foreach { r =>
+            if (r.ver > cur) {
+              out += UpsertEmit(k, r.ver, r.value_c,
+                if (cur == Long.MinValue) None else Some(cur))
+              cur = r.ver
+            }
+          }
+          if (out.nonEmpty) state.update(cur)
+          out.iterator
+      }
+  }
 }

@@ -264,4 +264,53 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing ${batch -- streamed}, spurious ${streamed -- batch}")
   }
+
+  test("upsert stream: last-writer-wins, stale rejection, state across drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-stream")
+    val sink = dir.resolve("out").toString
+    val drops = java.nio.file.Files.createDirectory(dir.resolve("drops"))
+
+    def emitted(): Seq[(Long, Long, Long, Option[Long])] =
+      spark.read
+        .schema("key BIGINT, ver BIGINT, value_c BIGINT, prev_ver BIGINT")
+        .parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq.sortBy(t => (t._1, t._2))
+
+    def stage(rows: Seq[(Long, Long, Long, Long)], name: String): Unit = {
+      val tmp = dir.resolve(name + ".tmpdir").toString
+      rows.toDF("key", "ver", "value_c", "arrival")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, drops.resolve(name))
+    }
+    def run(): Unit = {
+      val q = PipelineStreams.upsertStream(
+          PipelineStreams.readDocs(spark, drops.toString)).toDF()
+        .writeStream.format("parquet").option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+
+    // drop 1, key 1: versions arrive (by arrival order) 5, 3, 9 ->
+    // accept 5 (first), reject 3 (stale), accept 9 (prev 5)
+    stage(Seq((1L, 5L, 50L, 1L), (1L, 3L, 30L, 2L), (1L, 9L, 90L, 3L),
+      (2L, 7L, 70L, 4L)), "d1.parquet")
+    run()
+    assert(emitted() == Seq(
+      (1L, 5L, 50L, None), (1L, 9L, 90L, Some(5L)), (2L, 7L, 70L, None)))
+
+    // drop 2: key 1 gets a stale 8 (rejected against checkpointed 9)
+    // and a fresh 12; key 2 re-delivers 7 (duplicate -> rejected)
+    stage(Seq((1L, 8L, 80L, 5L), (1L, 12L, 120L, 6L), (2L, 7L, 70L, 7L)),
+      "d2.parquet")
+    run()
+    assert(emitted() == Seq(
+      (1L, 5L, 50L, None), (1L, 9L, 90L, Some(5L)), (1L, 12L, 120L, Some(9L)),
+      (2L, 7L, 70L, None)))
+  }
 }
