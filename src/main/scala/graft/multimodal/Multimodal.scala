@@ -199,6 +199,65 @@ object Multimodal {
     })
   }
 
+  /** Encode 16-bit signed little-endian mono PCM samples as a WAV
+    * container — a handcrafted RIFF header (44 bytes) + the sample
+    * bytes, so the fixture bytes are a closed-form function of the
+    * samples with no encoder library in the loop. */
+  def encodePcm16Wav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)          // PCM
+      .putShort(1.toShort)          // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)       // byte rate
+      .putShort(2.toShort)          // block align
+      .putShort(16.toShort)         // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Exact per-clip audio stats from DECODED samples. */
+  final case class AudioStats(media_id: Long, n_samples: Long,
+      sum_samples: Long, min_sample: Long, max_sample: Long)
+
+  /** REAL audio decode leg — pure-JDK `javax.sound.sampled`
+    * (WAV/PCM ships with the JRE): compressed container bytes in,
+    * exact integer sample stats out, the audio analogue of
+    * [[imageStats]]. Samples are reconstructed 16-bit signed LE from
+    * the decoded frame stream; integer sums, so the DuckDB gate can
+    * restate a closed-form fixture arithmetically. Fails loudly on
+    * undecodable payloads or non-16-bit formats. */
+  def audioStats(media: Dataset[ImagePayload]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"expected 16-bit LE mono PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      in.close()
+      var (n, sum) = (0L, 0L)
+      var (mn, mx) = (Long.MaxValue, Long.MinValue)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
+        n += 1; sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        i += 2
+      }
+      AudioStats(r.media_id, n, sum, if (n == 0) 0L else mn,
+        if (n == 0) 0L else mx)
+    })
+  }
+
   final case class PerceptualHash(media_id: Long, b0: Long, b1: Long,
       b2: Long, b3: Long)
 

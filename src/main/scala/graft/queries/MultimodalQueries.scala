@@ -84,6 +84,27 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode gate: closed-form 16-bit PCM clips are wrapped
+    // in a handcrafted WAV container (no encoder library — the bytes
+    // are a pure function of the sample formula), then decoded back
+    // through the actual javax.sound WAV parser; the emitted integer
+    // sample stats must match the formula restated in SQL. A parser
+    // that misreads the header, drops frames, or flips endianness
+    // breaks the hash.
+    "q_mm_audio" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          (lit(200) + col("doc_id") % 100).cast("int").as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+          Multimodal.ImagePayload(id, Multimodal.encodePcm16Wav(samples))
+        }
+      Multimodal.audioStats(media).toDF().orderBy("media_id")
+    }),
+
     // REAL resize gate: the q_mm_decode two-tone PNGs decoded and
     // nearest-neighbor-downscaled to 8x8 by the engine; the oracle
     // recomputes the thumbnail arithmetically (target column x samples
@@ -186,6 +207,22 @@ object MultimodalQueries {
         |  h * ((w // 2) * ga + (w - w // 2) * gb) AS sum_g,
         |  h * ((w // 2) * ba + (w - w // 2) * bb) AS sum_b
         |FROM r ORDER BY media_id""".stripMargin,
+    // the PCM formula restated: n = 200 + id % 100 samples of
+    // (id*31 + i*17) % 65536 - 32768 — exactly what the WAV parser
+    // must hand back
+    "q_mm_audio" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id, 200 + doc_id % 100 AS n FROM documents),
+        |s AS (
+        |  SELECT media_id, n,
+        |    list_transform(range(n),
+        |      i -> (media_id * 31 + i * 17) % 65536 - 32768) AS v
+        |  FROM r)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(list_min(v) AS BIGINT) AS min_sample,
+        |  CAST(list_max(v) AS BIGINT) AS max_sample
+        |FROM s ORDER BY media_id""".stripMargin,
     // nearest-neighbor 8x8 thumbnail restated arithmetically: target
     // column x samples source column (x*w)//8, which carries the left
     // tone iff it lands under w//2; all 8 rows are color-uniform

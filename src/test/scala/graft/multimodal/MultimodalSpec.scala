@@ -163,4 +163,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.sum_g == 8L * (nL * 0x20 + (8 - nL) * 0x50))
     assert(out.sum_b == 8L * (nL * 0x30 + (8 - nL) * 0x60))
   }
+
+  test("audio decode: WAV roundtrip is sample-exact; garbage fails loudly") {
+    import spark.implicits._
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 17)
+    val wav = Multimodal.encodePcm16Wav(samples)
+    // the container really is a WAV the JDK parser accepts
+    val out = Multimodal.audioStats(
+      Seq(Multimodal.ImagePayload(3L, wav)).toDS()).head()
+    assert(out.n_samples == 6L)
+    assert(out.sum_samples == samples.map(_.toLong).sum)
+    assert(out.min_sample == -32768L && out.max_sample == 32767L)
+    // empty clip: zero stats, no crash
+    val empty = Multimodal.audioStats(
+      Seq(Multimodal.ImagePayload(4L, Multimodal.encodePcm16Wav(Array.empty[Short]))).toDS()).head()
+    assert(empty.n_samples == 0L && empty.sum_samples == 0L)
+    // garbage bytes fail loudly, not silently
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioStats(
+        Seq(Multimodal.ImagePayload(5L, Array.fill[Byte](64)(42))).toDS()).head()
+    }
+    assert(Option(ex.getCause).nonEmpty)
+  }
 }
