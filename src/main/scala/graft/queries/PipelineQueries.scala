@@ -534,6 +534,32 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Unicode NFC normalization through the native codegen expression
+    // (plans.NormalizeTextExpr — Spark has no normalization builtin;
+    // DuckDB's nfc_normalize is the oracle). The ASCII corpus gets
+    // planted combining-mark suffixes: decomposed e+U+0301 and
+    // A+U+0308 must COMPOSE (changed=1, one char shorter), the
+    // precomposed variant and plain ASCII must pass through untouched
+    // — both directions of the contract under the hash gate, with the
+    // normalized bytes md5-pinned.
+    "q_t_normalize" -> ((s, d) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 4 === 1, lit(" A\u0308b"))
+          .when(col("doc_id") % 4 === 2, lit(" caf\u00e9"))
+          .otherwise(lit(" plain")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("norm",
+          graft.plans.NormalizeTextExpr.normalizeText(s, col("raw")))
+        .select(col("doc_id"),
+          when(col("norm") =!= col("raw"), 1L).otherwise(0L).as("changed"),
+          length(col("raw")).cast("bigint").as("raw_len"),
+          length(col("norm")).cast("bigint").as("norm_len"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram-LM familiarity scoring (the CCNet perplexity-filter
     // shape) in exact integer ppm arithmetic — every per-transition
     // probability floor and both integral divisions are bit-portable,
@@ -2169,6 +2195,23 @@ object PipelineQueries {
         |  CAST(max(cum) AS BIGINT) AS max_cum
         |FROM c WHERE cum <= token_budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    // same planted variants via chr(): 769 = U+0301 combining acute,
+    // 776 = U+0308 combining diaeresis, 233 = precomposed U+00E9
+    "q_t_normalize" ->
+      """WITH a AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+        |         WHEN doc_id % 4 = 1 THEN ' A' || chr(776) || 'b'
+        |         WHEN doc_id % 4 = 2 THEN ' caf' || chr(233)
+        |         ELSE ' plain' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM a)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     // per-corpus-bigram conditional ppm floor ((c * 1000000) // cp is
     // integral on both engines for positive ints), summed over each
     // doc's bigram occurrences — no float, no log, no tolerance
