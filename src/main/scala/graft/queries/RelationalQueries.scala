@@ -353,6 +353,20 @@ object RelationalQueries {
       R.rbindFill(Seq(c, sup)).orderBy("name")
     }),
 
+    // One-pass column profiling (ops.Profiling): row/null/distinct
+    // counts + typed min/max per column in a single aggregation job,
+    // exploded back to rows inside the plan. A planted nullable
+    // column exercises the null path (orders itself is null-free).
+    "q_profile_stats" -> ((s, d) => {
+      val t = Tables.orders(s, d)
+        .withColumn("status_n",
+          when(col("o_orderstatus") =!= "P", col("o_orderstatus")))
+      graft.ops.Profiling.profile(t,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "status_n",
+            "o_orderpriority", "o_orderdate"))
+        .orderBy("column")
+    }),
+
     // Snapshot diff / CDC derivation (ops.SnapshotDiff): classify
     // every order key across two deterministic snapshots of the same
     // table (adds at % 13 = 3, deletes at % 13 = 5, price patches at
@@ -645,6 +659,43 @@ object RelationalQueries {
     "q_u3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_profile_stats" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus <> 'P' THEN o_orderstatus END AS status_n,
+        |    o_orderpriority, o_orderdate
+        |  FROM orders),
+        |p AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM t
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus) FROM t
+        |  UNION ALL
+        |  SELECT 'status_n', count(*), count(*) - count(status_n),
+        |    count(DISTINCT status_n), min(status_n), max(status_n) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM t)
+        |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM p ORDER BY "column"""".stripMargin,
     "q_cdc_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,
