@@ -374,6 +374,29 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** (id, band, bh) BAND-BUCKET rows: the per-row compiled MinHash
+    * signature kernel cut into `bands` bands, each band's slice hashed
+    * to one bucket key. The LSH index representation — [[minHashLshPairs]]
+    * self-joins it; [[lshStoreInit]]/[[lshIncrementalIngest]] persist
+    * it as the on-disk near-dup index. Docs with < n tokens emit no
+    * rows (empty signature = no buckets). */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val ss = df.sparkSession
+    df.select(col(idCol),
+        graft.plans.MinHashSigExpr.minHashSignature(
+          ss, col(textCol), n, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
+          .as("bucket"))
+      .select(col(idCol), col("bucket.band"), col("bucket.bh"))
+  }
+
   /** MinHash + LSH banding: signatures are cut into `bands` bands of
     * `numHashes/bands` rows; docs colliding in ANY band become
     * candidates; candidates are verified with exact Jaccard.
@@ -417,7 +440,6 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // single-fixture-split guard on the INPUT, not just derived
     // tables: a one-file fixture scan is ONE split, which would run
     // every per-row kernel below (collapse md5, minhash signatures,
@@ -473,20 +495,10 @@ object Dedup {
     // signature shuffle. Bit-for-bit equal (MinHashSigExprSpec asserts
     // kernel == HOF == explode+agg); empty-sig docs (< n tokens) get
     // no buckets, exactly like docs with no shingle rows.
-    val ss = df.sparkSession
-    val withSig = reps.select(col(idCol),
-        graft.plans.MinHashSigExpr.minHashSignature(
-          ss, col(textCol), n, numHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
     // cached: feeds both sides of the candidate join AND the candIds
     // derivation — uncached, the 64-hash signature aggregation would
     // replay once per consumer
-    val buckets = withSig.select(col(idCol),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))))
-          .as("bucket"))
-      .select(col(idCol), col("bucket.band"), col("bucket.bh"))
+    val buckets = bandBuckets(reps, idCol, textCol, n, numHashes, bands)
       // single-fixture-split guard: this cache feeds BOTH sides of the
       // band-bucket self-join plus the candIds derivation
       .transform(graft.util.Parallelism.fanOut)
@@ -559,8 +571,10 @@ object Dedup {
     // band), restricted to groups whose rep holds a non-empty
     // signature (docs of < n tokens never bucket, so their copies
     // never pair — same as uncollapsed).
+    // (buckets holds exactly the non-empty-signature ids, bands rows
+    // each — a left_semi needs no distinct)
     val sigGroups = dupMem.join(
-      withSig.select(col(idCol).as("__rep")), Seq("__rep"), "left_semi")
+      buckets.select(col(idCol).as("__rep")), Seq("__rep"), "left_semi")
     val cliques = sigGroups.as("a")
       .join(sigGroups.as("b"),
         col("a.__rep") === col("b.__rep") && col("a.__mid") < col("b.__mid"))
@@ -1134,6 +1148,71 @@ object Dedup {
       .select(col("fingerprint"), col(idCol).as("first_id"))
       .write.mode("append").parquet(storePath)
     classified
+  }
+
+  /** Initialize a persisted LSH band-bucket STORE — the on-disk
+    * near-dup index of a standing corpus ([[bandBuckets]] rows as
+    * plain parquet). The near-dup counterpart of
+    * [[fingerprintStoreInit]]: daily drops probe it with one equi-join
+    * instead of re-running LSH over corpus + drop. */
+  def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit =
+    bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
+      .write.mode("overwrite").parquet(storePath)
+
+  /** NEAR-DUP classify a new drop against the persisted band store and
+    * extend the store — incremental MinHash/LSH ingest, the batch
+    * sibling of the streaming LSH index
+    * ([[graft.streaming.PipelineStreams.lshCandidates]]) with durable
+    * parquet state any engine can audit. Steps:
+    *
+    *   1. drop band-buckets ([[bandBuckets]], increment-sized);
+    *   2. candidates = ONE equi-join drop-buckets x store on
+    *      (band, bucket) — the store is corpus-sized but the join is
+    *      shuffled on the bucket key, never all-pairs;
+    *   3. candidates COMMIT to `<storePath>.batch` BEFORE the store
+    *      append (Spark's recache-by-path would otherwise recompute
+    *      the lazy candidate plan against the grown store and pair
+    *      the drop with itself);
+    *   4. drop buckets append to the store;
+    *   5. exact-jaccard verification over the candidate docs' texts
+    *      only ([[verifyCandidatePairs]] — `standing` supplies store-
+    *      side texts by id).
+    *
+    * Drop and standing id spaces must be disjoint (a shared id would
+    * conflate the two sides' texts in verification). Within-drop
+    * near-dups are NOT reported — run [[minHashLshPairs]] on the drop
+    * for that leg. Returns (drop_id, store_id, jaccard >= threshold). */
+  def lshIncrementalIngest(drop: DataFrame, standing: DataFrame,
+      idCol: String, textCol: String, storePath: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val ss = drop.sparkSession
+    val dropB = bandBuckets(drop, idCol, textCol, n, numHashes, bands)
+      .withColumnRenamed(idCol, "drop_id")
+      .cache()
+    val store = ss.read.parquet(storePath)
+      .select(col(idCol).as("store_id"), col("band"), col("bh"))
+    val batchPath = storePath.stripSuffix("/") + ".batch"
+    dropB.join(store, Seq("band", "bh"))
+      .select("drop_id", "store_id").distinct()
+      .write.mode("overwrite").parquet(batchPath)
+    dropB.select(col("drop_id").as(idCol), col("band"), col("bh"))
+      .write.mode("append").parquet(storePath)
+    dropB.unpersist()
+    val cand = ss.read.parquet(batchPath)
+    val texts = drop.select(col(idCol), col(textCol))
+      .unionByName(standing.select(col(idCol), col(textCol)))
+    val sorted = cand.select(
+      least(col("drop_id"), col("store_id")).as("id_a"),
+      greatest(col("drop_id"), col("store_id")).as("id_b"))
+    val verified = verifyCandidatePairs(sorted, texts, idCol, textCol,
+      n, threshold)
+    cand.join(verified,
+        least(col("drop_id"), col("store_id")) === col("id_a") &&
+          greatest(col("drop_id"), col("store_id")) === col("id_b"))
+      .select(col("drop_id"), col("store_id"), col("jaccard"))
   }
 
   /** QUALITY-AWARE representative per near-dup cluster. Min-id keeps

@@ -595,6 +595,30 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // Incremental NEAR-DUP ingest vs a persisted LSH band store: the
+    // standing corpus (doc_id % 3 <> 0) is indexed once; the drop
+    // (doc_id % 3 = 0 plus planted near-dup twins of % 10 = 4 standing
+    // docs — same text with an appended tail, jaccard ~0.9) probes the
+    // store with one bucket equi-join, exact-verifies, and extends the
+    // index. The oracle is the exhaustive drop x standing jaccard scan
+    // at the spec-proven-exhaustive LSH parameters.
+    "q_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text")
+      val dir = graft.util.TempDirs.scoped("graft-lshstore").toString + "/store"
+      Dedup.lshStoreInit(standing, "doc_id", "text", dir)
+      val drop = docs.where(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" shared tail anchor words appended"))
+              .as("text")))
+      Dedup.lshIncrementalIngest(drop, standing, "doc_id", "text", dir)
+        .select(col("drop_id"), col("store_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("drop_id", "store_id")
+    }),
+
     // Quality-aware cluster representatives: same LSH->CC clusters as
     // q_dedup_clusters, but each cluster keeps its LONGEST member
     // (token-count argmax, min-id ties) instead of the arbitrary
@@ -1893,6 +1917,39 @@ object PipelineQueries {
     // same closure — components are algorithm-independent, so the
     // star-scheme run must hash-match the propagation run's oracle
     "q_dedup_ccstar" -> clustersOracle,
+    // exhaustive drop x standing jaccard >= 0.5 (the incremental LSH
+    // probe's ground truth; parameters spec-proven exhaustive on this
+    // corpus)
+    "q_incremental_neardup" ->
+      """WITH standing AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |drp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text || ' shared tail anchor words appended'
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 4),
+        |u AS (SELECT * FROM standing UNION ALL SELECT * FROM drp),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM u),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT d.doc_id AS drop_id, s.doc_id AS store_id, count(*) AS shared
+        |  FROM sh d JOIN sh s ON d.shingle = s.shingle
+        |  WHERE d.doc_id IN (SELECT doc_id FROM drp)
+        |    AND s.doc_id IN (SELECT doc_id FROM standing)
+        |  GROUP BY 1, 2)
+        |SELECT drop_id, store_id,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p
+        |JOIN n na ON drop_id = na.doc_id JOIN n nb ON store_id = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY drop_id, store_id""".stripMargin,
     // same closure + token counts: per cluster keep the (tokens DESC,
     // id ASC) argmax member — the quality-aware keeper
     "q_dedup_best_rep" ->

@@ -464,4 +464,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 9L, 3L, 23L)))
     assert(out(7L) == ((7L, 4L, 1L, 4L)))
   }
+
+  test("lshIncrementalIngest probes the persisted index and extends it") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-lshstore").toString + "/store"
+    val standing = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    Dedup.lshStoreInit(standing, "doc_id", "text", dir)
+
+    // drop 1: a near-dup of 10 (tail appended), one unrelated doc
+    val drop1 = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta extra tail"),
+      (101L, "totally different words nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val p1 = Dedup.lshIncrementalIngest(drop1, standing, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((100L, 10L)), s"got $p1")
+
+    // drop 2: a near-dup of drop 1's doc 101 — only findable because
+    // the ingest appended drop 1's buckets to the store
+    val standing2 = standing.unionByName(drop1)
+    val drop2 = Seq(
+      (200L, "totally different words nothing shared at all here too")
+    ).toDF("doc_id", "text")
+    val p2 = Dedup.lshIncrementalIngest(drop2, standing2, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((200L, 101L)), s"got $p2")
+  }
 }
