@@ -323,6 +323,61 @@ object TextFunctions {
         col("idf_x1000"), col("score"))
   }
 
+  /** Gopher quality RULES (Rae et al. 2021 Appendix A1.1) — the named
+    * document-level filter battery, in integer-exact arithmetic so
+    * every measurement and flag is bit-portable (fixed-point x100
+    * mean word length, basis-point ratios via integral division):
+    *
+    *   - `n_words` in [minWords, maxWords] (paper: 50..100k)
+    *   - mean word length in [3, 10] characters
+    *   - >= 80% of words carry at least one alphabetic character
+    *   - symbol-to-word ratio (`#` and `...` occurrences) <= 10%
+    *   - >= 2 distinct English stopwords present
+    *
+    * Emits the measurements plus per-rule flags and the conjunction
+    * `gopher_pass` — measurements stay in the output so threshold
+    * drift is auditable, the production practice for filter sets.
+    * Per-row kernels only (tokens + bounded array folds), ZERO
+    * shuffles over the corpus scan. The A1 repetition rules
+    * (dup-fraction family) live in [[repetitionStats]]. */
+  def gopherQualityStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000):
+      org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol),
+        size(t).cast("bigint").as("n_words"),
+        coalesce(aggregate(t, lit(0L),
+          (a, w) => a + length(w).cast("bigint")), lit(0L))
+          .as("sum_word_chars"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).cast("bigint")
+          .as("alpha_words"),
+        (size(split(col(textCol), "#", -1)) - 1 +
+          size(split(col(textCol), "\\.\\.\\.", -1)) - 1).cast("bigint")
+          .as("n_symbols"),
+        size(filter(array(stopwords("en").map(lit(_)): _*),
+          w => array_contains(t, w))).cast("bigint").as("stop_kinds"))
+      .withColumn("mean_len_x100",
+        when(col("n_words") > 0, expr("(sum_word_chars * 100) div n_words")))
+      .withColumn("alpha_bp",
+        when(col("n_words") > 0, expr("(alpha_words * 10000) div n_words")))
+      .withColumn("symbol_bp",
+        when(col("n_words") > 0, expr("(n_symbols * 10000) div n_words")))
+      .withColumn("f_words",
+        col("n_words").between(minWords, maxWords).cast("bigint"))
+      .withColumn("f_meanlen",
+        coalesce(col("mean_len_x100").between(300, 1000), lit(false))
+          .cast("bigint"))
+      .withColumn("f_alpha",
+        coalesce(col("alpha_bp") >= 8000, lit(false)).cast("bigint"))
+      .withColumn("f_symbol",
+        coalesce(col("symbol_bp") <= 1000, lit(false)).cast("bigint"))
+      .withColumn("f_stop", (col("stop_kinds") >= 2).cast("bigint"))
+      .withColumn("gopher_pass",
+        (col("f_words") === 1 && col("f_meanlen") === 1 &&
+          col("f_alpha") === 1 && col("f_symbol") === 1 &&
+          col("f_stop") === 1).cast("bigint"))
+  }
+
   /** Corpus bigram-LM familiarity scoring — the n-gram-LM
     * perplexity-filter shape (CCNet / Wenzek et al. 2020 score
     * documents with a KenLM 5-gram; the reference has no LM ops, this

@@ -534,6 +534,25 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Gopher quality-rule battery (Rae et al. 2021 A1.1) — integer-
+    // exact measurements + per-rule flags + the pass conjunction.
+    // Planted stress rows: % 7 = 3 gets a symbol flood (#/... ratio
+    // rule must fire), % 7 = 5 gets a numeral run (alpha-word rule
+    // must fire); the rest straddle the word-count and stopword rules
+    // naturally.
+    "q_t_gopher" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 3, lit(" ### ... ### ... ### ..."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 5,
+          lit(" 111 222 333 444 555 666 777 888 999 000"))
+          .otherwise(lit("")))
+      T.gopherQualityStats(
+          Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text", minWords = 20)
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC normalization through the native codegen expression
     // (plans.NormalizeTextExpr — Spark has no normalization builtin;
     // DuckDB's nfc_normalize is the oracle). The ASCII corpus gets
@@ -2252,6 +2271,68 @@ object PipelineQueries {
         |  CAST(max(cum) AS BIGINT) AS max_cum
         |FROM c WHERE cum <= token_budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    // every rule restated: counts via list ops, ratios via integral
+    // division, # / ... occurrences via non-overlapping replace
+    "q_t_gopher" ->
+      (s"""WITH a AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 3 THEN ' ### ... ### ... ### ...'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 5
+         |         THEN ' 111 222 333 444 555 666 777 888 999 000'
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+         |      ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks
+         |  FROM a),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         |      AS BIGINT) AS sum_word_chars,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS BIGINT) AS alpha_words,
+         |    CAST((length(t) - length(replace(t, '#', '')))
+         |      + (length(t) - length(replace(t, '...', ''))) // 3
+         |      AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(
+         |      ['${T.stopwords("en").mkString("','")}'],
+         |      x -> list_contains(toks, x))) AS BIGINT) AS stop_kinds
+         |  FROM w),
+         |r AS (
+         |  SELECT m.*,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST((sum_word_chars * 100) // n_words AS BIGINT)
+         |    END AS mean_len_x100,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST((alpha_words * 10000) // n_words AS BIGINT)
+         |    END AS alpha_bp,
+         |    CASE WHEN n_words > 0
+         |      THEN CAST((n_symbols * 10000) // n_words AS BIGINT)
+         |    END AS symbol_bp
+         |  FROM m),
+         |f AS (
+         |  SELECT r.*,
+         |    CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS f_words,
+         |    CAST(CASE WHEN mean_len_x100 BETWEEN 300 AND 1000 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS f_meanlen,
+         |    CAST(CASE WHEN alpha_bp >= 8000 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS f_alpha,
+         |    CAST(CASE WHEN symbol_bp <= 1000 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS f_symbol,
+         |    CAST(CASE WHEN stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS f_stop
+         |  FROM r)
+         |SELECT doc_id, n_words, sum_word_chars, alpha_words, n_symbols,
+         |  stop_kinds, mean_len_x100, alpha_bp, symbol_bp,
+         |  f_words, f_meanlen, f_alpha, f_symbol, f_stop,
+         |  CAST(CASE WHEN f_words = 1 AND f_meanlen = 1 AND f_alpha = 1
+         |    AND f_symbol = 1 AND f_stop = 1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS gopher_pass
+         |FROM f ORDER BY doc_id""").stripMargin,
     // same planted variants via chr(): 769 = U+0301 combining acute,
     // 776 = U+0308 combining diaeresis, 233 = precomposed U+00E9
     "q_t_normalize" ->

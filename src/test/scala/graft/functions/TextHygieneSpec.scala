@@ -112,4 +112,43 @@ class TextHygieneSpec extends AnyFunSuite {
       .select("token").collect().map(_.getString(0)).toSet
     assert(!dropped.contains("banana") && dropped == Set("apple", "cherry", "durian"))
   }
+
+  test("gopherQualityStats: hand-computed rules and flags") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: clean doc passing everything (21 words incl 2 stopwords,
+      //    mean len in range, alphabetic, no symbols)
+      (1L, ("the cat and dog ran over green hills toward distant " +
+            "rivers while birds sang quiet songs above them all " +
+            "every single day")),
+      // 2: too few words
+      (2L, "the and tiny"),
+      // 3: symbol flood
+      (3L, ("the cat and dog ran over green hills toward distant " +
+            "rivers while birds sang quiet songs ### ... ### ...")),
+      // 4: numerals only -> alpha rule + stopword rule fail
+      (4L, (1 to 25).map(i => (i * 111).toString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.gopherQualityStats(docs, "doc_id", "text",
+        minWords = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_words") == 22L)
+    assert(d1.getAs[Long]("stop_kinds") >= 2L)
+    assert(d1.getAs[Long]("gopher_pass") == 1L, d1.toString)
+
+    assert(got(2L).getAs[Long]("f_words") == 0L)
+    assert(got(2L).getAs[Long]("gopher_pass") == 0L)
+
+    val d3 = got(3L)
+    // 6 '#' chars + 2 '...' runs = 8 symbols over 22 words -> 3636 bp
+    assert(d3.getAs[Long]("n_symbols") == 8L, d3.toString)
+    assert(d3.getAs[Long]("f_symbol") == 0L)
+
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("alpha_words") == 0L)
+    assert(d4.getAs[Long]("f_alpha") == 0L)
+    assert(d4.getAs[Long]("f_stop") == 0L)
+  }
 }
