@@ -88,5 +88,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val ctUsage = "chunk_text(text, maxChars) - greedy whitespace-aligned context-window chunks"
     inject("chunk_text", ctUsage,
       es => ChunkTextExpr(es(0), intLit(ctUsage, "maxChars", es(1))))
+    val ntUsage = "normalize_text(text, form) - Unicode normalization " +
+      "(form: 'NFC' | 'NFD' | 'NFKC' | 'NFKD' string literal)"
+    inject("normalize_text", ntUsage,
+      es => {
+        val form = es(1) match {
+          case Literal(v, org.apache.spark.sql.types.StringType)
+              if v != null => v.toString
+          case other =>
+            throw new AnalysisException("USER_RAISED_EXCEPTION",
+              Map("errorMessage" ->
+                (s"argument 'form' must be a string literal, got " +
+                  s"${other.sql}; usage: $ntUsage")))
+        }
+        NormalizeTextExpr(es(0), form)
+      })
   }
 }

@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  kgram_hashes('abcd', 2) AS kg,
         |  portable_hash64('abc') AS ph,
         |  stopword_hits('the cat and the hat') AS sw,
-        |  winnow_fingerprints('abcdefgh', 3, 2) AS wf""".stripMargin).head()
+        |  winnow_fingerprints('abcdefgh', 3, 2) AS wf,
+        |  normalize_text('cafe\u0301', 'NFC') AS nt""".stripMargin).head()
     assert(q.getLong(0) == 1L)                 // hand-checked quantile
     assert(q.getSeq[Long](1).length == 4)      // 4 hash lanes
     assert(q.getSeq[Long](2).length == 3)      // 4 chars, k=2 -> 3 grams
@@ -43,6 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // per-language hit vector; the English lane counts 'the' x2 + 'and'
     assert(q.getSeq[Long](4).max >= 3L)
     assert(q.getSeq[Long](5).nonEmpty)
+    assert(q.getString(6) == "caf\u00e9") // composed
 
     // aggregate function route (analyzer wraps the AggregateFunction)
     val agg = spark.sql(
