@@ -181,6 +181,42 @@ object TextFunctions {
           .otherwise(lit(0L)))
   }
 
+  /** APPLY an induced vocabulary: tokens -> integer id sequences, the
+    * tokenize->encode step of a training feed (induction =
+    * [[vocabulary]]; downstream packing = [[graft.ops.Packing]]). Ids
+    * are the vocab ranks (1-based); OOV tokens encode as `oovId`
+    * (default 0, the reserved UNK slot). Emits the id sequence plus
+    * token/OOV counts per document.
+    *
+    * Scale shape: the vocab is top-k bounded so it BROADCASTS into the
+    * token-grain join; re-assembly is one shuffle on (doc, pos) rows
+    * — a corpus-token-sized exchange, the unavoidable cost of exact
+    * order-preserving encode (the text itself does not move, only
+    * (doc_id, pos, id) triples). */
+  def encodeTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+      oovId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val enc = toks
+      .join(broadcast(vocab.select(col("token"), col("rank"))),
+        Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("rank"), lit(oovId)).as("id"))
+    val perDoc = enc.groupBy(idCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === oovId, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+  }
+
   /** PII patterns, written in the Java/RE2-COMMON regex subset
     * (character classes, bounded repeats — no lookarounds, no \b) so
     * the DuckDB gate applies the byte-identical pattern. Conservative

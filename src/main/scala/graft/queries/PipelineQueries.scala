@@ -534,6 +534,21 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Vocabulary APPLICATION: corpus-induced top-500 vocab encoded
+    // back over the corpus as 1-based rank ids (OOV -> 0), the
+    // tokenize->encode step of a training feed. The id sequence is
+    // md5-pinned through the hash gate (a swapped rank, dropped
+    // token, or unstable ordering breaks it).
+    "q_t_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = T.vocabulary(docs, "text", 500)
+      T.encodeTokens(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          md5(concat_ws(",",
+            transform(col("ids"), x => x.cast("string")))).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher quality-rule battery (Rae et al. 2021 A1.1) — integer-
     // exact measurements + per-rule flags + the pass conjunction.
     // Planted stress rows: % 7 = 3 gets a symbol flood (#/... ratio
@@ -2271,6 +2286,36 @@ object PipelineQueries {
         |  CAST(max(cum) AS BIGINT) AS max_cum
         |FROM c WHERE cum <= token_budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    // same induction (count DESC, token ASC ranks) + positional
+    // re-encode; md5 over the comma-joined id sequence in pos order
+    "q_t_encode" ->
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS token,
+        |    generate_subscripts(a, 1) AS pos
+        |  FROM tt),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |v AS (
+        |  SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |  FROM c ORDER BY cnt DESC, token LIMIT 500),
+        |e AS (
+        |  SELECT tok.doc_id, tok.pos, coalesce(v.rank, 0) AS id
+        |  FROM tok LEFT JOIN v USING (token)),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov,
+        |    md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+        |  FROM e GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  coalesce(ids_md5, md5('')) AS ids_md5
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // every rule restated: counts via list ops, ratios via integral
     // division, # / ... occurrences via non-overlapping replace
     "q_t_gopher" ->

@@ -151,4 +151,21 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(d4.getAs[Long]("f_alpha") == 0L)
     assert(d4.getAs[Long]("f_stop") == 0L)
   }
+
+  test("encodeTokens: hand-computed ranks, OOV id, order preservation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c b a"),   // counts: b=4(with doc2), a=3, c=1
+      (2L, "a b zz")         // zz is rank-4 in a k=3 vocab? no: k=3 keeps b,a,c
+    ).toDF("doc_id", "text")
+    // corpus counts: b=4, a=3, c=1, zz=1 -> ranks b=1, a=2, c=3 (k=3;
+    // ties cnt=1 broken token ASC: c before zz, zz falls out -> OOV)
+    val vocab = TextFunctions.vocabulary(docs, "text", 3)
+    val got = TextFunctions.encodeTokens(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[Long]]("ids"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_oov")))).toMap
+    assert(got(1L) == ((Seq(1L, 2L, 1L, 3L, 1L, 2L), 6L, 0L)))
+    assert(got(2L) == ((Seq(2L, 1L, 0L), 3L, 1L)))
+  }
 }
