@@ -385,7 +385,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val ss = df.sparkSession
-    df.select(col(idCol),
+    // one-split guard: a single-file corpus scan would run the 64-hash
+    // signature kernel on one core (no-op on multi-split inputs)
+    graft.util.Parallelism.fanOut(df).select(col(idCol),
         graft.plans.MinHashSigExpr.minHashSignature(
           ss, col(textCol), n, numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
@@ -1132,7 +1134,11 @@ object Dedup {
     val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
       .as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
-    val batchPath = storePath.stripSuffix("/") + ".batch"
+    // unique dir per ingest: a fixed path would be clobbered by the
+    // NEXT call, silently re-pointing any still-lazy returned frame at
+    // the wrong batch's classification
+    val batchPath = storePath.stripSuffix("/") + ".batch/" +
+      java.util.UUID.randomUUID().toString
     fp.join(keeper, Seq("fingerprint"))
       .join(store.select(col("fingerprint"), col("first_id")),
         Seq("fingerprint"), "left")
@@ -1154,12 +1160,21 @@ object Dedup {
     * near-dup index of a standing corpus ([[bandBuckets]] rows as
     * plain parquet). The near-dup counterpart of
     * [[fingerprintStoreInit]]: daily drops probe it with one equi-join
-    * instead of re-running LSH over corpus + drop. */
+    * instead of re-running LSH over corpus + drop. A sibling
+    * `<storePath>.meta` parquet pins (n, numHashes, bands) so a later
+    * ingest with drifted parameters fails loudly instead of silently
+    * missing every near-dup (the bucket hashes would never collide). */
   def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): Unit =
+      bands: Int = 16): Unit = {
     bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
       .write.mode("overwrite").parquet(storePath)
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .write.mode("overwrite")
+      .parquet(storePath.stripSuffix("/") + ".meta")
+  }
 
   /** NEAR-DUP classify a new drop against the persisted band store and
     * extend the store — incremental MinHash/LSH ingest, the batch
@@ -1167,47 +1182,81 @@ object Dedup {
     * ([[graft.streaming.PipelineStreams.lshCandidates]]) with durable
     * parquet state any engine can audit. Steps:
     *
-    *   1. drop band-buckets ([[bandBuckets]], increment-sized);
-    *   2. candidates = ONE equi-join drop-buckets x store on
+    *   1. parameters validated against `<storePath>.meta` (drifted
+    *      n/numHashes/bands would silently hash into disjoint buckets);
+    *   2. drop band-buckets ([[bandBuckets]], increment-sized);
+    *   3. candidates = ONE equi-join drop-buckets x store on
     *      (band, bucket) — the store is corpus-sized but the join is
-    *      shuffled on the bucket key, never all-pairs;
-    *   3. candidates COMMIT to `<storePath>.batch` BEFORE the store
-    *      append (Spark's recache-by-path would otherwise recompute
-    *      the lazy candidate plan against the grown store and pair
-    *      the drop with itself);
-    *   4. drop buckets append to the store;
-    *   5. exact-jaccard verification over the candidate docs' texts
-    *      only ([[verifyCandidatePairs]] — `standing` supplies store-
-    *      side texts by id).
+    *      shuffled on the bucket key, never all-pairs. Self-matches
+    *      (`drop_id === store_id`, a re-delivered drop probing its own
+    *      earlier append) are filtered;
+    *   4. candidates COMMIT to a fresh dir under `<storePath>.batch/`
+    *      BEFORE the store append (Spark's recache-by-path would
+    *      otherwise recompute the lazy candidate plan against the
+    *      grown store; a UNIQUE dir per ingest keeps earlier calls'
+    *      returned frames readable);
+    *   5. drop buckets append to the store — only for ids NOT already
+    *      indexed, so an at-least-once re-delivery cannot duplicate
+    *      index rows (mirrors [[incrementalIngest]]'s idempotence);
+    *   6. exact-jaccard verification over the candidate docs' texts
+    *      only ([[verifyCandidatePairs]] — `texts` must supply BOTH
+    *      sides). Candidate store ids with no text row fail loudly:
+    *      silently dropping them (the inner joins would) turns an
+    *      incomplete `texts` view into invisible recall loss.
     *
-    * Drop and standing id spaces must be disjoint (a shared id would
-    * conflate the two sides' texts in verification). Within-drop
-    * near-dups are NOT reported — run [[minHashLshPairs]] on the drop
-    * for that leg. Returns (drop_id, store_id, jaccard >= threshold). */
-  def lshIncrementalIngest(drop: DataFrame, standing: DataFrame,
+    * `texts` must cover every id ever indexed into the store plus the
+    * drop itself (pass the full corpus view — the store only holds
+    * bucket hashes, not text). Ids must be unique across that view.
+    * Within-drop near-dups are NOT reported — run [[minHashLshPairs]]
+    * on the drop for that leg. Returns
+    * (drop_id, store_id, jaccard >= threshold). */
+  def lshIncrementalIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val ss = drop.sparkSession
+    val meta = ss.read.parquet(storePath.stripSuffix("/") + ".meta").head()
+    require(meta.getAs[Int]("n") == n &&
+      meta.getAs[Int]("num_hashes") == numHashes &&
+      meta.getAs[Int]("bands") == bands,
+      s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands) " +
+        s"does not match the store at $storePath (n=${meta.getAs[Int]("n")}, " +
+        s"numHashes=${meta.getAs[Int]("num_hashes")}, " +
+        s"bands=${meta.getAs[Int]("bands")}) — bucket hashes would never " +
+        "collide; re-init the store or use its parameters")
     val dropB = bandBuckets(drop, idCol, textCol, n, numHashes, bands)
       .withColumnRenamed(idCol, "drop_id")
       .cache()
     val store = ss.read.parquet(storePath)
       .select(col(idCol).as("store_id"), col("band"), col("bh"))
-    val batchPath = storePath.stripSuffix("/") + ".batch"
+    val batchPath = storePath.stripSuffix("/") + ".batch/" +
+      java.util.UUID.randomUUID().toString
     dropB.join(store, Seq("band", "bh"))
+      .where(col("drop_id") =!= col("store_id"))
       .select("drop_id", "store_id").distinct()
       .write.mode("overwrite").parquet(batchPath)
-    dropB.select(col("drop_id").as(idCol), col("band"), col("bh"))
+    // idempotent append: a re-delivered drop's ids are already indexed
+    dropB.join(store.select(col("store_id").as("drop_id")).distinct(),
+        Seq("drop_id"), "left_anti")
+      .select(col("drop_id").as(idCol), col("band"), col("bh"))
       .write.mode("append").parquet(storePath)
     dropB.unpersist()
     val cand = ss.read.parquet(batchPath)
-    val texts = drop.select(col(idCol), col(textCol))
-      .unionByName(standing.select(col(idCol), col(textCol)))
+    val tx = texts.select(col(idCol), col(textCol))
+    val missing = cand.select(col("store_id").as(idCol))
+      .union(cand.select(col("drop_id")))
+      .distinct()
+      .join(tx, Seq(idCol), "left_anti")
+    val missingRows = missing.limit(5).collect()
+    require(missingRows.isEmpty,
+      "lshIncrementalIngest: candidate ids with no row in `texts` " +
+        s"(first few: ${missingRows.map(_.get(0)).mkString(", ")}) — " +
+        "`texts` must cover every id ever indexed into the store; an " +
+        "incomplete view would silently lose those near-dup pairs")
     val sorted = cand.select(
       least(col("drop_id"), col("store_id")).as("id_a"),
       greatest(col("drop_id"), col("store_id")).as("id_b"))
-    val verified = verifyCandidatePairs(sorted, texts, idCol, textCol,
+    val verified = verifyCandidatePairs(sorted, tx, idCol, textCol,
       n, threshold)
     cand.join(verified,
         least(col("drop_id"), col("store_id")) === col("id_a") &&

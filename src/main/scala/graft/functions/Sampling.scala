@@ -281,7 +281,12 @@ object Sampling {
     withShard
       .join(broadcast(offsets), Seq(sourceCol, "__shard"))
       .join(broadcast(budgets), Seq(sourceCol))
-      .where(col("__offset") < col("token_budget"))
+      // <= not <: a shard whose offset EQUALS the budget can still
+      // contribute zero-token docs at its hash-order start (their
+      // running total stays == budget, which the contract keeps);
+      // any positive-token doc there exceeds the budget and drops in
+      // the exact filter below
+      .where(col("__offset") <= col("token_budget"))
       .withColumn("cum_tokens", col("__offset") + withinShardCum)
       .where(col("cum_tokens") <= col("token_budget"))
       .drop("__h", "__shard", "__offset")

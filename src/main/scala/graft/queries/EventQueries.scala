@@ -136,8 +136,10 @@ object EventQueries {
       val first = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
       val cohortSize = first.groupBy("cohort_wk")
         .agg(count(lit(1)).as("cohort_size"))
-      wk.distinct()
-        .join(first, Seq("user_id"))
+      // no (user, wk) pre-distinct: count_distinct(user_id) in the
+      // cell aggregate already dedups, and a (user, wk) exchange
+      // shares nothing with the (cohort, offset) aggregate's
+      wk.join(first, Seq("user_id"))
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_active"))
         .join(broadcast(cohortSize), Seq("cohort_wk"))

@@ -647,7 +647,8 @@ object PipelineQueries {
           .select((col("doc_id") + 5000000L).as("doc_id"),
             concat(col("text"), lit(" shared tail anchor words appended"))
               .as("text")))
-      Dedup.lshIncrementalIngest(drop, standing, "doc_id", "text", dir)
+      Dedup.lshIncrementalIngest(drop, standing.unionByName(drop),
+          "doc_id", "text", dir)
         .select(col("drop_id"), col("store_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("drop_id", "store_id")

@@ -479,18 +479,45 @@ class DedupSpec extends AnyFunSuite {
       (100L, "alpha beta gamma delta epsilon zeta eta theta extra tail"),
       (101L, "totally different words nothing shared at all here now")
     ).toDF("doc_id", "text")
-    val p1 = Dedup.lshIncrementalIngest(drop1, standing, "doc_id", "text", dir)
+    val texts1 = standing.unionByName(drop1)
+    val p1 = Dedup.lshIncrementalIngest(drop1, texts1, "doc_id", "text", dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1 == Set((100L, 10L)), s"got $p1")
 
     // drop 2: a near-dup of drop 1's doc 101 — only findable because
     // the ingest appended drop 1's buckets to the store
-    val standing2 = standing.unionByName(drop1)
     val drop2 = Seq(
       (200L, "totally different words nothing shared at all here too")
     ).toDF("doc_id", "text")
-    val p2 = Dedup.lshIncrementalIngest(drop2, standing2, "doc_id", "text", dir)
+    val texts2 = texts1.unionByName(drop2)
+    val p2 = Dedup.lshIncrementalIngest(drop2, texts2, "doc_id", "text", dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 == Set((200L, 101L)), s"got $p2")
+
+    val storeRows = spark.read.parquet(dir).count()
+
+    // at-least-once RE-DELIVERY of drop 2: no self-pairs (its own
+    // earlier append is in the store), the real pair re-emits, and the
+    // store does NOT grow (idempotent append)
+    val p2b = Dedup.lshIncrementalIngest(drop2, texts2, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2b == Set((200L, 101L)), s"re-delivery got $p2b")
+    assert(spark.read.parquet(dir).count() == storeRows,
+      "re-delivered drop must not duplicate index rows")
+
+    // parameter drift vs the store meta fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalIngest(drop2, texts2, "doc_id", "text", dir,
+        bands = 8)
+    }
+    assert(ex.getMessage.contains("does not match the store"))
+
+    // an incomplete texts view (missing drop 1's indexed docs) fails
+    // loudly instead of silently losing pairs
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalIngest(drop2, standing.unionByName(drop2),
+        "doc_id", "text", dir)
+    }
+    assert(ex2.getMessage.contains("no row in `texts`"))
   }
 }

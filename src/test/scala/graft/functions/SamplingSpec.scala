@@ -205,4 +205,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(big), "raising a budget must only ADD docs")
     assert(small.nonEmpty && big.size > small.size)
   }
+
+  test("tokenBudgetSample keeps zero-token docs at an exact-budget shard boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // single source; compare sharded vs the plain-cumsum reference on
+    // a corpus that CONTAINS zero-token docs (the boundary case: a
+    // shard whose offset equals the budget may still contribute them)
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("src", lit("s"))
+      .withColumn("toks",
+        when(col("id") % 5 === 0, 0L).otherwise((col("id") % 13) + 1L))
+    val rows = df.withColumn("h", Sampling.shuffleHash(col("id"), 17L))
+      .select("id", "toks", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._1))
+    // pick a budget landing EXACTLY on a cumulative boundary
+    var cum = 0L
+    val cums = rows.map { r => cum += r._2; cum }
+    val budget = cums(rows.length / 2)
+    var c2 = 0L
+    val expected = rows.zip(cums).flatMap { case (r, c) =>
+      if (c <= budget) Some(r._1 -> c) else None }.toMap
+    for (shards <- Seq(3, 64)) {
+      val got = Sampling.tokenBudgetSample(df, "id", "src", "toks",
+          Seq(("s", budget)).toDF("src", "token_budget"),
+          seed = 17L, shards = shards)
+        .select("id", "cum_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"shards=$shards")
+    }
+  }
 }
