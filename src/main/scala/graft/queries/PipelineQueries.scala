@@ -735,6 +735,38 @@ object PipelineQueries {
       s.table("stream_upsert_out").orderBy("key", "ver")
     }),
 
+    // Streaming deterministic reservoir: per-language top-20 samples
+    // by (portable hash, id) maintained as priority-bounded state over
+    // 4 ordered drops (1 file per trigger -> 4 real micro-batches).
+    // Emission = the admission log: a doc emits iff it is still in
+    // the reservoir when its arrival batch commits, so the oracle
+    // restates each drop's admissions as the batch quota over that
+    // drop's PREFIX, restricted to the drop itself.
+    "q_stream_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        docs, "doc_id", 4, "graft-stream-sample")
+      s.catalog.dropTempView("stream_sample_out")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val stream = graft.streaming.PipelineStreams.readDocs(
+            s, dir.toString, maxFilesPerTrigger = Some(1))
+          .select(col("lang").as("stratum"), col("doc_id"),
+            graft.functions.Sampling.hashBucket(col("doc_id")).as("bucket"))
+        val q = graft.streaming.PipelineStreams.reservoirSample(stream, k = 20)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_sample_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_sample: streaming query timed out — refusing to read a partial sink")
+      }
+      s.table("stream_sample_out").orderBy("stratum", "bucket", "doc_id")
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-dedup")
@@ -2226,6 +2258,28 @@ object PipelineQueries {
         |    AS fingerprint,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // admissions per drop = batch quota over that drop's PREFIX
+    // (chunking mirrors stageOrderedDrops: span = max id div 4 + 1)
+    "q_stream_sample" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919) % 10000
+        |      AS bucket,
+        |    doc_id // ((SELECT max(doc_id) FROM documents) // 4 + 1) AS chunk
+        |  FROM documents),
+        |adm AS (
+        |""".stripMargin +
+        (0 to 3).map(b =>
+          s"""  SELECT stratum, doc_id, bucket FROM (
+             |    SELECT stratum, doc_id, bucket, chunk,
+             |      row_number() OVER (PARTITION BY stratum
+             |        ORDER BY bucket, doc_id) AS rk
+             |    FROM d WHERE chunk <= $b) t WHERE rk <= 20 AND chunk = $b""")
+          .mkString("\n  UNION ALL\n") +
+        """
+        |)
+        |SELECT stratum, doc_id, bucket FROM adm
+        |ORDER BY stratum, bucket, doc_id""").stripMargin,
     // acceptance = per-key prefix maxima of version in arrival order;
     // prev_ver = the superseded version (running max over earlier
     // arrivals, NULL on first sighting)

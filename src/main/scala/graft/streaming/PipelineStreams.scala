@@ -434,6 +434,51 @@ object PipelineStreams {
       }
   }
 
+  final case class ReservoirDoc(stratum: String, doc_id: Long, bucket: Long)
+  final case class ReservoirAdmit(stratum: String, doc_id: Long, bucket: Long)
+
+  /** Streaming DETERMINISTIC reservoir — an exact-size per-stratum
+    * sample maintained incrementally, the streaming twin of
+    * [[graft.functions.Sampling.stratifiedQuota]]: the reservoir
+    * holds the k smallest `(hashBucket(key), key)` pairs seen so far,
+    * so at every point it EQUALS the batch quota over the prefix (a
+    * classic random reservoir is run-dependent; this one is a pure
+    * function of the keys seen — engines, reruns, and checkpoint
+    * recoveries all agree).
+    *
+    * Emission protocol (append mode cannot retract): a doc emits iff
+    * it is still in the reservoir when its arrival batch commits —
+    * the admission log. Later evictions are not retracted; the FINAL
+    * sample is the batch quota over everything ingested, derivable
+    * as the k smallest admissions per stratum. State per stratum =
+    * the reservoir itself (<= k (bucket, key) pairs), priority-
+    * bounded — not corpus-bounded.
+    *
+    * Expects input rows (stratum, doc_id, bucket) with `bucket`
+    * precomputed via [[graft.functions.Sampling.hashBucket]] (column
+    * side, so the hash stays single-sourced). */
+  def reservoirSample(docs: DataFrame, k: Int): Dataset[ReservoirAdmit] = {
+    require(k >= 1, "k must be positive")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("stratum"), col("doc_id"), col("bucket"))
+      .as[ReservoirDoc]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[Array[(Long, Long)], ReservoirAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (st: String, rows: Iterator[ReservoirDoc],
+            state: GroupState[Array[(Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[(Long, Long)])
+          val arrivals = rows.map(r => (r.bucket, r.doc_id)).toArray
+          // distinct: a re-delivered doc must not occupy two slots
+          val merged = (prev ++ arrivals).distinct.sorted.take(k)
+          state.update(merged)
+          val kept = merged.toSet
+          arrivals.filter(kept.contains).sorted
+            .iterator.map { case (b, id) => ReservoirAdmit(st, id, b) }
+      }
+  }
+
   final case class ChangeRow(key: Long, ver: Long, value_c: Long,
       arrival: Long)
   final case class UpsertEmit(key: Long, ver: Long, value_c: Long,

@@ -313,4 +313,51 @@ class PipelineStreamsSpec extends AnyFunSuite {
       (1L, 5L, 50L, None), (1L, 9L, 90L, Some(5L)), (1L, 12L, 120L, Some(9L)),
       (2L, 7L, 70L, None)))
   }
+
+  test("reservoir sample: admissions, evictions, state across drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reservoir")
+    val sink = dir.resolve("out").toString
+    val drops = java.nio.file.Files.createDirectory(dir.resolve("drops"))
+
+    def admitted(): Set[(String, Long)] =
+      spark.read.schema("stratum STRING, doc_id BIGINT, bucket BIGINT")
+        .parquet(sink)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    def stage(rows: Seq[(String, Long, Long)], name: String): Unit = {
+      val tmp = dir.resolve(name + ".tmpdir").toString
+      rows.toDF("stratum", "doc_id", "bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, drops.resolve(name))
+    }
+    def run(): Unit = {
+      val q = PipelineStreams.reservoirSample(
+          PipelineStreams.readDocs(spark, drops.toString), k = 2).toDF()
+        .writeStream.format("parquet").option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+
+    // drop 1 (k=2): buckets 50, 10, 70 -> reservoir {10, 50}; 70 not admitted
+    stage(Seq(("s", 1L, 50L), ("s", 2L, 10L), ("s", 3L, 70L)), "d1.parquet")
+    run()
+    assert(admitted() == Set(("s", 1L), ("s", 2L)))
+
+    // drop 2: bucket 5 evicts 50 (admitted); bucket 60 is not admitted.
+    // doc 1's earlier admission row REMAINS in the log (append mode);
+    // the final sample = 2 smallest admissions = {doc 4, doc 2}
+    stage(Seq(("s", 4L, 5L), ("s", 5L, 60L)), "d2.parquet")
+    run()
+    assert(admitted() == Set(("s", 1L), ("s", 2L), ("s", 4L)))
+    val finalSample = spark.read
+      .schema("stratum STRING, doc_id BIGINT, bucket BIGINT").parquet(sink)
+      .orderBy("bucket", "doc_id").limit(2)
+      .collect().map(_.getLong(1)).toSet
+    assert(finalSample == Set(4L, 2L))
+  }
 }
