@@ -450,6 +450,23 @@ object PipelineQueries {
           budget = 512, shardSpan = 200))
     }),
 
+    // CAPSTONE training-feed composition: Gopher quality gate (310 of
+    // 500 docs pass at sf0.01) -> sequence packing of the survivors
+    // into 512-token context windows — filter and pack, the two legs
+    // every feed runs, chained under ONE hash gate (the oracle
+    // recursively re-folds the greedy packer over exactly the
+    // rule-passing docs, so a single doc misjudged by either leg
+    // shifts bins and breaks the hash).
+    "q_train_feed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = T.gopherQualityStats(docs, "doc_id", "text", minWords = 20)
+        .where(col("gopher_pass") === 1).select("doc_id")
+      graft.ops.Packing.packSummary(
+        graft.ops.Packing.packGreedy(docs.join(keep, Seq("doc_id"), "left_semi"),
+          "source", "doc_id", T.tokenCount(col("text")),
+          budget = 512, shardSpan = 200))
+    }),
+
     // Context-window chunking (the pre-tokenization step): greedy
     // split at the last whitespace inside each 120-char window, hard
     // cut only for an unbroken 120-char token. One native kernel pass
@@ -2202,6 +2219,49 @@ object PipelineQueries {
     // equals the batch fold under ordered drops (the q_dashboard_cube
     // / q_stream_cube one-SQL-two-engines pattern).
     "q_pack_sequences" -> packOracle,
+    // the gopher keep-set drives the same recursive greedy fold
+    "q_train_feed" ->
+      raw"""WITH RECURSIVE w AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS swc,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+        |    (length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+        |    len(list_filter(['the','and','of','to','a','in','is','that','it','was'],
+        |      x -> list_contains(toks, x))) AS sk
+        |  FROM w),
+        |m2 AS (SELECT * FROM m WHERE n_words BETWEEN 20 AND 100000),
+        |keep AS (
+        |  SELECT doc_id FROM m2
+        |  WHERE (swc * 100) // n_words BETWEEN 300 AND 1000
+        |    AND (aw * 10000) // n_words >= 8000
+        |    AND (sym * 10000) // n_words <= 1000
+        |    AND sk >= 2),
+        |d AS (
+        |  SELECT w.source AS grp, w.doc_id // 200 AS shard, w.doc_id,
+        |    least(len(w.toks), 512) AS toks,
+        |    row_number() OVER (PARTITION BY w.source, w.doc_id // 200
+        |      ORDER BY w.doc_id) AS rn
+        |  FROM w JOIN keep USING (doc_id)),
+        |p AS (
+        |  SELECT grp, shard, doc_id, toks, rn, toks AS fill, 0 AS bin
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.shard, d.doc_id, d.toks, d.rn,
+        |    CASE WHEN p.fill + d.toks > 512 THEN d.toks
+        |         ELSE p.fill + d.toks END,
+        |    CASE WHEN p.fill + d.toks > 512 THEN p.bin + 1 ELSE p.bin END
+        |  FROM p JOIN d ON d.grp = p.grp AND d.shard = p.shard
+        |    AND d.rn = p.rn + 1)
+        |SELECT grp, shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS fill_toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY grp, shard, bin ORDER BY grp, shard, bin""".stripMargin,
     // Greedy chunker restated as a recursive chain advance: each
     // iteration emits the next chunk of every still-unfinished doc.
     // clen = the greedy cut — whole remainder if it fits, else up to
