@@ -56,4 +56,32 @@ object SnapshotDiff {
     if (keepUnchanged) classified
     else classified.where(col("change_type") =!= "unchanged")
   }
+
+  /** APPLY a [[diff]] feed to the old snapshot — the CDC consume step
+    * (the batch sibling of the streaming last-writer-wins upsert):
+    * removed keys drop, added/changed keys take the feed's `new_`
+    * values, untouched keys pass through. Round-trip law (property-
+    * tested): `applyDiff(old, diff(old, new)) == new` for any pair of
+    * keyed snapshots — the delta-sized default diff is lossless.
+    *
+    * Scale shape: the feed is delta-sized, the snapshot corpus-sized —
+    * one left join of snapshot x feed on the key (the feed side
+    * broadcasts when small / AQE decides) plus a union of the feed's
+    * additions. Nothing snapshot-sized is windowed or collected. */
+  def applyDiff(oldSnap: DataFrame, feed: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "key and compare columns required")
+    val touched = feed.select(keyCols.map(col) :+ col("change_type"): _*)
+    val kept = oldSnap
+      .join(touched, keyCols, "left")
+      .where(col("change_type").isNull) // untouched keys pass through
+      .select(oldSnap.columns.map(col): _*)
+    val incoming = feed
+      .where(col("change_type").isin("added", "changed"))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(s"new_$c").as(c)): _*)
+    kept.select((keyCols ++ compareCols).map(col): _*)
+      .unionByName(incoming)
+  }
 }

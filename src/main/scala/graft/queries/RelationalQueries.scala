@@ -388,6 +388,29 @@ object RelationalQueries {
         .orderBy("change_type")
     }),
 
+    // CDC APPLY (the consume step): reconstruct the new snapshot from
+    // the old one plus the diff feed, then aggregate the
+    // reconstruction. The oracle aggregates the directly-constructed
+    // new snapshot — the round-trip law apply(old, diff(old,new)) ==
+    // new IS the gate.
+    "q_cdc_apply" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        bround(col("o_totalprice") * 100, 0).cast("bigint").as("o_cents"))
+      val oldSnap = base.where(col("o_orderkey") % 13 =!= 3)
+      val newSnap = base.where(col("o_orderkey") % 13 =!= 5)
+        .withColumn("o_cents", when(col("o_orderkey") % 7 === 0,
+          col("o_cents") + 10000L).otherwise(col("o_cents")))
+      val feed = graft.ops.SnapshotDiff.diff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_cents"))
+      graft.ops.SnapshotDiff.applyDiff(oldSnap, feed,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_cents"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_keys"),
+          sum("o_cents").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // U3 — distinct.
     "q_u3_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -696,6 +719,22 @@ object RelationalQueries {
         |  CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
         |FROM p ORDER BY "column"""".stripMargin,
+    // the round-trip law: the reconstruction must equal the directly
+    // constructed new snapshot, aggregated
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_cents + 10000
+        |      ELSE o_cents END AS o_cents
+        |  FROM base WHERE o_orderkey % 13 <> 5)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(o_cents) AS BIGINT) AS sum_cents
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

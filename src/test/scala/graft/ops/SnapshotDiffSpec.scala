@@ -46,4 +46,30 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(r.getAs[Long]("new_cents") == 250L)
     assert(r.getAs[String]("old_status") == "O")
   }
+
+  test("round-trip law: applyDiff(old, diff(old, new)) == new on random snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def snapRand(keys: Seq[Long]) = snap(keys.map { k =>
+      (k, Seq("A", "B", "C")(rnd.nextInt(3)),
+        if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+    })
+    for (_ <- 1 to 3) {
+      val oldKeys = (1L to 200L).filter(_ => rnd.nextInt(4) > 0)
+      val newKeys = (1L to 200L).filter(_ => rnd.nextInt(4) > 0)
+      val oldSnap = snapRand(oldKeys)
+      val newSnap = snapRand(newKeys)
+      val feed = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"),
+        Seq("status", "cents"))
+      val rebuilt = SnapshotDiff.applyDiff(oldSnap, feed, Seq("k"),
+          Seq("status", "cents"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val want = newSnap
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rebuilt == want)
+    }
+  }
 }
