@@ -47,6 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"${other.sql}; usage: $usage")))
   }
 
+  /** String-literal argument (e.g. a normalization-form name) — same
+    * fail-with-signature contract as [[intLit]]. */
+  private def strLit(usage: String, arg: String, e: Expression): String =
+    e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        v.toString
+      case other =>
+        throw new AnalysisException("USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            (s"argument '$arg' must be a string literal, got " +
+              s"${other.sql}; usage: $usage")))
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String,
         builder: Seq[Expression] => Expression): Unit =
@@ -91,17 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val ntUsage = "normalize_text(text, form) - Unicode normalization " +
       "(form: 'NFC' | 'NFD' | 'NFKC' | 'NFKD' string literal)"
     inject("normalize_text", ntUsage,
-      es => {
-        val form = es(1) match {
-          case Literal(v, org.apache.spark.sql.types.StringType)
-              if v != null => v.toString
-          case other =>
-            throw new AnalysisException("USER_RAISED_EXCEPTION",
-              Map("errorMessage" ->
-                (s"argument 'form' must be a string literal, got " +
-                  s"${other.sql}; usage: $ntUsage")))
-        }
-        NormalizeTextExpr(es(0), form)
-      })
+      es => NormalizeTextExpr(es(0), strLit(ntUsage, "form", es(1))))
   }
 }

@@ -1084,6 +1084,25 @@ object Dedup {
   // Incremental ingest against a persisted fingerprint store
   // ------------------------------------------------------------------
 
+  /** Fresh UNIQUE batch dir under `<storePath>.batch/` — a fixed path
+    * would be clobbered by the next ingest, silently re-pointing any
+    * still-lazy returned frame at the wrong batch. Retention: the two
+    * most recent PRIOR batches are kept (consume a returned frame
+    * before two more ingests), older ones are reaped here, so the dirs
+    * do not leak one per ingest forever. */
+  private def freshBatchDir(storePath: String, keep: Int = 2): String = {
+    val root = new java.io.File(storePath.stripSuffix("/") + ".batch")
+    Option(root.listFiles()).foreach { dirs =>
+      dirs.sortBy(-_.lastModified()).drop(keep).foreach { old =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(old)
+      }
+    }
+    root.getPath + "/" + java.util.UUID.randomUUID().toString
+  }
+
   /** Initialize a fingerprint STORE from a corpus: one row per
     * distinct exact-dedup fingerprint ([[TextFunctions.fingerprint]])
     * with the first (minimum) id that carried it. The store is the
@@ -1134,11 +1153,7 @@ object Dedup {
     val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
       .as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
-    // unique dir per ingest: a fixed path would be clobbered by the
-    // NEXT call, silently re-pointing any still-lazy returned frame at
-    // the wrong batch's classification
-    val batchPath = storePath.stripSuffix("/") + ".batch/" +
-      java.util.UUID.randomUUID().toString
+    val batchPath = freshBatchDir(storePath)
     fp.join(keeper, Seq("fingerprint"))
       .join(store.select(col("fingerprint"), col("first_id")),
         Seq("fingerprint"), "left")
@@ -1167,13 +1182,22 @@ object Dedup {
   def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
-    bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
-      .write.mode("overwrite").parquet(storePath)
     val ss = corpus.sparkSession
     import ss.implicits._
+    // meta FIRST, then the bucket rows — and the rows THEMSELVES carry
+    // the parameters. Ingest validates BOTH sources: a crash between
+    // the two writes (or a failed re-init with new parameters) leaves
+    // them disagreeing, so every subsequent ingest is rejected until
+    // re-init, instead of one parameter choice silently probing
+    // buckets hashed under the other (either single source alone has
+    // an unsafe crash window; their conjunction does not).
     Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
+    bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
+      .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
+      .write.mode("overwrite").parquet(storePath)
   }
 
   /** NEAR-DUP classify a new drop against the persisted band store and
@@ -1215,22 +1239,34 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val ss = drop.sparkSession
-    val meta = ss.read.parquet(storePath.stripSuffix("/") + ".meta").head()
-    require(meta.getAs[Int]("n") == n &&
-      meta.getAs[Int]("num_hashes") == numHashes &&
-      meta.getAs[Int]("bands") == bands,
+    def params(row: org.apache.spark.sql.Row): (Int, Int, Int) =
+      (row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
+        row.getAs[Int]("bands"))
+    val pinned = try params(
+      ss.read.parquet(storePath.stripSuffix("/") + ".meta").head())
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"lshIncrementalIngest: no parameter pin at $storePath.meta — " +
+          "the store was not initialized by lshStoreInit (or predates " +
+          "the pin); re-init the store", e)
+    }
+    // head-row params travel WITH the bucket rows — the meta and the
+    // store must both agree with the requested parameters (see
+    // lshStoreInit: disagreement marks an interrupted re-init)
+    val inStore = params(ss.read.parquet(storePath)
+      .select("n", "num_hashes", "bands").head())
+    require(pinned == ((n, numHashes, bands)) &&
+      inStore == ((n, numHashes, bands)),
       s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands) " +
-        s"does not match the store at $storePath (n=${meta.getAs[Int]("n")}, " +
-        s"numHashes=${meta.getAs[Int]("num_hashes")}, " +
-        s"bands=${meta.getAs[Int]("bands")}) — bucket hashes would never " +
+        s"does not match the store at $storePath (meta=$pinned, " +
+        s"rows=$inStore) — mismatched bucket hashes would never " +
         "collide; re-init the store or use its parameters")
     val dropB = bandBuckets(drop, idCol, textCol, n, numHashes, bands)
       .withColumnRenamed(idCol, "drop_id")
       .cache()
     val store = ss.read.parquet(storePath)
       .select(col(idCol).as("store_id"), col("band"), col("bh"))
-    val batchPath = storePath.stripSuffix("/") + ".batch/" +
-      java.util.UUID.randomUUID().toString
+    val batchPath = freshBatchDir(storePath)
     dropB.join(store, Seq("band", "bh"))
       .where(col("drop_id") =!= col("store_id"))
       .select("drop_id", "store_id").distinct()
@@ -1239,15 +1275,24 @@ object Dedup {
     dropB.join(store.select(col("store_id").as("drop_id")).distinct(),
         Seq("drop_id"), "left_anti")
       .select(col("drop_id").as(idCol), col("band"), col("bh"))
+      .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
       .write.mode("append").parquet(storePath)
     dropB.unpersist()
     val cand = ss.read.parquet(batchPath)
     val tx = texts.select(col(idCol), col(textCol))
-    val missing = cand.select(col("store_id").as(idCol))
+    // coverage guard without a corpus shuffle: candIds (candidate-
+    // sized) BROADCASTS into a semi-join against the texts scan — a
+    // map-side filter — and the anti-join then compares two tiny sets.
+    // (A direct texts-side anti-join cannot broadcast — LeftAnti only
+    // builds right — and would shuffle the whole corpus per ingest.)
+    val candIds = cand.select(col("store_id").as(idCol))
       .union(cand.select(col("drop_id")))
       .distinct()
-      .join(tx, Seq(idCol), "left_anti")
-    val missingRows = missing.limit(5).collect()
+    val covered = tx.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(idCol).distinct()
+    val missingRows = candIds.join(covered, Seq(idCol), "left_anti")
+      .limit(5).collect()
     require(missingRows.isEmpty,
       "lshIncrementalIngest: candidate ids with no row in `texts` " +
         s"(first few: ${missingRows.map(_.get(0)).mkString(", ")}) — " +

@@ -196,6 +196,10 @@ object TextFunctions {
   def encodeTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, vocab: org.apache.spark.sql.DataFrame,
       oovId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    // ranks are 1-based, so any positive oovId collides with a real
+    // vocab id — the encoding AND n_oov would silently corrupt
+    require(oovId <= 0L,
+      s"oovId must be non-positive (vocab ranks are 1-based), got $oovId")
     val toks = df.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
     val enc = toks
@@ -398,8 +402,13 @@ object TextFunctions {
         when(col("n_words") > 0, expr("(alpha_words * 10000) div n_words")))
       .withColumn("symbol_bp",
         when(col("n_words") > 0, expr("(n_symbols * 10000) div n_words")))
+      // every flag coalesces: a NULL text row (null measurements)
+      // must FAIL the rules as 0, not disappear as NULL — a caller
+      // filtering on gopher_pass === 0 or summing flags would
+      // otherwise silently miss those rows entirely
       .withColumn("f_words",
-        col("n_words").between(minWords, maxWords).cast("bigint"))
+        coalesce(col("n_words").between(minWords, maxWords), lit(false))
+          .cast("bigint"))
       .withColumn("f_meanlen",
         coalesce(col("mean_len_x100").between(300, 1000), lit(false))
           .cast("bigint"))
@@ -407,7 +416,8 @@ object TextFunctions {
         coalesce(col("alpha_bp") >= 8000, lit(false)).cast("bigint"))
       .withColumn("f_symbol",
         coalesce(col("symbol_bp") <= 1000, lit(false)).cast("bigint"))
-      .withColumn("f_stop", (col("stop_kinds") >= 2).cast("bigint"))
+      .withColumn("f_stop",
+        coalesce(col("stop_kinds") >= 2, lit(false)).cast("bigint"))
       .withColumn("gopher_pass",
         (col("f_words") === 1 && col("f_meanlen") === 1 &&
           col("f_alpha") === 1 && col("f_symbol") === 1 &&

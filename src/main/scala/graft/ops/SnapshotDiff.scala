@@ -72,7 +72,11 @@ object SnapshotDiff {
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "key and compare columns required")
-    val touched = feed.select(keyCols.map(col) :+ col("change_type"): _*)
+    // a keepUnchanged=true feed carries 'unchanged' rows — they are
+    // untouched keys, not changes; without this filter they would be
+    // dropped from `kept` and never re-added by `incoming`
+    val touched = feed.where(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change_type"): _*)
     val kept = oldSnap
       .join(touched, keyCols, "left")
       .where(col("change_type").isNull) // untouched keys pass through

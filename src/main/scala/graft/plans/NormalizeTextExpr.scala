@@ -86,10 +86,11 @@ object NormalizeTextExpr {
       "normalize_text",
       exprs => {
         val form = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) =>
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+              if v != null => // null guard: v.toString below would NPE
             v.toString
           case other => throw new IllegalArgumentException(
-            s"normalize_text: form must be a string literal, got $other")
+            s"normalize_text: form must be a non-null string literal, got $other")
         }
         NormalizeTextExpr(exprs(0), form)
       },

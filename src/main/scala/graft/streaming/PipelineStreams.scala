@@ -469,12 +469,17 @@ object PipelineStreams {
         (st: String, rows: Iterator[ReservoirDoc],
             state: GroupState[Array[(Long, Long)]]) =>
           val prev = state.getOption.getOrElse(Array.empty[(Long, Long)])
-          val arrivals = rows.map(r => (r.bucket, r.doc_id)).toArray
-          // distinct: a re-delivered doc must not occupy two slots
+          // distinct: a doc delivered twice (within a batch or across
+          // re-deliveries) must not occupy two slots OR emit twice —
+          // duplicate admission rows would corrupt the documented
+          // final-sample derivation (k smallest admissions)
+          val arrivals = rows.map(r => (r.bucket, r.doc_id)).toArray.distinct
           val merged = (prev ++ arrivals).distinct.sorted.take(k)
           state.update(merged)
           val kept = merged.toSet
-          arrivals.filter(kept.contains).sorted
+          val prevSet = prev.toSet
+          arrivals.filter(a => kept.contains(a) && !prevSet.contains(a))
+            .sorted
             .iterator.map { case (b, id) => ReservoirAdmit(st, id, b) }
       }
   }

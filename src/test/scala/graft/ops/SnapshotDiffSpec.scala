@@ -55,13 +55,17 @@ class SnapshotDiffSpec extends AnyFunSuite {
         if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Long]
         else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
     })
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 4) {
       val oldKeys = (1L to 200L).filter(_ => rnd.nextInt(4) > 0)
       val newKeys = (1L to 200L).filter(_ => rnd.nextInt(4) > 0)
       val oldSnap = snapRand(oldKeys)
       val newSnap = snapRand(newKeys)
+      // both feed flavors must reconstruct: delta-sized (default) and
+      // the full audit grid (keepUnchanged=true carries 'unchanged'
+      // rows, which applyDiff must treat as untouched keys)
       val feed = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"),
-        Seq("status", "cents"))
+        Seq("status", "cents"),
+        keepUnchanged = rnd.nextBoolean())
       val rebuilt = SnapshotDiff.applyDiff(oldSnap, feed, Seq("k"),
           Seq("status", "cents"))
         .collect().map(r => (r.getLong(0), r.getString(1),

@@ -354,10 +354,24 @@ class PipelineStreamsSpec extends AnyFunSuite {
     stage(Seq(("s", 4L, 5L), ("s", 5L, 60L)), "d2.parquet")
     run()
     assert(admitted() == Set(("s", 1L), ("s", 2L), ("s", 4L)))
+
+    // drop 3: doc 4 RE-DELIVERED while still in the reservoir — must
+    // not emit a second admission row (the final-sample derivation
+    // reads the k smallest admissions and a duplicate would corrupt
+    // it); doc 6 duplicated WITHIN the batch emits exactly once
+    stage(Seq(("s", 4L, 5L), ("s", 6L, 1L), ("s", 6L, 1L)), "d3.parquet")
+    run()
+    val rows3 = spark.read
+      .schema("stratum STRING, doc_id BIGINT, bucket BIGINT").parquet(sink)
+      .collect()
+    assert(rows3.count(_.getLong(1) == 4L) == 1, "re-delivery must not re-emit")
+    assert(rows3.count(_.getLong(1) == 6L) == 1, "intra-batch dup emits once")
+    // final sample after all drops = 2 smallest admissions by
+    // (bucket, id): doc 6 (b=1) and doc 4 (b=5)
     val finalSample = spark.read
       .schema("stratum STRING, doc_id BIGINT, bucket BIGINT").parquet(sink)
       .orderBy("bucket", "doc_id").limit(2)
       .collect().map(_.getLong(1)).toSet
-    assert(finalSample == Set(4L, 2L))
+    assert(finalSample == Set(6L, 4L))
   }
 }
