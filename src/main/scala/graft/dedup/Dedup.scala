@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -1089,18 +1089,23 @@ object Dedup {
     * still-lazy returned frame at the wrong batch. Retention: the two
     * most recent PRIOR batches are kept (consume a returned frame
     * before two more ingests), older ones are reaped here, so the dirs
-    * do not leak one per ingest forever. */
-  private def freshBatchDir(storePath: String, keep: Int = 2): String = {
-    val root = new java.io.File(storePath.stripSuffix("/") + ".batch")
-    Option(root.listFiles()).foreach { dirs =>
-      dirs.sortBy(-_.lastModified()).drop(keep).foreach { old =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(old)
-      }
+    * do not leak one per ingest forever. Goes through the Hadoop
+    * FileSystem resolved from the path itself, so a store persisted on
+    * the lake (`hdfs://`, `s3a://` — the recommended 100 TB layout)
+    * gets a scheme-correct batch path and real reaping, not the
+    * `java.io.File` double-slash collapse + silent no-op listFiles. */
+  private def freshBatchDir(ss: SparkSession, storePath: String,
+      keep: Int = 2): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath.stripSuffix("/") + ".batch")
+    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+    if (fs.exists(root)) {
+      fs.listStatus(root)
+        .sortBy(-_.getModificationTime)
+        .drop(keep)
+        .foreach(old => fs.delete(old.getPath, true))
     }
-    root.getPath + "/" + java.util.UUID.randomUUID().toString
+    new Path(root, java.util.UUID.randomUUID().toString).toString
   }
 
   /** Initialize a fingerprint STORE from a corpus: one row per
@@ -1145,7 +1150,15 @@ object Dedup {
     * every accepted row as dup_in_store.)
     *
     * Left-anti/semi vs the store would also work; the left join keeps
-    * `first_id` so dup_in_store rows can point at their original. */
+    * `first_id` so dup_in_store rows can point at their original.
+    *
+    * SINGLE WRITER: ingests must be serialized (one at a time per
+    * store). Two concurrent drops can both classify the same novel
+    * fingerprint as `accepted` and append it twice, after which the
+    * left join returns two store rows for that fingerprint on every
+    * later drop. The at-least-once idempotence documented above covers
+    * RE-delivery of the same drop, not concurrent distinct drops —
+    * run ingests from one scheduler slot, as a batch pipeline would. */
   def incrementalIngest(drop: DataFrame, idCol: String, textCol: String,
       storePath: String): DataFrame = {
     val spark = drop.sparkSession
@@ -1153,7 +1166,7 @@ object Dedup {
     val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
       .as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
-    val batchPath = freshBatchDir(storePath)
+    val batchPath = freshBatchDir(spark, storePath)
     fp.join(keeper, Seq("fingerprint"))
       .join(store.select(col("fingerprint"), col("first_id")),
         Seq("fingerprint"), "left")
@@ -1233,7 +1246,12 @@ object Dedup {
     * bucket hashes, not text). Ids must be unique across that view.
     * Within-drop near-dups are NOT reported — run [[minHashLshPairs]]
     * on the drop for that leg. Returns
-    * (drop_id, store_id, jaccard >= threshold). */
+    * (drop_id, store_id, jaccard >= threshold).
+    *
+    * SINGLE WRITER: as with [[incrementalIngest]], ingests must be
+    * serialized per store — two concurrent drops can each pass the
+    * not-already-indexed check and append overlapping bucket rows,
+    * duplicating candidates on all later probes. */
   def lshIncrementalIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
@@ -1252,9 +1270,12 @@ object Dedup {
     }
     // head-row params travel WITH the bucket rows — the meta and the
     // store must both agree with the requested parameters (see
-    // lshStoreInit: disagreement marks an interrupted re-init)
-    val inStore = params(ss.read.parquet(storePath)
-      .select("n", "num_hashes", "bands").head())
+    // lshStoreInit: disagreement marks an interrupted re-init). A
+    // rowless store (every corpus doc shorter than n tokens) has no
+    // row to disagree: the meta pin alone governs.
+    val inStore = ss.read.parquet(storePath)
+      .select("n", "num_hashes", "bands").take(1)
+      .headOption.map(params).getOrElse(pinned)
     require(pinned == ((n, numHashes, bands)) &&
       inStore == ((n, numHashes, bands)),
       s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands) " +
@@ -1266,7 +1287,7 @@ object Dedup {
       .cache()
     val store = ss.read.parquet(storePath)
       .select(col(idCol).as("store_id"), col("band"), col("bh"))
-    val batchPath = freshBatchDir(storePath)
+    val batchPath = freshBatchDir(ss, storePath)
     dropB.join(store, Seq("band", "bh"))
       .where(col("drop_id") =!= col("store_id"))
       .select("drop_id", "store_id").distinct()

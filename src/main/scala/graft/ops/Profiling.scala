@@ -21,25 +21,32 @@ import org.apache.spark.sql.functions._
   * trade, per-column). */
 object Profiling {
 
+  // Generated aliases are re-parsed by col(); a profiled name holding
+  // a dot would read back as a nested-field reference. Backtick-quote
+  // (doubling embedded backticks) both the input lookup and the alias
+  // round-trip so any legal column name profiles cleanly.
+  private def q(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(col(q(c))).as(s"__cnt_$c"),
+        (if (approxDistinct) approx_count_distinct(col(q(c)))
+         else count_distinct(col(q(c)))).as(s"__nd_$c"),
+        min(col(q(c))).cast("string").as(s"__min_$c"),
+        max(col(q(c))).cast("string").as(s"__max_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val perCol = array(cols.map(c => struct(
       lit(c).as("column"),
       col("__n").as("n_rows"),
-      (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_val"),
-      col(s"__max_$c").as("max_val"))): _*)
+      (col("__n") - col(q(s"__cnt_$c"))).as("n_nulls"),
+      col(q(s"__nd_$c")).as("n_distinct"),
+      col(q(s"__min_$c")).as("min_val"),
+      col(q(s"__max_$c")).as("max_val"))): _*)
     wide.select(explode(perCol).as("p")).select("p.*")
   }
 }

@@ -520,4 +520,28 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("no row in `texts`"))
   }
+
+  test("lshIncrementalIngest accepts a rowless store (meta pin governs)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-lshempty").toString + "/store"
+    // every standing doc shorter than n=3 tokens -> zero bucket rows
+    val standing = Seq((1L, "too short"), (2L, "also tiny"))
+      .toDF("doc_id", "text")
+    Dedup.lshStoreInit(standing, "doc_id", "text", dir)
+    val drop = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // must not throw NoSuchElementException from the in-store param
+    // probe; no candidates either (store had nothing indexed)
+    val got = Dedup.lshIncrementalIngest(drop,
+      standing.unionByName(drop), "doc_id", "text", dir).collect()
+    assert(got.isEmpty)
+    // the drop's buckets did append: params still validate afterwards
+    assert(spark.read.parquet(dir).count() > 0)
+    // and a drifted-parameter call still fails loudly on the meta pin
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalIngest(drop, standing.unionByName(drop),
+        "doc_id", "text", dir, bands = 8)
+    }
+    assert(ex.getMessage.contains("does not match the store"))
+  }
 }

@@ -37,6 +37,16 @@ class ProfilingSpec extends AnyFunSuite {
     assert(row.getString(4) == "9" && row.getString(5) == "100")
   }
 
+  test("column names with dots profile cleanly (no nested-field parse)") {
+    import spark.implicits._
+    val t = Seq((1L, Some("x")), (2L, None))
+      .toDF("metric.name", "tag.value")
+    val got = Profiling.profile(t, Seq("metric.name", "tag.value"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("metric.name") == 0L)
+    assert(got("tag.value") == 1L)
+  }
+
   test("approxDistinct stays within the HLL envelope") {
     import spark.implicits._
     val t = spark.range(10000).toDF("id")
