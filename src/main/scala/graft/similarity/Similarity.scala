@@ -119,9 +119,13 @@ object Similarity {
     val qArr = collectUnitQueries(queries, idCol, vecCol)
     val qB = ss.sparkContext.broadcast(qArr)
     val kk = k; val dec = simDecimals
-    // input-side single-split guard: the scoring kernel must not run
-    // on the one split a single-file fixture scan produces
-    val scored = withUnitVec(graft.util.Parallelism.fanOut(corpus), vecCol, "cv")
+    // NO fan-out here: this is a single-pass map kernel whose output
+    // is k*|Q| rows — repartitioning first Exchanges every corpus
+    // vector to save nothing (the kernel streams the scan once and is
+    // never re-consumed). On a multi-split corpus the scan is already
+    // parallel; on a one-split fixture the shuffle costs more than the
+    // single-core scoring it parallelizes (measured r6: 1.27->3.01 s).
+    val scored = withUnitVec(corpus, vecCol, "cv")
       .select(col(idCol).cast("long").as("neighbor_id"), col("cv"))
       .filter(col("cv").isNotNull)
       .as[(Long, Array[Double])]
@@ -725,7 +729,10 @@ object Similarity {
       .filter(_._2.exists(_ != 0L))
     val qB = ss.sparkContext.broadcast(qArr)
     val kk = k; val dec = simDecimals
-    val scored = quantizeInt8(graft.util.Parallelism.fanOut(corpus), idCol, vecCol)
+    // no fan-out: single-pass map kernel, same reasoning as
+    // bruteForceTopK — a pre-shuffle of the corpus codes only ever
+    // costs (measured r6: 0.64->1.56 s on the one-split fixture scan)
+    val scored = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
