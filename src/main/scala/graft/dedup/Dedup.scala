@@ -440,7 +440,8 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      nfcFold: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // single-fixture-split guard on the INPUT, not just derived
     // tables: a one-file fixture scan is ONE split, which would run
@@ -449,7 +450,16 @@ object Dedup {
     // fanOut could help — the exchange must sit UNDER the kernels.
     // Provable no-op on real multi-split inputs (see
     // graft.util.Parallelism).
-    val fdf = graft.util.Parallelism.fanOut(df)
+    val fdf0 = graft.util.Parallelism.fanOut(df)
+    // NFC pre-fold of the TEXT (not just the collapse key): canonical-
+    // equivalent encodings of the same text must share collapse key,
+    // signatures AND verification shingles, or the invariant below
+    // (same key ⟺ same shingle set) breaks across NFC/NFD twins
+    // (NormalizeTextExpr's rationale). Zero-copy pass-through on
+    // already-normalized corpora; `nfcFold = false` opts out.
+    val fdf = if (!nfcFold) fdf0 else fdf0.withColumn(textCol,
+      graft.plans.NormalizeTextExpr.normalizeText(df.sparkSession,
+        col(textCol)))
     // ---- exact-collapse leg -------------------------------------
     // Collapse key = whitespace-collapsed text (NOT the case-folding
     // exactDedup fingerprint: shingles are case-sensitive, so the key

@@ -135,10 +135,32 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
-  /** Document fingerprint: hash of the whitespace-normalized,
-    * case-folded text — the exact-dedup key. */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+  /** Document fingerprint: hash of the NFC-normalized, whitespace-
+    * collapsed, case-folded text — the exact-dedup key. NFC folds
+    * canonical-equivalent encodings ("é" precomposed vs e+combining
+    * acute) to one byte form BEFORE hashing: web corpora mix them, and
+    * without the fold every downstream exact-dedup store and group
+    * silently treats the same text as different documents (the
+    * [[graft.plans.NormalizeTextExpr]] rationale). The fold is the
+    * zero-copy codegen kernel — one `isNormalized` scan per row on
+    * already-normalized (e.g. ASCII) corpora. `nfc = false` opts out
+    * for pre-normalized pipelines that want the fingerprint free of
+    * the session-bound kernel. */
+  def fingerprint(text: Column): Column = fingerprint(text, nfc = true)
+
+  def fingerprint(text: Column, nfc: Boolean): Column = {
+    val base =
+      if (!nfc) text
+      else {
+        val s = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            "fingerprint(nfc = true) needs a SparkSession to bind the " +
+              "normalize_text kernel; pass nfc = false to skip the fold"))
+        graft.plans.NormalizeTextExpr.normalizeText(s, text)
+      }
+    md5(regexp_replace(lower(trim(base)), "\\s+", " "))
+  }
 
   /** VOCABULARY INDUCTION: global token frequencies, top `k` by
     * (count DESC, token ASC) — the deterministic tie order makes the

@@ -266,6 +266,22 @@ object PipelineQueries {
         .orderBy("fingerprint")
     }),
 
+    // Exact dedup across UNICODE-EQUIVALENT twins: every doc gets a
+    // precomposed-suffix copy (" café" as U+00E9) and a decomposed
+    // twin at +1e6 (" cafe" + U+0301). Without the NFC fold in
+    // fingerprint() the two encodings hash apart and every group has
+    // n_docs = 1; with it each pair collapses to one group keeping the
+    // original id — DuckDB's nfc_normalize is the independent oracle.
+    "q_dedup_exact_nfc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pre = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val dec = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("text"))
+      Dedup.exactGroups(pre.unionByName(dec), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
     // Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
     // shared-shingle equi-join (no cross product).
     "q_dedup_jaccard" -> ((s, d) => {
@@ -1934,10 +1950,22 @@ object PipelineQueries {
         |       WHEN s_fr >= s_es THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // nfc_normalize mirrors fingerprint()'s NFC pre-fold (identity on
+    // this ASCII corpus, asserted equivalent under the hash gate)
     "q_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // chr(233) = precomposed U+00E9, chr(769) = combining acute: the
+    // two planted encodings only collapse through the NFC fold
+    "q_dedup_exact_nfc" ->
+      """WITH a AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' cafe' || chr(769) FROM documents)
+        |SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM a GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a

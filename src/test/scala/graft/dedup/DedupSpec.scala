@@ -31,6 +31,44 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed ${(exactPairs -- lsh).size} of ${exactPairs.size} pairs")
   }
 
+  test("fingerprint folds NFC: precomposed/decomposed twins share a group") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "menu du café gamma"),   // precomposed U+00E9
+      (2L, "menu du café gamma"),  // decomposed e + U+0301
+      (3L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L),
+      s"NFC twins must share one fingerprint group, got $groups")
+    // opt-out knob keeps the raw-bytes behavior
+    val raw = corpus.select(
+      graft.functions.TextFunctions.fingerprint(col("text"), nfc = false)
+        .as("fp")).distinct().count()
+    assert(raw == 3L)
+  }
+
+  test("minhash LSH folds NFC: an NFD re-encoding collapses with its NFC twin") {
+    import spark.implicits._
+    val text = "alpha beta café delta epsilon zeta eta theta iota kappa"
+    val nfd = java.text.Normalizer.normalize(text,
+      java.text.Normalizer.Form.NFD)
+    assert(nfd != text)
+    val corpus = Seq((1L, text), (2L, nfd),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val got = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0),
+      s"NFC/NFD twins must pair at jaccard 1.0, got $got")
+    // without the fold the encodings shingle apart and never pair
+    val rawPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        nfcFold = false).count()
+    assert(rawPairs == 0L)
+  }
+
   test("minhash LSH collapses exact duplicates: floods never ride the bucket join") {
     import spark.implicits._
     // A 200-copy flood (the web-scale hazard: identical signatures put
