@@ -1364,4 +1364,70 @@ object Dedup {
       .select(col(clusterCol), (-col("__best.negid")).as("rep_id"),
         col("__best.s").as("rep_score"), col("n_members"),
         col("total_score"))
+
+  // ------------------------------------------------------------------
+  // Persisted cluster table — cluster once, derive many
+  // ------------------------------------------------------------------
+
+  /** Run the LSH→verify→CC pipeline ONCE and persist the `(id,
+    * cluster)` labels as plain parquet — the cluster TABLE. Production
+    * near-dedup derives several artifacts from the same clustering
+    * (leakage-safe splits, quality-aware representatives, the keeper
+    * filter); recomputing the full LSH→verify→CC pass per artifact
+    * multiplies the single most expensive corpus scan by the number of
+    * consumers (at 100 TB: hours per pass). The store discipline
+    * matches [[fingerprintStoreInit]]: durable, auditable, rebuildable
+    * from the corpus. Labels are the CC contract — `cluster` = min
+    * member id, singletons label themselves, every corpus id gets a
+    * row. `checkpointDir` forwards the CC reliable-truncation knob for
+    * cluster runs. */
+  def clusterTableInit(corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    val pairs = minHashLshPairs(corpus, idCol, textCol, n, numHashes,
+      bands, threshold, maxBucketSize).select("id_a", "id_b")
+    connectedComponents(corpus, idCol, pairs,
+        checkpointDir = checkpointDir)
+      .select(col("id").as(idCol), col("cluster"))
+      .write.mode("overwrite").parquet(storePath)
+  }
+
+  /** The persisted `(id, cluster)` labels ([[clusterTableInit]]). */
+  def clusterTable(ss: SparkSession, storePath: String): DataFrame =
+    ss.read.parquet(storePath)
+
+  /** Leakage-safe split FROM the persisted table: the
+    * [[graft.functions.Sampling.splitLabel]] hash of the CLUSTER label
+    * (not the doc id), so near-dup members land in one split — without
+    * re-running any clustering. One scan of the label table. */
+  def clusterTableSplit(ss: SparkSession, storePath: String,
+      idCol: String, trainBp: Int = 8000, validBp: Int = 1000): DataFrame =
+    clusterTable(ss, storePath).select(col(idCol), col("cluster"),
+      graft.functions.Sampling.splitLabel(col("cluster"), trainBp, validBp)
+        .as("split"))
+
+  /** Quality-aware representatives FROM the persisted table: join the
+    * labels to a `(id, score)` relation and run
+    * [[clusterRepresentatives]] — one label-table equi-join plus the
+    * struct-max aggregate, no clustering re-run. */
+  def clusterTableRepresentatives(ss: SparkSession, storePath: String,
+      scores: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    clusterRepresentatives(
+      clusterTable(ss, storePath).join(scores.select(col(idCol),
+        col(scoreCol)), Seq(idCol)),
+      idCol, "cluster", scoreCol)
+
+  /** Keeper filter FROM the persisted table: keep exactly the rows of
+    * `df` whose id is its cluster's label (the min member — the CC
+    * keeper contract). One broadcast-able semi-join against the
+    * label table's keeper projection; ids absent from the table fail
+    * loudly via the count contract below being the caller's burden —
+    * the table must cover the corpus it was built from. */
+  def clusterTableKeep(df: DataFrame, storePath: String,
+      idCol: String): DataFrame =
+    df.join(clusterTable(df.sparkSession, storePath)
+        .where(col(idCol) === col("cluster")).select(idCol),
+      Seq(idCol), "left_semi")
 }

@@ -19,6 +19,25 @@ import graft.similarity.Similarity
 object PipelineQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Cluster-once memo: the first consumer per (app, data dir) pays
+    * one [[Dedup.clusterTableInit]] (the LSH→verify→CC corpus pass),
+    * later consumers read the persisted labels — the production
+    * "cluster once, derive many" discipline, surfaced in the gate
+    * suite itself. Correctness does not lean on the sharing: every
+    * riding query still hash-matches its own from-scratch DuckDB
+    * closure oracle, so a stale or wrong table fails the gate. */
+  private val clusterTableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedClusterTable(s: SparkSession, d: String): String =
+    clusterTableDirs.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d, _ => {
+        val dir = graft.util.TempDirs.scoped("graft-clustertable")
+          .toString + "/store"
+        Dedup.clusterTableInit(Tables.documents(s, d), "doc_id", "text",
+          dir, n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        dir
+      })
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish subword boundaries.
     "q_t_token_stats" -> ((s, d) => {
@@ -407,14 +426,27 @@ object PipelineQueries {
     // composition of connectedComponents + the portable splitLabel
     // hash, so the whole guarantee (same cluster -> same split) is
     // bit-checkable in SQL.
+    // Runs through the PERSISTED cluster table (clusterTableInit once
+    // per suite, clusterTableSplit here): the oracle recomputes the
+    // whole closure + split hash from scratch, so table-derived must
+    // hash-match from-scratch-derived — the cluster-once-derive-many
+    // equivalence, gated.
     "q_cluster_split" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
-          graft.functions.Sampling.splitLabel(col("cluster")).as("split"))
+      Dedup.clusterTableSplit(s, sharedClusterTable(s, d), "doc_id")
+        .select(col("doc_id"), col("cluster").as("cluster_id"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // The dedup APPLY step from the persisted cluster table: keep
+    // exactly each cluster's min-id member (the CC keeper contract)
+    // via one semi-join against the label table — the third
+    // cluster-table consumer. Oracle recomputes the closure and the
+    // keeper predicate from scratch.
+    "q_cluster_keep" -> ((s, d) => {
+      Dedup.clusterTableKeep(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          sharedClusterTable(s, d), "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -692,17 +724,16 @@ object PipelineQueries {
     // (token-count argmax, min-id ties) instead of the arbitrary
     // min-id — what production near-dedup actually ships. The argmax
     // is one struct-max aggregate, not a per-cluster sort window.
+    // Rides the persisted cluster table (one label-table join + the
+    // struct-max aggregate — no clustering re-run); the oracle still
+    // recomputes closure + argmax from scratch.
     "q_dedup_best_rep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
-        .select("id_a", "id_b")
-      val labeled = Dedup.connectedComponents(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-        .join(Tables.documents(s, d)
-          .select(col("doc_id"), T.tokenCount(col("text")).as("toks")), Seq("doc_id"))
-      Dedup.clusterRepresentatives(labeled, "doc_id", "cluster_id", "toks")
-        .select(col("cluster_id"), col("rep_id").as("rep_doc_id"),
+      val scores = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("toks"))
+      Dedup.clusterTableRepresentatives(s, sharedClusterTable(s, d),
+          scores, "doc_id", "toks")
+        .select(col("cluster").as("cluster_id"),
+          col("rep_id").as("rep_doc_id"),
           col("rep_score").as("rep_tokens"), col("n_members"),
           col("total_score").as("cluster_tokens"))
         .orderBy("cluster_id")
@@ -2086,6 +2117,17 @@ object PipelineQueries {
         |  CAST(n_members AS BIGINT) AS n_members,
         |  CAST(cluster_tokens AS BIGINT) AS cluster_tokens
         |FROM m WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+    // closure keepers recomputed from scratch: the table-derived
+    // semi-join must keep exactly the min-reachable-id docs
+    "q_cluster_keep" ->
+      (clusterClosureCtes +
+        """,
+          |c AS (SELECT id AS doc_id, min(r) AS cluster_id
+          |      FROM reach GROUP BY id)
+          |SELECT d.doc_id, d.lang, d.n_chars
+          |FROM documents d JOIN c ON d.doc_id = c.doc_id
+          |WHERE c.doc_id = c.cluster_id
+          |ORDER BY d.doc_id""".stripMargin),
     // q_dedup_clusters' recursive closure + the portable split hash of
     // the CLUSTER representative: same cluster -> same split, by
     // construction, on both engines

@@ -559,6 +559,47 @@ class DedupSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no row in `texts`"))
   }
 
+  test("cluster table: persisted-derived artifacts equal from-scratch") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-clustertable").toString + "/store"
+    Dedup.clusterTableInit(docs, "doc_id", "text", dir)
+    // from-scratch labels (the same pipeline, not persisted)
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b")
+    val scratch = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == scratch)
+    assert(scratch.exists { case (id, c) => id != c },
+      "fixture should contain at least one non-singleton cluster")
+    // split from the table == splitLabel over scratch labels
+    val splitT = Dedup.clusterTableSplit(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val splitS = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select(col("id"),
+        graft.functions.Sampling.splitLabel(col("cluster")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitT == splitS)
+    // keeper filter == id-is-cluster rows, one per cluster
+    val kept = Dedup.clusterTableKeep(docs, dir, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == scratch.collect { case (id, c) if id == c => id }.toSet)
+    // representatives from the table == clusterRepresentatives on the
+    // scratch labels joined to the same score
+    val scores = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val repT = Dedup.clusterTableRepresentatives(spark, dir, scores,
+        "doc_id", "len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labeled = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+      .join(scores, Seq("doc_id"))
+    val repS = Dedup.clusterRepresentatives(labeled, "doc_id", "cluster", "len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repT == repS)
+  }
+
   test("lshIncrementalIngest accepts a rowless store (meta pin governs)") {
     import spark.implicits._
     val dir = graft.util.TempDirs.scoped("dedup-lshempty").toString + "/store"
