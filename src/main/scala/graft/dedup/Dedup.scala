@@ -1118,6 +1118,72 @@ object Dedup {
     new Path(root, java.util.UUID.randomUUID().toString).toString
   }
 
+  /** THRESHOLD-BASED in-place store compaction: every ingest appends
+    * one small parquet batch, so an always-on store accretes files
+    * forever — the classic small-files problem (at one drop/hour, a
+    * year is ~9k files; each probe join then pays 9k scan tasks and
+    * the namenode 9k block lookups). When the store exceeds
+    * `maxFiles` data files, rewrite it to ~128 MB-target files via
+    * the [[graft.ops.ScaleOps.compactPath]] sizing rule, then swap
+    * dirs. The rewrite is fully materialized to a UNIQUE side dir
+    * BEFORE any swap (same recache-by-path discipline as the batch
+    * commit), so no reader of the store path observes a half-written
+    * mix. Swap = rename store → `.pre-compact`, rename rewrite →
+    * store, delete `.pre-compact`; a crash between the renames leaves
+    * the store at `.pre-compact` and the next ingest fails loudly on
+    * the missing path (rename it back to recover) — with the
+    * documented single-writer discipline there is no torn in-between.
+    * Compaction changes file layout only: row multiset, schema, and
+    * every downstream candidate set are invariant (spec-asserted). */
+  private def maybeCompactStore(ss: SparkSession, storePath: String,
+      maxFiles: Int): Unit = {
+    if (maxFiles <= 0) return // disabled
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath.stripSuffix("/"))
+    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.length <= maxFiles) return
+    val totalBytes = files.map(_.getLen).sum
+    val target = math.max(1,
+      math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+    val tmp = new Path(root.toString + ".compact-" +
+      java.util.UUID.randomUUID().toString)
+    ss.read.parquet(root.toString).repartition(target)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(root.toString + ".pre-compact")
+    fs.delete(old, true)
+    if (!fs.rename(root, old))
+      throw new IllegalStateException(
+        s"store compaction: could not move $root aside to $old")
+    if (!fs.rename(tmp, root))
+      throw new IllegalStateException(
+        s"store compaction: could not move the rewrite $tmp into " +
+          s"place — the prior store is intact at $old; rename it back " +
+          s"to $root to recover")
+    fs.delete(old, true)
+    log.info(s"compacted store $root: ${files.length} files " +
+      s"(${totalBytes} bytes) -> $target file(s)")
+  }
+
+  /** Store HEALTH, one observable for ingest monitoring: the
+    * [[graft.ops.Profiling.profile]] stats of the store's columns
+    * (row count, nulls, distincts, min/max — a fingerprint store
+    * whose distinct count stops growing has a stuck ingest) plus the
+    * physical file count and byte size that drive the
+    * [[maybeCompactStore]] trigger. */
+  def storeHealth(ss: SparkSession, storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath.stripSuffix("/"))
+    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val store = ss.read.parquet(root.toString)
+    graft.ops.Profiling.profile(store, store.columns.toSeq)
+      .withColumn("n_files", lit(files.length.toLong))
+      .withColumn("total_bytes", lit(files.map(_.getLen).sum))
+  }
+
   /** Initialize a fingerprint STORE from a corpus: one row per
     * distinct exact-dedup fingerprint ([[TextFunctions.fingerprint]])
     * with the first (minimum) id that carried it. The store is the
@@ -1170,7 +1236,7 @@ object Dedup {
     * RE-delivery of the same drop, not concurrent distinct drops —
     * run ingests from one scheduler slot, as a batch pipeline would. */
   def incrementalIngest(drop: DataFrame, idCol: String, textCol: String,
-      storePath: String): DataFrame = {
+      storePath: String, compactAfterFiles: Int = 64): DataFrame = {
     val spark = drop.sparkSession
     val store = spark.read.parquet(storePath)
     val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
@@ -1191,6 +1257,9 @@ object Dedup {
       .where(col("status") === "accepted")
       .select(col("fingerprint"), col(idCol).as("first_id"))
       .write.mode("append").parquet(storePath)
+    // after the append, never before: the classification is already
+    // committed to the batch dir, so the swap can't invalidate it
+    maybeCompactStore(spark, storePath, compactAfterFiles)
     classified
   }
 
@@ -1265,7 +1334,7 @@ object Dedup {
   def lshIncrementalIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, compactAfterFiles: Int = 64): DataFrame = {
     val ss = drop.sparkSession
     def params(row: org.apache.spark.sql.Row): (Int, Int, Int) =
       (row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
@@ -1310,6 +1379,9 @@ object Dedup {
       .withColumn("bands", lit(bands))
       .write.mode("append").parquet(storePath)
     dropB.unpersist()
+    // candidates are committed to the batch dir above, so the dir
+    // swap cannot invalidate anything this call returns
+    maybeCompactStore(ss, storePath, compactAfterFiles)
     val cand = ss.read.parquet(batchPath)
     val tx = texts.select(col(idCol), col(textCol))
     // coverage guard without a corpus shuffle: candIds (candidate-

@@ -559,6 +559,92 @@ class DedupSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no row in `texts`"))
   }
 
+  test("store compaction: bounded file count, invariant classifications") {
+    import spark.implicits._
+    def dataFiles(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // two stores fed identical drops: compacting (threshold 2 files)
+    // vs never-compacting — classifications must match drop for drop
+    val dirC = graft.util.TempDirs.scoped("dedup-compact").toString + "/store"
+    val dirN = graft.util.TempDirs.scoped("dedup-nocompact").toString + "/store"
+    val standing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    Dedup.fingerprintStoreInit(standing, "doc_id", "text", dirC)
+    Dedup.fingerprintStoreInit(standing, "doc_id", "text", dirN)
+    var maxFiles = 0
+    (0 until 5).foreach { i =>
+      val drop = Seq(
+        (100L + i, s"novel text number $i"),
+        (200L + i, "alpha beta")  // always dup_in_store
+      ).toDF("doc_id", "text")
+      val c = Dedup.incrementalIngest(drop, "doc_id", "text", dirC,
+          compactAfterFiles = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("status")).toMap
+      val nc = Dedup.incrementalIngest(drop, "doc_id", "text", dirN,
+          compactAfterFiles = 0)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("status")).toMap
+      assert(c == nc, s"drop $i diverged: $c vs $nc")
+      assert(c(100L + i) == "accepted" && c(200L + i) == "dup_in_store")
+      maxFiles = math.max(maxFiles, dataFiles(dirC))
+    }
+    // compacted store: file count bounded by threshold + one append's
+    // worth of files; the uncompacted one keeps growing past it
+    assert(maxFiles <= 2 + spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"compacted store grew to $maxFiles files")
+    assert(dataFiles(dirN) > dataFiles(dirC))
+    // row multiset identical after all the swaps
+    val rowsC = spark.read.parquet(dirC).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val rowsN = spark.read.parquet(dirN).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(rowsC == rowsN)
+    // health observable: profile rows for both store columns + file stats
+    val health = Dedup.storeHealth(spark, dirC).collect()
+    assert(health.length == 2)
+    val fpRow = health.find(_.getString(0) == "fingerprint").get
+    assert(fpRow.getAs[Long]("n_rows") == 2L + 5L)
+    assert(fpRow.getAs[Long]("n_distinct") == 7L)
+    assert(fpRow.getAs[Long]("n_files") >= 1L)
+    assert(fpRow.getAs[Long]("total_bytes") > 0L)
+  }
+
+  test("LSH store compaction: candidate sets invariant across the swap") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-lshcompact").toString + "/store"
+    val standing = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    Dedup.lshStoreInit(standing, "doc_id", "text", dir)
+    var texts = standing
+    // several drops with threshold 1: compaction triggers every round;
+    // probes must keep finding near-dups of docs indexed BEFORE swaps
+    (0 until 3).foreach { i =>
+      val drop = Seq(
+        (100L + i,
+          s"alpha beta gamma delta epsilon zeta eta theta tail$i"),
+        (200L + i, s"unrelated$i " + (0 to 8).map(j => s"w$i-$j").mkString(" "))
+      ).toDF("doc_id", "text")
+      texts = texts.unionByName(drop)
+      val pairs = Dedup.lshIncrementalIngest(drop, texts, "doc_id", "text",
+          dir, compactAfterFiles = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // each drop's first doc near-dups doc 10 AND every earlier
+      // 100-series doc (all indexed across prior compaction swaps)
+      val expect = ((10L +: (0 until i).map(100L + _)).map(s => (100L + i, s))).toSet
+      assert(pairs == expect, s"drop $i: got $pairs, want $expect")
+    }
+    // params still validate after swaps (meta + in-row agreement)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalIngest(
+        Seq((999L, "x y z a b c")).toDF("doc_id", "text"),
+        texts, "doc_id", "text", dir, bands = 8)
+    }
+    assert(ex.getMessage.contains("does not match the store"))
+  }
+
   test("cluster table: persisted-derived artifacts equal from-scratch") {
     import spark.implicits._
     val dir = graft.util.TempDirs.scoped("dedup-clustertable").toString + "/store"
