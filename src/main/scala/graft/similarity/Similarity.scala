@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Elementwise-cast to double then dot product; sequential
     * left-to-right summation (deterministic per pair). */
   def dot(a: Column, b: Column): Column =
@@ -566,6 +568,90 @@ object Similarity {
         Seq("query_id"), "left")
       .withColumn("recall_at_k",
         round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
+  /** Result of one [[ivfIndexMaintain]] pass: recall measured before,
+    * whether a retrain fired, and recall re-measured after. */
+  final case class IvfMaintainReport(recallBefore: Double,
+      retrained: Boolean, recallAfter: Option[Double])
+
+  /** IVF index MAINTENANCE — the drift response that closes the loop
+    * [[ivfIndexTopKWithRecall]] opens. Appends never retrain, so a
+    * skewed delta stream pulls the data distribution away from the
+    * trained centroids and probe recall erodes; this measures served
+    * mean recall@k over `queries` (exhaustive sampling — the query
+    * set is the monitoring probe, small by the ANN contract), and if
+    * it is below `recallFloor`, RETRAINS the coarse quantizer and
+    * rebuilds the postings layout — then re-measures.
+    *
+    * The retrain reads the index's OWN postings (base + every
+    * appended delta already live there as int8 codes): the Lloyd loop
+    * ([[kmeansTrain]], same exact-integer arithmetic as build) runs
+    * over those codes with the same cell count, and the re-assigned
+    * postings are FULLY materialized to a side dir before a
+    * rename-swap — no original-corpus re-scan, no reader ever sees a
+    * half-written mix. Centroids are rewritten after the swap; a
+    * crash between the two writes leaves new postings under old
+    * centroids — every code is still served exactly, probe pruning is
+    * just stale until a re-run completes the pair (document-level
+    * recovery: run maintain again).
+    *
+    * Scale shape: recall probes are query-bounded; the retrain is
+    * `iters + 1` scans of the postings (the corpus-sized leg — the
+    * same cost build paid, only paid when the floor trips). */
+  def ivfIndexMaintain(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, path: String, recallFloor: Double,
+      iters: Int = 2): IvfMaintainReport = {
+    require(recallFloor >= 0.0 && recallFloor <= 1.0,
+      "recallFloor must be in [0, 1]")
+    val spark = queries.sparkSession
+    def meanRecall(): Double = {
+      val r = ivfIndexTopKWithRecall(queries, idCol, vecCol, k, nProbe,
+          path, sampleMod = 1L)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }
+    val before = meanRecall()
+    if (before >= recallFloor) return IvfMaintainReport(before, false, None)
+    log.info(f"ivfIndexMaintain: recall@$k $before%.4f < floor " +
+      f"$recallFloor%.4f at $path — retraining")
+    val nCells = readCents(spark, path).size
+    val codes = spark.read.parquet(path + "/postings")
+      .select(col("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut) // training + assignment
+      .cache()
+    val cents = kmeansTrain(codes, nCells, iters)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + "/postings.retrain-" + java.util.UUID.randomUUID())
+    codes.withColumn("__cents", centsLiteral(cents))
+      .withColumn("cell", assignCellExpr("codes"))
+      .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    codes.unpersist()
+    val live = new org.apache.hadoop.fs.Path(path + "/postings")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(path + "/postings.pre-retrain")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new IllegalStateException(
+        s"ivfIndexMaintain: could not move $live aside to $old")
+    if (!fs.rename(tmp, live))
+      throw new IllegalStateException(
+        s"ivfIndexMaintain: could not move the retrained postings " +
+          s"$tmp into place — the prior postings are intact at $old; " +
+          "rename them back to recover")
+    fs.delete(old, true)
+    import spark.implicits._
+    cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    val after = meanRecall()
+    log.info(f"ivfIndexMaintain: retrained $path — recall@$k " +
+      f"$before%.4f -> $after%.4f")
+    IvfMaintainReport(before, retrained = true, Some(after))
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN

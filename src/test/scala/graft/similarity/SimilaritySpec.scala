@@ -298,4 +298,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.filter(col("recall_at_k") =!= 1.0).count() == 0)
     r.unpersist()
   }
+
+  test("ivfIndexMaintain: skewed appends degrade recall; retrain recovers it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = graft.util.TempDirs.scoped("ivf-maintain-spec").toString
+    // deterministic jitter so clusters have spread without RNG
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val baseA = (0 until 40).map(i => (i.toLong,
+      Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))))
+    val baseB = (40 until 80).map(i => (i.toLong,
+      Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3))))
+    val base = (baseA ++ baseB).toDF("vec_id", "embedding")
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, iters = 3, path = path)
+    // skewed delta: a NEW directional cluster ON the trained A/B
+    // Voronoi boundary, members spread symmetrically ACROSS it
+    // (offset s tilts toward A or B) — every boundary query's exact
+    // top-k spans both sides, so nProbe=1 serving misses the half in
+    // the unprobed cell
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    val delta = (1000 until 1080).map(i => (i.toLong, deltaVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(delta, "vec_id", "embedding", path = path)
+    val queries = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfIndexMaintain(queries, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 0.95, iters = 3)
+    assert(r.retrained, f"expected retrain: recallBefore=${r.recallBefore}%.4f")
+    assert(r.recallBefore < 0.95)
+    assert(r.recallAfter.get > r.recallBefore,
+      s"recall did not improve: $r")
+    assert(r.recallAfter.get >= 0.9, s"recovered recall only ${r.recallAfter}")
+    // above the floor now: second maintain is a measured no-op
+    val r2 = Similarity.ivfIndexMaintain(queries, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 0.8, iters = 3)
+    assert(!r2.retrained && r2.recallAfter.isEmpty)
+    assert(r2.recallBefore >= 0.9)
+    // the rebuild preserved the id multiset (base + delta, no loss)
+    val ids = spark.read.parquet(path + "/postings").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
+  }
 }
