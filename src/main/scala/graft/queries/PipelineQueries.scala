@@ -409,12 +409,19 @@ object PipelineQueries {
     // Connected components are algorithm-independent, so this shares
     // q_dedup_clusters' recursive-closure oracle verbatim: both
     // engines-under-test must produce identical min-member labels.
+    // Runs through a RELIABLE checkpoint dir (the cluster-durability
+    // knob — per-round truncation via durable df.checkpoint() instead
+    // of executor-resident localCheckpoint), so the path a real
+    // 1000-executor run must take is itself hash-proven against the
+    // same closure oracle.
     "q_dedup_ccstar" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
-      Dedup.connectedComponentsStar(docs, "doc_id", pairs)
+      val ckpt = graft.util.TempDirs.scoped("graft-ccstar-ckpt").toString
+      Dedup.connectedComponentsStar(docs, "doc_id", pairs,
+          checkpointDir = Some(ckpt))
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy("doc_id")
     }),
