@@ -47,6 +47,48 @@ object Bench {
       r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey")
         .groupBy("r_regionkey").count().count()
     } catch { case _: Throwable => () }
+    // ---- canary gate (full-suite runs only) ----------------------
+    // This box shows episodic noisy-neighbor bursts: identical code
+    // measured 2-10x apart minutes apart (r5/r6 round-close records
+    // were both taken inside bursts, load1 6-13, and misstated the
+    // engine by tens of seconds). Before recording a full suite, time
+    // a cheap two-query canary pair and spin-wait (bounded) until it
+    // lands within CANARY_FACTOR of its quiet-window best — recording
+    // starts only from a demonstrated-quiet window, and the record
+    // carries the canary evidence either way.
+    val canary: Option[(Int, Double, Boolean)] =
+      if (args.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") == "0")
+        None
+      else {
+        val names = Seq("q_dedup_exact", "q_a1_groupsum")
+        val fns = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        // quiet-window pair sum measured 0.83 s (repeats=3, load1 1.3)
+        val best = sys.env.get("SPARK_GRAFT_CANARY_BEST")
+          .flatMap(_.toDoubleOption).getOrElse(0.85)
+        val factor = sys.env.get("SPARK_GRAFT_CANARY_FACTOR")
+          .flatMap(_.toDoubleOption).getOrElse(1.5)
+        val tries = sys.env.get("SPARK_GRAFT_CANARY_TRIES")
+          .flatMap(_.toIntOption).getOrElse(15)
+        def pairSec(): Double = fns.map { case (_, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache(); System.gc()
+          dt
+        }.sum
+        var attempt = 1
+        var sec = pairSec()
+        while (sec > best * factor && attempt < tries) {
+          // stderr, never stdout — the one-JSON-line contract stands
+          System.err.println(f"canary: pair $sec%.3f s > " +
+            f"${best * factor}%.3f s (load1 ${load1()}%.1f) — waiting " +
+            s"20 s for a quiet window ($attempt/$tries)")
+          Thread.sleep(20000)
+          attempt += 1
+          sec = pairSec()
+        }
+        Some((attempt, sec, sec <= best * factor))
+      }
     // results: name -> (best sec, per-attempt secs, max load1 seen
     // during this query's attempts — contention context per MEASUREMENT,
     // not per run: one load sample per whole run hid which queries a
@@ -109,8 +151,11 @@ object Bench {
       if (args.nonEmpty) "/root/repo/BENCH_SUBSET.json"
       else "/root/repo/BENCH_FULL.json")
     val outName = new java.io.File(outPath).getName
+    val canaryJson = canary.map { case (a, s, ok) =>
+      s""","canary":{"attempts":$a,"sec":${f3(s)},"ok":$ok}"""
+    }.getOrElse("")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName"$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
     // FULL results file: the driver keeps only a ~2,000-char tail of
     // stdout, which truncated the first 33 of 99 query timings in r3 —
     // the complete per-query record (all attempts + per-query load)
@@ -121,7 +166,7 @@ object Bench {
         ",\"load1\":" + qLoad + "}"
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir","queries":$fullQs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir"$canaryJson,"queries":$fullQs}"""
     // subset (targeted) runs must never clobber the committed
     // full-suite record — they land in BENCH_SUBSET.json unless the
     // caller routes them explicitly via SPARK_GRAFT_BENCH_OUT
