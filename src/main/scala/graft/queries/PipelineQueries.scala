@@ -73,6 +73,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): 6 merge rounds
+    // over the corpus word table. The induced merge sequence — pair
+    // choice, tie order AND the greedy non-overlapping application
+    // feeding each next round — is recomputed from scratch by the
+    // oracle's unrolled-round SQL (replace() over separator-wrapped
+    // symbol strings, identical semantics in both engines).
+    "q_t_bpe" -> ((s, d) => {
+      graft.functions.Bpe.train(Tables.documents(s, d), "text",
+          numMerges = 6)
+        .orderBy("merge_rank")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 A1): duplicate
     // -token fraction + top-2/3-gram fraction quality gates. Outputs
     // are exact integer counts and an integer-math pass flag — nothing
@@ -1715,7 +1727,51 @@ object PipelineQueries {
         |        s.cell) AS rn
         |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1)""".stripMargin
 
+  /** Unrolled-round BPE training restatement: word table -> N rounds
+    * of (pair count, argmax, replace-apply) as chained CTEs — the
+    * separator-wrapped-string representation makes each round's merge
+    * application one `replace`, so DuckDB re-derives the whole merge
+    * sequence independently. Generated (mechanical per round), not
+    * hand-maintained. */
+  private def bpeOracle(n: Int): String = {
+    def syms(s: String) =
+      s"string_split(trim($s, chr(31)), chr(31)||chr(31))"
+    def pairs(s: String) =
+      s"""list_transform(range(len(${syms(s)}) - 1),
+         |      i -> ${syms(s)}[i+1] || chr(31) || ${syms(s)}[i+2])""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """w1 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    chr(31) || array_to_string(list_transform(range(length(word)),
+        |      i -> substr(word, CAST(i+1 AS INT), 1)), chr(31)||chr(31)) || chr(31) AS s
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin)
+    for (r <- 1 to n) {
+      ctes += s"""p$r AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT cnt, unnest(${pairs("s")}) AS pair FROM w$r)
+        |  GROUP BY pair)""".stripMargin
+      ctes += s"b$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pair, c " +
+        s"FROM p$r ORDER BY c DESC, pair LIMIT 1)"
+      if (r < n) ctes += s"""w${r + 1} AS (
+        |  SELECT word, cnt, replace(s,
+        |    chr(31) || string_split(pair, chr(31))[1] || chr(31) || chr(31)
+        |      || string_split(pair, chr(31))[2] || chr(31),
+        |    chr(31) || string_split(pair, chr(31))[1]
+        |      || string_split(pair, chr(31))[2] || chr(31)) AS s
+        |  FROM w$r, b$r)""".stripMargin
+    }
+    val sel = (1 to n).map(r =>
+      s"SELECT merge_rank, string_split(pair, chr(31))[1] AS left_sym, " +
+        s"string_split(pair, chr(31))[2] AS right_sym, c AS pair_count FROM b$r")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_t_bpe" -> bpeOracle(6),
     "q_dedup_simhash" -> simhashOracle,
     // Same planted-PII augmentation, same Java/RE2-common patterns.
     "q_t_pii" ->
