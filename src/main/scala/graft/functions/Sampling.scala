@@ -60,6 +60,34 @@ object Sampling {
     df.join(broadcast(weights), Seq(sourceCol))
       .filter(hashBucket(col(keyCol)) < col("keep_bp"))
 
+  /** Deterministic fractional UPSAMPLING — mixture weights ABOVE 1.0
+    * (training mixes repeat scarce high-quality sources for multiple
+    * "epochs": books at 2.3x while web stays at 0.3x —
+    * [[mixtureSample]] covers the down-leg, this covers the up-leg).
+    * `factorBp` is the epoch factor in basis points (23000 = 2.3x):
+    * every row emits `factorBp div 10000` copies, plus one more for
+    * rows whose key hashes under `factorBp mod 10000` — the SAME
+    * portable hash as [[sampled]], so the fractional slice is nested
+    * (raising the factor only adds copies) and bit-reproducible on
+    * any engine. `copy_idx` (1-based) distinguishes copies so a
+    * downstream shuffle can interleave them.
+    *
+    * Scale shape: one map-side `explode(sequence(...))` — no shuffle,
+    * no join; output size is exactly `ceil`-weighted input size. */
+  def upsample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      factorBp: Int): org.apache.spark.sql.DataFrame = {
+    require(factorBp >= 0, "factorBp must be non-negative")
+    val whole = factorBp / 10000
+    val frac = factorBp % 10000
+    df.withColumn("__n",
+        lit(whole.toLong) +
+          when(hashBucket(col(keyCol)) < frac, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   // public: encoder codegen needs constructor access (see
   // graft.similarity.Similarity.Bucket)
   final case class StratumRow(stratum: String, key: Long, bucket: Long)

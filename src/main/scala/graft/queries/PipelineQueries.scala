@@ -597,6 +597,18 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Fractional UPSAMPLING (epoch factor > 1.0 — the mixture up-leg
+    // q_mix_sample's down-leg rates can't express): 2.3 epochs = 2
+    // copies of every doc + a third for the hash-selected 30%. The
+    // nested-sample property and the exact copy counts are both under
+    // the hash via copy_idx.
+    "q_mix_upsample" -> ((s, d) => {
+      graft.functions.Sampling.upsample(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          "doc_id", factorBp = 23000)
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Token-BUDGETED mixture: each source keeps docs in deterministic-
     // shuffle order until its token budget runs out — mixes are specced
     // in tokens ("200 B web, 30 B code"), not doc keep-rates. The
@@ -1232,6 +1244,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrieval EVAL: the trained-IVF ranker scored against exact
+    // quantized top-3 relevance — per-query first-relevant rank,
+    // reciprocal rank, hits and recall, all integer basis points. The
+    // oracle re-derives BOTH legs (the full IVF training replay and
+    // the exact top-3) plus the metric arithmetic from scratch, so a
+    // drifted ranker OR a wrong metric breaks the hash. nProbe=2/8
+    // keeps the metrics honest (some queries miss — recall ~0.8, not
+    // a trivially-perfect scoreboard).
+    "q_sim_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+      val sys = Similarity.ivfTopKQuantized(queries, e, "vec_id",
+        "embedding", k = 5, nCells = 8, nProbe = 2, iters = 2)
+      val qrels = Similarity.quantizedTopK(queries, e, "vec_id",
+          "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id").as("relevant_id"))
+      Similarity.retrievalEval(sys, qrels, k = 5).orderBy("query_id")
+    }),
+
     // PERSISTENT IVF INDEX with INCREMENTAL MAINTENANCE: train/build
     // on the base corpus (one vector in ten held out as the "new
     // arrivals" batch), append the delta under the PERSISTED
@@ -1770,8 +1801,160 @@ object PipelineQueries {
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
 
+  /** The q_sim_ann_ivf_trained training replay (int8 quantize, seeds,
+    * two Lloyd rounds, nProbe=2 probe, candidate scoring) as a
+    * reusable WITH-chain ending at ranked `r` — shared by the serve
+    * gate and the retrieval-eval gate. */
+  private val ivfTrainedCtes: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |    END AS codes
+        |  FROM s),
+        |x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    codes[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(codes, x -> 1000 * x) AS cent
+        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
+        |  GROUP BY a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.cell,
+        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.m ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
+        |  GROUP BY p.cell),
+        |a3 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(v.codes)),
+        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
+        |n AS (SELECT vec_id, codes,
+        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |      FROM c),
+        |cand AS (
+        |  SELECT q.query_id, t.vec_id AS neighbor_id,
+        |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
+        |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |          AS DOUBLE)
+        |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |      AS sim
+        |  FROM qp q
+        |  JOIN a3 a ON a.cell = q.cell
+        |  JOIN n t ON t.vec_id = a.vec_id
+        |  JOIN n qn ON qn.vec_id = q.query_id
+        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM cand)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_t_bpe" -> bpeOracle(6),
+    // both legs re-derived: the IVF replay chain (shared with
+    // q_sim_ann_ivf_trained) AND the exact quantized top-3 relevance,
+    // then the integer-bp metric arithmetic
+    "q_sim_eval" ->
+      (ivfTrainedCtes + """,
+        |sys AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5),
+        |xp AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        round(CAST(list_sum(list_transform(range(len(q.codes)),
+        |                i -> q.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
+        |              AS DOUBLE)
+        |          / (sqrt(CAST(q.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
+        |          AS sim
+        |      FROM n q CROSS JOIN n t
+        |      WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id
+        |        AND q.nsq > 0 AND t.nsq > 0),
+        |ex AS (SELECT query_id, neighbor_id AS relevant_id FROM (
+        |        SELECT query_id, neighbor_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, neighbor_id) AS rk
+        |        FROM xp) WHERE rk <= 3),
+        |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |       FROM ex GROUP BY 1),
+        |hit AS (SELECT s.query_id,
+        |          CAST(count(*) AS BIGINT) AS hits_at_k,
+        |          CAST(min(s.rank) AS BIGINT) AS frr
+        |        FROM sys s JOIN ex x
+        |          ON s.query_id = x.query_id AND s.neighbor_id = x.relevant_id
+        |        GROUP BY 1)
+        |SELECT nr.query_id,
+        |  CAST(coalesce(hit.frr, 0) AS BIGINT) AS first_rel_rank,
+        |  CAST(CASE WHEN hit.frr IS NULL THEN 0
+        |       ELSE 10000 // hit.frr END AS BIGINT) AS rr_bp,
+        |  CAST(coalesce(hit.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+        |  nr.n_rel,
+        |  CAST(coalesce(hit.hits_at_k, 0) * 10000 // nr.n_rel AS BIGINT)
+        |    AS recall_bp
+        |FROM nr LEFT JOIN hit USING (query_id)
+        |ORDER BY nr.query_id""".stripMargin),
+    // same portable hash; 2 whole copies + the < 3000 bp fractional one
+    "q_mix_upsample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    2 + CASE WHEN ((doc_id % 2147483648) * 1597334677
+        |          + (doc_id >> 31) * 7919) % 10000 < 3000
+        |        THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+        |FROM h ORDER BY doc_id, copy_idx""".stripMargin,
     "q_dedup_simhash" -> simhashOracle,
     // Same planted-PII augmentation, same Java/RE2-common patterns.
     "q_t_pii" ->
@@ -2913,105 +3096,9 @@ object PipelineQueries {
     // per query by the identical exact distance, quantized-cosine
     // ranking inside probed cells (int dot, one portable division).
     "q_sim_ann_ivf_trained" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (
-        |  SELECT vec_id, v,
-        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
-        |  FROM e),
-        |c AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
-        |    END AS codes
-        |  FROM s),
-        |x AS (
-        |  SELECT vec_id, CAST(i AS INT) AS pos,
-        |    codes[CAST(i + 1 AS INT)] AS x
-        |  FROM (SELECT vec_id, codes, unnest(range(len(codes))) AS i FROM c)),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-        |    list_transform(codes, x -> 1000 * x) AS cent
-        |  FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT 8) seeds),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents0 s) t WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents1 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents0 p LEFT JOIN u1 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents1 s) t WHERE rn = 1),
-        |u2 AS (
-        |  SELECT a.cell, x.pos,
-        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS m
-        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id
-        |  GROUP BY a.cell, x.pos),
-        |cents2 AS (
-        |  SELECT p.cell,
-        |    CASE WHEN count(u.m) = 0 THEN any_value(p.cent)
-        |         ELSE list(u.m ORDER BY u.pos) END AS cent
-        |  FROM cents1 p LEFT JOIN u2 u ON p.cell = u.cell
-        |  GROUP BY p.cell),
-        |a3 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1),
-        |qp AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(v.codes)),
-        |          i -> (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * v.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c v CROSS JOIN cents2 s WHERE v.vec_id < 10) t WHERE rn <= 2),
-        |n AS (SELECT vec_id, codes,
-        |        CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
-        |      FROM c),
-        |cand AS (
-        |  SELECT q.query_id, t.vec_id AS neighbor_id,
-        |    round(CAST(list_sum(list_transform(range(len(qn.codes)),
-        |            i -> qn.codes[CAST(i + 1 AS INT)] * t.codes[CAST(i + 1 AS INT)]))
-        |          AS DOUBLE)
-        |      / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(t.nsq AS DOUBLE))), 4)
-        |      AS sim
-        |  FROM qp q
-        |  JOIN a3 a ON a.cell = q.cell
-        |  JOIN n t ON t.vec_id = a.vec_id
-        |  JOIN n qn ON qn.vec_id = q.query_id
-        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM cand)
+      (ivfTrainedCtes + """
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
     // q_sim_ann_ivf_trained's oracle with the base/delta split: the
     // Lloyd loop (seeds, both refinement rounds) sees ONLY the base
     // slice (vec_id % 10 <> 9); the FINAL assignment a3 covers the

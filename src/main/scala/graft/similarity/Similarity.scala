@@ -570,6 +570,42 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 4))
   }
 
+  /** RETRIEVAL EVAL — MRR / hit-rate / recall of a ranked result list
+    * against a relevance table, the offline eval every retrieval /
+    * ANN deployment runs. `results` carries `(query_id, rank,
+    * neighbor_id)` (any ranker: brute-force, IVF, LSH); `qrels`
+    * carries `(query_id, relevant_id)`. Per query:
+    *
+    *   - `first_rel_rank` — rank of the first relevant hit (0 = none
+    *     in the top `k`);
+    *   - `rr_bp` — reciprocal rank in basis points, `10000 div
+    *     first_rel_rank` (integer floor — exact on both engines; the
+    *     mean over queries is MRR x 10000);
+    *   - `hits_at_k`, `n_rel`, `recall_bp = hits * 10000 div n_rel`.
+    *
+    * Scale shape: one semi-join of the (query x k)-bounded result list
+    * against the relevance table plus two query-grain aggregates —
+    * everything query-bounded, nothing corpus-sized. All-integer
+    * outputs, no float tolerance. */
+  def retrievalEval(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    val nRel = qrels.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val rel = results.filter(col("rank") <= k)
+      .join(qrels.withColumnRenamed("relevant_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+    val agg = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("__hits"), min("rank").as("__frr"))
+    nRel.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__frr"), lit(0L)).as("first_rel_rank"),
+        when(col("__frr").isNotNull, expr("10000 div __frr"))
+          .otherwise(lit(0L)).as("rr_bp"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        col("n_rel"),
+        expr("coalesce(__hits, 0) * 10000 div n_rel").as("recall_bp"))
+  }
+
   /** Result of one [[ivfIndexMaintain]] pass: recall measured before,
     * whether a retrain fired, and recall re-measured after. */
   final case class IvfMaintainReport(recallBefore: Double,

@@ -236,4 +236,35 @@ class SamplingSpec extends AnyFunSuite {
       assert(got == expected, s"shards=$shards")
     }
   }
+
+  test("upsample: exact copy counts, nested fractional slice, no shuffle") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val up = Sampling.upsample(df, "id", factorBp = 23000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val counts = up.groupBy(_._1).view.mapValues(_.length).toMap
+    // every row gets 2 or 3 copies; the 3-copy set is the hash slice
+    assert(counts.values.forall(n => n == 2 || n == 3))
+    val expect3 = (1L to 200L).filter { id =>
+      (id % 2147483648L) * 1597334677L % 10000L < 3000L
+    }.toSet
+    assert(counts.filter(_._2 == 3).keySet == expect3)
+    // copy_idx is 1..n per key
+    up.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to counts(id)))
+    }
+    // nested: the 2.0x whole copies are a subset relation — raising to
+    // 2.7x only ADDS copies for more keys, never removes
+    val up27 = Sampling.upsample(df, "id", factorBp = 27000)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (id, n) => assert(up27(id) >= n) }
+    // factor < 1.0 degenerates to sampled(): keep-or-drop, one copy
+    val down = Sampling.upsample(df, "id", factorBp = 3000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(down.map(_._1).toSet == expect3 && down.forall(_._2 == 1L))
+    // map-only plan: no Exchange anywhere
+    val plan = Sampling.upsample(df, "id", 23000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsample must not shuffle:\n$plan")
+  }
 }

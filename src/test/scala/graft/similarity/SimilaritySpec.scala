@@ -345,4 +345,29 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
   }
+
+  test("retrievalEval: hand-computed MRR/hits/recall, zero-hit query") {
+    import spark.implicits._
+    // q1: relevant {10, 11, 12}; system ranks 11 at 2, 12 at 4 -> frr 2,
+    // rr 5000, hits 2, recall 6666. q2: relevant {20}; ranked 1 ->
+    // perfect. q3: relevant {30, 31}; no hits in top-5 -> zeros.
+    val results = Seq(
+      (1L, 1L, 99L), (1L, 2L, 11L), (1L, 3L, 98L), (1L, 4L, 12L), (1L, 5L, 97L),
+      (2L, 1L, 20L), (2L, 2L, 96L),
+      (3L, 1L, 95L), (3L, 2L, 94L)
+    ).toDF("query_id", "rank", "neighbor_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "relevant_id")
+    val got = Similarity.retrievalEval(results, qrels, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(1L) == ((2L, 5000L, 2L, 3L, 6666L)))
+    assert(got(2L) == ((1L, 10000L, 1L, 1L, 10000L)))
+    assert(got(3L) == ((0L, 0L, 0L, 2L, 0L)))
+    // k cutoff: at k=3 q1's rank-4 hit drops out
+    val k3 = Similarity.retrievalEval(results, qrels, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(k3(1L) == 1L)
+  }
 }
