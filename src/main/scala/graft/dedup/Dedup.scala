@@ -1457,18 +1457,115 @@ object Dedup {
       storePath: String, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      idBuckets: Int = 64): Unit = {
     val pairs = minHashLshPairs(corpus, idCol, textCol, n, numHashes,
       bands, threshold, maxBucketSize).select("id_a", "id_b")
+    // the co-located LSH band store: [[clusterTableIngest]] probes it
+    // to find a drop's near-dups in the standing corpus without
+    // re-running LSH over corpus + drop
+    lshStoreInit(corpus, idCol, textCol, storePath + "/lsh",
+      n, numHashes, bands)
     connectedComponents(corpus, idCol, pairs,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster"))
-      .write.mode("overwrite").parquet(storePath)
+      .withColumn("ver", lit(0L))
+      // STABLE partition key (id bucket, never the mutable label):
+      // ingest-time label remaps rewrite only the buckets holding
+      // touched rows, via MergeUpsert's partition-scoped merge
+      .withColumn("ib",
+        pmod(graft.functions.Sampling.hashBucket(col(idCol)),
+          lit(idBuckets.toLong)))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(storePath + "/labels")
   }
 
-  /** The persisted `(id, cluster)` labels ([[clusterTableInit]]). */
+  /** The persisted `(id, cluster, ver, ib)` labels
+    * ([[clusterTableInit]]). */
   def clusterTable(ss: SparkSession, storePath: String): DataFrame =
-    ss.read.parquet(storePath)
+    ss.read.parquet(storePath + "/labels")
+
+  /** INCREMENTAL cluster-table maintenance — near-dup clustering as an
+    * always-on ingest instead of a batch rebuild. Classifies a new
+    * drop against the persisted table and extends it:
+    *
+    *   1. within-drop near-dup pairs ([[minHashLshPairs]], drop-sized);
+    *   2. drop x standing pairs via ONE bucket equi-join against the
+    *      co-located band store ([[lshIncrementalIngest]], which also
+    *      appends the drop's buckets so the NEXT drop sees this one);
+    *   3. the standing side of each cross pair collapses to its LABEL
+    *      (store-store connectivity is already folded into labels),
+    *      so the merge graph has drop ids + touched labels as nodes —
+    *      DELTA-sized, never corpus-sized;
+    *   4. [[connectedComponents]] over that delta graph; a component's
+    *      new label = its min member, which equals the min id of the
+    *      full-graph component — so INCREMENTAL LABELS ARE EXACTLY THE
+    *      FROM-SCRATCH LABELS over corpus + drop (the gate proves this
+    *      against the same recursive-closure oracle);
+    *   5. updates (new drop rows + remapped members of merged
+    *      clusters) merge into the labels table via
+    *      [[graft.ops.MergeUpsert.mergeByKey]] — only id-buckets
+    *      holding touched rows rewrite.
+    *
+    * `texts` must cover every id ever indexed plus the drop (the
+    * [[lshIncrementalIngest]] contract); ids must be unique across
+    * corpus + drop. SINGLE WRITER per store, like the other ingests.
+    * Re-delivering a drop recomputes the same labels at a higher
+    * version — idempotent. Returns the drop's `(id, cluster)` labels.
+    */
+  def clusterTableIngest(drop: DataFrame, texts: DataFrame,
+      idCol: String, textCol: String, storePath: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      idBuckets: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ss = drop.sparkSession
+    val inPairs = minHashLshPairs(drop, idCol, textCol, n, numHashes,
+      bands, threshold).select("id_a", "id_b")
+    val xPairs = lshIncrementalIngest(drop, texts, idCol, textCol,
+        storePath + "/lsh", n, numHashes, bands, threshold)
+      .select("drop_id", "store_id")
+    val labels = clusterTable(ss, storePath)
+    val xLab = xPairs
+      .join(labels.select(col(idCol).as("store_id"),
+        col("cluster").as("__lab")), Seq("store_id"))
+      .select(col("drop_id").as("id_a"), col("__lab").as("id_b"))
+    val edges = inPairs.unionByName(xLab).distinct()
+    val nodes = drop.select(col(idCol))
+      .unionByName(xLab.select(col("id_b").as(idCol)))
+      .distinct()
+    // delta graph: drop ids + touched labels only
+    val comp = connectedComponents(nodes, idCol, edges,
+      checkpointDir = checkpointDir).cache()
+    val newVer = labels.agg(coalesce(max("ver"), lit(0L)))
+      .head().getLong(0) + 1L
+    val dropLab = comp
+      .join(drop.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    // touched labels whose component min moved: remap old -> new
+    val remap = comp
+      .join(drop.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__old"), col("cluster").as("__new"))
+    val ibOf = (c: Column) =>
+      pmod(graft.functions.Sampling.hashBucket(c), lit(idBuckets.toLong))
+    val newRows = dropLab.select(col("id").as(idCol), col("cluster"),
+      lit(newVer).as("ver"), ibOf(col("id")).as("ib"))
+    // members of merged clusters (remap is merge-count-sized: broadcast)
+    val movedRows = labels
+      .join(broadcast(remap), col("cluster") === col("__old"))
+      .select(col(idCol), col("__new").as("cluster"),
+        lit(newVer).as("ver"), col("ib"))
+    val updates = newRows.unionByName(movedRows)
+    graft.ops.MergeUpsert.mergeByKey(ss, storePath + "/labels", updates,
+      Seq(idCol), "ver", "ib")
+    comp.unpersist()
+    // read back from the COMMITTED store (the merge above swapped the
+    // labels path — a lazy plan over pre-merge state would recompute
+    // against the new table; the committed rows are the truth anyway)
+    clusterTable(ss, storePath)
+      .join(drop.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col("cluster"))
+  }
 
   /** Leakage-safe split FROM the persisted table: the
     * [[graft.functions.Sampling.splitLabel]] hash of the CLUSTER label

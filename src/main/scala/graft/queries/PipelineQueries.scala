@@ -457,6 +457,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL cluster maintenance: init the table on the standing
+    // corpus (doc_id % 3 <> 0), ingest the rest as a drop — within-
+    // drop pairs + one band-store probe + a DELTA-sized merge graph,
+    // never a corpus re-cluster — then emit the final labels for
+    // EVERYTHING. The oracle is the from-scratch recursive closure
+    // over the FULL corpus: incremental labels must equal from-scratch
+    // labels exactly (the operator's core guarantee).
+    "q_cluster_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+      val drop = docs.where(col("doc_id") % 3 === 0)
+      val dir = graft.util.TempDirs.scoped("graft-ctingest").toString + "/store"
+      Dedup.clusterTableInit(standing, "doc_id", "text", dir)
+      Dedup.clusterTableIngest(drop, docs, "doc_id", "text", dir).count()
+      Dedup.clusterTable(s, dir)
+        .select(col("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup APPLY step from the persisted cluster table: keep
     // exactly each cluster's min-id member (the CC keeper contract)
     // via one semi-join against the label table — the third
@@ -2306,6 +2325,9 @@ object PipelineQueries {
     // same closure — components are algorithm-independent, so the
     // star-scheme run must hash-match the propagation run's oracle
     "q_dedup_ccstar" -> clustersOracle,
+    // incremental == from-scratch: the ingest gate shares the same
+    // full-corpus closure oracle verbatim
+    "q_cluster_ingest" -> clustersOracle,
     // exhaustive drop x standing jaccard >= 0.5 (the incremental LSH
     // probe's ground truth; parameters spec-proven exhaustive on this
     // corpus)

@@ -686,6 +686,86 @@ class DedupSpec extends AnyFunSuite {
     assert(repT == repS)
   }
 
+  test("clusterTableIngest: bridge-merges clusters; labels == from-scratch") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = "one two three four five six seven eight nine ten"
+    val standing = Seq(
+      (10L, a), (11L, a + " tail"),              // cluster A -> label 10
+      (20L, "lone wolf doc nothing shared here at all today ok"),
+      (30L, c), (31L, c + " extra")              // cluster C -> label 30
+    ).toDF("doc_id", "text")
+    // drop: 100 bridges A and C (near-dup of both via shared halves is
+    // impossible textually — instead 100 pairs with A's text and 101
+    // pairs with C's, while 100~101 pair with each other through a
+    // THIRD shared text, chaining A-100-101-C into ONE component);
+    // 200 is novel; 210/211 are a within-drop dup pair.
+    val bridge = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    val drop = Seq(
+      (100L, a + " tail2"),           // near-dup of A
+      (101L, c + " extra2"),          // near-dup of C
+      (102L, bridge), (103L, bridge + " x"), // within-drop pair
+      (104L, a.split(" ").take(7).mkString(" ") + " " +
+        c.split(" ").take(7).mkString(" ")), // overlaps both? verify below
+      (200L, "totally novel content words unseen anywhere else in corpus")
+    ).toDF("doc_id", "text")
+    val texts = standing.unionByName(drop)
+    val dir = graft.util.TempDirs.scoped("dedup-ctingest").toString + "/store"
+    Dedup.clusterTableInit(standing, "doc_id", "text", dir, idBuckets = 8)
+    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir,
+      idBuckets = 8).count()
+    val got = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: from-scratch clustering over the FULL corpus
+    val dir2 = graft.util.TempDirs.scoped("dedup-ctscratch").toString + "/store"
+    Dedup.clusterTableInit(texts, "doc_id", "text", dir2, idBuckets = 8)
+    val want = Dedup.clusterTable(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental diverged:\n got=$got\nwant=$want")
+    // the merge actually exercised: at least one standing cluster
+    // label changed (a drop doc joined A and C components or chained)
+    assert(got(11L) == got(10L) && got(100L) == got(10L),
+      "drop near-dup of A must join A's cluster")
+    assert(got(31L) == got(30L) && got(101L) == got(30L))
+    assert(got(102L) == got(103L))
+    assert(got(200L) == 200L, "novel doc labels itself")
+    // RE-DELIVERY: same drop again must be a label no-op (higher ver,
+    // same labels), not duplicate rows
+    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir,
+      idBuckets = 8).count()
+    val again = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    assert(Dedup.clusterTable(spark, dir).count().toInt == got.size)
+  }
+
+  test("clusterTableIngest: a smaller-id drop doc remaps the standing label") {
+    import spark.implicits._
+    // the movedRows leg: drop doc 5 < label 10 joins cluster {10, 11}
+    // -> component min becomes 5, so the STANDING rows must rewrite
+    // (10 -> 5, 11 -> 5) through the partition-scoped merge
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val standing = Seq((10L, a), (11L, a + " tail"),
+      (30L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = graft.util.TempDirs.scoped("dedup-ctremap").toString + "/store"
+    Dedup.clusterTableInit(standing, "doc_id", "text", dir, idBuckets = 4)
+    val drop = Seq((5L, a + " t2")).toDF("doc_id", "text")
+    val lab = Dedup.clusterTableIngest(drop,
+        standing.unionByName(drop), "doc_id", "text", dir, idBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(5L -> 5L))
+    val got = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 30L -> 30L),
+      s"standing labels must remap to the new min id, got $got")
+    // untouched cluster's row version is still the init version (its
+    // id-bucket was never rewritten unless it shares a bucket)
+    val vers = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(vers(10L) == 1L && vers(11L) == 1L && vers(5L) == 1L)
+  }
+
   test("lshIncrementalIngest accepts a rowless store (meta pin governs)") {
     import spark.implicits._
     val dir = graft.util.TempDirs.scoped("dedup-lshempty").toString + "/store"
