@@ -1089,15 +1089,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("repetition_ok"))
       val oov = T.oovStats(docs, "doc_id", "text", vocabSize = 20)
         .select(col("doc_id"), col("oov_bp"))
-      val keepers = Dedup.connectedComponents(docs, "doc_id",
-          // LSH-bucketed candidates (scale-safe default; pair-set
-          // equality with the exact join proven by DedupSpec + the
-          // q_dedup_minhash gate entry on this corpus)
-          Dedup.minHashLshPairs(docs, "doc_id", "text",
-              n = 3, numHashes = 64, bands = 16, threshold = 0.5)
-            .select("id_a", "id_b"))
-        .select(col("id").as("doc_id"),
-          (col("id") === col("cluster")).cast("bigint").as("is_keeper"))
+      // keeper flags from the PERSISTED cluster table (same params as
+      // the shared init; the oracle still recomputes the closure from
+      // scratch, so a stale table fails the hash)
+      val keepers = Dedup.clusterTable(s, sharedClusterTable(s, d))
+        .select(col("doc_id"),
+          (col("doc_id") === col("cluster")).cast("bigint").as("is_keeper"))
       docs.select(col("doc_id"),
           T.languageId(s, col("text")).as("lang_pred"),
           T.tokenCount(col("text")).as("n_toks"),
