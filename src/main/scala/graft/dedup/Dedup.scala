@@ -1567,6 +1567,89 @@ object Dedup {
       .select(col(idCol), col("cluster"))
   }
 
+  /** RETRACTION — the right-to-be-forgotten path for the cluster
+    * table: remove docs and REPAIR every cluster they touched.
+    * Removing a member can both change a cluster's label (it was the
+    * min id) and SPLIT the cluster (it was the connective tissue of a
+    * near-dup chain); stored labels do not keep the pair edges, so the
+    * affected clusters' SURVIVING texts are re-clustered from scratch
+    * — affected-cluster-sized work, never a corpus re-cluster, and
+    * complete BY CONSTRUCTION: no survivor can pair with a doc outside
+    * its old cluster (such a pair would have put them in one cluster
+    * already), so the re-clustered slice is closed.
+    *
+    * Commits, in order: (1) the removed ids' bucket rows leave the
+    * co-located LSH band store (full store rewrite via a side dir +
+    * rename-swap — band rows are unpartitioned; batch retractions to
+    * amortize), so no future probe can emit a pair to a deleted doc;
+    * (2) the touched id-bucket partitions of the labels table rewrite
+    * through [[graft.ops.MergeUpsert.replacePartitions]] — removed
+    * rows vanish (an emptied bucket's directory is deleted), survivors
+    * carry their re-clustered labels at the next version. `texts` must
+    * cover the surviving members of affected clusters. SINGLE WRITER,
+    * as with the other store mutations. */
+  def clusterTableRetract(removeIds: DataFrame, texts: DataFrame,
+      idCol: String, textCol: String, storePath: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      idBuckets: Int = 64,
+      checkpointDir: Option[String] = None): Unit = {
+    val ss = removeIds.sparkSession
+    val remove = removeIds.select(col(idCol)).distinct().cache()
+    // 1. purge the band store (side-dir rewrite + swap, the
+    // maybeCompactStore discipline)
+    val lshPath = new org.apache.hadoop.fs.Path(storePath + "/lsh")
+    val fs = lshPath.getFileSystem(ss.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      storePath + "/lsh.retract-" + java.util.UUID.randomUUID())
+    ss.read.parquet(lshPath.toString)
+      .join(remove.withColumnRenamed(idCol, "__rm"),
+        col(idCol) === col("__rm"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val oldLsh = new org.apache.hadoop.fs.Path(storePath + "/lsh.pre-retract")
+    fs.delete(oldLsh, true)
+    require(fs.rename(lshPath, oldLsh),
+      s"clusterTableRetract: could not move $lshPath aside")
+    require(fs.rename(tmp, lshPath),
+      s"clusterTableRetract: could not move the purged store into " +
+        s"place — the prior store is intact at $oldLsh")
+    fs.delete(oldLsh, true)
+    // 2. re-cluster the affected clusters' survivors
+    val labels = clusterTable(ss, storePath).cache()
+    val affected = labels.join(remove, Seq(idCol), "left_semi")
+      .select("cluster").distinct()
+    val members = labels.join(affected, Seq("cluster"), "left_semi")
+      .cache()
+    val survivors = members.join(remove, Seq(idCol), "left_anti")
+      .select(col(idCol))
+    val surTexts = texts.select(col(idCol), col(textCol))
+      .join(survivors, Seq(idCol), "left_semi")
+    val pairs = minHashLshPairs(surTexts, idCol, textCol, n, numHashes,
+      bands, threshold).select("id_a", "id_b")
+    val relab = connectedComponents(surTexts.select(col(idCol)), idCol,
+      pairs, checkpointDir = checkpointDir)
+    val newVer = labels.agg(coalesce(max("ver"), lit(0L)))
+      .head().getLong(0) + 1L
+    val ibOf = (c: Column) =>
+      pmod(graft.functions.Sampling.hashBucket(c), lit(idBuckets.toLong))
+    val newRows = relab.select(col("id").as(idCol),
+      col("cluster"), lit(newVer).as("ver"), ibOf(col("id")).as("ib"))
+    // replacement = the touched buckets' rows minus every affected-
+    // cluster member, plus the survivors' re-clustered rows — removed
+    // ids appear in neither, so they are GONE after the swap
+    val touched = members.select("ib").distinct()
+    val keptRows = labels.join(touched, Seq("ib"), "left_semi")
+      .join(members.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"), col("ver"), col("ib"))
+    val replacement = keptRows.unionByName(newRows)
+      // fully materialize BEFORE the swap: the plan reads the labels
+      // path that replacePartitions is about to rewrite
+      .localCheckpoint()
+    val touchedVals = touched.localCheckpoint()
+    labels.unpersist(); members.unpersist(); remove.unpersist()
+    graft.ops.MergeUpsert.replacePartitions(ss, storePath + "/labels",
+      replacement, "ib", touchedVals)
+  }
+
   /** Leakage-safe split FROM the persisted table: the
     * [[graft.functions.Sampling.splitLabel]] hash of the CLUSTER label
     * (not the doc id), so near-dup members land in one split — without

@@ -60,6 +60,29 @@ object MergeUpsert {
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
+    replacePartitions(spark, path, merged, partitionCol, touched)
+  }
+
+  /** Rewrite EXACTLY the partitions named by `touched` with the rows
+    * of `replacement` (whose `partitionCol` values must be a subset of
+    * `touched`) — the shared partition-scoped commit under
+    * [[mergeByKey]] and the retraction paths. A touched partition with
+    * NO replacement rows is DELETED (that is how retraction empties a
+    * bucket; a plain staged swap would silently leave the old rows,
+    * since partitionBy never writes an empty directory).
+    *
+    * Stage-then-swap per partition, rename-to-tombstone ordering: at
+    * every instant some on-disk copy of each partition exists, and any
+    * failed filesystem verb halts with the staging dir preserved (it
+    * may hold the only copy of not-yet-swapped partitions). */
+  def replacePartitions(spark: SparkSession, path: String,
+      replacement: DataFrame, partitionCol: String,
+      touched: DataFrame): Unit = {
+    // collect the touched values FIRST: the touched plan (like the
+    // replacement plan) may read the very path this method is about to
+    // swap — re-executing it after the renames would read post-swap
+    // state and mis-name the emptied partitions
+    val touchedVals = touched.distinct().collect().map(_.get(0))
     // stage-then-swap: Spark refuses to overwrite a path it is reading
     // in the same plan (correctly — the scan would race the delete),
     // so the merged partitions land in a staging dir and move into
@@ -77,7 +100,7 @@ object MergeUpsert {
     // overflows one task's memory would call for salting this
     // repartition by a file-count divisor — not needed at
     // month-partition grain).
-    merged.repartition(col(partitionCol)).write.mode("overwrite")
+    replacement.repartition(col(partitionCol)).write.mode("overwrite")
       .partitionBy(partitionCol).parquet(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // swap via RENAME-TO-TOMBSTONE (target -> .target.old, staging ->
@@ -93,33 +116,52 @@ object MergeUpsert {
     // not-yet-swapped merged partitions, so deleting it would leave
     // the table half-merged with no recovery path. Errors name both
     // dirs for manual completion.
-    fs.listStatus(staging).iterator
+    val staged = fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .foreach { st =>
+    staged.foreach { st =>
         val target = new Path(path, st.getPath.getName)
         val tomb = new Path(path, "." + st.getPath.getName + ".old")
         // a leftover tombstone from a previous crashed swap: the live
         // target (if any) supersedes it — clear it before swapping
         if (fs.exists(tomb))
           require(fs.delete(tomb, true),
-            s"mergeByKey: could not clear leftover tombstone $tomb — " +
+            s"replacePartitions: could not clear leftover tombstone $tomb — " +
               s"staging preserved under $staging")
         val hadTarget = fs.exists(target)
         if (hadTarget)
           require(fs.rename(target, tomb),
-            s"mergeByKey: could not tombstone $target — " +
+            s"replacePartitions: could not tombstone $target — " +
               s"staging preserved under $staging")
         require(fs.rename(st.getPath, target),
-          s"mergeByKey: failed to move ${st.getPath} into place — " +
+          s"replacePartitions: failed to move ${st.getPath} into place — " +
             s"previous data under $tomb, remaining merged partitions " +
             s"preserved under $staging")
         if (hadTarget)
           require(fs.delete(tomb, true),
-            s"mergeByKey: partition swapped but tombstone $tomb " +
+            s"replacePartitions: partition swapped but tombstone $tomb " +
               s"survives — delete it manually (staging: $staging)")
       }
+    // touched partitions the replacement left EMPTY: partitionBy never
+    // writes an empty dir, so the swap loop above never visited them —
+    // delete the live dirs, or retraction would leave the old rows
+    val stagedNames = staged.map(_.getPath.getName).toSet
+    touchedVals.foreach { v =>
+      val rendered =
+        if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)
+      val name = s"$partitionCol=$rendered"
+      if (!stagedNames.contains(name)) {
+        val target = new Path(path, name)
+        if (fs.exists(target))
+          require(fs.delete(target, true),
+            s"replacePartitions: could not delete emptied partition " +
+              s"$target — staging preserved under $staging")
+      }
+    }
     require(fs.delete(staging, true),
-      s"mergeByKey: all partitions swapped but the empty staging dir " +
-        s"$staging could not be removed — delete it manually")
+      s"replacePartitions: all partitions swapped but the empty " +
+        s"staging dir $staging could not be removed — delete it manually")
   }
+
 }

@@ -766,6 +766,60 @@ class DedupSpec extends AnyFunSuite {
     assert(vers(10L) == 1L && vers(11L) == 1L && vers(5L) == 1L)
   }
 
+  test("clusterTableRetract: removed rows vanish, chains split, label min repairs") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // chain cluster: 10 ~ 11 ~ 12 where 11 is the connective tissue
+    // (10 and 12 share too little directly: 10 = a, 11 = a + 4 words,
+    // 12 = 11's tail half + more — construct so j(10,11) >= .5,
+    // j(11,12) >= .5, j(10,12) < .5)
+    val t10 = a                                           // 8 shingles
+    val t11 = a + " lima mike"                            // 10 shingles, shared 8 -> j=0.8
+    val t12 = a.split(" ").drop(4).mkString(" ") + " lima mike november oscar"
+    // t12 words: 6 tail words of a + 4 -> 8 shingles; shared with t11:
+    // tail-of-a shingles (4) + boundary... verified below via engine
+    val corpus = Seq((10L, t10), (11L, t11), (12L, t12),
+      (30L, "one two three four five six seven eight nine ten"),
+      (31L, "one two three four five six seven eight nine ten plus"))
+      .toDF("doc_id", "text")
+    // precondition: the chain holds and 10~12 is NOT a direct pair
+    val pairs0 = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs0.contains((10L, 11L)) && pairs0.contains((11L, 12L)),
+      s"chain links missing: $pairs0")
+    assert(!pairs0.contains((10L, 12L)), s"10~12 must not pair: $pairs0")
+    val dir = graft.util.TempDirs.scoped("dedup-ctretract").toString + "/store"
+    Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 4)
+    assert(Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 30L -> 30L, 31L -> 30L))
+    // retract the connective doc 11: {10,12} must SPLIT into
+    // singletons (no direct pair), untouched cluster {30,31} intact
+    Dedup.clusterTableRetract(Seq(11L).toDF("doc_id"), corpus,
+      "doc_id", "text", dir, idBuckets = 4)
+    val got = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 12L -> 12L, 30L -> 30L, 31L -> 30L),
+      s"split repair wrong: $got")
+    // the band store no longer knows 11: a fresh near-dup of 11's text
+    // can only pair with the surviving docs
+    val probe = Seq((100L, t11 + " x")).toDF("doc_id", "text")
+    val hits = Dedup.lshIncrementalIngest(probe,
+        corpus.where(col("doc_id") =!= 11L).unionByName(probe),
+        "doc_id", "text", dir + "/lsh")
+      .select("store_id").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(11L), s"retracted id resurfaced: $hits")
+    // retract the label-carrier 30: 31 relabels to itself
+    Dedup.clusterTableRetract(Seq(30L).toDF("doc_id"),
+      corpus.where(col("doc_id") =!= 11L), "doc_id", "text", dir,
+      idBuckets = 4)
+    val got2 = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.get(30L).isEmpty && got2(31L) == 31L)
+  }
+
   test("lshIncrementalIngest accepts a rowless store (meta pin governs)") {
     import spark.implicits._
     val dir = graft.util.TempDirs.scoped("dedup-lshempty").toString + "/store"
