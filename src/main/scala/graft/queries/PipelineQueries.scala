@@ -476,6 +476,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // RETRACTION: init on the full corpus, retract every 50th doc
+    // (including some cluster-label carriers and chain links), then
+    // emit the surviving labels. Oracle = the from-scratch closure
+    // over ONLY the surviving corpus — retraction must equal a
+    // rebuild-without-the-deleted, including splits and label repairs.
+    "q_cluster_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = graft.util.TempDirs.scoped("graft-ctretract").toString + "/store"
+      Dedup.clusterTableInit(docs, "doc_id", "text", dir)
+      Dedup.clusterTableRetract(
+        docs.where(col("doc_id") % 50 === 0).select("doc_id"),
+        docs, "doc_id", "text", dir)
+      Dedup.clusterTable(s, dir)
+        .select(col("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup APPLY step from the persisted cluster table: keep
     // exactly each cluster's min-id member (the CC keeper contract)
     // via one semi-join against the label table — the third
@@ -1668,10 +1685,12 @@ object PipelineQueries {
   /** Recursive-closure CTE chain shared by every LSH->CC oracle:
     * exhaustive jaccard>=0.5 pair set + reachability. Append a final
     * SELECT (labels = min reachable id per doc). */
-  private val clusterClosureCtes: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-      |  FROM documents),
+  /** Predicate-parametrized: the retraction gate runs the closure over
+    * the SURVIVING corpus only. */
+  private def clusterClosureCtesOver(pred: String): String =
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+      |  FROM documents WHERE $pred),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
@@ -1690,9 +1709,11 @@ object PipelineQueries {
       |e AS (SELECT id_a AS src, id_b AS dst FROM pq
       |      UNION ALL SELECT id_b, id_a FROM pq),
       |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM documents WHERE $pred
       |  UNION
       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)""".stripMargin
+
+  private val clusterClosureCtes: String = clusterClosureCtesOver("TRUE")
 
   private val clustersOracle: String =
     clusterClosureCtes +
@@ -2325,6 +2346,13 @@ object PipelineQueries {
     // incremental == from-scratch: the ingest gate shares the same
     // full-corpus closure oracle verbatim
     "q_cluster_ingest" -> clustersOracle,
+    // retraction == rebuild-without-the-deleted: same closure over the
+    // surviving corpus only
+    "q_cluster_retract" ->
+      (clusterClosureCtesOver("doc_id % 50 <> 0") +
+        """
+          |SELECT id AS doc_id, min(r) AS cluster_id
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     // exhaustive drop x standing jaccard >= 0.5 (the incremental LSH
     // probe's ground truth; parameters spec-proven exhaustive on this
     // corpus)
