@@ -1526,10 +1526,16 @@ object Dedup {
         storePath + "/lsh", n, numHashes, bands, threshold)
       .select("drop_id", "store_id")
     val labels = clusterTable(ss, storePath)
+    // cached: the upstream plan is the WHOLE probe-and-verify pipeline
+    // (lazy on return from lshIncrementalIngest) — consumed by the CC
+    // edge cache AND the node derivation, it would otherwise re-run
+    // candidate verification twice; the relation itself is pair-count-
+    // sized
     val xLab = xPairs
       .join(labels.select(col(idCol).as("store_id"),
         col("cluster").as("__lab")), Seq("store_id"))
       .select(col("drop_id").as("id_a"), col("__lab").as("id_b"))
+      .cache()
     val edges = inPairs.unionByName(xLab).distinct()
     val nodes = drop.select(col(idCol))
       .unionByName(xLab.select(col("id_b").as(idCol)))
@@ -1537,6 +1543,7 @@ object Dedup {
     // delta graph: drop ids + touched labels only
     val comp = connectedComponents(nodes, idCol, edges,
       checkpointDir = checkpointDir).cache()
+    xLab.unpersist()
     val newVer = labels.agg(coalesce(max("ver"), lit(0L)))
       .head().getLong(0) + 1L
     val dropLab = comp
