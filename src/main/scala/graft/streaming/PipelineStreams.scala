@@ -527,4 +527,41 @@ object PipelineStreams {
           out.iterator
       }
   }
+
+  /** STREAMING near-dup clustering — micro-batches ingest into the
+    * PERSISTED cluster table via foreachBatch: the durable-parquet-
+    * state variant of the in-memory LSH index streams. The state IS
+    * the store ([[graft.dedup.Dedup.clusterTableIngest]]'s labels +
+    * band buckets), so recovery rebuilds nothing, any engine can audit
+    * the clustering mid-stream, and at-least-once re-delivery of a
+    * micro-batch is idempotent (the ingest's contract). Micro-batches
+    * are sequential per query, which satisfies the stores'
+    * single-writer requirement. `texts` must be the static
+    * full-corpus view (band-store probes need every indexed id's
+    * text). Blocks until the AvailableNow replay terminates. */
+  def clusterIngestStream(spark: SparkSession, dropsDir: String,
+      texts: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit = {
+    val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+      .select(col(idCol), col(textCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // an empty trigger must not touch the stores (ingest would
+        // still pay a probe and an append of zero rows)
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.clusterTableIngest(batch, texts, idCol,
+            textCol, storePath)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    q.stop()
+    require(finished,
+      "clusterIngestStream: replay timed out — the store may hold a " +
+        "prefix of the drops (safe to re-run: ingests are idempotent)")
+  }
 }

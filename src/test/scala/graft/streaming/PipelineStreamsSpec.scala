@@ -374,4 +374,33 @@ class PipelineStreamsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(finalSample == Set(6L, 4L))
   }
+
+  test("clusterIngestStream: streamed drops yield from-scratch labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c = "one two three four five six seven eight nine ten"
+    val standing = Seq((10L, a), (30L, c)).toDF("doc_id", "text")
+    // three drops: a near-dup of A, a smaller-id near-dup of C (label
+    // remap through a later micro-batch), a novel doc
+    val drops = Seq((100L, a + " t"), (5L, c + " u"),
+      (200L, "totally novel words unseen anywhere in this corpus now"))
+      .toDF("doc_id", "text")
+    val texts = standing.unionByName(drops)
+    val dir = graft.util.TempDirs.scoped("streams-clusteringest")
+    val store = dir.resolve("store").toString
+    graft.dedup.Dedup.clusterTableInit(standing, "doc_id", "text",
+      store, idBuckets = 4)
+    val dropsDir = PipelineStreams.stageOrderedDrops(drops, "doc_id", 3,
+      "streams-clusteringest-drops")
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.clusterIngestStream(spark, dropsDir.toString,
+        texts, "doc_id", "text", store,
+        dir.resolve("ckpt").toString, maxFilesPerTrigger = 1)
+    }
+    val got = graft.dedup.Dedup.clusterTable(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 100L -> 10L,
+      30L -> 5L, 5L -> 5L, 200L -> 200L), s"got $got")
+  }
 }
