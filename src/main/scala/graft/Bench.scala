@@ -62,6 +62,11 @@ object Bench {
       else {
         val names = Seq("q_dedup_exact", "q_a1_groupsum")
         val fns = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+        // a renamed canary must fail the build of the gate, not
+        // silently halve the measured pair and vacuously pass
+        require(fns.length == names.length,
+          s"bench canary queries missing from SparkEntry.queries: " +
+            names.filterNot(n => fns.exists(_._1 == n)).mkString(", "))
         // quiet-window pair sum measured 0.83 s (repeats=3, load1 1.3)
         val best = sys.env.get("SPARK_GRAFT_CANARY_BEST")
           .flatMap(_.toDoubleOption).getOrElse(0.85)

@@ -1110,12 +1110,17 @@ object Dedup {
     val root = new Path(storePath.stripSuffix("/") + ".batch")
     val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
     if (fs.exists(root)) {
+      // recency rides the NAME (zero-padded millis prefix), not
+      // FileStatus mtimes: object stores report unreliable directory
+      // modification times (s3a prefixes often read 0 or list-time),
+      // which could reap the NEWEST batch instead of the oldest
       fs.listStatus(root)
-        .sortBy(-_.getModificationTime)
+        .sortBy(_.getPath.getName)(Ordering[String].reverse)
         .drop(keep)
         .foreach(old => fs.delete(old.getPath, true))
     }
-    new Path(root, java.util.UUID.randomUUID().toString).toString
+    new Path(root, f"b${System.currentTimeMillis()}%020d-" +
+      java.util.UUID.randomUUID().toString).toString
   }
 
   /** THRESHOLD-BASED in-place store compaction: every ingest appends
@@ -1192,10 +1197,22 @@ object Dedup {
     * unlike the streaming first-seen state it lives as plain parquet,
     * so any engine can audit it and a reprocess can rebuild it. */
   def fingerprintStoreInit(corpus: DataFrame, idCol: String,
-      textCol: String, storePath: String): Unit =
-    exactGroups(corpus, idCol, textCol)
-      .select(col("fingerprint"), col("keeper").as("first_id"))
+      textCol: String, storePath: String, nfc: Boolean = true): Unit = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    // pin the fingerprint FUNCTION VERSION: NFC-folded and raw-byte
+    // fingerprints of the same canonical text differ, so a store built
+    // under one setting silently misses every row under the other —
+    // ingest validates the pin and fails loudly instead
+    Seq(Tuple1(nfc)).toDF("nfc")
+      .write.mode("overwrite")
+      .parquet(storePath.stripSuffix("/") + ".meta")
+    corpus.select(col(idCol),
+        TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("first_id"))
       .write.mode("overwrite").parquet(storePath)
+  }
 
   /** Classify a NEW DROP against the persisted store and extend the
     * store with the drop's novel fingerprints — the production shape
@@ -1236,11 +1253,28 @@ object Dedup {
     * RE-delivery of the same drop, not concurrent distinct drops —
     * run ingests from one scheduler slot, as a batch pipeline would. */
   def incrementalIngest(drop: DataFrame, idCol: String, textCol: String,
-      storePath: String, compactAfterFiles: Int = 64): DataFrame = {
+      storePath: String, compactAfterFiles: Int = 64,
+      nfc: Boolean = true): DataFrame = {
     val spark = drop.sparkSession
+    // fingerprint-version pin: a store hashed under the other fold
+    // setting would silently classify every re-delivered doc as novel
+    val pinned = try spark.read
+      .parquet(storePath.stripSuffix("/") + ".meta")
+      .head().getAs[Boolean]("nfc")
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"incrementalIngest: no fingerprint-version pin at " +
+          s"$storePath.meta — the store was not initialized by this " +
+          "version's fingerprintStoreInit (or predates the NFC fold); " +
+          "re-init the store", e)
+    }
+    require(pinned == nfc,
+      s"incrementalIngest(nfc=$nfc) does not match the store at " +
+        s"$storePath (meta nfc=$pinned) — folded and raw fingerprints " +
+        "of the same text differ; re-init or use the store's setting")
     val store = spark.read.parquet(storePath)
-    val fp = drop.select(col(idCol), TextFunctions.fingerprint(col(textCol))
-      .as("fingerprint"))
+    val fp = drop.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
     val batchPath = freshBatchDir(spark, storePath)
     fp.join(keeper, Seq("fingerprint"))
@@ -1271,9 +1305,19 @@ object Dedup {
     * `<storePath>.meta` parquet pins (n, numHashes, bands) so a later
     * ingest with drifted parameters fails loudly instead of silently
     * missing every near-dup (the bucket hashes would never collide). */
+  /** NFC pre-fold as a column substitution (the [[minHashLshPairs]]
+    * discipline): downstream keys, signatures and shingles all see one
+    * canonical form. No-op when off. */
+  private def nfcFolded(df: DataFrame, textCol: String,
+      on: Boolean): DataFrame =
+    if (!on) df
+    else df.withColumn(textCol,
+      graft.plans.NormalizeTextExpr.normalizeText(df.sparkSession,
+        col(textCol)))
+
   def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): Unit = {
+      bands: Int = 16, nfcFold: Boolean = true): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
     // meta FIRST, then the bucket rows — and the rows THEMSELVES carry
@@ -1282,13 +1326,18 @@ object Dedup {
     // them disagreeing, so every subsequent ingest is rejected until
     // re-init, instead of one parameter choice silently probing
     // buckets hashed under the other (either single source alone has
-    // an unsafe crash window; their conjunction does not).
-    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+    // an unsafe crash window; their conjunction does not). The NFC
+    // fold rides the pin too: folded and unfolded texts hash into
+    // different buckets, so a drifted fold setting is the same silent
+    // recall-loss hazard as drifted n/bands.
+    Seq((n, numHashes, bands, nfcFold))
+      .toDF("n", "num_hashes", "bands", "nfc")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
-    bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
+    bandBuckets(nfcFolded(corpus, textCol, nfcFold), idCol, textCol,
+        n, numHashes, bands)
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
-      .withColumn("bands", lit(bands))
+      .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
       .write.mode("overwrite").parquet(storePath)
   }
 
@@ -1334,18 +1383,19 @@ object Dedup {
   def lshIncrementalIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, compactAfterFiles: Int = 64): DataFrame = {
+      threshold: Double = 0.5, compactAfterFiles: Int = 64,
+      nfcFold: Boolean = true): DataFrame = {
     val ss = drop.sparkSession
-    def params(row: org.apache.spark.sql.Row): (Int, Int, Int) =
+    def params(row: org.apache.spark.sql.Row): (Int, Int, Int, Boolean) =
       (row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
-        row.getAs[Int]("bands"))
+        row.getAs[Int]("bands"), row.getAs[Boolean]("nfc"))
     val pinned = try params(
       ss.read.parquet(storePath.stripSuffix("/") + ".meta").head())
     catch { case e: org.apache.spark.sql.AnalysisException =>
       throw new IllegalStateException(
-        s"lshIncrementalIngest: no parameter pin at $storePath.meta — " +
-          "the store was not initialized by lshStoreInit (or predates " +
-          "the pin); re-init the store", e)
+        s"lshIncrementalIngest: no (or pre-NFC-pin) parameter pin at " +
+          s"$storePath.meta — the store was not initialized by this " +
+          "version's lshStoreInit; re-init the store", e)
     }
     // head-row params travel WITH the bucket rows — the meta and the
     // store must both agree with the requested parameters (see
@@ -1353,15 +1403,18 @@ object Dedup {
     // rowless store (every corpus doc shorter than n tokens) has no
     // row to disagree: the meta pin alone governs.
     val inStore = ss.read.parquet(storePath)
-      .select("n", "num_hashes", "bands").take(1)
+      .select("n", "num_hashes", "bands", "nfc").take(1)
       .headOption.map(params).getOrElse(pinned)
-    require(pinned == ((n, numHashes, bands)) &&
-      inStore == ((n, numHashes, bands)),
-      s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands) " +
-        s"does not match the store at $storePath (meta=$pinned, " +
-        s"rows=$inStore) — mismatched bucket hashes would never " +
-        "collide; re-init the store or use its parameters")
-    val dropB = bandBuckets(drop, idCol, textCol, n, numHashes, bands)
+    require(pinned == ((n, numHashes, bands, nfcFold)) &&
+      inStore == ((n, numHashes, bands, nfcFold)),
+      s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands, " +
+        s"nfcFold=$nfcFold) does not match the store at $storePath " +
+        s"(meta=$pinned, rows=$inStore) — mismatched bucket hashes " +
+        "would never collide; re-init the store or use its parameters")
+    // the SAME fold the store was built under — folded and unfolded
+    // texts of the same canonical doc hash into disjoint buckets
+    val fDrop = nfcFolded(drop, textCol, nfcFold)
+    val dropB = bandBuckets(fDrop, idCol, textCol, n, numHashes, bands)
       .withColumnRenamed(idCol, "drop_id")
       .cache()
     val store = ss.read.parquet(storePath)
@@ -1376,14 +1429,15 @@ object Dedup {
         Seq("drop_id"), "left_anti")
       .select(col("drop_id").as(idCol), col("band"), col("bh"))
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
-      .withColumn("bands", lit(bands))
+      .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
       .write.mode("append").parquet(storePath)
     dropB.unpersist()
     // candidates are committed to the batch dir above, so the dir
     // swap cannot invalidate anything this call returns
     maybeCompactStore(ss, storePath, compactAfterFiles)
     val cand = ss.read.parquet(batchPath)
-    val tx = texts.select(col(idCol), col(textCol))
+    val tx = nfcFolded(texts.select(col(idCol), col(textCol)), textCol,
+      nfcFold)
     // coverage guard without a corpus shuffle: candIds (candidate-
     // sized) BROADCASTS into a semi-join against the texts scan — a
     // map-side filter — and the anti-join then compares two tiny sets.
@@ -1458,14 +1512,25 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      idBuckets: Int = 64): Unit = {
+      idBuckets: Int = 64, nfcFold: Boolean = true): Unit = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    // pin the LAYOUT parameters next to the labels: a later ingest or
+    // retraction run with a different idBuckets would put a key's
+    // update row in a different partition than its live row — the
+    // keys-don't-move precondition of the partition-scoped merge —
+    // leaving duplicate (or, for retraction, mass-deleted) labels.
+    // The NFC fold is pinned for the same reason as the band store's.
+    Seq((idBuckets, nfcFold)).toDF("id_buckets", "nfc")
+      .write.mode("overwrite").parquet(storePath + "/labels.meta")
     val pairs = minHashLshPairs(corpus, idCol, textCol, n, numHashes,
-      bands, threshold, maxBucketSize).select("id_a", "id_b")
+        bands, threshold, maxBucketSize, nfcFold)
+      .select("id_a", "id_b")
     // the co-located LSH band store: [[clusterTableIngest]] probes it
     // to find a drop's near-dups in the standing corpus without
     // re-running LSH over corpus + drop
     lshStoreInit(corpus, idCol, textCol, storePath + "/lsh",
-      n, numHashes, bands)
+      n, numHashes, bands, nfcFold)
     connectedComponents(corpus, idCol, pairs,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster"))
@@ -1514,16 +1579,35 @@ object Dedup {
     * Re-delivering a drop recomputes the same labels at a higher
     * version — idempotent. Returns the drop's `(id, cluster)` labels.
     */
+  /** Validate the labels-layout pin ([[clusterTableInit]]) and return
+    * (idBuckets, nfcFold) — every mutation path must run under the
+    * pinned layout or the partition merge corrupts the table. */
+  private def labelsPin(ss: SparkSession, storePath: String): (Int, Boolean) =
+    try {
+      val r = ss.read.parquet(storePath + "/labels.meta").head()
+      (r.getAs[Int]("id_buckets"), r.getAs[Boolean]("nfc"))
+    } catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"no labels-layout pin at $storePath/labels.meta — the cluster " +
+          "table was not initialized by this version's " +
+          "clusterTableInit; re-init the table", e)
+    }
+
   def clusterTableIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      idBuckets: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {
     val ss = drop.sparkSession
+    // layout comes from the PIN, never from a caller parameter — a
+    // drifted idBuckets would violate the keys-don't-move merge
+    // precondition (duplicate live rows); a drifted fold, the bucket
+    // hashes (lshIncrementalIngest revalidates the latter)
+    val (idBuckets, nfcFold) = labelsPin(ss, storePath)
     val inPairs = minHashLshPairs(drop, idCol, textCol, n, numHashes,
-      bands, threshold).select("id_a", "id_b")
+      bands, threshold, nfcFold = nfcFold).select("id_a", "id_b")
     val xPairs = lshIncrementalIngest(drop, texts, idCol, textCol,
-        storePath + "/lsh", n, numHashes, bands, threshold)
+        storePath + "/lsh", n, numHashes, bands, threshold,
+        nfcFold = nfcFold)
       .select("drop_id", "store_id")
     val labels = clusterTable(ss, storePath)
     // cached: the upstream plan is the WHOLE probe-and-verify pipeline
@@ -1598,9 +1682,12 @@ object Dedup {
   def clusterTableRetract(removeIds: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      idBuckets: Int = 64,
       checkpointDir: Option[String] = None): Unit = {
     val ss = removeIds.sparkSession
+    // layout from the pin (see clusterTableIngest): a drifted
+    // idBuckets here would stage newRows into an untouched partition
+    // and then REPLACE that partition's whole contents with them
+    val (idBuckets, nfcFold) = labelsPin(ss, storePath)
     val remove = removeIds.select(col(idCol)).distinct().cache()
     // 1. purge the band store (side-dir rewrite + swap, the
     // maybeCompactStore discipline)
@@ -1630,8 +1717,20 @@ object Dedup {
       .select(col(idCol))
     val surTexts = texts.select(col(idCol), col(textCol))
       .join(survivors, Seq(idCol), "left_semi")
+    // coverage guard (the lshIncrementalIngest discipline): a survivor
+    // with no row in `texts` would get no re-clustered label while
+    // keptRows drops every affected-cluster member — the doc would
+    // silently VANISH from the table as if it had been retracted
+    val missingRows = survivors
+      .join(surTexts.select(col(idCol)), Seq(idCol), "left_anti")
+      .limit(5).collect()
+    require(missingRows.isEmpty,
+      "clusterTableRetract: surviving cluster members with no row in " +
+        s"`texts` (first few: ${missingRows.map(_.get(0)).mkString(", ")}) " +
+        "— `texts` must cover every surviving member of the affected " +
+        "clusters, or they would silently disappear from the table")
     val pairs = minHashLshPairs(surTexts, idCol, textCol, n, numHashes,
-      bands, threshold).select("id_a", "id_b")
+      bands, threshold, nfcFold = nfcFold).select("id_a", "id_b")
     val relab = connectedComponents(surTexts.select(col(idCol)), idCol,
       pairs, checkpointDir = checkpointDir)
     val newVer = labels.agg(coalesce(max("ver"), lit(0L)))
@@ -1681,9 +1780,10 @@ object Dedup {
   /** Keeper filter FROM the persisted table: keep exactly the rows of
     * `df` whose id is its cluster's label (the min member — the CC
     * keeper contract). One broadcast-able semi-join against the
-    * label table's keeper projection; ids absent from the table fail
-    * loudly via the count contract below being the caller's burden —
-    * the table must cover the corpus it was built from. */
+    * label table's keeper projection. Rows of `df` ABSENT from the
+    * table are dropped by the semi-join — the table must cover the
+    * corpus `df` came from (ingest new docs first); this filter does
+    * not detect coverage gaps itself. */
   def clusterTableKeep(df: DataFrame, storePath: String,
       idCol: String): DataFrame =
     df.join(clusterTable(df.sparkSession, storePath)

@@ -82,6 +82,17 @@ object MergeUpsert {
     // replacement plan) may read the very path this method is about to
     // swap — re-executing it after the renames would read post-swap
     // state and mis-name the emptied partitions
+    // the emptied-partition deletion below renders directory names via
+    // toString + escapePathName, which matches Spark's own rendering
+    // for string and integral partition values only (timestamps/dates/
+    // decimals render differently) — reject the rest loudly instead of
+    // silently failing to delete an emptied partition
+    require(Set("string", "int", "bigint", "smallint", "tinyint")
+        .contains(replacement.schema(partitionCol).dataType.simpleString),
+      s"replacePartitions: partition column '$partitionCol' must be " +
+        "string or integral (directory-name rendering for other types " +
+        s"diverges from Spark's), got " +
+        replacement.schema(partitionCol).dataType.simpleString)
     val touchedVals = touched.distinct().collect().map(_.get(0))
     // stage-then-swap: Spark refuses to overwrite a path it is reading
     // in the same plan (correctly — the scan would race the delete),

@@ -681,9 +681,26 @@ object Similarity {
           "rename them back to recover")
     fs.delete(old, true)
     import spark.implicits._
+    // side-dir + rename for the centroids too: a plain overwrite is
+    // delete-then-write, and a crash in the gap leaves NO centroids —
+    // readCents (and therefore maintain itself) would throw, defeating
+    // the documented run-maintain-again recovery
+    val centTmp = new org.apache.hadoop.fs.Path(
+      path + "/centroids.retrain-" + java.util.UUID.randomUUID())
     cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(centTmp.toString)
+    val centLive = new org.apache.hadoop.fs.Path(path + "/centroids")
+    val centOld = new org.apache.hadoop.fs.Path(path + "/centroids.pre-retrain")
+    fs.delete(centOld, true)
+    if (fs.exists(centLive) && !fs.rename(centLive, centOld))
+      throw new IllegalStateException(
+        s"ivfIndexMaintain: could not move $centLive aside")
+    if (!fs.rename(centTmp, centLive))
+      throw new IllegalStateException(
+        s"ivfIndexMaintain: could not move the retrained centroids " +
+          s"into place — the prior centroids are intact at $centOld")
+    fs.delete(centOld, true)
     val after = meanRecall()
     log.info(f"ivfIndexMaintain: retrained $path — recall@$k " +
       f"$before%.4f -> $after%.4f")

@@ -542,16 +542,21 @@ object PipelineStreams {
   def clusterIngestStream(spark: SparkSession, dropsDir: String,
       texts: DataFrame, idCol: String, textCol: String,
       storePath: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit = {
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): Unit = {
     val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
       .select(col(idCol), col(textCol))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // an empty trigger must not touch the stores (ingest would
-        // still pay a probe and an append of zero rows)
+        // still pay a probe and an append of zero rows). LSH params
+        // forward to the ingest (which validates them against the
+        // store pins); the labels layout and NFC fold come from the
+        // pins themselves.
         if (!batch.isEmpty) {
           graft.dedup.Dedup.clusterTableIngest(batch, texts, idCol,
-            textCol, storePath)
+            textCol, storePath, n, numHashes, bands, threshold)
           ()
         }
       }

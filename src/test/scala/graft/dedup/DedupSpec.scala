@@ -712,8 +712,7 @@ class DedupSpec extends AnyFunSuite {
     val texts = standing.unionByName(drop)
     val dir = graft.util.TempDirs.scoped("dedup-ctingest").toString + "/store"
     Dedup.clusterTableInit(standing, "doc_id", "text", dir, idBuckets = 8)
-    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir,
-      idBuckets = 8).count()
+    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir).count()
     val got = Dedup.clusterTable(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // ground truth: from-scratch clustering over the FULL corpus
@@ -731,8 +730,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got(200L) == 200L, "novel doc labels itself")
     // RE-DELIVERY: same drop again must be a label no-op (higher ver,
     // same labels), not duplicate rows
-    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir,
-      idBuckets = 8).count()
+    Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir).count()
     val again = Dedup.clusterTable(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
@@ -752,7 +750,7 @@ class DedupSpec extends AnyFunSuite {
     Dedup.clusterTableInit(standing, "doc_id", "text", dir, idBuckets = 4)
     val drop = Seq((5L, a + " t2")).toDF("doc_id", "text")
     val lab = Dedup.clusterTableIngest(drop,
-        standing.unionByName(drop), "doc_id", "text", dir, idBuckets = 4)
+        standing.unionByName(drop), "doc_id", "text", dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lab == Map(5L -> 5L))
     val got = Dedup.clusterTable(spark, dir)
@@ -764,6 +762,52 @@ class DedupSpec extends AnyFunSuite {
     val vers = Dedup.clusterTable(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(vers(10L) == 1L && vers(11L) == 1L && vers(5L) == 1L)
+  }
+
+  test("incremental paths fold NFC like batch: NFD drop finds its NFC standing twin") {
+    import spark.implicits._
+    val text = "alpha beta café delta epsilon zeta eta theta iota kappa"
+    val nfd = java.text.Normalizer.normalize(text,
+      java.text.Normalizer.Form.NFD)
+    assert(nfd != text)
+    val standing = Seq((10L, text),
+      (20L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val drop = Seq((100L, nfd)).toDF("doc_id", "text")
+    val texts = standing.unionByName(drop)
+    // LSH band store: the NFD re-encoding must hash into the NFC
+    // standing doc's buckets (incremental == from-scratch, which pairs
+    // them per the batch NFC test above)
+    val dirL = graft.util.TempDirs.scoped("dedup-nfcinc").toString + "/store"
+    Dedup.lshStoreInit(standing, "doc_id", "text", dirL)
+    val pairs = Dedup.lshIncrementalIngest(drop, texts, "doc_id", "text",
+        dirL).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 10L)), s"NFD drop missed its twin: $pairs")
+    // drifted fold setting fails loudly against the pin
+    val exL = intercept[IllegalArgumentException] {
+      Dedup.lshIncrementalIngest(drop, texts, "doc_id", "text", dirL,
+        nfcFold = false)
+    }
+    assert(exL.getMessage.contains("does not match the store"))
+    // fingerprint store: exact NFD twin classifies dup_in_store
+    val dirF = graft.util.TempDirs.scoped("dedup-nfcfp").toString + "/store"
+    Dedup.fingerprintStoreInit(standing, "doc_id", "text", dirF)
+    val cls = Dedup.incrementalIngest(
+        Seq((200L, nfd)).toDF("doc_id", "text"), "doc_id", "text", dirF)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(cls == Map(200L -> "dup_in_store"), s"got $cls")
+    val exF = intercept[IllegalArgumentException] {
+      Dedup.incrementalIngest(Seq((201L, nfd)).toDF("doc_id", "text"),
+        "doc_id", "text", dirF, nfc = false)
+    }
+    assert(exF.getMessage.contains("does not match the store"))
+    // cluster table: labels layout pin rejects an uninitialized path
+    val exP = intercept[IllegalStateException] {
+      Dedup.clusterTableIngest(drop, texts, "doc_id", "text",
+        graft.util.TempDirs.scoped("dedup-nopin").toString + "/store")
+    }
+    assert(exP.getMessage.contains("labels-layout pin"))
   }
 
   test("clusterTableRetract: removed rows vanish, chains split, label min repairs") {
@@ -798,7 +842,7 @@ class DedupSpec extends AnyFunSuite {
     // retract the connective doc 11: {10,12} must SPLIT into
     // singletons (no direct pair), untouched cluster {30,31} intact
     Dedup.clusterTableRetract(Seq(11L).toDF("doc_id"), corpus,
-      "doc_id", "text", dir, idBuckets = 4)
+      "doc_id", "text", dir)
     val got = Dedup.clusterTable(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 10L, 12L -> 12L, 30L -> 30L, 31L -> 30L),
@@ -813,8 +857,7 @@ class DedupSpec extends AnyFunSuite {
     assert(!hits.contains(11L), s"retracted id resurfaced: $hits")
     // retract the label-carrier 30: 31 relabels to itself
     Dedup.clusterTableRetract(Seq(30L).toDF("doc_id"),
-      corpus.where(col("doc_id") =!= 11L), "doc_id", "text", dir,
-      idBuckets = 4)
+      corpus.where(col("doc_id") =!= 11L), "doc_id", "text", dir)
     val got2 = Dedup.clusterTable(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2.get(30L).isEmpty && got2(31L) == 31L)
