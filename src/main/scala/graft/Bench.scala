@@ -74,16 +74,26 @@ object Bench {
           .flatMap(_.toDoubleOption).getOrElse(1.5)
         val tries = sys.env.get("SPARK_GRAFT_CANARY_TRIES")
           .flatMap(_.toIntOption).getOrElse(15)
-        def pairSec(): Double = fns.map { case (_, fn) =>
+        // a canary query that FAILS must not vacuously pass the gate:
+        // its ~0 s "timing" would always land under the threshold,
+        // making the quiet-window evidence meaningless. Record the
+        // failure and force ok=false (the record still lands, marked
+        // untrustworthy) instead of swallowing it inside the timing.
+        var canaryFailed = false
+        def pairSec(): Double = fns.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+            canaryFailed = true
+            System.err.println(s"canary: query $name FAILED — " +
+              s"gate evidence void (ok=false): $t")
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache(); System.gc()
           dt
         }.sum
         var attempt = 1
         var sec = pairSec()
-        while (sec > best * factor && attempt < tries) {
+        while (!canaryFailed && sec > best * factor && attempt < tries) {
           // stderr, never stdout — the one-JSON-line contract stands
           System.err.println(f"canary: pair $sec%.3f s > " +
             f"${best * factor}%.3f s (load1 ${load1()}%.1f) — waiting " +
@@ -92,7 +102,7 @@ object Bench {
           attempt += 1
           sec = pairSec()
         }
-        Some((attempt, sec, sec <= best * factor))
+        Some((attempt, sec, !canaryFailed && sec <= best * factor))
       }
     // results: name -> (best sec, per-attempt secs, max load1 seen
     // during this query's attempts — contention context per MEASUREMENT,

@@ -1113,9 +1113,18 @@ object Dedup {
       // recency rides the NAME (zero-padded millis prefix), not
       // FileStatus mtimes: object stores report unreliable directory
       // modification times (s3a prefixes often read 0 or list-time),
-      // which could reap the NEWEST batch instead of the oldest
-      fs.listStatus(root)
-        .sortBy(_.getPath.getName)(Ordering[String].reverse)
+      // which could reap the NEWEST batch instead of the oldest.
+      // Only entries in this naming scheme participate in the
+      // keep-count sort: a store upgraded from the plain-UUID naming
+      // holds hex dirs that sort ABOVE `b<millis>-` (c..f > b), which
+      // would keep the stale legacy dirs and reap the two NEWEST
+      // batches. Legacy dirs never count toward `keep` and are reaped
+      // outright — they predate this version, so the two-ingest
+      // retention window has necessarily lapsed for them.
+      val (named, legacy) = fs.listStatus(root)
+        .partition(_.getPath.getName.matches("b\\d{20}-.*"))
+      legacy.foreach(old => fs.delete(old.getPath, true))
+      named.sortBy(_.getPath.getName)(Ordering[String].reverse)
         .drop(keep)
         .foreach(old => fs.delete(old.getPath, true))
     }
@@ -1203,7 +1212,14 @@ object Dedup {
     // pin the fingerprint FUNCTION VERSION: NFC-folded and raw-byte
     // fingerprints of the same canonical text differ, so a store built
     // under one setting silently misses every row under the other —
-    // ingest validates the pin and fails loudly instead
+    // ingest validates the pin and fails loudly instead. The rows
+    // THEMSELVES carry the setting too (the lshStoreInit discipline):
+    // a crash between the meta overwrite and the row overwrite during
+    // a re-init that flips the setting leaves new-meta/old-rows, and
+    // the meta-alone check would validate that mix — after which every
+    // re-delivered doc silently misclassifies. Ingest requires meta
+    // AND rows to agree; either single source alone has an unsafe
+    // crash window, their conjunction does not.
     Seq(Tuple1(nfc)).toDF("nfc")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
@@ -1211,6 +1227,7 @@ object Dedup {
         TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("first_id"))
+      .withColumn("nfc", lit(nfc))
       .write.mode("overwrite").parquet(storePath)
   }
 
@@ -1268,11 +1285,25 @@ object Dedup {
           "version's fingerprintStoreInit (or predates the NFC fold); " +
           "re-init the store", e)
     }
-    require(pinned == nfc,
-      s"incrementalIngest(nfc=$nfc) does not match the store at " +
-        s"$storePath (meta nfc=$pinned) — folded and raw fingerprints " +
-        "of the same text differ; re-init or use the store's setting")
     val store = spark.read.parquet(storePath)
+    // the rows' own pin (fingerprintStoreInit writes it on every row):
+    // meta and rows must BOTH agree with the requested setting —
+    // disagreement marks a crashed re-init that flipped the fold. A
+    // rowless store (empty corpus) has no row to disagree: the meta
+    // pin alone governs, as in lshIncrementalIngest. A store predating
+    // the in-row pin has no `nfc` column — fail loudly (re-init)
+    // rather than validate the single-source state.
+    require(store.columns.contains("nfc"),
+      s"incrementalIngest: the store at $storePath carries no in-row " +
+        "nfc pin (predates this version's fingerprintStoreInit) — " +
+        "re-init the store")
+    val inRows = store.select("nfc").take(1)
+      .headOption.map(_.getAs[Boolean]("nfc")).getOrElse(pinned)
+    require(pinned == nfc && inRows == nfc,
+      s"incrementalIngest(nfc=$nfc) does not match the store at " +
+        s"$storePath (meta nfc=$pinned, rows nfc=$inRows) — folded and " +
+        "raw fingerprints of the same text differ; re-init or use the " +
+        "store's setting")
     val fp = drop.select(col(idCol),
       TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
@@ -1290,6 +1321,7 @@ object Dedup {
     classified
       .where(col("status") === "accepted")
       .select(col("fingerprint"), col(idCol).as("first_id"))
+      .withColumn("nfc", lit(nfc))
       .write.mode("append").parquet(storePath)
     // after the append, never before: the classification is already
     // committed to the batch dir, so the swap can't invalidate it
