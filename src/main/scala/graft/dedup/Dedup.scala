@@ -1180,6 +1180,49 @@ object Dedup {
       s"(${totalBytes} bytes) -> $target file(s)")
   }
 
+  /** [[maybeCompactStore]] for a PARTITIONED store: each ingest append
+    * lands one small file in every touched partition dir, so an
+    * always-on partitioned store accretes files per-bucket. Buckets
+    * whose data-file count exceeds `maxFiles` rewrite through
+    * [[graft.ops.MergeUpsert.replacePartitions]] — only the
+    * over-threshold buckets are read, shuffled, or swapped; every
+    * other bucket's files are untouched bytes on disk. Row multiset,
+    * schema, and partition values are invariant (spec-asserted). */
+  private def maybeCompactBuckets(ss: SparkSession, storePath: String,
+      partitionCol: String, maxFiles: Int): Unit = {
+    if (maxFiles <= 0) return // disabled
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath.stripSuffix("/"))
+    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+    val over = fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partitionCol + "="))
+      .filter { st =>
+        fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(partitionCol + "="))
+    if (over.isEmpty) return
+    // partition values render as directory names via toString (the
+    // replacePartitions contract) — the store writes integral ib
+    // values, so the dir-name string IS the value; filtering on the
+    // DISCOVERED (string-comparable) partition column keeps the scan
+    // statically pruned to the over-threshold buckets
+    val touchedVals = over.toSeq
+    val live = ss.read.parquet(root.toString)
+    val pc = col(partitionCol).cast("string")
+    val replacement = live.filter(pc.isin(touchedVals: _*))
+      // one file per bucket target: replacePartitions' own
+      // repartition(partitionCol) already co-locates each bucket
+      .localCheckpoint()
+    val touched = replacement.select(col(partitionCol)).distinct()
+    graft.ops.MergeUpsert.replacePartitions(ss, root.toString,
+      replacement, partitionCol, touched)
+    log.info(s"compacted ${touchedVals.length} bucket(s) of $root: " +
+      touchedVals.mkString(", "))
+  }
+
   /** Store HEALTH, one observable for ingest monitoring: the
     * [[graft.ops.Profiling.profile]] stats of the store's columns
     * (row count, nulls, distincts, min/max — a fingerprint store
@@ -1190,12 +1233,29 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath.stripSuffix("/"))
     val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
-    val files = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: a partitioned store ([[lshStoreInit]] with
+    // idBuckets > 0, the cluster table's /labels) keeps its data files
+    // under partition dirs, which a flat top-level listing reports as
+    // 0 files — the compaction-trigger observable would read healthy
+    // forever. `max_files_per_dir` is the per-bucket accretion signal
+    // that drives [[maybeCompactBuckets]] (flat stores: the whole-dir
+    // file count, same trigger as [[maybeCompactStore]]).
+    val byDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val dir = f.getPath.getParent.toString
+        val (n, b) = byDir.getOrElse(dir, (0L, 0L))
+        byDir(dir) = (n + 1, b + f.getLen)
+      }
+    }
     val store = ss.read.parquet(root.toString)
     graft.ops.Profiling.profile(store, store.columns.toSeq)
-      .withColumn("n_files", lit(files.length.toLong))
-      .withColumn("total_bytes", lit(files.map(_.getLen).sum))
+      .withColumn("n_files", lit(byDir.valuesIterator.map(_._1).sum))
+      .withColumn("total_bytes", lit(byDir.valuesIterator.map(_._2).sum))
+      .withColumn("max_files_per_dir",
+        lit(if (byDir.isEmpty) 0L else byDir.valuesIterator.map(_._1).max))
   }
 
   /** Initialize a fingerprint STORE from a corpus: one row per
@@ -1209,6 +1269,7 @@ object Dedup {
       textCol: String, storePath: String, nfc: Boolean = true): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
+    graft.ops.StoreLock.withLock(ss, storePath) {
     // pin the fingerprint FUNCTION VERSION: NFC-folded and raw-byte
     // fingerprints of the same canonical text differ, so a store built
     // under one setting silently misses every row under the other —
@@ -1229,6 +1290,7 @@ object Dedup {
       .agg(min(col(idCol)).as("first_id"))
       .withColumn("nfc", lit(nfc))
       .write.mode("overwrite").parquet(storePath)
+    }
   }
 
   /** Classify a NEW DROP against the persisted store and extend the
@@ -1273,6 +1335,7 @@ object Dedup {
       storePath: String, compactAfterFiles: Int = 64,
       nfc: Boolean = true): DataFrame = {
     val spark = drop.sparkSession
+    graft.ops.StoreLock.withLock(spark, storePath) {
     // fingerprint-version pin: a store hashed under the other fold
     // setting would silently classify every re-delivered doc as novel
     val pinned = try spark.read
@@ -1327,6 +1390,7 @@ object Dedup {
     // committed to the batch dir, so the swap can't invalidate it
     maybeCompactStore(spark, storePath, compactAfterFiles)
     classified
+    }
   }
 
   /** Initialize a persisted LSH band-bucket STORE — the on-disk
@@ -1349,9 +1413,11 @@ object Dedup {
 
   def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, nfcFold: Boolean = true): Unit = {
+      bands: Int = 16, nfcFold: Boolean = true,
+      idBuckets: Int = 0): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
+    graft.ops.StoreLock.withLock(ss, storePath) {
     // meta FIRST, then the bucket rows — and the rows THEMSELVES carry
     // the parameters. Ingest validates BOTH sources: a crash between
     // the two writes (or a failed re-init with new parameters) leaves
@@ -1361,16 +1427,29 @@ object Dedup {
     // an unsafe crash window; their conjunction does not). The NFC
     // fold rides the pin too: folded and unfolded texts hash into
     // different buckets, so a drifted fold setting is the same silent
-    // recall-loss hazard as drifted n/bands.
-    Seq((n, numHashes, bands, nfcFold))
-      .toDF("n", "num_hashes", "bands", "nfc")
+    // recall-loss hazard as drifted n/bands. `idBuckets` (the LAYOUT
+    // pin, also on both sources) > 0 partitions the store by
+    // `ib = pmod(hash(id), idBuckets)` — the stable id-bucket layout
+    // that makes retraction a touched-partition rewrite instead of an
+    // O(corpus) full-store rewrite; 0 keeps the flat single-dir
+    // layout for small standalone stores.
+    Seq((n, numHashes, bands, nfcFold, idBuckets))
+      .toDF("n", "num_hashes", "bands", "nfc", "id_buckets")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
-    bandBuckets(nfcFolded(corpus, textCol, nfcFold), idCol, textCol,
-        n, numHashes, bands)
+    val rows = bandBuckets(nfcFolded(corpus, textCol, nfcFold), idCol,
+        textCol, n, numHashes, bands)
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
-      .write.mode("overwrite").parquet(storePath)
+      .withColumn("id_buckets", lit(idBuckets))
+    if (idBuckets > 0)
+      rows.withColumn("ib",
+          pmod(graft.functions.Sampling.hashBucket(col(idCol)),
+            lit(idBuckets.toLong)))
+        .repartition(col("ib"))
+        .write.mode("overwrite").partitionBy("ib").parquet(storePath)
+    else rows.write.mode("overwrite").parquet(storePath)
+    }
   }
 
   /** NEAR-DUP classify a new drop against the persisted band store and
@@ -1418,31 +1497,38 @@ object Dedup {
       threshold: Double = 0.5, compactAfterFiles: Int = 64,
       nfcFold: Boolean = true): DataFrame = {
     val ss = drop.sparkSession
-    def params(row: org.apache.spark.sql.Row): (Int, Int, Int, Boolean) =
+    graft.ops.StoreLock.withLock(ss, storePath) {
+    def params(row: org.apache.spark.sql.Row): (Int, Int, Int, Boolean, Int) =
       (row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
-        row.getAs[Int]("bands"), row.getAs[Boolean]("nfc"))
+        row.getAs[Int]("bands"), row.getAs[Boolean]("nfc"),
+        row.getAs[Int]("id_buckets"))
     val pinned = try params(
       ss.read.parquet(storePath.stripSuffix("/") + ".meta").head())
-    catch { case e: org.apache.spark.sql.AnalysisException =>
+    catch { case e: Exception =>
       throw new IllegalStateException(
-        s"lshIncrementalIngest: no (or pre-NFC-pin) parameter pin at " +
-          s"$storePath.meta — the store was not initialized by this " +
+        s"lshIncrementalIngest: no (or pre-layout-pin) parameter pin " +
+          s"at $storePath.meta — the store was not initialized by this " +
           "version's lshStoreInit; re-init the store", e)
     }
     // head-row params travel WITH the bucket rows — the meta and the
     // store must both agree with the requested parameters (see
     // lshStoreInit: disagreement marks an interrupted re-init). A
     // rowless store (every corpus doc shorter than n tokens) has no
-    // row to disagree: the meta pin alone governs.
+    // row to disagree: the meta pin alone governs. The id-bucket
+    // LAYOUT is store-intrinsic (never a caller parameter — a drifted
+    // value would append a key's rows into a different partition than
+    // its live rows), so it only has to agree between meta and rows.
     val inStore = ss.read.parquet(storePath)
-      .select("n", "num_hashes", "bands", "nfc").take(1)
+      .select("n", "num_hashes", "bands", "nfc", "id_buckets").take(1)
       .headOption.map(params).getOrElse(pinned)
-    require(pinned == ((n, numHashes, bands, nfcFold)) &&
-      inStore == ((n, numHashes, bands, nfcFold)),
+    require(pinned.copy(_5 = inStore._5) ==
+        ((n, numHashes, bands, nfcFold, inStore._5)) &&
+      inStore == pinned,
       s"lshIncrementalIngest(n=$n, numHashes=$numHashes, bands=$bands, " +
         s"nfcFold=$nfcFold) does not match the store at $storePath " +
         s"(meta=$pinned, rows=$inStore) — mismatched bucket hashes " +
         "would never collide; re-init the store or use its parameters")
+    val idBuckets = pinned._5
     // the SAME fold the store was built under — folded and unfolded
     // texts of the same canonical doc hash into disjoint buckets
     val fDrop = nfcFolded(drop, textCol, nfcFold)
@@ -1457,16 +1543,28 @@ object Dedup {
       .select("drop_id", "store_id").distinct()
       .write.mode("overwrite").parquet(batchPath)
     // idempotent append: a re-delivered drop's ids are already indexed
-    dropB.join(store.select(col("store_id").as("drop_id")).distinct(),
+    val appendRows = dropB
+      .join(store.select(col("store_id").as("drop_id")).distinct(),
         Seq("drop_id"), "left_anti")
       .select(col("drop_id").as(idCol), col("band"), col("bh"))
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
-      .write.mode("append").parquet(storePath)
+      .withColumn("id_buckets", lit(idBuckets))
+    if (idBuckets > 0)
+      appendRows.withColumn("ib",
+          pmod(graft.functions.Sampling.hashBucket(col(idCol)),
+            lit(idBuckets.toLong)))
+        .write.mode("append").partitionBy("ib").parquet(storePath)
+    else appendRows.write.mode("append").parquet(storePath)
     dropB.unpersist()
     // candidates are committed to the batch dir above, so the dir
-    // swap cannot invalidate anything this call returns
-    maybeCompactStore(ss, storePath, compactAfterFiles)
+    // swap cannot invalidate anything this call returns. Partitioned
+    // stores compact per-BUCKET (each append lands one small file in
+    // every touched bucket dir — the same small-files accretion the
+    // flat path bounds, at bucket grain).
+    if (idBuckets > 0)
+      maybeCompactBuckets(ss, storePath, "ib", compactAfterFiles)
+    else maybeCompactStore(ss, storePath, compactAfterFiles)
     val cand = ss.read.parquet(batchPath)
     val tx = nfcFolded(texts.select(col(idCol), col(textCol)), textCol,
       nfcFold)
@@ -1496,6 +1594,7 @@ object Dedup {
         least(col("drop_id"), col("store_id")) === col("id_a") &&
           greatest(col("drop_id"), col("store_id")) === col("id_b"))
       .select(col("drop_id"), col("store_id"), col("jaccard"))
+    }
   }
 
   /** QUALITY-AWARE representative per near-dup cluster. Min-id keeps
@@ -1547,6 +1646,7 @@ object Dedup {
       idBuckets: Int = 64, nfcFold: Boolean = true): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
+    graft.ops.StoreLock.withLock(ss, storePath) {
     // pin the LAYOUT parameters next to the labels: a later ingest or
     // retraction run with a different idBuckets would put a key's
     // update row in a different partition than its live row — the
@@ -1560,9 +1660,13 @@ object Dedup {
       .select("id_a", "id_b")
     // the co-located LSH band store: [[clusterTableIngest]] probes it
     // to find a drop's near-dups in the standing corpus without
-    // re-running LSH over corpus + drop
+    // re-running LSH over corpus + drop. It shares the labels table's
+    // id-bucket layout so [[clusterTableRetract]]'s purge is a
+    // touched-partition rewrite on BOTH stores (the band store is the
+    // corpus x bands-sized artifact — a flat layout would make every
+    // retraction an O(corpus) full-store rewrite).
     lshStoreInit(corpus, idCol, textCol, storePath + "/lsh",
-      n, numHashes, bands, nfcFold)
+      n, numHashes, bands, nfcFold, idBuckets = idBuckets)
     connectedComponents(corpus, idCol, pairs,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster"))
@@ -1576,12 +1680,40 @@ object Dedup {
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib")
       .parquet(storePath + "/labels")
+    }
   }
 
   /** The persisted `(id, cluster, ver, ib)` labels
-    * ([[clusterTableInit]]). */
-  def clusterTable(ss: SparkSession, storePath: String): DataFrame =
+    * ([[clusterTableInit]]). Fails loudly while a retraction-intent
+    * marker is pending ([[clusterTableRetract]]): between the marker
+    * commit and the labels swap, retracted ids are still live in the
+    * table — for a right-to-be-forgotten operation that partial state
+    * must never be served silently. */
+  def clusterTable(ss: SparkSession, storePath: String): DataFrame = {
+    requireNoPendingRetraction(ss, storePath)
+    clusterTableUnchecked(ss, storePath)
+  }
+
+  private def clusterTableUnchecked(ss: SparkSession,
+      storePath: String): DataFrame =
     ss.read.parquet(storePath + "/labels")
+
+  private def retractMarkerPath(storePath: String): String =
+    storePath + "/retract.intent"
+
+  private def requireNoPendingRetraction(ss: SparkSession,
+      storePath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(retractMarkerPath(storePath))
+    val fs = marker.getFileSystem(ss.sessionState.newHadoopConf())
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"cluster table at $storePath has a PENDING RETRACTION " +
+          s"(intent marker at $marker): a prior clusterTableRetract " +
+          "crashed between its commits, so retracted ids may still be " +
+          "live in the labels. Re-run clusterTableRetract (even with " +
+          "an empty id set) to complete it — the marker's ids are " +
+          "folded in automatically — then reads and ingests resume.")
+  }
 
   /** INCREMENTAL cluster-table maintenance — near-dup clustering as an
     * always-on ingest instead of a batch rebuild. Classifies a new
@@ -1613,8 +1745,18 @@ object Dedup {
     */
   /** Validate the labels-layout pin ([[clusterTableInit]]) and return
     * (idBuckets, nfcFold) — every mutation path must run under the
-    * pinned layout or the partition merge corrupts the table. */
-  private def labelsPin(ss: SparkSession, storePath: String): (Int, Boolean) =
+    * pinned layout or the partition merge corrupts the table. Also
+    * rejects a table with a pending retraction marker (ingesting over
+    * silently-incomplete state would bake the partial retraction in);
+    * [[clusterTableRetract]] itself reads the pin unchecked, since
+    * completing the pending retraction is exactly its job. */
+  private def labelsPin(ss: SparkSession, storePath: String): (Int, Boolean) = {
+    requireNoPendingRetraction(ss, storePath)
+    labelsPinUnchecked(ss, storePath)
+  }
+
+  private def labelsPinUnchecked(ss: SparkSession,
+      storePath: String): (Int, Boolean) =
     try {
       val r = ss.read.parquet(storePath + "/labels.meta").head()
       (r.getAs[Int]("id_buckets"), r.getAs[Boolean]("nfc"))
@@ -1630,6 +1772,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       checkpointDir: Option[String] = None): DataFrame = {
     val ss = drop.sparkSession
+    graft.ops.StoreLock.withLock(ss, storePath) {
     // layout comes from the PIN, never from a caller parameter — a
     // drifted idBuckets would violate the keys-don't-move merge
     // precondition (duplicate live rows); a drifted fold, the bucket
@@ -1688,6 +1831,7 @@ object Dedup {
     clusterTable(ss, storePath)
       .join(drop.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol), col("cluster"))
+    }
   }
 
   /** RETRACTION — the right-to-be-forgotten path for the cluster
@@ -1701,46 +1845,124 @@ object Dedup {
     * its old cluster (such a pair would have put them in one cluster
     * already), so the re-clustered slice is closed.
     *
-    * Commits, in order: (1) the removed ids' bucket rows leave the
-    * co-located LSH band store (full store rewrite via a side dir +
-    * rename-swap — band rows are unpartitioned; batch retractions to
-    * amortize), so no future probe can emit a pair to a deleted doc;
-    * (2) the touched id-bucket partitions of the labels table rewrite
-    * through [[graft.ops.MergeUpsert.replacePartitions]] — removed
-    * rows vanish (an emptied bucket's directory is deleted), survivors
-    * carry their re-clustered labels at the next version. `texts` must
-    * cover the surviving members of affected clusters. SINGLE WRITER,
-    * as with the other store mutations. */
+    * Commits, in order: (0) a RETRACTION-INTENT MARKER (the removed
+    * ids) lands at `<storePath>/retract.intent` — a crash anywhere
+    * after this point leaves the marker in place, and every read or
+    * ingest of the table fails loudly until a re-run of this method
+    * (which folds the marker's ids in automatically) completes the
+    * pair of commits; without the marker, a crash between (1) and (2)
+    * left retracted ids silently live in the labels with no signal.
+    * (1) The removed ids' bucket rows leave the co-located LSH band
+    * store: the store shares the labels' id-bucket layout
+    * ([[clusterTableInit]]), so the purge rewrites ONLY the id-bucket
+    * partitions holding removed ids via
+    * [[graft.ops.MergeUpsert.replacePartitions]] — O(touched buckets)
+    * IO, never the O(corpus) full-store rewrite (a flat legacy store
+    * falls back to the side-dir full rewrite). (2) The touched
+    * id-bucket partitions of the labels table rewrite the same way —
+    * removed rows vanish (an emptied bucket's directory is deleted),
+    * survivors carry their re-clustered labels at the next version.
+    * Then the marker is deleted. `texts` must cover the surviving
+    * members of affected clusters. SINGLE WRITER, as with the other
+    * store mutations. */
   def clusterTableRetract(removeIds: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       checkpointDir: Option[String] = None): Unit = {
     val ss = removeIds.sparkSession
+    import org.apache.hadoop.fs.Path
+    graft.ops.StoreLock.withLock(ss, storePath) {
     // layout from the pin (see clusterTableIngest): a drifted
     // idBuckets here would stage newRows into an untouched partition
-    // and then REPLACE that partition's whole contents with them
-    val (idBuckets, nfcFold) = labelsPin(ss, storePath)
-    val remove = removeIds.select(col(idCol)).distinct().cache()
-    // 1. purge the band store (side-dir rewrite + swap, the
-    // maybeCompactStore discipline)
-    val lshPath = new org.apache.hadoop.fs.Path(storePath + "/lsh")
-    val fs = lshPath.getFileSystem(ss.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(
-      storePath + "/lsh.retract-" + java.util.UUID.randomUUID())
-    ss.read.parquet(lshPath.toString)
-      .join(remove.withColumnRenamed(idCol, "__rm"),
-        col(idCol) === col("__rm"), "left_anti")
-      .write.mode("overwrite").parquet(tmp.toString)
-    val oldLsh = new org.apache.hadoop.fs.Path(storePath + "/lsh.pre-retract")
-    fs.delete(oldLsh, true)
-    require(fs.rename(lshPath, oldLsh),
-      s"clusterTableRetract: could not move $lshPath aside")
-    require(fs.rename(tmp, lshPath),
-      s"clusterTableRetract: could not move the purged store into " +
-        s"place — the prior store is intact at $oldLsh")
-    fs.delete(oldLsh, true)
+    // and then REPLACE that partition's whole contents with them.
+    // UNCHECKED read: a pending marker is not an error HERE — this
+    // method is how a pending retraction completes.
+    val (idBuckets, nfcFold) = labelsPinUnchecked(ss, storePath)
+    val marker = new Path(retractMarkerPath(storePath))
+    val fs = marker.getFileSystem(ss.sessionState.newHadoopConf())
+    // fold a pending marker's ids into this run: both retractions are
+    // then completed by the one pass (idempotent — the purge anti-join
+    // and the re-cluster are fixpoints for already-removed ids)
+    val pendingIds: Option[DataFrame] =
+      if (fs.exists(marker))
+        Some(ss.read.parquet(marker.toString).select(col(idCol)))
+      else None
+    val remove = pendingIds
+      .foldLeft(removeIds.select(col(idCol)))(_ unionByName _)
+      .distinct().cache()
+    // 0. commit the intent marker ATOMICALLY (write to a side dir,
+    // rename into place): a half-written marker dir would block reads
+    // without carrying recoverable ids. A pre-existing marker stays as
+    // committed — its ids are already folded into `remove`, and this
+    // run's caller re-runs on failure anyway.
+    if (pendingIds.isEmpty) {
+      val mTmp = new Path(storePath + "/retract.intent.tmp-" +
+        java.util.UUID.randomUUID())
+      remove.withColumn("retract_ts", lit(System.currentTimeMillis()))
+        .coalesce(1).write.mode("overwrite").parquet(mTmp.toString)
+      require(fs.rename(mTmp, marker),
+        s"clusterTableRetract: could not commit the intent marker at " +
+          s"$marker — aborting before any store mutation")
+    }
+    // 1. purge the band store: partition-scoped when the store carries
+    // the id-bucket layout (the clusterTableInit default) — only the
+    // buckets holding removed ids are read and swapped. The band
+    // store's OWN lease is taken too: a standalone lshIncrementalIngest
+    // racing the purge would otherwise re-append the retracted ids'
+    // buckets mid-swap.
+    val lshPath = new Path(storePath + "/lsh")
+    graft.ops.StoreLock.withLock(ss, storePath + "/lsh") {
+    val lshBuckets = try {
+      val m = ss.read.parquet(storePath + "/lsh.meta").head()
+      if (m.schema.fieldNames.contains("id_buckets"))
+        m.getAs[Int]("id_buckets")
+      else 0
+    } catch { case _: Exception => 0 }
+    if (lshBuckets > 0) {
+      val ibOfLsh = pmod(graft.functions.Sampling.hashBucket(col(idCol)),
+        lit(lshBuckets.toLong))
+      // touched bucket VALUES derive from the removed ids alone —
+      // bucket-count-bounded, no store scan. Cast to the discovered
+      // partition type (int) so the filter prunes statically.
+      val touchedLsh = remove
+        .select(ibOfLsh.cast("int").as("ib")).distinct()
+        .localCheckpoint()
+      val touchedVals = touchedLsh.collect().map(_.getInt(0)).toSeq
+      val replacement = ss.read.parquet(lshPath.toString)
+        .filter(col("ib").isin(touchedVals: _*))
+        .join(remove.withColumnRenamed(idCol, "__rm"),
+          col(idCol) === col("__rm"), "left_anti")
+        .drop("__rm")
+        // materialize BEFORE the swap: the plan reads the very
+        // partitions replacePartitions is about to rename
+        .localCheckpoint()
+      graft.ops.MergeUpsert.replacePartitions(ss, lshPath.toString,
+        replacement, "ib", touchedLsh)
+      log.info(s"clusterTableRetract: purged ${touchedVals.length} of " +
+        s"$lshBuckets band-store bucket(s): ${touchedVals.sorted.mkString(", ")}")
+    } else {
+      // legacy flat band store: side-dir full rewrite + rename-swap
+      // (the maybeCompactStore discipline) — O(corpus) IO; re-init
+      // with the bucketed layout to make retraction delta-sized
+      val tmp = new Path(
+        storePath + "/lsh.retract-" + java.util.UUID.randomUUID())
+      ss.read.parquet(lshPath.toString)
+        .join(remove.withColumnRenamed(idCol, "__rm"),
+          col(idCol) === col("__rm"), "left_anti")
+        .drop("__rm")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val oldLsh = new Path(storePath + "/lsh.pre-retract")
+      fs.delete(oldLsh, true)
+      require(fs.rename(lshPath, oldLsh),
+        s"clusterTableRetract: could not move $lshPath aside")
+      require(fs.rename(tmp, lshPath),
+        s"clusterTableRetract: could not move the purged store into " +
+          s"place — the prior store is intact at $oldLsh")
+      fs.delete(oldLsh, true)
+    }
+    }
     // 2. re-cluster the affected clusters' survivors
-    val labels = clusterTable(ss, storePath).cache()
+    val labels = clusterTableUnchecked(ss, storePath).cache()
     val affected = labels.join(remove, Seq(idCol), "left_semi")
       .select("cluster").distinct()
     val members = labels.join(affected, Seq("cluster"), "left_semi")
@@ -1786,6 +2008,13 @@ object Dedup {
     labels.unpersist(); members.unpersist(); remove.unpersist()
     graft.ops.MergeUpsert.replacePartitions(ss, storePath + "/labels",
       replacement, "ib", touchedVals)
+    // both commits landed — clear the intent marker; reads and
+    // ingests resume
+    require(fs.delete(marker, true),
+      s"clusterTableRetract: both stores are retracted but the intent " +
+        s"marker $marker could not be deleted — remove it manually to " +
+        "unblock reads")
+    }
   }
 
   /** Leakage-safe split FROM the persisted table: the

@@ -600,14 +600,19 @@ class DedupSpec extends AnyFunSuite {
     val rowsN = spark.read.parquet(dirN).collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(rowsC == rowsN)
-    // health observable: profile rows for both store columns + file stats
+    // health observable: profile rows for all store columns (incl. the
+    // in-row nfc pin) + file stats
     val health = Dedup.storeHealth(spark, dirC).collect()
-    assert(health.length == 2)
+    assert(health.length == 3)
     val fpRow = health.find(_.getString(0) == "fingerprint").get
     assert(fpRow.getAs[Long]("n_rows") == 2L + 5L)
     assert(fpRow.getAs[Long]("n_distinct") == 7L)
     assert(fpRow.getAs[Long]("n_files") >= 1L)
     assert(fpRow.getAs[Long]("total_bytes") > 0L)
+    assert(fpRow.getAs[Long]("max_files_per_dir") >= 1L)
+    // the in-row pin is uniform across batches and swaps
+    val nfcRow = health.find(_.getString(0) == "nfc").get
+    assert(nfcRow.getAs[Long]("n_distinct") == 1L)
   }
 
   test("LSH store compaction: candidate sets invariant across the swap") {
@@ -885,5 +890,188 @@ class DedupSpec extends AnyFunSuite {
         "doc_id", "text", dir, bands = 8)
     }
     assert(ex.getMessage.contains("does not match the store"))
+  }
+
+  private def bucketFileMd5s(root: String): Map[String, Map[String, String]] = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("ib="))
+    dirs.map { d =>
+      d.getName -> d.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          f.getName -> md5
+        }.toMap
+    }.toMap
+  }
+
+  test("clusterTableRetract: band-store purge is partition-scoped " +
+      "(untouched buckets byte-identical)") {
+    import spark.implicits._
+    val corpus = (0 until 24).map { i =>
+      (i.toLong, s"unique doc $i " + (0 to 8).map(j => s"w$i-$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = graft.util.TempDirs.scoped("dedup-ctscoped").toString + "/store"
+    Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 8)
+    val before = bucketFileMd5s(dir + "/lsh")
+    assert(before.size > 1, s"fixture must span several buckets: $before")
+    // the removed id's bucket under the SAME pinned layout
+    val rmBucket = spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.Sampling.hashBucket(
+            org.apache.spark.sql.functions.lit(5L)),
+          org.apache.spark.sql.functions.lit(8L)))
+      .head().getLong(0)
+    Dedup.clusterTableRetract(Seq(5L).toDF("doc_id"),
+      corpus.where(col("doc_id") =!= 5L), "doc_id", "text", dir)
+    val after = bucketFileMd5s(dir + "/lsh")
+    // every bucket EXCEPT the removed id's is bytes-untouched — the
+    // O(touched)-IO contract of the partition-scoped purge
+    before.foreach { case (bucket, files) =>
+      if (bucket != s"ib=$rmBucket")
+        assert(after.get(bucket).contains(files),
+          s"untouched bucket $bucket rewritten: $files -> ${after.get(bucket)}")
+    }
+    // the touched bucket no longer holds doc 5's band rows
+    assert(after.get(s"ib=$rmBucket") != Some(before(s"ib=$rmBucket")),
+      "the removed id's bucket was not rewritten")
+    assert(spark.read.parquet(dir + "/lsh")
+      .where(col("doc_id") === 5L).count() == 0)
+    // labels repaired, everything else intact
+    val got = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(5L) && got.size == 23)
+  }
+
+  test("retract-intent marker: pending retraction blocks reads and " +
+      "ingests; a re-run completes it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val dir = graft.util.TempDirs.scoped("dedup-ctmarker").toString + "/store"
+    Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 4)
+    // simulate a retraction crashed between its commits: the intent
+    // marker is on disk, the labels still carry the retracted id
+    Seq(Tuple1(2L)).toDF("doc_id")
+      .withColumn("retract_ts", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(dir + "/retract.intent")
+    val exRead = intercept[IllegalStateException] {
+      Dedup.clusterTable(spark, dir)
+    }
+    assert(exRead.getMessage.contains("PENDING RETRACTION"))
+    val exIngest = intercept[IllegalStateException] {
+      Dedup.clusterTableIngest(
+        Seq((10L, "ten eleven twelve thirteen fourteen")).toDF("doc_id", "text"),
+        corpus, "doc_id", "text", dir)
+    }
+    assert(exIngest.getMessage.contains("PENDING RETRACTION"))
+    // a re-run (even with an empty id set) folds the marker's ids in,
+    // completes both commits, and unblocks the table
+    Dedup.clusterTableRetract(
+      Seq.empty[Long].toDF("doc_id"),
+      corpus.where(col("doc_id") =!= 2L), "doc_id", "text", dir)
+    val got = Dedup.clusterTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 3L), s"marker ids not retracted: $got")
+    assert(!new java.io.File(dir + "/retract.intent").exists())
+  }
+
+  test("StoreLock: a concurrent writer throws; a stale lease is reclaimed") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-lock").toString + "/store"
+    val standing = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Dedup.fingerprintStoreInit(standing, "doc_id", "text", dir)
+    val drop = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    // a live concurrent writer's lease: the second writer must FAIL
+    // LOUDLY, not silently duplicate store rows
+    val lock = new java.io.File(dir + ".lock")
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      Dedup.incrementalIngest(drop, "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("another writer"))
+    // the blocked attempt mutated nothing
+    assert(spark.read.parquet(dir).count() == 1)
+    // a lease older than the TTL marks a dead holder: reclaimed, the
+    // ingest proceeds, and the lease is released afterwards
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 31L * 60 * 1000))
+    val got = Dedup.incrementalIngest(drop, "doc_id", "text", dir)
+      .collect().map(r => r.getAs[String]("status")).toSeq
+    assert(got == Seq("accepted"))
+    assert(!lock.exists())
+    // nested cluster-table locks (root + /lsh) compose without
+    // deadlock: a full init-ingest cycle under locks
+    val cdir = graft.util.TempDirs.scoped("dedup-lock-ct").toString + "/store"
+    Dedup.clusterTableInit(standing
+        .withColumn("text", org.apache.spark.sql.functions
+          .concat_ws(" ", col("text"), org.apache.spark.sql.functions
+            .lit("gamma delta epsilon zeta"))),
+      "doc_id", "text", cdir, idBuckets = 2)
+    assert(Dedup.clusterTable(spark, cdir).count() == 1)
+  }
+
+  test("partitioned band store: per-bucket compaction bounds growth, " +
+      "probes invariant; labels files stay bounded over drops") {
+    import spark.implicits._
+    def maxBucketFiles(root: String): Int = {
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("ib="))
+      if (dirs.isEmpty) 0
+      else dirs.map(_.listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))).max
+    }
+    val dir = graft.util.TempDirs.scoped("dedup-lshbuckets").toString + "/store"
+    val standing = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    Dedup.lshStoreInit(standing, "doc_id", "text", dir, idBuckets = 2)
+    var texts = standing
+    (0 until 3).foreach { i =>
+      val drop = Seq(
+        (100L + i,
+          s"alpha beta gamma delta epsilon zeta eta theta tail$i"),
+        (200L + i, s"unrelated$i " + (0 to 8).map(j => s"w$i-$j").mkString(" "))
+      ).toDF("doc_id", "text")
+      texts = texts.unionByName(drop)
+      // threshold 1: per-bucket compaction triggers every round; the
+      // probe must keep finding near-dups indexed across prior swaps
+      val pairs = Dedup.lshIncrementalIngest(drop, texts, "doc_id", "text",
+          dir, compactAfterFiles = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = ((10L +: (0 until i).map(100L + _)).map(s => (100L + i, s))).toSet
+      assert(pairs == expect, s"drop $i: got $pairs, want $expect")
+      assert(maxBucketFiles(dir) <= 2,
+        s"bucket file count unbounded: ${maxBucketFiles(dir)}")
+    }
+    // recursive health sees the partitioned layout
+    val h = Dedup.storeHealth(spark, dir).collect()
+    assert(h.head.getAs[Long]("n_files") >= 1L)
+    assert(h.head.getAs[Long]("max_files_per_dir") <= 2L)
+    // labels table: replace-not-append keeps per-bucket files bounded
+    // over repeated ingests (no compaction needed by construction)
+    val cdir = graft.util.TempDirs.scoped("dedup-ctfiles").toString + "/store"
+    val corpus0 = Seq((1L, "base doc alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    Dedup.clusterTableInit(corpus0, "doc_id", "text", cdir, idBuckets = 2)
+    var all = corpus0
+    (0 until 4).foreach { i =>
+      val drop = Seq((10L + i,
+        s"novel$i " + (0 to 6).map(j => s"v$i-$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      all = all.unionByName(drop)
+      Dedup.clusterTableIngest(drop, all, "doc_id", "text", cdir).count()
+      assert(maxBucketFiles(cdir + "/labels") <= 2,
+        s"labels bucket files grew: ${maxBucketFiles(cdir + "/labels")}")
+    }
+    val hl = Dedup.storeHealth(spark, cdir + "/labels").collect()
+    assert(hl.head.getAs[Long]("max_files_per_dir") <= 2L)
   }
 }
