@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical SCALE PROBE for the heavy operator family: every "scales"
+  * verdict in PLANS.md is design-audited at sf0.1; this runs the five
+  * heaviest corpus operators at `factor`x the document/embedding
+  * corpus (default 10x — an sf1-equivalent staging) and reports the
+  * measured scaling exponent per query, to catch any hidden
+  * driver-side or skew cliff one order of magnitude up.
+  *
+  * Staging keeps the fixture's duplicate/near-dup DENSITY constant
+  * instead of multiplying it: copy k>0 suffixes every word with `_k`,
+  * so each copy reproduces the planted within-copy near-dup structure
+  * but shares no shingles across copies (a plain text copy would make
+  * every doc a 10-way near-dup — a much HEAVIER workload than real
+  * sf1). Embeddings rotate by k positions — norms and within-copy
+  * geometry preserved, no cross-copy collapse.
+  *
+  * Also times BPE training at a production-shaped merge count (100)
+  * through both loops — the driver-local collected loop vs the
+  * per-round cluster-job loop — on the scaled corpus, quantifying the
+  * scheduler-overhead gap the local loop exists to remove.
+  *
+  * Output: one JSON line on stdout + the full record at `outPath`
+  * (default SCALE_PROBE.json). Not part of the driver contract — a
+  * builder-run evidence artifact.
+  */
+object ScaleProbe {
+
+  private def stageScaled(spark: SparkSession, baseDir: String,
+      factor: Int): String = {
+    val dir = graft.util.TempDirs.scoped("graft-scaleprobe").toString
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val span = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val scaledDocs = (0 until factor).map { k =>
+      if (k == 0) docs
+      else {
+        val perturbed = array_join(
+          transform(split(col("text"), "\\s+"),
+            w => concat(w, lit("_" + k))), " ")
+        docs.select(
+            (col("doc_id") + lit(k * span)).as("doc_id"),
+            when(col("text").isNull || length(trim(col("text"))) === 0,
+              col("text")).otherwise(perturbed).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      }
+    }.reduce(_ unionByName _)
+    scaledDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vspan = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val scaledEmb = (0 until factor).map { k =>
+      val shift = k % dim
+      if (shift == 0)
+        emb.select((col("vec_id") + lit(k * vspan)).as("vec_id"),
+          col("embedding"), col("label"))
+      else
+        emb.select((col("vec_id") + lit(k * vspan)).as("vec_id"),
+          concat(slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), 1, shift)).as("embedding"),
+          col("label"))
+    }.reduce(_ unionByName _)
+    scaledEmb.repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val outPath = args.drop(2).headOption
+      .getOrElse("/root/repo/SCALE_PROBE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEATS", "2")
+      .toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaledDir = stageScaled(spark, baseDir, factor)
+
+    // untimed warmup (the Bench discipline): JVM/codegen/parquet-reader
+    // init otherwise lands on the first timed query's BASE measurement,
+    // skewing its exponent low
+    try SparkEntry.queries("q_t_c4_clean")(spark, baseDir).count()
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache(); System.gc()
+
+    val names = Seq("q_dedup_minhash", "q_dedup_ccstar", "q_cluster_ingest",
+      "q_sim_ann_ivf_trained", "q_t_c4_clean")
+    def timeQuery(name: String, dir: String): Double =
+      (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.streams.active.foreach(_.stop())
+        System.gc()
+        dt
+      }.min
+    val rows = names.map { n =>
+      val tb = timeQuery(n, baseDir)
+      val ts = timeQuery(n, scaledDir)
+      val exp = math.log(ts / tb) / math.log(factor.toDouble)
+      System.err.println(f"[probe] $n base $tb%.2f s -> ${factor}x $ts%.2f s" +
+        f" (exponent $exp%.2f)")
+      (n, tb, ts, exp)
+    }
+
+    // BPE at a production-shaped merge count, both loop shapes, on the
+    // SCALED corpus (vocab is factor x the base corpus's)
+    val scaledDocs = spark.read.parquet(s"$scaledDir/documents.parquet")
+    def timeBpe(limit: Long): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.functions.Bpe.train(scaledDocs, "text",
+        numMerges = 100, localVocabLimit = limit).count()
+      require(n == 100L, s"expected 100 merges, got $n")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val bpeLocal = timeBpe(Long.MaxValue)
+    val bpeDist = timeBpe(0L)
+    System.err.println(f"[probe] bpe 100 merges: local $bpeLocal%.2f s, " +
+      f"distributed $bpeDist%.2f s")
+
+    def f3(d: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qJson = rows.map { case (n, tb, ts, exp) =>
+      s""""$n":{"base_sec":${f3(tb)},"scaled_sec":${f3(ts)},"exponent":${f3(exp)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"queries":$qJson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
+  }
+}

@@ -74,14 +74,30 @@ object Bpe {
     * induction order. Stops early (fewer rows) when no pair remains
     * with count >= `minPairCount`.
     *
-    * `materializeEvery`: each round stacks one `replace` projection on
-    * the word table, so round r's count job would re-run r-1 replaces
-    * — harmless at demo merge counts, O(N^2) replace work at a real
-    * 30k-merge vocabulary. Every `materializeEvery` rounds the merged
-    * table is localCheckpoint'ed (vocabulary-sized — cheap), resetting
-    * the chain; the induced merges are identical either way. */
+    * SCALE SHAPE of the merge loop: the corpus scan
+    * ([[wordTable]]) is the only corpus-sized leg. The loop itself
+    * runs over the distinct-word frequency table — vocabulary-sized
+    * BY CONSTRUCTION (natural-language vocabularies are millions of
+    * words at most, regardless of corpus bytes) — so when that table
+    * fits under `localVocabLimit` rows it is collected ONCE and the
+    * greedy loop runs in driver code: at a production 30k-merge
+    * vocabulary that is 30k in-memory passes instead of ~30k cluster
+    * jobs (shuffle + argmax collect each — hours of pure scheduler
+    * overhead over a table a single machine holds comfortably). The
+    * distributed loop remains the fallback for a vocabulary above the
+    * bound (or `localVocabLimit = 0` to force it); both induce
+    * IDENTICAL merges — same every-adjacent-occurrence counting, same
+    * (count DESC, pair ASC by UTF-8 bytes) tie-break, same greedy
+    * left-to-right non-overlapping application (spec-asserted
+    * local == distributed).
+    *
+    * `materializeEvery` (distributed loop only): each round stacks one
+    * `replace` projection on the word table, so round r's count job
+    * would re-run r-1 replaces — every `materializeEvery` rounds the
+    * merged table is localCheckpoint'ed, resetting the chain. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 1L, materializeEvery: Int = 50): DataFrame = {
+      minPairCount: Long = 1L, materializeEvery: Int = 50,
+      localVocabLimit: Long = 2000000L): DataFrame = {
     require(numMerges >= 1, "numMerges must be positive")
     require(materializeEvery >= 1, "materializeEvery must be positive")
     val spark = df.sparkSession
@@ -90,6 +106,20 @@ object Bpe {
     // per-round `s` updates stack thin projections on top until the
     // next materialization point
     val base = wordTable(df, textCol).cache()
+    val vocabN = base.count()
+    val merges =
+      if (vocabN <= localVocabLimit)
+        trainLocal(base.select(col("cnt"), col("s")).collect()
+            .map(r => (r.getLong(0), r.getString(1))),
+          numMerges, minPairCount)
+      else trainDistributed(base, numMerges, minPairCount, materializeEvery)
+    base.unpersist()
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  private def trainDistributed(base: DataFrame, numMerges: Int,
+      minPairCount: Long,
+      materializeEvery: Int): Seq[(Long, String, String, Long)] = {
     var words = base
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -108,8 +138,91 @@ object Bpe {
           if (r % materializeEvery == 0) words = words.localCheckpoint()
       }
     }
-    base.unpersist()
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    merges.toSeq
+  }
+
+  /** Spark's string ordering compares UTF8String BYTES (so does
+    * DuckDB); Java String.compareTo compares UTF-16 code units, which
+    * diverges above the BMP — the local tie-break must match the
+    * engines', not the JVM's. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Literal left-to-right non-overlapping replace (scan resumes
+    * AFTER each replacement) — exactly `String.replace` / Spark
+    * `replace` semantics, without re-compiling a literal regex per
+    * word per round. */
+  private def replaceLiteral(s: String, target: String,
+      repl: String): String = {
+    var from = s.indexOf(target)
+    if (from < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (from >= 0) {
+      sb.append(s, last, from).append(repl)
+      last = from + target.length
+      from = s.indexOf(target, last)
+    }
+    sb.append(s, last, s.length).toString
+  }
+
+  /** The greedy merge loop over a COLLECTED `(cnt, s)` word table —
+    * identical induction to [[trainDistributed]] (spec-asserted):
+    * every adjacent occurrence counts ("aaa" contributes (a,a)
+    * twice), ties break (count DESC, pair ASC under UTF-8 byte
+    * order), application is the same separator-wrapped replace. */
+  private def trainLocal(words0: Array[(Long, String)], numMerges: Int,
+      minPairCount: Long): Seq[(Long, String, String, Long)] = {
+    val cnts = words0.map(_._1)
+    val ss = words0.map(_._2)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val pairCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      var wi = 0
+      while (wi < ss.length) {
+        val syms = ss(wi).substring(1, ss(wi).length - 1).split(Sep2, -1)
+        val c = cnts(wi)
+        var i = 0
+        while (i < syms.length - 1) {
+          // single-sep joined, the pairsOf unit (and the tie-break key)
+          val k = syms(i) + Sep + syms(i + 1)
+          pairCnt.update(k, pairCnt.getOrElse(k, 0L) + c)
+          i += 1
+        }
+        wi += 1
+      }
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      pairCnt.foreach { case (k, c) =>
+        if (c > bestCnt || (c == bestCnt && utf8Lt(k, bestPair))) {
+          bestPair = k; bestCnt = c
+        }
+      }
+      if (bestPair == null || bestCnt < minPairCount) exhausted = true
+      else {
+        val Array(l, rr) = bestPair.split(Sep, 2)
+        merges += ((r.toLong, l, rr, bestCnt))
+        val target = Sep + l + Sep2 + rr + Sep
+        val repl = Sep + l + rr + Sep
+        var i = 0
+        while (i < ss.length) {
+          ss(i) = replaceLiteral(ss(i), target, repl)
+          i += 1
+        }
+      }
+    }
+    merges.toSeq
   }
 
   /** APPLY a trained merge list: segment each word of `textCol` into

@@ -493,6 +493,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING cluster maintenance through the durable store: init on
+    // the standing corpus, then the remaining docs arrive as 3 ordered
+    // file drops consumed by clusterIngestStream (foreachBatch ->
+    // clusterTableIngest; sequential micro-batches satisfy the
+    // single-writer lease). The final labels over EVERYTHING must
+    // equal the from-scratch closure over the full corpus — the same
+    // oracle as q_cluster_ingest, now proven through the streaming
+    // engine's checkpointed AvailableNow replay.
+    "q_stream_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+      val drops = docs.where(col("doc_id") % 3 === 0)
+      val dir = graft.util.TempDirs.scoped("graft-streamcluster")
+      val store = dir.toString + "/store"
+      Dedup.clusterTableInit(standing, "doc_id", "text", store)
+      val dropsDir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        drops, "doc_id", 3, "graft-streamcluster-drops")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        graft.streaming.PipelineStreams.clusterIngestStream(s,
+          dropsDir.toString, docs, "doc_id", "text", store,
+          dir.resolve("ckpt").toString)
+      }
+      Dedup.clusterTable(s, store)
+        .select(col("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup APPLY step from the persisted cluster table: keep
     // exactly each cluster's min-id member (the CC keeper contract)
     // via one semi-join against the label table — the third
@@ -2346,6 +2373,10 @@ object PipelineQueries {
     // incremental == from-scratch: the ingest gate shares the same
     // full-corpus closure oracle verbatim
     "q_cluster_ingest" -> clustersOracle,
+    // streamed drops == from-scratch: the streaming cluster ingest
+    // replays the same drops through foreachBatch, so the identical
+    // full-corpus closure gates it
+    "q_stream_cluster" -> clustersOracle,
     // retraction == rebuild-without-the-deleted: same closure over the
     // surviving corpus only
     "q_cluster_retract" ->

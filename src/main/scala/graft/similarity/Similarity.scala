@@ -446,6 +446,12 @@ object Similarity {
     cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "cent")
       .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    // pin the TRAINING-TIME corpus size next to the centroids: index
+    // maintenance sizes its retrain cell count from the growth ratio
+    // (cells' = cells x sqrt(n_now / n_trained)) — preserving the
+    // builder's cells-per-point density choice without re-deriving it
+    Seq((codes.count(), nCells)).toDF("n", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/train.meta")
     codes.withColumn("__cents", centsLiteral(cents))
       .withColumn("cell", assignCellExpr("codes"))
       .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
@@ -657,7 +663,32 @@ object Similarity {
       .select(col("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // training + assignment
       .cache()
-    val cents = kmeansTrain(codes, nCells, iters)
+    // ADAPTIVE cell count: appends grow the postings but never the
+    // cell count, so after 10x growth each cell holds 10x the points
+    // and probe pruning degrades even with re-placed centroids (the
+    // classic IVF sizing keeps cells ~ sqrt(n)). Retrain at
+    // cells' = cells_at_train x sqrt(n_now / n_at_train) — the
+    // builder's density choice, re-applied at the current size; the
+    // postings count is already in hand from the cached codes.
+    // HYSTERESIS: re-size only when growth has at least QUADRUPLED
+    // the trained size (cell count would double) — below that,
+    // centroid re-placement alone restores recall, and a re-size
+    // would churn the serving nProbe/nCells ratio for nothing. An
+    // index predating the train.meta pin retrains at the current
+    // count (old behavior) and writes the pin for the next pass.
+    val nNow = codes.count()
+    val kCells = (try {
+      val r = spark.read.parquet(path + "/train.meta").head()
+      val (n0, c0) = (r.getAs[Long]("n"), r.getAs[Int]("cells"))
+      if (n0 > 0 && nNow >= 4L * n0)
+        math.max(nCells,
+          math.round(c0 * math.sqrt(nNow.toDouble / n0)).toInt)
+      else nCells
+    } catch { case _: Exception => nCells }).min(nNow.toInt.max(1))
+    if (kCells != nCells)
+      log.info(s"ivfIndexMaintain: adaptive retrain $nCells -> $kCells " +
+        s"cells ($nNow postings)")
+    val cents = kmeansTrain(codes, kCells, iters)
     val tmp = new org.apache.hadoop.fs.Path(
       path + "/postings.retrain-" + java.util.UUID.randomUUID())
     codes.withColumn("__cents", centsLiteral(cents))
@@ -701,6 +732,13 @@ object Similarity {
         s"ivfIndexMaintain: could not move the retrained centroids " +
           s"into place — the prior centroids are intact at $centOld")
     fs.delete(centOld, true)
+    // re-pin the training size at the retrained count — the next
+    // maintain's growth ratio starts from HERE. Plain overwrite: a
+    // crash in its delete-then-write window only costs the pin (the
+    // next maintain falls back to the fixed count and re-writes it),
+    // never the index.
+    Seq((nNow, kCells)).toDF("n", "cells")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/train.meta")
     val after = meanRecall()
     log.info(f"ivfIndexMaintain: retrained $path — recall@$k " +
       f"$before%.4f -> $after%.4f")

@@ -65,6 +65,30 @@ class BpeSpec extends AnyFunSuite {
     joined.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("local and distributed merge loops induce identical sequences") {
+    import spark.implicits._
+    // mixed corpus: repeated words, count ties, self-overlapping runs
+    // (aaa/aaaa), shared subwords across words, multi-char growth —
+    // every branch of the induction (tie-break, greedy application,
+    // early merge interactions) must agree between the collected
+    // driver loop and the per-round cluster jobs
+    val docs = Seq(
+      (1L, "low lower lowest newest widest aaa aaaa"),
+      (2L, "the quick brown fox jumps over the lazy dog the end"),
+      (3L, "banana bandana ana ana nab ban"),
+      (4L, "mississippi mississippi missive"))
+      .toDF("doc_id", "text")
+    def run(limit: Long) = Bpe.train(docs, "text", numMerges = 12,
+        localVocabLimit = limit)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList
+    val local = run(2000000L)
+    val dist = run(0L) // forces the distributed loop
+    assert(local == dist, s"local $local\nvs distributed $dist")
+    assert(local.length == 12)
+  }
+
   test("train stops early when no pair clears minPairCount") {
     import spark.implicits._
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")

@@ -346,6 +346,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
   }
 
+  test("ivfIndexMaintain: 10x skewed growth retrains at an adaptively " +
+      "larger cell count; recall floor holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = graft.util.TempDirs.scoped("ivf-adaptive-spec").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val baseA = (0 until 40).map(i => (i.toLong,
+      Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))))
+    val baseB = (40 until 80).map(i => (i.toLong,
+      Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3))))
+    val base = (baseA ++ baseB).toDF("vec_id", "embedding")
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, iters = 3, path = path)
+    // 10x skewed growth on the trained A/B Voronoi boundary (the
+    // recall-degradation fixture of the maintain spec, at 800 points):
+    // growth = 880/80 = 11 -> adaptive retrain at
+    // round(3 x sqrt(11)) = 10 cells instead of the stale 3
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    val delta = (1000 until 1800).map(i => (i.toLong, deltaVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(delta, "vec_id", "embedding", path = path)
+    val queries = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfIndexMaintain(queries, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 0.95, iters = 3)
+    assert(r.retrained, f"expected retrain: recallBefore=${r.recallBefore}%.4f")
+    // the retrained quantizer carries the adaptively larger cell count
+    val cells = spark.read.parquet(path + "/centroids").count()
+    assert(cells == 10L, s"adaptive cell count: expected 10, got $cells")
+    // ... and the training-size pin advanced to the retrained state
+    val meta = spark.read.parquet(path + "/train.meta").head()
+    assert(meta.getAs[Long]("n") == 880L && meta.getAs[Int]("cells") == 10)
+    // recall recovered despite 3x the cells at the same nProbe
+    assert(r.recallAfter.get >= 0.9,
+      s"recall floor did not hold after adaptive retrain: $r")
+    // rebuild preserved the id multiset
+    val ids = spark.read.parquet(path + "/postings").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 80L) ++ (1000L until 1800L)).sorted)
+  }
+
   test("retrievalEval: hand-computed MRR/hits/recall, zero-hit query") {
     import spark.implicits._
     // q1: relevant {10, 11, 12}; system ranks 11 at 2, 12 at 4 -> frr 2,
