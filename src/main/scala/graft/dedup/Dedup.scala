@@ -436,12 +436,22 @@ object Dedup {
     *     `maxDocFreqRatio`: members of a 10⁷-doc bucket are
     *     boilerplate-grade duplicates of each other, and any pair also
     *     colliding in a sane bucket of another band is still found.
+    *
+    * `precomputedBuckets`: full-corpus band rows (idCol, band, bh) as
+    * produced by [[bandBuckets]] over the SAME nfc-folded text —
+    * [[clusterTableInit]] shares ONE signature pass between pair
+    * generation and its co-located band store instead of running the
+    * minhash kernel over the corpus twice. Must cover every id of
+    * `df` and be cheap to re-scan (caller caches it); reps' rows are
+    * carved out by an id semi-join, bit-identical to recomputation
+    * (bandBuckets is per-row deterministic).
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
-      nfcFold: Boolean = true): DataFrame = {
+      nfcFold: Boolean = true,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // single-fixture-split guard on the INPUT, not just derived
     // tables: a one-file fixture scan is ONE split, which would run
@@ -510,11 +520,21 @@ object Dedup {
     // cached: feeds both sides of the candidate join AND the candIds
     // derivation — uncached, the 64-hash signature aggregation would
     // replay once per consumer
-    val buckets = bandBuckets(reps, idCol, textCol, n, numHashes, bands)
-      // single-fixture-split guard: this cache feeds BOTH sides of the
-      // band-bucket self-join plus the candIds derivation
-      .transform(graft.util.Parallelism.fanOut)
-      .cache()
+    val buckets = precomputedBuckets match {
+      // shared signature pass: the caller's full-corpus bucket table is
+      // already cached; dup-free corpora (reps == corpus) reuse it
+      // as-is, otherwise the reps' rows are carved out by id (cached —
+      // it feeds the same four consumers as the computed path)
+      case Some(pb) =>
+        val base = pb.select(col(idCol), col("band"), col("bh"))
+        if (!hasDups) base
+        else base.join(reps.select(idCol), Seq(idCol), "left_semi").cache()
+      case None => bandBuckets(reps, idCol, textCol, n, numHashes, bands)
+        // single-fixture-split guard: this cache feeds BOTH sides of
+        // the band-bucket self-join plus the candIds derivation
+        .transform(graft.util.Parallelism.fanOut)
+        .cache()
+    }
     // the self-join's source and the candidate-doc derivation. Default
     // path: the raw bucket table — a single-member bucket can't pair
     // with itself, so no explicit >= 2 filter is needed on the JOIN
@@ -1414,7 +1434,8 @@ object Dedup {
   def lshStoreInit(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, nfcFold: Boolean = true,
-      idBuckets: Int = 0): Unit = {
+      idBuckets: Int = 0,
+      precomputedBuckets: Option[DataFrame] = None): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
     graft.ops.StoreLock.withLock(ss, storePath) {
@@ -1437,8 +1458,14 @@ object Dedup {
       .toDF("n", "num_hashes", "bands", "nfc", "id_buckets")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
-    val rows = bandBuckets(nfcFolded(corpus, textCol, nfcFold), idCol,
-        textCol, n, numHashes, bands)
+    // precomputedBuckets: the same shared-signature-pass contract as
+    // [[minHashLshPairs]] — (idCol, band, bh) from [[bandBuckets]] over
+    // the nfc-folded corpus, so clusterTableInit runs the minhash
+    // kernel once, not once per artifact
+    val rows = precomputedBuckets
+      .map(_.select(col(idCol), col("band"), col("bh")))
+      .getOrElse(bandBuckets(nfcFolded(corpus, textCol, nfcFold), idCol,
+        textCol, n, numHashes, bands))
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
       .withColumn("id_buckets", lit(idBuckets))
@@ -1495,7 +1522,8 @@ object Dedup {
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, compactAfterFiles: Int = 64,
-      nfcFold: Boolean = true): DataFrame = {
+      nfcFold: Boolean = true,
+      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val ss = drop.sparkSession
     graft.ops.StoreLock.withLock(ss, storePath) {
     def params(row: org.apache.spark.sql.Row): (Int, Int, Int, Boolean, Int) =
@@ -1530,9 +1558,16 @@ object Dedup {
         "would never collide; re-init the store or use its parameters")
     val idBuckets = pinned._5
     // the SAME fold the store was built under — folded and unfolded
-    // texts of the same canonical doc hash into disjoint buckets
-    val fDrop = nfcFolded(drop, textCol, nfcFold)
-    val dropB = bandBuckets(fDrop, idCol, textCol, n, numHashes, bands)
+    // texts of the same canonical doc hash into disjoint buckets.
+    // precomputedBuckets: the drop's (idCol, band, bh) rows from
+    // [[bandBuckets]] over the SAME fold — [[clusterTableIngest]]
+    // shares one signature pass over the drop between its within-drop
+    // pair leg and this store probe (drops are TB-sized in an
+    // always-on pipeline; the kernel is the dominant per-row compute)
+    val dropB = precomputedBuckets
+      .map(_.select(col(idCol), col("band"), col("bh")))
+      .getOrElse(bandBuckets(nfcFolded(drop, textCol, nfcFold), idCol,
+        textCol, n, numHashes, bands))
       .withColumnRenamed(idCol, "drop_id")
       .cache()
     val store = ss.read.parquet(storePath)
@@ -1554,6 +1589,13 @@ object Dedup {
       appendRows.withColumn("ib",
           pmod(graft.functions.Sampling.hashBucket(col(idCol)),
             lit(idBuckets.toLong)))
+        // co-locate each bucket's rows before the partitioned append:
+        // without this every shuffle task writes a file into every
+        // bucket dir it touches — up to tasks x buckets tiny files PER
+        // DROP (measured +20 s on the sf0.1 ingest gate from the
+        // listing cost alone); one small shuffle makes it ~one file
+        // per touched bucket
+        .repartition(col("ib"))
         .write.mode("append").partitionBy("ib").parquet(storePath)
     else appendRows.write.mode("append").parquet(storePath)
     dropB.unpersist()
@@ -1655,9 +1697,16 @@ object Dedup {
     // The NFC fold is pinned for the same reason as the band store's.
     Seq((idBuckets, nfcFold)).toDF("id_buckets", "nfc")
       .write.mode("overwrite").parquet(storePath + "/labels.meta")
-    val pairs = minHashLshPairs(corpus, idCol, textCol, n, numHashes,
-        bands, threshold, maxBucketSize, nfcFold)
-      .select("id_a", "id_b")
+    // ONE minhash signature pass over the corpus, shared by the pair
+    // generation AND the band store below — the two artifacts need the
+    // same full-corpus band-bucket table, and the signature kernel
+    // (shingles + numHashes hashes per doc) is the dominant per-row
+    // compute of the whole init; at 100 TB this halves the corpus
+    // scans of the most expensive store build in the engine.
+    val fullBuckets = bandBuckets(nfcFolded(corpus, textCol, nfcFold),
+        idCol, textCol, n, numHashes, bands)
+      .transform(graft.util.Parallelism.fanOut)
+      .cache()
     // the co-located LSH band store: [[clusterTableIngest]] probes it
     // to find a drop's near-dups in the standing corpus without
     // re-running LSH over corpus + drop. It shares the labels table's
@@ -1665,8 +1714,14 @@ object Dedup {
     // touched-partition rewrite on BOTH stores (the band store is the
     // corpus x bands-sized artifact — a flat layout would make every
     // retraction an O(corpus) full-store rewrite).
+    // Written FIRST so the store write is what materializes the cache.
     lshStoreInit(corpus, idCol, textCol, storePath + "/lsh",
-      n, numHashes, bands, nfcFold, idBuckets = idBuckets)
+      n, numHashes, bands, nfcFold, idBuckets = idBuckets,
+      precomputedBuckets = Some(fullBuckets))
+    val pairs = minHashLshPairs(corpus, idCol, textCol, n, numHashes,
+        bands, threshold, maxBucketSize, nfcFold,
+        precomputedBuckets = Some(fullBuckets))
+      .select("id_a", "id_b")
     connectedComponents(corpus, idCol, pairs,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster"))
@@ -1680,6 +1735,7 @@ object Dedup {
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib")
       .parquet(storePath + "/labels")
+    fullBuckets.unpersist()
     }
   }
 
@@ -1778,11 +1834,20 @@ object Dedup {
     // precondition (duplicate live rows); a drifted fold, the bucket
     // hashes (lshIncrementalIngest revalidates the latter)
     val (idBuckets, nfcFold) = labelsPin(ss, storePath)
+    // ONE minhash signature pass over the drop, shared by the
+    // within-drop pair leg and the store probe (the same sharing
+    // clusterTableInit does for the corpus — see there)
+    val dropBuckets = bandBuckets(nfcFolded(drop, textCol, nfcFold),
+        idCol, textCol, n, numHashes, bands)
+      .transform(graft.util.Parallelism.fanOut)
+      .cache()
     val inPairs = minHashLshPairs(drop, idCol, textCol, n, numHashes,
-      bands, threshold, nfcFold = nfcFold).select("id_a", "id_b")
+        bands, threshold, nfcFold = nfcFold,
+        precomputedBuckets = Some(dropBuckets))
+      .select("id_a", "id_b")
     val xPairs = lshIncrementalIngest(drop, texts, idCol, textCol,
         storePath + "/lsh", n, numHashes, bands, threshold,
-        nfcFold = nfcFold)
+        nfcFold = nfcFold, precomputedBuckets = Some(dropBuckets))
       .select("drop_id", "store_id")
     val labels = clusterTable(ss, storePath)
     // cached: the upstream plan is the WHOLE probe-and-verify pipeline
@@ -1825,6 +1890,7 @@ object Dedup {
     graft.ops.MergeUpsert.mergeByKey(ss, storePath + "/labels", updates,
       Seq(idCol), "ver", "ib")
     comp.unpersist()
+    dropBuckets.unpersist()
     // read back from the COMMITTED store (the merge above swapped the
     // labels path — a lazy plan over pre-merge state would recompute
     // against the new table; the committed rows are the truth anyway)

@@ -468,6 +468,82 @@ object TextFunctions {
     * corpus that trains the counts includes the scored doc (the
     * standard in-domain-LM setup; train on a reference slice by
     * passing it as `lmCorpus`). */
+  /** TRAINED linear text classifier — the engine's stand-in for the
+    * fastText-style quality/domain filters production pretraining
+    * pipelines run (CCNet's "wiki-like vs random" gate; the reference
+    * has no trained classifier — this is part of the LLM-pipeline
+    * extension suite). Rocchio-style frequency contrast: a token's
+    * weight is its positive-class frequency minus its negative-class
+    * frequency, both as integer parts-per-million of the class's TOTAL
+    * token mass (`cnt * 1000000 div mass` — integral division, no
+    * float, no log, no ulp drift; monotone-aligned with the NB
+    * log-odds wherever one class dominates a token). The model keeps
+    * only the `vocabSize` most frequent tokens (count DESC, token ASC
+    * ties), so it is BOUNDED BY CONSTRUCTION — at 100 TB the
+    * web-scale tail of typos/urls never inflates it past broadcast
+    * range, the same capping every production fastText deploy does.
+    *
+    * Returns (token, pc, nc, weight): per-token positive/negative
+    * occurrence counts and the contrast weight in ppm.
+    *
+    * Scale shape: one tokenize pass, one map-side-combined count at
+    * distinct-token grain, a broadcast of the 1-row class masses, and
+    * a top-V rank over the distinct-token table. */
+  def contrastModelTrain(labeled: org.apache.spark.sql.DataFrame,
+      textCol: String, labelCol: String,
+      vocabSize: Int = 200000): org.apache.spark.sql.DataFrame = {
+    val tok = labeled.select(col(labelCol).cast("int").as("__pos"),
+      explode(tokens(col(textCol))).as("token"))
+    val cnt = tok.groupBy("token").agg(
+      sum(col("__pos").cast("bigint")).as("pc"),
+      sum(lit(1L) - col("__pos")).as("nc"))
+    // class masses over ALL tokens (not just the kept vocab): the ppm
+    // denominators must not move when vocabSize changes, or two models
+    // trained at different caps score the shared head differently
+    val mass = cnt.agg(
+      greatest(sum("pc"), lit(1L)).as("__pm"),
+      greatest(sum("nc"), lit(1L)).as("__nm"))
+    // top-V via orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-V, then merge) — never the single-task global-window sort a
+    // row_number rank would plan over a web-scale distinct-token table
+    val ranked = cnt
+      .orderBy((col("pc") + col("nc")).desc, col("token"))
+      .limit(vocabSize)
+    ranked.crossJoin(broadcast(mass))
+      .select(col("token"), col("pc"), col("nc"),
+        (expr("pc * 1000000 div __pm") -
+          expr("nc * 1000000 div __nm")).as("weight"))
+  }
+
+  /** Score documents against a [[contrastModelTrain]] model: per doc,
+    * `score = Σ count(token) · weight(token)` over model tokens
+    * (unseen tokens contribute 0), `pred = 1` iff score > 0 — the
+    * classify-then-filter gate. Output (id, n_tokens, score, pred);
+    * `n_tokens` counts ALL tokens, giving the caller a length-
+    * normalized margin if wanted (integer-exact as-is).
+    *
+    * Scale shape: one tokenize pass to (doc, distinct-token) grain,
+    * then a BROADCAST join against the capped model — no corpus
+    * shuffle beyond the per-doc aggregate. */
+  def contrastClassifierScore(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      model: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val occ = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("k"))
+    val perDoc = occ.join(broadcast(model.select("token", "weight")),
+        Seq("token"), "left")
+      .groupBy(idCol).agg(sum("k").as("n_tokens"),
+        sum(col("k") * coalesce(col("weight"), lit(0L))).as("score"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).cast("int").as("pred"))
+  }
+
   def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
       lmCorpus: Option[org.apache.spark.sql.DataFrame] = None):

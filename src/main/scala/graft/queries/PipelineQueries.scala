@@ -283,6 +283,20 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // TRAINED linear classifier (fastText-style quality/domain gate):
+    // train the frequency-contrast model on the corpus labeled
+    // lang='en', score every doc, emit the classify-then-filter
+    // columns. Integer ppm weights end to end — hash-exact vs the
+    // oracle's identical arithmetic.
+    "q_t_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = T.contrastModelTrain(
+        docs.withColumn("__lab", (col("lang") === "en").cast("int")),
+        "text", "__lab", vocabSize = 200)
+      T.contrastClassifierScore(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // Language ID (stopword-hit argmax heuristic), per document.
     "q_t_langid" -> ((s, d) => {
       Tables.documents(s, d)
@@ -2243,6 +2257,35 @@ object PipelineQueries {
         |LEFT JOIN c2 ON b.doc_id = c2.doc_id
         |LEFT JOIN c3 ON b.doc_id = c3.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // identical integer arithmetic to contrastModelTrain/Score: ppm
+    // weights by floor division (// == Spark div on non-negatives),
+    // top-200 vocab by (count DESC, token ASC) — a total order, so the
+    // kept set matches Spark's TakeOrdered bit-exactly
+    "q_t_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |c AS (SELECT token, sum(pos) AS pc, sum(1 - pos) AS nc
+        |      FROM t GROUP BY 1),
+        |m AS (SELECT greatest(sum(pc), 1) AS pm, greatest(sum(nc), 1) AS nm
+        |      FROM c),
+        |v AS (SELECT token, pc, nc FROM c
+        |      ORDER BY pc + nc DESC, token LIMIT 200),
+        |w AS (SELECT token,
+        |        (pc * 1000000 // pm) - (nc * 1000000 // nm) AS weight
+        |      FROM v, m),
+        |occ AS (SELECT doc_id, token, count(*) AS k FROM t GROUP BY 1, 2),
+        |sc AS (SELECT o.doc_id, sum(o.k) AS n_tokens,
+        |         sum(o.k * coalesce(w.weight, 0)) AS score
+        |       FROM occ o LEFT JOIN w ON o.token = w.token GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+        |  CAST(coalesce(sc.score, 0) > 0 AS INT) AS pred
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_t_quality" ->
       s"""WITH t AS (
         |  SELECT source,

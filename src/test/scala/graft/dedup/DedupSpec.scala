@@ -31,6 +31,35 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed ${(exactPairs -- lsh).size} of ${exactPairs.size} pairs")
   }
 
+  test("minhash LSH with a precomputed bucket table matches the computed path") {
+    import spark.implicits._
+    // exercises BOTH precomputed branches: NFD twin (fold + exact-
+    // collapse engage -> reps semi-join) and plain near-dups
+    val nfd = java.text.Normalizer.normalize("menu du café gamma delta",
+      java.text.Normalizer.Form.NFD)
+    val corpus = Seq(
+      (1L, "menu du café gamma delta"), (2L, nfd),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"),
+      (5L, "totally unrelated words here")).toDF("doc_id", "text")
+    def pairs(pre: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3,
+          numHashes = 64, bands = 16, threshold = 0.3,
+          precomputedBuckets = pre)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    // the caller's contract: bandBuckets over the SAME nfc-folded text
+    val folded = corpus.withColumn("text",
+      graft.plans.NormalizeTextExpr.normalizeText(spark, col("text")))
+    val pre = Dedup.bandBuckets(folded, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16).cache()
+    val computed = pairs(None)
+    assert(computed.contains((1L, 2L)) && computed((1L, 2L)) == 1.0)
+    assert(computed.keySet.contains((3L, 4L)))
+    assert(pairs(Some(pre)) == computed)
+    pre.unpersist()
+  }
+
   test("fingerprint folds NFC: precomposed/decomposed twins share a group") {
     import spark.implicits._
     val corpus = Seq(
