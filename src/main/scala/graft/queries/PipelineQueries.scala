@@ -1272,6 +1272,19 @@ object PipelineQueries {
         .orderBy("label")
     }),
 
+    // JL random projection 64 -> 16 (seed-derived portable ±1 sign
+    // matrix, per-row ordered fold): scaled-integer projections,
+    // hash-exact vs the oracle's identical arithmetic.
+    "q_emb_project" -> ((s, d) => {
+      Similarity.randomProjection(Tables.embeddings(s, d), "embedding",
+          dIn = 64, dOut = 16)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("pos", "y")))
+        .select(col("vec_id"), col("pos"),
+          round(col("y") * 1000000, 0).cast("long").as("proj_x1e6"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // Per-label centroids at component grain, integer-exact.
     "q_emb_centroids" -> ((s, d) => {
       Similarity.centroids(Tables.embeddings(s, d), "embedding", "label")
@@ -3286,6 +3299,35 @@ object PipelineQueries {
         |  CAST(sum(norm_x1e6) AS BIGINT) AS sum_norm_x1e6,
         |  min(norm_x1e6) AS min_norm_x1e6, max(norm_x1e6) AS max_norm_x1e6
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    // the sign matrix rebuilt from the seed by the same md5-hex fold,
+    // the projection re-run as the same ordered double fold — bit-
+    // identical IEEE sequence, so the x1e6 rounding is hash-exact
+    "q_emb_project" ->
+      """WITH sgn AS (
+        |  SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+        |    CASE WHEN CAST(list_sum(list_transform(range(8),
+        |        k -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('rp:0:' || i || ':' || j),
+        |                 CAST(k+1 AS INT), 1)) - 1 AS BIGINT)
+        |             * (CAST(1 AS BIGINT) << (4*(7-CAST(k AS INT))))))
+        |        % 2 AS BIGINT) = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+        |    END AS s
+        |  FROM range(16) tj(j), range(64) ti(i)),
+        |m AS (SELECT list(s ORDER BY j*64 + i) AS sl FROM sgn),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, CAST(j AS INT) AS pos,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(64),
+        |        i -> sl[CAST(j*64 + i + 1 AS INT)]
+        |             * v[CAST(i + 1 AS INT)])),
+        |      (a, b) -> a + b) AS y
+        |  FROM e, m, range(16) tj(j))
+        |SELECT vec_id, pos,
+        |  CAST(round(y * 1000000, 0) AS BIGINT) AS proj_x1e6
+        |FROM p ORDER BY vec_id, pos""".stripMargin,
     "q_emb_centroids" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

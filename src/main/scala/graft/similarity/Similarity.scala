@@ -1024,4 +1024,54 @@ object Similarity {
       .toDF()
       .select("id_a", "id_b", "sim")
   }
+
+  /** Engine-portable 32-bit value of an md5 digest's first 8 hex
+    * chars — the same fold any SQL engine reproduces from `md5(s)`
+    * (see [[graft.functions.Dsir.featureBucket]] for the column-side
+    * twin). */
+  private def md5Fold32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Integer.toUnsignedLong(
+      java.nio.ByteBuffer.wrap(d, 0, 4).getInt)
+  }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION for embedding
+    * dimensionality reduction (Achlioptas 2003, "Database-friendly
+    * random projections": a dense ±1 sign matrix preserves pairwise
+    * distances within 1±ε at dOut = O(log n / ε²)) — the standard
+    * pre-ANN shrink for a 100 TB embedding corpus: project once
+    * (e.g. 768 → 64), then index/cluster/dedup in the small space at
+    * a fraction of the IO and FLOPs, re-scoring survivors in the
+    * original space if exactness matters.
+    *
+    * The sign matrix is DERIVED, never stored or shipped:
+    * `sign(i, j) = parity of the md5-hex fold of "rp:<seed>:<i>:<j>"`
+    * — any engine (including the DuckDB oracle) reproduces the exact
+    * matrix from the seed alone, and executors get it as an inlined
+    * literal coefficient array, so there is no broadcast and no
+    * randomness to coordinate. Per row the projection is a sequential
+    * left-fold in index order — the same IEEE op sequence in any
+    * engine, so downstream scaled-integer checks are hash-exact.
+    * Zero-shuffle: one codegen'd HOF per row.
+    *
+    * Output column: `array<double>` of length `dOut`, the raw signed
+    * sums (callers wanting the JL isometry scale by 1/sqrt(dOut)
+    * themselves — keeping raw sums keeps the arithmetic
+    * engine-exact). */
+  def randomProjection(df: DataFrame, vecCol: String, dIn: Int,
+      dOut: Int, seed: Long = 0L,
+      outCol: String = "projected"): DataFrame = {
+    require(dIn > 0 && dOut > 0, "dimensions must be positive")
+    val signs: Seq[Double] = (0 until dOut * dIn).map { k =>
+      val j = k / dIn; val i = k % dIn
+      if ((md5Fold32(s"rp:$seed:$i:$j") & 1L) == 0L) 1.0 else -1.0
+    }
+    val sLit = typedLit(signs)
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(dOut - 1)), j =>
+        aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0), (acc, i) =>
+          acc + element_at(sLit, j * dIn + i + 1) *
+            element_at(col(vecCol), i + 1).cast("double"))))
+  }
 }
