@@ -1346,6 +1346,34 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // JL recall as a served observable — the SHORTLIST-THEN-RERANK
+    // production shape: exact cosine top-10 in the ORIGINAL 64-dim
+    // space vs how many of those true neighbors survive into the
+    // top-100 shortlist ranked in the 2x-smaller PROJECTED space
+    // (where the corpus scan is the cheap leg; survivors re-score in
+    // the original space). All-integer output; the oracle recomputes
+    // both rankings AND the sign matrix. Honest values 4-10/10 on
+    // this near-tie synthetic corpus at sf0.01.
+    "q_sim_rp_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val proj = Similarity.randomProjection(e, "embedding",
+        dIn = 64, dOut = 32)
+      val ex = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+      val ap = Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") < 10), proj, "vec_id", "projected",
+        k = 100)
+      val hits = ex.select("query_id", "neighbor_id")
+        .join(ap.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("query_id")
+    }),
+
     // LSH (sign-random-projection) approximate top-5 — the scale path.
     // Plane constants aren't portable to DuckDB, so the oracle checks
     // the CONTRACT at verified-exhaustive parameters: planes=3 x
@@ -3560,6 +3588,60 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // both rankings recomputed: exact cosine in the original space,
+    // cosine in the md5-fold-rebuilt projected space — identical 4dp
+    // rounding + (sim DESC, id ASC) tie-break, so both top-10 SETS
+    // match Spark's bounded-heap output exactly
+    "q_sim_rp_recall" ->
+      """WITH sgn AS (
+        |  SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+        |    CASE WHEN CAST(list_sum(list_transform(range(8),
+        |        k -> CAST(strpos('0123456789abcdef',
+        |               substr(md5('rp:0:' || i || ':' || j),
+        |                 CAST(k+1 AS INT), 1)) - 1 AS BIGINT)
+        |             * (CAST(1 AS BIGINT) << (4*(7-CAST(k AS INT))))))
+        |        % 2 AS BIGINT) = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+        |    END AS s
+        |  FROM range(32) tj(j), range(64) ti(i)),
+        |m AS (SELECT list(s ORDER BY j*64 + i) AS sl FROM sgn),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |p AS (
+        |  SELECT vec_id,
+        |    list_transform(range(32), j ->
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(64),
+        |          i -> sl[CAST(j*64 + i + 1 AS INT)]
+        |               * v[CAST(i + 1 AS INT)])),
+        |        (a, b) -> a + b)) AS pv
+        |  FROM e, m),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+        |          c.vec_id) AS rank
+        |    FROM e q CROSS JOIN e c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |ap AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.pv, c.pv), 4) DESC,
+        |          c.vec_id) AS rank
+        |    FROM p q CROSS JOIN p c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 100),
+        |h AS (SELECT ex.query_id, count(*) AS n_hit
+        |      FROM ex JOIN ap USING (query_id, neighbor_id)
+        |      GROUP BY 1),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+        |FROM ne LEFT JOIN h USING (query_id)
+        |ORDER BY ne.query_id""".stripMargin,
     // ANN oracles: at the query's verified-exhaustive parameters the
     // approximate output equals the brute-force top-k (see comments on
     // the defs), so the exact SQL is the oracle for both.
