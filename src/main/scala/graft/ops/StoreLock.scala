@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Loud SINGLE-WRITER enforcement for the durable parquet stores
@@ -15,62 +15,180 @@ import org.apache.spark.sql.SparkSession
   * around the mutate-and-swap, so the second concurrent writer throws
   * instead of corrupting the store.
   *
-  * Lease, not lock: a writer that died holding the file must not
-  * brick the store, so a holder older than `ttlMs` is considered
-  * stale and broken (one reclaim attempt — the rename-to-tombstone
-  * makes the reclaim itself single-winner). TTL must exceed the
-  * longest expected mutation; the default 30 min bounds demo-scale
-  * ingests by orders of magnitude, and production passes its own.
+  * Lease, not lock — three liveness mechanisms compose:
   *
-  * S3-family object stores lack atomic create-if-absent; there the
-  * lease degrades to advisory (two racing creates can both "win").
-  * The recommended 100 TB layout runs ingests from one scheduler
-  * slot anyway — the lease is the backstop that turns an accidental
-  * double-schedule into an exception instead of silent row
-  * duplication.
+  *   - OWNERSHIP TOKEN: the lease file's first line is a per-acquire
+  *     UUID. Release deletes the file only while it still carries OUR
+  *     token — a holder whose lease was reclaimed (it should never
+  *     happen to a live one, see heartbeat) cannot delete the NEW
+  *     holder's lease on exit; it throws instead, because its own
+  *     mutation raced an unknown writer and must not report success.
+  *   - HEARTBEAT: while `body` runs, a daemon thread touches the
+  *     lease mtime every ttl/4 — a LIVE holder is never stale no
+  *     matter how long the mutation runs (the round-8 TTL concern:
+  *     clusterTableInit at 100 TB can legitimately outlive any fixed
+  *     TTL), so the TTL only has to bound detection of a DEAD one.
+  *   - VERIFIED RECLAIM: a lease older than `ttlMs` marks a dead
+  *     holder. The reclaim renames it to a tombstone (atomic,
+  *     single-winner) and then VERIFIES the tombstone still carries
+  *     the token observed stale — two contenders racing the same
+  *     stale lease could otherwise interleave so that the slower
+  *     rename steals the FRESH lease the faster reclaimer just
+  *     created (the round-8 advisory race). On token mismatch the
+  *     stolen lease is renamed straight back and the contender
+  *     re-contends against it like any other writer.
+  *
+  * S3-family object stores lack atomic create-if-absent and atomic
+  * rename; there the lease degrades to advisory (two racing creates
+  * can both "win"). The recommended 100 TB layout runs ingests from
+  * one scheduler slot anyway — the lease is the backstop that turns
+  * an accidental double-schedule into an exception instead of silent
+  * row duplication, and the store-epoch check
+  * ([[graft.ops.MergeUpsert.replacePartitions]] callers) is the
+  * optimistic-concurrency backstop behind THAT.
   */
 object StoreLock {
 
   /** Run `body` holding the lease at `<storePath>.lock`. Throws
-    * [[IllegalStateException]] if another live writer holds it. */
+    * [[IllegalStateException]] if another live writer holds it, or —
+    * after `body` succeeded — if our lease no longer carries our
+    * token at release time (a concurrent writer reclaimed it
+    * mid-mutation, so the mutation cannot be trusted as sole-writer). */
   def withLock[T](ss: SparkSession, storePath: String,
       ttlMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val lock = new Path(storePath.stripSuffix("/") + ".lock")
     val fs = lock.getFileSystem(ss.sessionState.newHadoopConf())
-    acquire(fs, lock, ttlMs, reclaimTried = false)
-    try body
-    finally fs.delete(lock, false)
+    val token = java.util.UUID.randomUUID().toString
+    acquire(fs, lock, ttlMs, token, reclaimTried = false)
+    val hb = startHeartbeat(fs, lock, ttlMs)
+    var bodyOk = false
+    try {
+      val r = body
+      bodyOk = true
+      r
+    } finally {
+      hb.interrupt()
+      release(fs, lock, token, bodyOk)
+    }
   }
 
-  private def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
-      ttlMs: Long, reclaimTried: Boolean): Unit = {
-    val holderNote =
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+  /** First line of the lease: the acquire token; second line: a
+    * human-readable holder note for the contention message. */
+  private def leaseBytes(token: String): Array[Byte] =
+    (token + "\n" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "\n").getBytes("UTF-8")
+
+  private def readLease(fs: FileSystem, p: Path): Option[(String, String)] =
+    try {
+      val in = fs.open(p)
+      val all =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = all.split("\n", 2)
+      Some((lines.head.trim,
+        if (lines.length > 1) lines(1).trim else ""))
+    } catch { case _: Exception => None }
+
+  /** Touch the lease mtime every ttl/4 while the mutation runs — a
+    * live holder never goes stale. Daemon + interrupt-to-stop; a
+    * failed touch (fs hiccup) is retried at the next tick, and three
+    * missed ticks still leave one ttl/4 margin before staleness. */
+  private def startHeartbeat(fs: FileSystem, lock: Path,
+      ttlMs: Long): Thread = {
+    val interval = math.max(1000L, ttlMs / 4)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$lock")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Delete the lease ONLY if it still carries our token. A missing
+    * or foreign-token lease means a concurrent contender reclaimed us
+    * mid-mutation (with the heartbeat that takes a multi-TTL process
+    * pause): if `body` succeeded we throw — the mutation raced an
+    * unknown writer and must not report clean success; if `body`
+    * already failed, the original exception must not be masked, so we
+    * only log. Never deletes another holder's lease either way. */
+  private def release(fs: FileSystem, lock: Path, token: String,
+      bodyOk: Boolean): Unit = {
+    val current = readLease(fs, lock)
+    if (current.exists(_._1 == token)) { fs.delete(lock, false); return }
+    val what = current match {
+      case None => "the lease file is gone"
+      case Some((t, holder)) =>
+        s"the lease now carries token '$t' (holder '$holder')"
+    }
+    val msg = s"store lease $lock was reclaimed while this writer " +
+      s"(token '$token') was still mutating — $what. A concurrent " +
+      "writer treated this one as dead (multi-TTL pause?); the " +
+      "mutation raced it and the store must be checked before trust."
+    if (bodyOk) throw new IllegalStateException(msg)
+    else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+  }
+
+  /** Break a lease observed stale (its token at observation time was
+    * `observed`): rename-to-tombstone (atomic, single-winner), then
+    * VERIFY the tombstone still carries the observed token — the
+    * loser of two contenders racing the same stale lease can
+    * otherwise steal the FRESH lease the winner just created. On
+    * mismatch the stolen lease is renamed straight back; the caller
+    * re-contends against it like any other writer. Package-private
+    * for the race-interleaving spec. */
+  private[ops] def breakStaleLease(fs: FileSystem, lock: Path,
+      observed: Option[String]): Unit = {
+    val tomb = new Path(lock.getParent,
+      "." + lock.getName + ".stale-" + java.util.UUID.randomUUID())
+    if (fs.rename(lock, tomb)) {
+      val tombToken = readLease(fs, tomb).map(_._1)
+      if (tombToken == observed) fs.delete(tomb, false)
+      else {
+        // we renamed a FRESH lease out from under its holder — put it
+        // straight back and let the caller re-contend against it
+        if (!fs.rename(tomb, lock)) {
+          // a third contender created yet another lease inside the
+          // restore window; restoring without clobbering is now
+          // impossible — fail loudly with the recovery path
+          throw new IllegalStateException(
+            s"lease reclaim race at $lock: a live lease was renamed " +
+              s"to $tomb and could not be restored (another lease " +
+              "appeared meanwhile). Manual recovery: inspect " +
+              s"$tomb and the current lease, keep exactly one.")
+        }
+      }
+    }
+  }
+
+  private def acquire(fs: FileSystem, lock: Path, ttlMs: Long,
+      token: String, reclaimTried: Boolean): Unit = {
     try {
       // overwrite=false: atomic create-or-throw — the mutual exclusion
       val out = fs.create(lock, false)
-      try out.write(holderNote.getBytes("UTF-8")) finally out.close()
+      try out.write(leaseBytes(token)) finally out.close()
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
           _: java.io.IOException if fs.exists(lock) =>
+        // snapshot the CONTENDED lease: the token identifies exactly
+        // which lease we observed stale, so the reclaim below can
+        // verify it broke that one and not a fresh replacement
+        val observed = readLease(fs, lock).map(_._1)
         val ageMs = System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime
         if (ageMs > ttlMs && !reclaimTried) {
-          // stale holder: break the lease ONCE via rename-to-tombstone
-          // (single-winner — the loser's rename returns false and it
-          // re-contends on the fresh lock like any other writer)
-          val tomb = new Path(lock.getParent,
-            "." + lock.getName + ".stale-" + java.util.UUID.randomUUID())
-          if (fs.rename(lock, tomb)) fs.delete(tomb, false)
-          acquire(fs, lock, ttlMs, reclaimTried = true)
+          breakStaleLease(fs, lock, observed)
+          acquire(fs, lock, ttlMs, token, reclaimTried = true)
         } else {
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in, "UTF-8")
-                .mkString.trim
-              finally in.close()
-            } catch { case _: Exception => "<unreadable>" }
+          val holder = readLease(fs, lock)
+            .map { case (t, h) => if (h.nonEmpty) h else t }
+            .getOrElse("<unreadable>")
           throw new IllegalStateException(
             s"store at ${lock.toString.stripSuffix(".lock")} is being " +
               s"mutated by another writer (lease $lock, holder " +
