@@ -677,14 +677,16 @@ object Similarity {
     // index predating the train.meta pin retrains at the current
     // count (old behavior) and writes the pin for the next pass.
     val nNow = codes.count()
-    val kCells = (try {
+    val pinned: Option[(Long, Int)] = try {
       val r = spark.read.parquet(path + "/train.meta").head()
-      val (n0, c0) = (r.getAs[Long]("n"), r.getAs[Int]("cells"))
-      if (n0 > 0 && nNow >= 4L * n0)
+      Some((r.getAs[Long]("n"), r.getAs[Int]("cells")))
+    } catch { case _: Exception => None }
+    val kCells = (pinned match {
+      case Some((n0, c0)) if n0 > 0 && nNow >= 4L * n0 =>
         math.max(nCells,
           math.round(c0 * math.sqrt(nNow.toDouble / n0)).toInt)
-      else nCells
-    } catch { case _: Exception => nCells }).min(nNow.toInt.max(1))
+      case _ => nCells
+    }).min(nNow.toInt.max(1))
     if (kCells != nCells)
       log.info(s"ivfIndexMaintain: adaptive retrain $nCells -> $kCells " +
         s"cells ($nNow postings)")
@@ -732,13 +734,19 @@ object Similarity {
         s"ivfIndexMaintain: could not move the retrained centroids " +
           s"into place — the prior centroids are intact at $centOld")
     fs.delete(centOld, true)
-    // re-pin the training size at the retrained count — the next
-    // maintain's growth ratio starts from HERE. Plain overwrite: a
+    // re-pin the training size ONLY when the cell count actually
+    // changed (or no pin existed yet): a maintain that merely
+    // re-placed centroids must keep the prior (n0, c0) baseline, so
+    // the growth ratio stays CUMULATIVE since the last resize —
+    // re-pinning every maintain would reset the 4x hysteresis each
+    // pass and sub-4x-per-maintain growth would never trigger a
+    // resize despite unbounded cumulative growth. Plain overwrite: a
     // crash in its delete-then-write window only costs the pin (the
     // next maintain falls back to the fixed count and re-writes it),
     // never the index.
-    Seq((nNow, kCells)).toDF("n", "cells")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/train.meta")
+    if (kCells != nCells || pinned.isEmpty)
+      Seq((nNow, kCells)).toDF("n", "cells")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/train.meta")
     val after = meanRecall()
     log.info(f"ivfIndexMaintain: retrained $path — recall@$k " +
       f"$before%.4f -> $after%.4f")

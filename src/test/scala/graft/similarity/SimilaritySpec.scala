@@ -392,6 +392,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == ((0L until 80L) ++ (1000L until 1800L)).sorted)
   }
 
+  test("ivfIndexMaintain: a no-resize retrain keeps the training-size " +
+      "pin, so sub-4x growth per maintain still accumulates to a resize") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("ivf-pin-spec").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val baseA = (0 until 40).map(i => (i.toLong,
+      Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))))
+    val baseB = (40 until 80).map(i => (i.toLong,
+      Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3))))
+    Similarity.ivfIndexBuild((baseA ++ baseB).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCells = 3, iters = 3, path = path)
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    val queries = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    // append 1: growth 240/80 = 3x < 4x -> retrain WITHOUT resize
+    Similarity.ivfIndexAppend((1000 until 1160).map(i => (i.toLong, deltaVec(i)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path = path)
+    val r1 = Similarity.ivfIndexMaintain(queries, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 1.0, iters = 3)
+    assert(r1.retrained, f"expected retrain: recall=${r1.recallBefore}%.4f")
+    assert(spark.read.parquet(path + "/centroids").count() == 3L,
+      "3x growth must NOT resize (hysteresis)")
+    // THE FIX: the no-resize retrain must keep the (80, 3) baseline —
+    // re-pinning (240, 3) here would reset the growth ratio and a
+    // steady sub-4x-per-maintain stream would never resize
+    val m1 = spark.read.parquet(path + "/train.meta").head()
+    assert(m1.getAs[Long]("n") == 80L && m1.getAs[Int]("cells") == 3,
+      s"pin was reset on a no-resize retrain: (${m1.get(0)}, ${m1.get(1)})")
+    // append 2: cumulative growth 340/80 = 4.25x >= 4x -> the NEXT
+    // maintain resizes to round(3 * sqrt(340/80)) = 6 cells. The new
+    // cluster must degrade nProbe=1 recall again, so it is placed ON
+    // the Voronoi boundary between two of the RETRAINED centroids
+    // (read back from the index — the retrain landed them wherever
+    // Lloyd did), members spread symmetrically across it.
+    val cents = spark.read.parquet(path + "/centroids").collect()
+      .map(_.getSeq[Any](1).map(_.toString.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val (ci, cj) = (for {
+      i <- cents.indices; j <- cents.indices if i < j
+      mid = cents(i).zip(cents(j)).map { case (x, y) => x + y }
+      if cents.indices.filter(k => k != i && k != j)
+        .forall(k => dot(mid, cents(k)) <
+          math.max(dot(mid, cents(i)), dot(mid, cents(j))))
+    } yield (cents(i), cents(j))).head
+    val mid = ci.zip(cj).map { case (x, y) => (x + y) / 2 }
+    val axis = ci.zip(cj).map { case (x, y) => x - y }
+    def onBoundary(s: Double): Array[Float] =
+      mid.zip(axis).map { case (m, a) => (m + s * a).toFloat }
+    Similarity.ivfIndexAppend((1160 until 1260).map(i =>
+        (i.toLong, onBoundary(((i % 9) - 4) * 0.02)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path = path)
+    val queries2 = (3000 until 3010).map(i =>
+        (i.toLong, onBoundary(((i % 3) - 1) * 0.005)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.ivfIndexMaintain(queries2, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 1.0, iters = 3)
+    assert(r2.retrained, f"expected retrain: recall=${r2.recallBefore}%.4f")
+    assert(spark.read.parquet(path + "/centroids").count() == 6L,
+      "cumulative 4.25x growth must resize 3 -> 6 cells")
+    val m2 = spark.read.parquet(path + "/train.meta").head()
+    assert(m2.getAs[Long]("n") == 340L && m2.getAs[Int]("cells") == 6,
+      s"resize must advance the pin: (${m2.get(0)}, ${m2.get(1)})")
+  }
+
   test("retrievalEval: hand-computed MRR/hits/recall, zero-hit query") {
     import spark.implicits._
     // q1: relevant {10, 11, 12}; system ranks 11 at 2, 12 at 4 -> frr 2,
