@@ -225,12 +225,29 @@ object Bpe {
     merges.toSeq
   }
 
+  /** APPLY a trained merge list through the NATIVE kernel
+    * ([[graft.plans.BpeSegmentExpr]]): one codegen'd expression whose
+    * plan size is independent of the vocabulary, vs [[segment]]'s one
+    * nested `transform` per merge (a ~30k-deep Catalyst tree at a
+    * production vocabulary — analyzer stack overflow or codegen
+    * collapse). Identical output schema and bit-identical symbols
+    * (spec-asserted merge-for-merge against [[segment]]); `segment`
+    * remains as the small-vocab oracle twin. */
+  def segmentFast(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("bpe_symbols",
+        graft.plans.BpeSegmentExpr.bpeSegment(df.sparkSession,
+          col(textCol), merges))
+      .withColumn("n_symbols", size(col("bpe_symbols")).cast("long"))
+
   /** APPLY a trained merge list: segment each word of `textCol` into
     * its BPE symbols (rank-ordered replaces over the wrapped string —
     * each merge is one codegen'd `replace`, chained in-plan; no UDF,
     * no driver loop over rows). Returns the input plus
     * `bpe_symbols array<string>` (all words' symbols, in order) and
-    * `n_symbols`. */
+    * `n_symbols`. Plan depth grows with the merge COUNT — fine for
+    * demo vocabularies and as [[segmentFast]]'s oracle twin; use
+    * [[segmentFast]] for production merge lists. */
   def segment(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = when(length(trim(col(textCol))) === 0,

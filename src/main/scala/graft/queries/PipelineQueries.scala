@@ -117,6 +117,26 @@ object PipelineQueries {
         .orderBy("merge_rank")
     }),
 
+    // BPE tokenizer APPLICATION through the NATIVE kernel
+    // (BpeSegmentExpr): train 24 merges, then segment the whole corpus
+    // in ONE plan node whose size is independent of the vocabulary
+    // (the nested-transform twin hits the analyzer's 100-iteration
+    // wall past ~100 merges). The oracle re-derives the same 24
+    // merges via the unrolled replace chain; its w25 table IS each
+    // word's segmentation, joined back to every document's word
+    // stream. md5 over the per-doc symbol stream pins the exact
+    // symbols byte-for-byte.
+    "q_t_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val merges = graft.functions.Bpe.train(docs, "text", numMerges = 24)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Bpe.segmentFast(docs, "text", merges)
+        .select(col("doc_id"), col("n_symbols"),
+          md5(array_join(col("bpe_symbols"), "\u001e")).as("sym_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021 A1): duplicate
     // -token fraction + top-2/3-gram fraction quality gates. Outputs
     // are exact integer counts and an integer-math pass flag — nothing
@@ -1944,14 +1964,20 @@ object PipelineQueries {
     * application one `replace`, so DuckDB re-derives the whole merge
     * sequence independently. Generated (mechanical per round), not
     * hand-maintained. */
-  private def bpeOracle(n: Int): String = {
+  /** The shared training-replay CTE chain: `w1` (word table) through
+    * `w{n+1}` (the word table AFTER all n merges — i.e. the trained
+    * SEGMENTATION of every corpus word) plus the per-round argmax
+    * tables `b1..bn`. `throughFinal` controls whether the last
+    * round's applied table `w{n+1}` is emitted (the segmentation
+    * oracle needs it; the training oracle stops at `bn`). */
+  private def bpeCtes(n: Int, throughFinal: Boolean): Seq[String] = {
     def syms(s: String) =
       s"string_split(trim($s, chr(31)), chr(31)||chr(31))"
     def pairs(s: String) =
       s"""list_transform(range(len(${syms(s)}) - 1),
          |      i -> ${syms(s)}[i+1] || chr(31) || ${syms(s)}[i+2])""".stripMargin
     val ctes = scala.collection.mutable.ArrayBuffer(
-      """w1 AS (
+      """w1 AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
         |    chr(31) || array_to_string(list_transform(range(length(word)),
         |      i -> substr(word, CAST(i+1 AS INT), 1)), chr(31)||chr(31)) || chr(31) AS s
@@ -1959,13 +1985,18 @@ object PipelineQueries {
         |        FROM documents WHERE length(trim(text)) > 0)
         |  WHERE word <> '' GROUP BY word)""".stripMargin)
     for (r <- 1 to n) {
-      ctes += s"""p$r AS (
+      ctes += s"""p$r AS MATERIALIZED (
         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
         |  FROM (SELECT cnt, unnest(${pairs("s")}) AS pair FROM w$r)
         |  GROUP BY pair)""".stripMargin
-      ctes += s"b$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pair, c " +
-        s"FROM p$r ORDER BY c DESC, pair LIMIT 1)"
-      if (r < n) ctes += s"""w${r + 1} AS (
+      // MATERIALIZED everywhere in the chain: DuckDB inlines a plain
+      // CTE at every reference, and w_r/p_r are referenced multiply
+      // per round — at 24 unrolled rounds the inlining is exponential
+      // (thousands of re-scans of the documents parquet; observed as
+      // fd exhaustion). Materialization makes each round one pass.
+      ctes += s"b$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS " +
+        s"merge_rank, pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1)"
+      if (r < n || throughFinal) ctes += s"""w${r + 1} AS MATERIALIZED (
         |  SELECT word, cnt, replace(s,
         |    chr(31) || string_split(pair, chr(31))[1] || chr(31) || chr(31)
         |      || string_split(pair, chr(31))[2] || chr(31),
@@ -1973,13 +2004,44 @@ object PipelineQueries {
         |      || string_split(pair, chr(31))[2] || chr(31)) AS s
         |  FROM w$r, b$r)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map(r =>
       s"SELECT merge_rank, string_split(pair, chr(31))[1] AS left_sym, " +
         s"string_split(pair, chr(31))[2] AS right_sym, c AS pair_count FROM b$r")
       .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") +
+    "WITH " + bpeCtes(n, throughFinal = false).mkString(",\n") +
       s"\nSELECT * FROM ($sel) ORDER BY merge_rank"
   }
+
+  /** Segmentation oracle: re-derive the n merges (same chain as
+    * [[bpeOracle]]), then `w{n+1}`.s IS each word's trained
+    * segmentation — join every document's word stream against it and
+    * flatten in word order. Output shape matches the engine's
+    * md5-over-symbol-stream summary. */
+  private def bpeSegmentOracle(n: Int): String =
+    "WITH " + bpeCtes(n, throughFinal = true).mkString(",\n") + s""",
+      |d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |dw AS (
+      |  SELECT doc_id, i AS ord, ws[CAST(i + 1 AS INT)] AS word
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM d)
+      |  WHERE ws[CAST(i + 1 AS INT)] <> ''),
+      |seg AS (
+      |  SELECT dw.doc_id, dw.ord,
+      |    string_split(trim(w.s, chr(31)), chr(31)||chr(31)) AS syms
+      |  FROM dw JOIN w${n + 1} w USING (word)),
+      |agg AS (
+      |  SELECT doc_id, flatten(list(syms ORDER BY ord)) AS syms
+      |  FROM seg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(len(a.syms), 0) AS BIGINT) AS n_symbols,
+      |  md5(coalesce(array_to_string(a.syms, chr(30)), '')) AS sym_md5
+      |FROM d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The q_sim_ann_ivf_trained training replay (int8 quantize, seeds,
     * two Lloyd rounds, nProbe=2 probe, candidate scoring) as a
@@ -2086,6 +2148,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_t_bpe" -> bpeOracle(6),
+    "q_t_bpe_segment" -> bpeSegmentOracle(24),
     // both legs re-derived: the IVF replay chain (shared with
     // q_sim_ann_ivf_trained) AND the exact quantized top-3 relevance,
     // then the integer-bp metric arithmetic
