@@ -1135,17 +1135,21 @@ object Dedup {
       // modification times (s3a prefixes often read 0 or list-time),
       // which could reap the NEWEST batch instead of the oldest.
       // Only entries in this naming scheme participate in the
-      // keep-count sort: a store upgraded from the plain-UUID naming
+      // recency sort: a store upgraded from the plain-UUID naming
       // holds hex dirs that sort ABOVE `b<millis>-` (c..f > b), which
       // would keep the stale legacy dirs and reap the two NEWEST
-      // batches. Legacy dirs never count toward `keep` and are reaped
-      // outright — they predate this version, so the two-ingest
-      // retention window has necessarily lapsed for them.
+      // batches. Legacy dirs sort BELOW every named one (they predate
+      // the scheme, so they are older than any named batch) but still
+      // COUNT toward the keep window for one upgrade cycle: a lazy
+      // classified frame returned by a pre-upgrade ingest must stay
+      // consumable through the documented two-more-ingests window
+      // even when those two ingests straddle the naming upgrade.
       val (named, legacy) = fs.listStatus(root)
         .partition(_.getPath.getName.matches("b\\d{20}-.*"))
-      legacy.foreach(old => fs.delete(old.getPath, true))
-      named.sortBy(_.getPath.getName)(Ordering[String].reverse)
-        .drop(keep)
+      val newestFirst =
+        named.sortBy(_.getPath.getName)(Ordering[String].reverse) ++
+          legacy.sortBy(_.getPath.getName)(Ordering[String].reverse)
+      newestFirst.drop(keep)
         .foreach(old => fs.delete(old.getPath, true))
     }
     new Path(root, f"b${System.currentTimeMillis()}%020d-" +
@@ -1350,7 +1354,20 @@ object Dedup {
     * left join returns two store rows for that fingerprint on every
     * later drop. The at-least-once idempotence documented above covers
     * RE-delivery of the same drop, not concurrent distinct drops —
-    * run ingests from one scheduler slot, as a batch pipeline would. */
+    * run ingests from one scheduler slot, as a batch pipeline would.
+    *
+    * MIGRATION (breaking, loud): stores initialized before the
+    * fingerprint-version pin grew its IN-ROW leg (every store row now
+    * carries `nfc` alongside the `.meta` pin — the conjunction closes
+    * the crashed-re-init window where new-meta/old-rows would
+    * validate) fail this method's pin check with a "re-init the
+    * store" error. There is no in-place backfill BY DESIGN: rows
+    * without the pin might be EITHER fold's fingerprints (that
+    * ambiguity is the unsafe state the conjunction exists to reject),
+    * so stamping them from the meta would launder exactly the mix the
+    * check must catch. Re-run [[fingerprintStoreInit]] over the
+    * corpus once; the store is a derived artifact and rebuilds from
+    * the corpus it indexes. */
   def incrementalIngest(drop: DataFrame, idCol: String, textCol: String,
       storePath: String, compactAfterFiles: Int = 64,
       nfc: Boolean = true): DataFrame = {
@@ -1517,7 +1534,15 @@ object Dedup {
     * SINGLE WRITER: as with [[incrementalIngest]], ingests must be
     * serialized per store — two concurrent drops can each pass the
     * not-already-indexed check and append overlapping bucket rows,
-    * duplicating candidates on all later probes. */
+    * duplicating candidates on all later probes.
+    *
+    * MIGRATION (breaking, loud): the meta pin now includes
+    * `id_buckets` (the partitioned band-store layout), so stores
+    * initialized before the partitioned layout fail the pin read with
+    * a "re-init the store" error. No in-place upgrade: the flat
+    * layout's files would need a full rewrite into `ib=` partitions
+    * anyway — re-running [[lshStoreInit]] over the corpus IS that
+    * rewrite, minus a bespoke migration path to maintain. */
   def lshIncrementalIngest(drop: DataFrame, texts: DataFrame,
       idCol: String, textCol: String, storePath: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,

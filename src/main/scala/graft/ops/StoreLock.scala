@@ -43,9 +43,11 @@ import org.apache.spark.sql.SparkSession
   * can both "win"). The recommended 100 TB layout runs ingests from
   * one scheduler slot anyway — the lease is the backstop that turns
   * an accidental double-schedule into an exception instead of silent
-  * row duplication, and the store-epoch check
-  * ([[graft.ops.MergeUpsert.replacePartitions]] callers) is the
-  * optimistic-concurrency backstop behind THAT.
+  * row duplication, and the PER-MUTATION EPOCH (`<store>.epoch`,
+  * stamped on entry, re-verified at release) is the
+  * optimistic-concurrency backstop behind THAT: when two writers
+  * both slip past an advisory lease, the one whose stamp was
+  * overwritten fails loudly at release instead of reporting success.
   */
 object StoreLock {
 
@@ -53,13 +55,23 @@ object StoreLock {
     * [[IllegalStateException]] if another live writer holds it, or —
     * after `body` succeeded — if our lease no longer carries our
     * token at release time (a concurrent writer reclaimed it
-    * mid-mutation, so the mutation cannot be trusted as sole-writer). */
+    * mid-mutation), or if the MUTATION EPOCH at `<storePath>.epoch`
+    * no longer carries it (optimistic-concurrency backstop: every
+    * writer stamps the epoch on entry, so the stamp surviving to
+    * release proves no other writer entered mid-mutation — on
+    * object stores where create-if-absent degrades to advisory and
+    * an eventually-consistent lease read-back can serve OUR stale
+    * lease, the epoch overwrite is what still flips). Either way the
+    * mutation cannot be trusted as sole-writer and fails loudly
+    * instead of reporting clean success. */
   def withLock[T](ss: SparkSession, storePath: String,
       ttlMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val lock = new Path(storePath.stripSuffix("/") + ".lock")
+    val epoch = new Path(storePath.stripSuffix("/") + ".epoch")
     val fs = lock.getFileSystem(ss.sessionState.newHadoopConf())
     val token = java.util.UUID.randomUUID().toString
     acquire(fs, lock, ttlMs, token, reclaimTried = false)
+    stampEpoch(fs, epoch, token)
     val hb = startHeartbeat(fs, lock, ttlMs)
     var bodyOk = false
     try {
@@ -68,8 +80,19 @@ object StoreLock {
       r
     } finally {
       hb.interrupt()
-      release(fs, lock, token, bodyOk)
+      release(fs, lock, epoch, token, bodyOk)
     }
+  }
+
+  /** Stamp this mutation's epoch: last-writer-wins overwrite. The
+    * file persists between mutations (it is the previous winner's
+    * marker) — only the TOKEN matters, so a plain overwrite is
+    * enough; a torn write reads as a foreign token and fails the
+    * loud way. */
+  private def stampEpoch(fs: FileSystem, epoch: Path,
+      token: String): Unit = {
+    val out = fs.create(epoch, true)
+    try out.write((token + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** First line of the lease: the acquire token; second line: a
@@ -118,21 +141,37 @@ object StoreLock {
     * unknown writer and must not report clean success; if `body`
     * already failed, the original exception must not be masked, so we
     * only log. Never deletes another holder's lease either way. */
-  private def release(fs: FileSystem, lock: Path, token: String,
-      bodyOk: Boolean): Unit = {
+  private def release(fs: FileSystem, lock: Path, epoch: Path,
+      token: String, bodyOk: Boolean): Unit = {
+    // epoch FIRST: it detects a racer even when the lease read-back
+    // lies (object-store eventual consistency)
+    val epochNow = readLease(fs, epoch).map(_._1)
+    val epochMsg =
+      if (epochNow.contains(token)) None
+      else Some(s"mutation epoch $epoch no longer carries this " +
+        s"writer's token '$token' (now ${epochNow.fold("<gone>")(t => s"'$t'")}) — " +
+        "a concurrent writer entered mid-mutation and its writes " +
+        "interleaved with this one's; the store must be checked " +
+        "(and one mutation re-run) before trust.")
     val current = readLease(fs, lock)
-    if (current.exists(_._1 == token)) { fs.delete(lock, false); return }
-    val what = current match {
-      case None => "the lease file is gone"
-      case Some((t, holder)) =>
-        s"the lease now carries token '$t' (holder '$holder')"
-    }
-    val msg = s"store lease $lock was reclaimed while this writer " +
-      s"(token '$token') was still mutating — $what. A concurrent " +
-      "writer treated this one as dead (multi-TTL pause?); the " +
-      "mutation raced it and the store must be checked before trust."
-    if (bodyOk) throw new IllegalStateException(msg)
-    else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    val leaseMsg =
+      if (current.exists(_._1 == token)) None
+      else Some(s"store lease $lock was reclaimed while this writer " +
+        s"(token '$token') was still mutating — " +
+        (current match {
+          case None => "the lease file is gone"
+          case Some((t, holder)) =>
+            s"the lease now carries token '$t' (holder '$holder')"
+        }) +
+        ". A concurrent writer treated this one as dead (multi-TTL " +
+        "pause?); the mutation raced it and the store must be " +
+        "checked before trust.")
+    if (leaseMsg.isEmpty) fs.delete(lock, false)
+    (epochMsg.toSeq ++ leaseMsg.toSeq).reduceOption(_ + " ALSO: " + _)
+      .foreach { msg =>
+        if (bodyOk) throw new IllegalStateException(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
   }
 
   /** Break a lease observed stale (its token at observation time was

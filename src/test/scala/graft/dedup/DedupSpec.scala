@@ -518,6 +518,34 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("batch-dir retention: a legacy (pre-naming-scheme) dir survives " +
+      "the two-ingest consume window, then reaps; named dirs unaffected") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-legacybatch").toString + "/store"
+    Dedup.fingerprintStoreInit(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    // a pre-upgrade ingest's batch dir: plain-UUID naming, content a
+    // still-consumable classified frame (content irrelevant here)
+    val legacy = new java.io.File(dir + ".batch/" +
+      "c0ffee00-dead-beef-0000-000000000001")
+    assert(legacy.mkdirs())
+    def ingest(id: Long): Unit =
+      Dedup.incrementalIngest(Seq((id, s"text $id")).toDF("doc_id", "text"),
+        "doc_id", "text", dir).collect()
+    // the legacy dir counts toward the keep window: consumable through
+    // two post-upgrade ingests (the documented window), reaped by the third
+    ingest(100L)
+    assert(legacy.exists(), "legacy dir reaped by the FIRST post-upgrade ingest")
+    ingest(101L)
+    assert(legacy.exists(), "legacy dir reaped inside the consume window")
+    ingest(102L)
+    assert(!legacy.exists(), "legacy dir must reap once the window lapses")
+    // and the named dirs kept are the two NEWEST
+    val named = new java.io.File(dir + ".batch").listFiles()
+      .map(_.getName).sorted
+    assert(named.length == 3) // ingest 102's own dir + the kept 2
+  }
+
   test("clusterRepresentatives keeps the (score DESC, id ASC) argmax per cluster") {
     import spark.implicits._
     val labeled = Seq(

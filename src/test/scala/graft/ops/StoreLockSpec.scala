@@ -82,6 +82,32 @@ class StoreLockSpec extends AnyFunSuite {
     assert(!fsFor(new Path(store + ".lock")).exists(new Path(store + ".lock")))
   }
 
+  test("mutation epoch: an interleaved writer's stamp is detected at " +
+      "release even when the lease read-back still looks owned") {
+    val dir = graft.util.TempDirs.scoped("storelock-epoch").toString
+    val store = dir + "/store"
+    val lock = new Path(store + ".lock")
+    val epoch = new Path(store + ".epoch")
+    // the advisory-lease scenario: a second writer slipped past the
+    // lease (object-store create-if-absent not atomic), stamped the
+    // epoch, mutated, and restored/eventually-consistent-served OUR
+    // lease bytes — only the epoch betrays the interleaving
+    val ex = intercept[IllegalStateException] {
+      StoreLock.withLock(spark, store) {
+        val ours = readToken(lock)
+        writeLease(epoch, "racing-writer-token")
+        writeLease(lock, ours) // lease still reads as ours
+        "mutated"
+      }
+    }
+    assert(ex.getMessage.contains("epoch"), ex.getMessage)
+    assert(ex.getMessage.contains("concurrent writer entered mid-mutation"))
+    // a clean next mutation stamps its own epoch and succeeds
+    assert(StoreLock.withLock(spark, store) { 7 } == 7)
+    assert(readToken(epoch) != "racing-writer-token")
+    fsFor(epoch).delete(epoch, false)
+  }
+
   test("verified reclaim: breaking the lease observed stale succeeds; " +
       "breaking a lease that was swapped for a fresh one restores it") {
     val dir = graft.util.TempDirs.scoped("storelock-race").toString
