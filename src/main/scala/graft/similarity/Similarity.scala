@@ -1053,15 +1053,20 @@ object Similarity {
     * a fraction of the IO and FLOPs, re-scoring survivors in the
     * original space if exactness matters.
     *
-    * The sign matrix is DERIVED, never stored or shipped:
+    * The sign matrix is DERIVED, never stored:
     * `sign(i, j) = parity of the md5-hex fold of "rp:<seed>:<i>:<j>"`
     * — any engine (including the DuckDB oracle) reproduces the exact
-    * matrix from the seed alone, and executors get it as an inlined
-    * literal coefficient array, so there is no broadcast and no
-    * randomness to coordinate. Per row the projection is a sequential
-    * left-fold in index order — the same IEEE op sequence in any
-    * engine, so downstream scaled-integer checks are hash-exact.
-    * Zero-shuffle: one codegen'd HOF per row.
+    * matrix from the seed alone, so there is no randomness to
+    * coordinate. Small matrices (up to `broadcastCoeffThreshold`
+    * coefficients, default 64k — 768->64 sits under it) inline as a
+    * literal coefficient array in a codegen'd HOF; larger ones
+    * switch to the native [[graft.plans.RandomProjectExpr]], whose
+    * matrix rides the broadcast task binary instead of the plan
+    * (plan text stays O(1) in dIn*dOut). Both paths run the same
+    * sequential left-fold in index order — the same IEEE op sequence
+    * in any engine, bit-identical outputs (spec-asserted), so
+    * downstream scaled-integer checks are hash-exact either way.
+    * Zero-shuffle in both paths.
     *
     * Output column: `array<double>` of length `dOut`, the raw signed
     * sums (callers wanting the JL isometry scale by 1/sqrt(dOut)
@@ -1069,17 +1074,25 @@ object Similarity {
     * engine-exact). */
   def randomProjection(df: DataFrame, vecCol: String, dIn: Int,
       dOut: Int, seed: Long = 0L,
-      outCol: String = "projected"): DataFrame = {
+      outCol: String = "projected",
+      broadcastCoeffThreshold: Int = 65536): DataFrame = {
     require(dIn > 0 && dOut > 0, "dimensions must be positive")
-    val signs: Seq[Double] = (0 until dOut * dIn).map { k =>
-      val j = k / dIn; val i = k % dIn
-      if ((md5Fold32(s"rp:$seed:$i:$j") & 1L) == 0L) 1.0 else -1.0
+    if (dIn.toLong * dOut > broadcastCoeffThreshold) {
+      // large matrices ride the task binary inside the native
+      // expression instead of bloating the plan as a literal — same
+      // seed-derived matrix, same IEEE fold order, bit-identical
+      // output (RandomProjectExprSpec)
+      df.withColumn(outCol, graft.plans.RandomProjectExpr
+        .randomProject(df.sparkSession, col(vecCol), seed, dIn, dOut))
+    } else {
+      val signs: Seq[Double] =
+        graft.plans.RandomProjectExpr.signs(seed, dIn, dOut).toSeq
+      val sLit = typedLit(signs)
+      df.withColumn(outCol,
+        transform(sequence(lit(0), lit(dOut - 1)), j =>
+          aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0), (acc, i) =>
+            acc + element_at(sLit, j * dIn + i + 1) *
+              element_at(col(vecCol), i + 1).cast("double"))))
     }
-    val sLit = typedLit(signs)
-    df.withColumn(outCol,
-      transform(sequence(lit(0), lit(dOut - 1)), j =>
-        aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0), (acc, i) =>
-          acc + element_at(sLit, j * dIn + i + 1) *
-            element_at(col(vecCol), i + 1).cast("double"))))
   }
 }
