@@ -94,8 +94,16 @@ object ScaleProbe {
     catch { case _: Throwable => () }
     spark.catalog.clearCache(); System.gc()
 
+    // r8 additions: q_t_dsir (gram-explosion aggregate), q_stream_cluster
+    // (streaming ingest through the durable store), q_cluster_retract
+    // (partition-scoped purge) postdate the first probe — their
+    // "scales" verdicts were design-audited only until measured here.
+    // For the memoized cluster-table queries, repeats>=2 + min() makes
+    // the measurement the OPERATOR: the first repeat pays the
+    // shared-table init memo, the second rides it.
     val names = Seq("q_dedup_minhash", "q_dedup_ccstar", "q_cluster_ingest",
-      "q_sim_ann_ivf_trained", "q_t_c4_clean")
+      "q_sim_ann_ivf_trained", "q_t_c4_clean",
+      "q_t_dsir", "q_stream_cluster", "q_cluster_retract")
     def timeQuery(name: String, dir: String): Double =
       (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

@@ -1131,4 +1131,120 @@ class DedupSpec extends AnyFunSuite {
     val hl = Dedup.storeHealth(spark, cdir + "/labels").collect()
     assert(hl.head.getAs[Long]("max_files_per_dir") <= 2L)
   }
+
+  test("connectedComponents localEdgeLimit: driver union-find equals the " +
+      "distributed loop; non-integral ids fall through") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val nNodes = 300
+      val nodes = (0L until nNodes.toLong).toDF("doc_id")
+      val pairs = Seq.fill(200)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(nodes, "doc_id", pairs,
+          localEdgeLimit = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial")
+    }
+    // a DEEP chain fed max-id-first: during construction the parent
+    // forest chains thousands deep — the shape a recursive find would
+    // overflow on; labels must still be the component min (0)
+    val n = 5000
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0L until (n - 1).toLong).reverse.map(i => (i, i + 1))
+      .toDF("id_a", "id_b").coalesce(1) // one partition: preserves feed order
+    val got = Dedup.connectedComponents(nodes, "doc_id", chain,
+        localEdgeLimit = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+    // string ids: the fast path requires integral ids — same labels via
+    // the distributed loop, no crash
+    val snodes = Seq("a", "b", "c", "z").toDF("doc_id")
+    val spairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val sgot = Dedup.connectedComponents(snodes, "doc_id", spairs,
+        localEdgeLimit = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sgot == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
+  test("clusterTableIngest: an empty drop is a no-op (labels and version " +
+      "unchanged, empty result)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-emptydrop").toString + "/store"
+    val corpus = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 2)
+    val before = spark.read.parquet(dir + "/labels")
+      .select("doc_id", "cluster", "ver").collect().toSet
+    val out = Dedup.clusterTableIngest(corpus.where(col("doc_id") < 0),
+      corpus, "doc_id", "text", dir)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster"))
+    assert(out.count() == 0L)
+    val after = spark.read.parquet(dir + "/labels")
+      .select("doc_id", "cluster", "ver").collect().toSet
+    assert(after == before)
+  }
+
+  test("session pin cache revalidates after a re-init (meta rewrite " +
+      "invalidates the cached fold)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-pincache").toString + "/store"
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Dedup.fingerprintStoreInit(corpus, "doc_id", "text", dir, nfc = true)
+    // warm the session pin cache
+    Dedup.incrementalIngest(Seq((10L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir).collect()
+    // re-init under the OTHER fold: the meta rewrite must invalidate
+    // the cached pin, so an nfc=true ingest now fails loudly instead of
+    // riding the stale cache into silent misclassification
+    Dedup.fingerprintStoreInit(corpus, "doc_id", "text", dir, nfc = false)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalIngest(Seq((11L, "p q")).toDF("doc_id", "text"),
+        "doc_id", "text", dir).collect()
+    }
+    assert(e.getMessage.contains("does not match the store"))
+    // and the matching setting reads the refreshed pin
+    Dedup.incrementalIngest(Seq((12L, "r s")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nfc = false).collect()
+  }
+
+  test("ingest version cache: monotone across cached drops; an interloper " +
+      "mutation forces the recompute") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scoped("dedup-vercache").toString + "/store"
+    // 5 and 6 are near-dups so the retraction below WRITES repair rows
+    // at its version (an interloper bump the cache cannot see)
+    val corpus = Seq(
+      (1L, "one unique alpha doc"), (2L, "two unique beta doc"),
+      (5L, "shared phrase common tail words here"),
+      (6L, "shared phrase common tail words here too")).toDF("doc_id", "text")
+    Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 2)
+    def maxVer: Long = spark.read.parquet(dir + "/labels")
+      .agg(max("ver")).head().getLong(0)
+    assert(maxVer == 0L)
+    var all = corpus
+    def ingest(id: Long): Unit = {
+      val drop = Seq((id, s"novel $id " + (0 to 5).map(j => s"w$id-$j")
+        .mkString(" "))).toDF("doc_id", "text")
+      all = all.unionByName(drop)
+      Dedup.clusterTableIngest(drop, all, "doc_id", "text", dir).count()
+    }
+    ingest(10L); assert(maxVer == 1L)
+    ingest(11L); assert(maxVer == 2L) // cache-served version
+    // interloper: a retraction bumps the table's version out from under
+    // the session cache (its epoch stamp must invalidate it)
+    Dedup.clusterTableRetract(Seq(Tuple1(6L)).toDF("doc_id"),
+      all.where(col("doc_id") =!= 6L), "doc_id", "text", dir)
+    assert(maxVer == 3L, "retraction should write repair rows at ver 3")
+    all = all.where(col("doc_id") =!= 6L)
+    ingest(12L)
+    assert(maxVer == 4L, "post-interloper ingest must recompute the version")
+    // and the final labels still read clean
+    val labels = Dedup.clusterTable(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(labels == Set(1L, 2L, 5L, 10L, 11L, 12L))
+  }
 }
