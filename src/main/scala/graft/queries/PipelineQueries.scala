@@ -1576,6 +1576,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PRODUCT-QUANTIZED (PQ/ADC) top-k — the fine-quantizer half of
+    // the Jegou 2011 pipeline: per-subspace integer Lloyd codebooks
+    // (m=4 x ks=4, 2 refinement rounds), m-byte codes per vector, and
+    // ADC serving via per-query lookup tables on the quantized-cosine
+    // contract. Every training and serving step is exact-integer
+    // (milli-grid centroids, int64 dots/norms, one portable double
+    // division), so the oracle replays the WHOLE path — per-subspace
+    // seeds, both Lloyd rounds, encode-by-argmin, reconstruction
+    // cosine — from scratch in SQL and the hash pins codebook, codes,
+    // and ranking at once.
+    "q_sim_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, m = 4, ks = 4, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Stratified EXACT-QUOTA sample: 30 docs per language by portable
     // hash rank — hard per-class counts where q_mix_sample's rate-based
     // membership only hits targets in expectation. The map-side
@@ -3784,6 +3802,125 @@ object PipelineQueries {
         |      FROM n q CROSS JOIN n t
         |      WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id
         |        AND q.nsq > 0 AND t.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // The whole PQ path replayed in SQL: quantize, per-subspace seeds
+    // on the 4 lowest ids, two Lloyd rounds keyed by (subspace, cell),
+    // encode-by-argmin under the trained codebook, then ADC serving
+    // restated as reconstruction cosine — dot(q_milli, concat of
+    // assigned centroids) over exact int64 sums with one portable
+    // double division. Hash-pins codebook, codes, and ranking at once.
+    "q_sim_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |      FROM e),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+        |        END AS codes
+        |      FROM s),
+        |sub AS (
+        |  SELECT vec_id, CAST(j AS INT) AS j,
+        |    list_slice(codes, j * 16 + 1, j * 16 + 16) AS sc
+        |  FROM c, range(4) tj(j)),
+        |x AS (
+        |  SELECT vec_id, j, CAST(i AS INT) AS pos, sc[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, j, sc, unnest(range(len(sc))) AS i FROM sub)),
+        |cents0 AS (
+        |  SELECT j,
+        |    CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    list_transform(sc, x -> 1000 * x) AS cent
+        |  FROM sub
+        |  WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT 4)),
+        |a1 AS (
+        |  SELECT vec_id, j, cell FROM (
+        |    SELECT v.vec_id, v.j, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+        |        list_sum(list_transform(range(len(v.sc)),
+        |          i -> (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM sub v JOIN cents0 s ON v.j = s.j) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.j, a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS mc
+        |  FROM a1 a JOIN x ON a.vec_id = x.vec_id AND a.j = x.j
+        |  GROUP BY a.j, a.cell, x.pos),
+        |cents1 AS (
+        |  SELECT p.j, p.cell,
+        |    CASE WHEN count(u.mc) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.mc ORDER BY u.pos) END AS cent
+        |  FROM cents0 p LEFT JOIN u1 u ON p.j = u.j AND p.cell = u.cell
+        |  GROUP BY p.j, p.cell),
+        |a2 AS (
+        |  SELECT vec_id, j, cell FROM (
+        |    SELECT v.vec_id, v.j, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+        |        list_sum(list_transform(range(len(v.sc)),
+        |          i -> (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM sub v JOIN cents1 s ON v.j = s.j) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.j, a.cell, x.pos,
+        |    CAST(round((1000.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS mc
+        |  FROM a2 a JOIN x ON a.vec_id = x.vec_id AND a.j = x.j
+        |  GROUP BY a.j, a.cell, x.pos),
+        |cents2 AS (
+        |  SELECT p.j, p.cell,
+        |    CASE WHEN count(u.mc) = 0 THEN any_value(p.cent)
+        |         ELSE list(u.mc ORDER BY u.pos) END AS cent
+        |  FROM cents1 p LEFT JOIN u2 u ON p.j = u.j AND p.cell = u.cell
+        |  GROUP BY p.j, p.cell),
+        |enc AS (
+        |  SELECT vec_id, j, cell FROM (
+        |    SELECT v.vec_id, v.j, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+        |        list_sum(list_transform(range(len(v.sc)),
+        |          i -> (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM sub v JOIN cents2 s ON v.j = s.j) t WHERE rn = 1),
+        |rec AS (
+        |  SELECT en.vec_id, en.j, ct.cent
+        |  FROM enc en JOIN cents2 ct ON en.j = ct.j AND en.cell = ct.cell),
+        |xn AS (
+        |  SELECT vec_id, CAST(sum(csq) AS BIGINT) AS x2
+        |  FROM (SELECT vec_id,
+        |          CAST(list_sum(list_transform(cent, y -> y * y)) AS BIGINT) AS csq
+        |        FROM rec) t
+        |  GROUP BY vec_id),
+        |nq AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM c),
+        |qn AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(codes,
+        |      x -> 1000 * x * 1000 * x)) AS BIGINT) AS q2
+        |  FROM c WHERE vec_id < 10),
+        |d AS (
+        |  SELECT q.vec_id AS query_id, rc.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(len(q.sc)),
+        |      i -> 1000 * q.sc[CAST(i + 1 AS INT)] * rc.cent[CAST(i + 1 AS INT)])) AS BIGINT)
+        |      AS pd
+        |  FROM sub q JOIN rec rc ON q.j = rc.j
+        |  WHERE q.vec_id < 10 AND rc.vec_id <> q.vec_id),
+        |dd AS (SELECT query_id, neighbor_id, CAST(sum(pd) AS BIGINT) AS dt
+        |       FROM d GROUP BY query_id, neighbor_id),
+        |p AS (
+        |  SELECT dd.query_id, dd.neighbor_id,
+        |    round(CAST(dd.dt AS DOUBLE)
+        |      / (sqrt(CAST(qn.q2 AS DOUBLE)) * sqrt(CAST(xn.x2 AS DOUBLE))), 4) AS sim
+        |  FROM dd JOIN qn ON dd.query_id = qn.vec_id
+        |       JOIN xn ON dd.neighbor_id = xn.vec_id
+        |       JOIN nq ON dd.neighbor_id = nq.vec_id
+        |  WHERE qn.q2 > 0 AND xn.x2 > 0 AND nq.nsq > 0),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY sim DESC, neighbor_id) AS rank

@@ -1095,4 +1095,264 @@ object Similarity {
               element_at(col(vecCol), i + 1).cast("double"))))
     }
   }
+
+  // ---- Product quantization (PQ / ADC) ---------------------------
+
+  /** A trained PQ codebook: `m` subspaces of `dsub` dims, `ks`
+    * centroids per subspace, each centroid on the exact integer
+    * MILLI-grid (the [[kmeansFitInt8]] convention — 1000x the int8
+    * code space, so Lloyd updates stay engine-exact). */
+  final case class PqCodebook(m: Int, dsub: Int, ks: Int,
+      cents: Map[(Int, Int), Array[Long]]) {
+    require(cents.size == m * ks, s"expected ${m * ks} centroids, got ${cents.size}")
+    /** centroids as a dense m x ks x dsub array (cell-indexed). */
+    def dense: Array[Array[Array[Long]]] =
+      Array.tabulate(m, ks)((j, c) => cents((j, c)))
+  }
+
+  /** PQ codebook TRAINING — the fine-quantizer half of Jegou et al.
+    * 2011 ("Product Quantization for Nearest Neighbor Search",
+    * public; [[ivfTopK]] carries the coarse half). Splits the int8
+    * code space into `m` subspaces of `dim/m` dims and runs the SAME
+    * engine-exact integer Lloyd loop as [[kmeansFitInt8]] in each —
+    * all `m` subspaces train in ONE pass over the corpus per
+    * iteration (subspace id rides the exploded row), so training
+    * cost is `iters + 1` corpus scans total, NOT per-subspace.
+    *
+    * Engine-exact by construction (the [[kmeansFitInt8]] contract,
+    * re-stated per subspace): int8 codes, milli-grid centroids,
+    * exact-int64 squared-L2 distances, argmin ties to the lower cell
+    * id, `round((1000.0 * sum) / n)` updates, empty cells keep their
+    * centroid, seeds = the `ks` lowest-id vectors' subvectors. The
+    * whole loop replays as DuckDB CTEs for the hash gate.
+    *
+    * Scale shape per iteration: centroids go DOWN as an
+    * (m x ks)-struct broadcast literal (dimension-sized — m*ks*dsub =
+    * ks*dim longs), assignment is a pure map over the exploded
+    * (id, subspace) relation, and the update comes UP as one
+    * (subspace, cell, pos)-keyed partial-agg shuffle of ks*dim rows.
+    * The corpus is never collected; the driver holds ks*dim longs. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, iters: Int): PqCodebook = {
+    require(m >= 1 && ks >= 1 && iters >= 0, "m, ks >= 1; iters >= 0")
+    val dim = dimOf(df, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codes = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
+      .cache()
+    // (id, j, sub): every subspace of every vector, one scan
+    val sub = codes.select(col("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("codes"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sub")))
+    val init = codes.orderBy("id").limit(ks).collect()
+    require(init.length == ks, s"PQ needs >= $ks vectors, got ${init.length}")
+    var cents: Map[(Int, Int), Array[Long]] = (for {
+      (r, c) <- init.zipWithIndex
+      full = r.getSeq[Long](1).toArray
+      j <- 0 until m
+    } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub).map(_ * 1000L)).toMap
+    def centsLit: Column = array(cents.toSeq.sortBy(_._1).map { case ((j, c), v) =>
+      struct(lit(j).as("j"), lit(c).as("cell"), typedlit(v.toSeq).as("cent"))
+    }: _*)
+    // argmin cell within this row's subspace by (exact int64
+    // squared-L2 on the milli grid, cell id) — the assignCellExpr
+    // rule with a subspace filter
+    def assignExpr: Column = expr(
+      """array_min(transform(filter(__cents, ct -> ct.j = j), ct -> struct(
+        |  aggregate(zip_with(sub, ct.cent, (x, mm) -> (1000 * x - mm) * (1000 * x - mm)),
+        |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+        |  ct.cell AS c))).c""".stripMargin)
+    for (_ <- 1 to iters) {
+      val sums = sub.withColumn("__cents", centsLit)
+        .withColumn("cell", assignExpr)
+        .select(col("j"), col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "cell", "pos")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .collect() // ks x dim rows — dimension-sized by construction
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (key, old) =>
+        byKey.get(key) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach { r =>
+              v(r.getInt(2)) = roundHalfUp(
+                1000.0 * r.getLong(4) / r.getLong(3), 0).toLong
+            }
+            key -> v
+          case None => key -> old // empty cell keeps its centroid
+        }
+      }
+    }
+    PqCodebook(m, dsub, ks, cents)
+  }
+
+  /** PQ ENCODE: each vector's int8 codes -> `m` centroid ids (one
+    * byte-range int per subspace) under `cb` — the 100 TB storage
+    * lever (m bytes/vector vs 4*dim float32; at m=8 over 768 dims,
+    * 384x). Compiled mapPartitions kernel (m*ks*dsub int ops/row),
+    * codebook rides a broadcast; argmin ties to the lower cell id,
+    * exactly [[pqTrain]]'s assignment. All-zero vectors (scale 0)
+    * encode like any other — their subcode is the centroid nearest
+    * the origin — but carry `nsq = 0` so serving can skip them.
+    * Output: `(id, pq_codes array<int>, nsq bigint)` where `nsq` is
+    * the exact int64 squared norm of the RAW codes (the serving-side
+    * zero guard). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val cbB = ss.sparkContext.broadcast(cb.dense)
+    val (m, dsub) = (cb.m, cb.dsub)
+    quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cents = cbB.value
+        it.map { case (id, cc) =>
+          require(cc.length == m * dsub,
+            s"vector dim ${cc.length} != codebook dim ${m * dsub}")
+          val out = new Array[Int](m)
+          var nsq = 0L
+          var j = 0
+          while (j < m) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < cents(j).length) {
+              val cent = cents(j)(c)
+              var d = 0L; var p = 0
+              while (p < dsub) {
+                val diff = 1000L * cc(j * dsub + p) - cent(p)
+                d += diff * diff; p += 1
+              }
+              if (d < bestD) { bestD = d; best = c } // strict: ties keep lower c
+              c += 1
+            }
+            out(j) = best
+            var p = 0
+            while (p < dsub) {
+              val x = cc(j * dsub + p); nsq += x * x; p += 1
+            }
+            j += 1
+          }
+          (id, out, nsq)
+        }
+      }
+      .toDF("id", "pq_codes", "nsq")
+  }
+
+  /** ADC (asymmetric-distance) top-k over PQ codes — Jegou et al.
+    * 2011's serving kernel restated on the house quantized-cosine
+    * contract: similarity = `dot(q_milli, x_hat) / (|q_milli| *
+    * |x_hat|)` where `q_milli` is the query's int8 codes on the milli
+    * grid and `x_hat` is the corpus vector's PQ RECONSTRUCTION
+    * (its m assigned centroids concatenated). Every dot/norm is an
+    * exact int64 (dim * 127,000 * 127,000 tops out ~1e15 at dim 768
+    * — inside int64), so the one double division + two sqrts are
+    * bit-portable and the result hash-gates against a DuckDB
+    * reconstruction replay.
+    *
+    * The kernel never touches float vectors: per query it builds the
+    * classic ADC lookup tables — `ip(j)(c) = dot(q_sub_j_milli,
+    * cent_{j,c})` (m*ks longs) plus the shared centroid norm table —
+    * then scores each corpus row with `m` table lookups instead of
+    * `dim` multiplies (at m=8, dim=768: 96x fewer ops/row). Same
+    * bounded-heap mapPartitions shape as [[quantizedTopK]]: corpus
+    * codes stream once, constant memory, only per-partition winners
+    * shuffle. Rows with `nsq = 0` (all-zero vectors) are skipped, as
+    * are queries whose codes are all zero. */
+  def pqTopKEncoded(queries: DataFrame, encoded: DataFrame,
+      cb: PqCodebook, idCol: String, vecCol: String, k: Int,
+      simDecimals: Int = 4): DataFrame = {
+    val ss = encoded.sparkSession
+    import ss.implicits._
+    val dense = cb.dense
+    val (m, dsub, ks) = (cb.m, cb.dsub, cb.ks)
+    // shared centroid squared-norm table: cn(j)(c) = |cent_{j,c}|^2
+    val cn = Array.tabulate(m, ks) { (j, c) =>
+      var s = 0L; var p = 0
+      val cent = dense(j)(c)
+      while (p < dsub) { s += cent(p) * cent(p); p += 1 }
+      s
+    }
+    // per-query inner-product tables + milli-norms (queries are small
+    // by contract — this is the broadcast side)
+    val qArr = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .filter(_._2.exists(_ != 0L))
+    val qTabs = qArr.map { case (qid, qc) =>
+      require(qc.length == m * dsub,
+        s"query dim ${qc.length} != codebook dim ${m * dsub}")
+      val ip = Array.tabulate(m, ks) { (j, c) =>
+        var s = 0L; var p = 0
+        val cent = dense(j)(c)
+        while (p < dsub) { s += 1000L * qc(j * dsub + p) * cent(p); p += 1 }
+        s
+      }
+      var q2 = 0L; var i = 0
+      while (i < qc.length) { q2 += 1000L * qc(i) * 1000L * qc(i); i += 1 }
+      (qid, ip, q2)
+    }
+    val qB = ss.sparkContext.broadcast(qTabs)
+    val cnB = ss.sparkContext.broadcast(cn)
+    val kk = k; val dec = simDecimals; val mm = m
+    val scored = encoded
+      .select(col("id").as("neighbor_id"), col("pq_codes"), col("nsq"))
+      .as[(Long, Array[Int], Long)]
+      .mapPartitions { it =>
+        val qs = qB.value
+        val cnT = cnB.value
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+        it.foreach { case (cid, codes, nsq) =>
+          if (nsq != 0L) {
+            // |x_hat|^2: m lookups, exact
+            var x2 = 0L; var j = 0
+            while (j < mm) { x2 += cnT(j)(codes(j)); j += 1 }
+            if (x2 != 0L) {
+              val xD = math.sqrt(x2.toDouble)
+              var qi = 0
+              while (qi < qs.length) {
+                val (qid, ip, q2) = qs(qi)
+                if (qid != cid) {
+                  var d = 0L; var jj = 0
+                  while (jj < mm) { d += ip(jj)(codes(jj)); jj += 1 }
+                  val sim = roundHalfUp(
+                    d.toDouble / (math.sqrt(q2.toDouble) * xD), dec)
+                  val h = heaps(qi)
+                  if (h.size < kk) h.enqueue((sim, cid))
+                  else {
+                    val (ws, wid) = h.head
+                    if (sim > ws || (sim == ws && cid < wid)) { h.dequeue(); h.enqueue((sim, cid)) }
+                  }
+                }
+                qi += 1
+              }
+            }
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+          heaps(qi).iterator.map { case (s, cid) => Scored(qid, cid, s) }
+        }
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.toDF()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** End-to-end PQ: train the codebook on the corpus, encode it, and
+    * ADC-serve the queries — the gate entry point. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      simDecimals: Int = 4): DataFrame = {
+    val cb = pqTrain(corpus, idCol, vecCol, m, ks, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+    pqTopKEncoded(queries, enc, cb, idCol, vecCol, k, simDecimals)
+  }
 }

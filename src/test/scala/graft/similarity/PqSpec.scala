@@ -1,0 +1,125 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Product quantization (pqTrain / pqEncode / pqTopK) — the
+  * fine-quantizer half of the Jegou 2011 pipeline on the house
+  * integer-exact contract. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  private def collectCodes(df: org.apache.spark.sql.DataFrame) =
+    Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id").cast("long"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  test("degenerate PQ (every vector its own centroid) == quantizedTopK") {
+    // ks = corpus size, iters = 0: seeds are the corpus itself, each
+    // vector's nearest centroid is its own milli-scaled codes, so the
+    // reconstruction IS the vector and ADC cosine must reproduce the
+    // int8 brute-force ranking bit-for-bit (the x1000 scale cancels:
+    // numerator and norm product both pick up exactly 1e6).
+    val corpus = emb.filter(col("vec_id") < 40)
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(q, corpus, "vec_id", "embedding",
+        k = 5, m = 4, ks = 40, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.quantizedTopK(q, corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.toSeq == exact.toSeq)
+  }
+
+  test("pqEncode: code range, zero-vector guard, ADC matches a naive replay") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 1)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toArray, r.getLong(2))).sortBy(_._1)
+    assert(enc.forall { case (_, codes, _) =>
+      codes.length == 4 && codes.forall(c => c >= 0 && c < 8) })
+    // naive driver-side replay: encode by argmin and score by
+    // reconstruction cosine, independently of the kernels
+    val dense = cb.dense
+    val raw = collectCodes(emb).toMap
+    val byId = enc.map { case (id, c, n) => id -> ((c, n)) }.toMap
+    raw.foreach { case (id, rc) =>
+      val (kc, nsq) = byId(id)
+      assert(nsq == rc.map(x => x * x).sum, s"nsq mismatch for $id")
+      (0 until 4).foreach { j =>
+        val dists = (0 until 8).map { c =>
+          (0 until 16).map { p =>
+            val diff = 1000L * rc(j * 16 + p) - dense(j)(c)(p)
+            diff * diff
+          }.sum
+        }
+        assert(dists(kc(j)) == dists.min, s"argmin drift for $id subspace $j")
+        assert(kc(j) == dists.indexOf(dists.min), s"tie-break drift for $id/$j")
+      }
+    }
+    // ADC similarity replay for one query against three corpus rows
+    val qRow = raw(3L)
+    val adc = Similarity.pqTopKEncoded(
+        emb.filter(col("vec_id") === 3), Similarity.pqEncode(
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", cb),
+        cb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val q2 = qRow.map(x => 1000L * x * 1000L * x).sum
+    (0L to 2L).foreach { nid =>
+      val codes = byId(nid)._1
+      val recN = codes.zipWithIndex.map { case (c, j) =>
+        dense(j)(c).map(y => y * y).sum }.sum
+      val dot = codes.zipWithIndex.map { case (c, j) =>
+        (0 until 16).map(p => 1000L * qRow(j * 16 + p) * dense(j)(c)(p)).sum
+      }.sum
+      val expected = java.math.BigDecimal.valueOf(
+          dot.toDouble / (math.sqrt(q2.toDouble) * math.sqrt(recN.toDouble)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(adc(nid) == expected, s"ADC sim drift for neighbor $nid")
+    }
+  }
+
+  test("Lloyd refinement reduces quantization distortion; training is deterministic") {
+    def distortion(cb: Similarity.PqCodebook): Long = {
+      val dense = cb.dense
+      collectCodes(emb).map { case (_, rc) =>
+        (0 until cb.m).map { j =>
+          (0 until cb.ks).map { c =>
+            (0 until cb.dsub).map { p =>
+              val diff = 1000L * rc(j * cb.dsub + p) - dense(j)(c)(p)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val cb0 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ks = 8, iters = 0)
+    val cb2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ks = 8, iters = 2)
+    assert(distortion(cb2) < distortion(cb0),
+      "2 Lloyd rounds should reduce total quantization distortion vs raw seeds")
+    val cb2b = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ks = 8, iters = 2)
+    assert(cb2.cents.view.mapValues(_.toSeq).toMap ==
+      cb2b.cents.view.mapValues(_.toSeq).toMap, "training must be deterministic")
+  }
+
+  test("trained PQ recall vs int8 brute force does not collapse") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        k = 10, m = 8, ks = 16, iters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // near-random corpus, 8x16 codebook on 64 dims: lossy by design,
+    // but a correct codebook keeps a meaningful share of the true
+    // top-10; catastrophic mis-assignment lands near k/n ~ 0.02.
+    assert(recall >= 0.25, s"PQ recall collapsed: $recall")
+  }
+}
