@@ -1142,26 +1142,45 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
       .cache()
-    // (id, j, sub): every subspace of every vector, one scan
+    // (id, j, sub): every subspace of every vector, one scan; subs are
+    // pre-scaled to the milli grid so the generic Lloyd loop's
+    // (x - cent)^2 / round(sum / n) arithmetic is bit-identical to the
+    // int8-code formulation ((1000x - cent)^2, round(1000 sum / n)) —
+    // integer sums scale exactly and both stay far inside 2^53
     val sub = codes.select(col("id"),
         posexplode(array((0 until m).map(j =>
-          slice(col("codes"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sub")))
+          transform(slice(col("codes"), j * dsub + 1, dsub),
+            x => x * lit(1000L))): _*)).as(Seq("j", "sub")))
     val init = codes.orderBy("id").limit(ks).collect()
     require(init.length == ks, s"PQ needs >= $ks vectors, got ${init.length}")
-    var cents: Map[(Int, Int), Array[Long]] = (for {
+    val seeds: Map[(Int, Int), Array[Long]] = (for {
       (r, c) <- init.zipWithIndex
       full = r.getSeq[Long](1).toArray
       j <- 0 until m
     } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub).map(_ * 1000L)).toMap
+    PqCodebook(m, dsub, ks, pqLloydLoop(sub, iters, seeds))
+  }
+
+  /** The grid-generic per-subspace Lloyd loop shared by [[pqTrain]]
+    * (milli-scaled int8 subvectors) and [[ivfPqTopK]] (coarse-residual
+    * subvectors): `sub` is `(id long, j int, sub array<bigint>)` on
+    * whatever integer grid the caller works in; distances are exact
+    * int64 squared-L2 on that grid, argmin ties to the lower cell id,
+    * updates are `round((1.0 * sum) / n)` (exact-int to double, IEEE
+    * division, HALF_UP), empty cells keep their centroid. One corpus
+    * scan per iteration covers all subspaces; the update shuffle is
+    * ks x dim rows. */
+  private def pqLloydLoop(sub: DataFrame, iters: Int,
+      seeds: Map[(Int, Int), Array[Long]]): Map[(Int, Int), Array[Long]] = {
+    var cents = seeds
     def centsLit: Column = array(cents.toSeq.sortBy(_._1).map { case ((j, c), v) =>
       struct(lit(j).as("j"), lit(c).as("cell"), typedlit(v.toSeq).as("cent"))
     }: _*)
-    // argmin cell within this row's subspace by (exact int64
-    // squared-L2 on the milli grid, cell id) — the assignCellExpr
-    // rule with a subspace filter
+    // argmin cell within this row's subspace — the assignCellExpr rule
+    // with a subspace filter
     def assignExpr: Column = expr(
       """array_min(transform(filter(__cents, ct -> ct.j = j), ct -> struct(
-        |  aggregate(zip_with(sub, ct.cent, (x, mm) -> (1000 * x - mm) * (1000 * x - mm)),
+        |  aggregate(zip_with(sub, ct.cent, (x, mm) -> (x - mm) * (x - mm)),
         |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
         |  ct.cell AS c))).c""".stripMargin)
     for (_ <- 1 to iters) {
@@ -1178,14 +1197,14 @@ object Similarity {
             val v = old.clone()
             rows.foreach { r =>
               v(r.getInt(2)) = roundHalfUp(
-                1000.0 * r.getLong(4) / r.getLong(3), 0).toLong
+                1.0 * r.getLong(4) / r.getLong(3), 0).toLong
             }
             key -> v
           case None => key -> old // empty cell keeps its centroid
         }
       }
     }
-    PqCodebook(m, dsub, ks, cents)
+    cents
   }
 
   /** PQ ENCODE: each vector's int8 codes -> `m` centroid ids (one
@@ -1354,5 +1373,201 @@ object Similarity {
     val cb = pqTrain(corpus, idCol, vecCol, m, ks, iters)
     val enc = pqEncode(corpus, idCol, vecCol, cb)
     pqTopKEncoded(queries, enc, cb, idCol, vecCol, k, simDecimals)
+  }
+
+  /** IVFADC — the COMPLETE Jegou 2011 system: coarse IVF cells prune
+    * which rows each query scores ([[ivfTopKQuantized]]'s machinery),
+    * and per-subspace RESIDUAL PQ codes compress what is stored and
+    * scored (this file's fine half). A corpus vector is held as
+    * (cell, m residual-codebook ids): reconstruction =
+    * coarse_centroid[cell] + residual_centroid[j][code_j] per
+    * subspace, so storage is ~m bytes + a cell id per vector while
+    * serving still ranks by quantized cosine of the reconstruction.
+    *
+    * Residuals live on the SAME exact milli grid as the coarse
+    * centroids (`1000*code - cent`, |r| <= 254,000), the residual
+    * codebook trains with the identical integer Lloyd loop, and the
+    * serve decomposes dot(q, x_hat) = dot(q, coarse) + sum_j
+    * ip(j, code_j) and |x_hat|^2 = |coarse|^2 + 2*cross + |r_hat|^2
+    * into exact-int64 lookup tables — so the whole
+    * coarse-train -> residual-train -> encode -> probe -> serve path
+    * hash-gates against a DuckDB reconstruction replay, probe pruning
+    * included (`nProbe < nCells`).
+    *
+    * Scale shape: coarse + residual training are iters corpus scans
+    * each (broadcast-down / ks*dim-partial-agg-up); encode is one
+    * map-side kernel pass; serving broadcasts query-bounded tables
+    * (nCells*m*ks longs of cell/code tables + per-query m*ks LUTs)
+    * and streams the code relation once through a bounded-heap
+    * kernel. The corpus is never collected. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+      itersCoarse: Int = 2, m: Int = 4, ks: Int = 4, itersPq: Int = 1,
+      simDecimals: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val dim = dimOf(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // ---- coarse quantizer (the ivfTopKQuantized training path) ----
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut)
+      .cache()
+    val coarse = kmeansTrain(codes, nCells, itersCoarse)
+    // ---- residuals on the milli grid -----------------------------
+    val res = codes.withColumn("__cents", centsLiteral(coarse))
+      .withColumn("cell", assignCellExpr("codes"))
+      .withColumn("res", expr(
+        """zip_with(codes, element_at(filter(__cents, ct -> ct.cell = cell), 1).cent,
+          |  (x, mm) -> 1000 * x - mm)""".stripMargin))
+      .select(col("id"), col("cell"), col("res"), nsqOf(col("codes")).as("nsq"))
+      .cache()
+    // ---- residual PQ codebook (shared Lloyd loop) ----------------
+    val sub = res.select(col("id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("res"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sub")))
+    val init = res.orderBy("id").limit(ks).collect()
+    require(init.length == ks, s"IVFADC needs >= $ks vectors, got ${init.length}")
+    val seeds: Map[(Int, Int), Array[Long]] = (for {
+      (r, c) <- init.zipWithIndex
+      full = r.getSeq[Long](2).toArray
+      j <- 0 until m
+    } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub)).toMap
+    val rcb = PqCodebook(m, dsub, ks, pqLloydLoop(sub, itersPq, seeds))
+    val rdense = rcb.dense
+    // ---- encode: (id, cell, pq codes, nsq) -----------------------
+    val rcbB = ss.sparkContext.broadcast(rdense)
+    val mm = m; val dsubL = dsub
+    val encoded = res.as[(Long, Int, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cents = rcbB.value
+        it.map { case (id, cell, rr, nsq) =>
+          val out = new Array[Int](mm)
+          var j = 0
+          while (j < mm) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < cents(j).length) {
+              val cent = cents(j)(c)
+              var d = 0L; var p = 0
+              while (p < dsubL) {
+                val diff = rr(j * dsubL + p) - cent(p)
+                d += diff * diff; p += 1
+              }
+              if (d < bestD) { bestD = d; best = c } // ties keep lower c
+              c += 1
+            }
+            out(j) = best
+            j += 1
+          }
+          (id, cell, out, nsq)
+        }
+      }
+    // ---- query-side tables ---------------------------------------
+    val coarseArr = coarse.toSeq.sortBy(_._1).map(_._2).toArray
+    // coarse-centroid norms and coarse-x-residual cross tables
+    // (query-independent, nCells + nCells*m*ks longs)
+    val cn2 = coarseArr.map { cent =>
+      var s = 0L; var i = 0
+      while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+      s
+    }
+    val cross = Array.tabulate(nCells, m, ks) { (cell, j, c) =>
+      var s = 0L; var p = 0
+      val cc = coarseArr(cell); val rc = rdense(j)(c)
+      while (p < dsub) { s += cc(j * dsub + p) * rc(p); p += 1 }
+      s
+    }
+    val rn2 = Array.tabulate(m, ks) { (j, c) =>
+      var s = 0L; var p = 0
+      val rc = rdense(j)(c)
+      while (p < dsub) { s += rc(p) * rc(p); p += 1 }
+      s
+    }
+    // per-query: probed cells (exact milli distance, tie lower cell),
+    // dot-with-coarse per cell, residual LUTs, milli norm
+    val qArr = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .filter(_._2.exists(_ != 0L))
+    val qTabs = qArr.map { case (qid, qc) =>
+      require(qc.length == dim, s"query dim ${qc.length} != corpus dim $dim")
+      val dists = coarseArr.map { cent =>
+        var s = 0L; var i = 0
+        while (i < cent.length) {
+          val diff = 1000L * qc(i) - cent(i); s += diff * diff; i += 1
+        }
+        s
+      }
+      val probed = dists.zipWithIndex
+        .sortBy { case (d, cell) => (d, cell) }.take(nProbe).map(_._2).toSet
+      val dotCoarse = coarseArr.map { cent =>
+        var s = 0L; var i = 0
+        while (i < cent.length) { s += 1000L * qc(i) * cent(i); i += 1 }
+        s
+      }
+      val ip = Array.tabulate(m, ks) { (j, c) =>
+        var s = 0L; var p = 0
+        val rc = rdense(j)(c)
+        while (p < dsub) { s += 1000L * qc(j * dsub + p) * rc(p); p += 1 }
+        s
+      }
+      var q2 = 0L; var i = 0
+      while (i < qc.length) { q2 += 1000L * qc(i) * 1000L * qc(i); i += 1 }
+      (qid, probed, dotCoarse, ip, q2)
+    }
+    val qB = ss.sparkContext.broadcast(qTabs)
+    val cn2B = ss.sparkContext.broadcast(cn2)
+    val crossB = ss.sparkContext.broadcast(cross)
+    val rn2B = ss.sparkContext.broadcast(rn2)
+    val kk = k; val dec = simDecimals
+    // ---- serve: bounded-heap kernel over the code relation -------
+    val scored = encoded.mapPartitions { it =>
+      val qs = qB.value
+      val cn2T = cn2B.value; val crossT = crossB.value; val rn2T = rn2B.value
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      it.foreach { case (cid, cell, pqc, nsq) =>
+        if (nsq != 0L) {
+          // |x_hat|^2 = |coarse|^2 + 2*cross + |r_hat|^2 — m lookups
+          var x2 = cn2T(cell); var j = 0
+          while (j < mm) {
+            x2 += 2L * crossT(cell)(j)(pqc(j)) + rn2T(j)(pqc(j)); j += 1
+          }
+          if (x2 > 0L) {
+            val xD = math.sqrt(x2.toDouble)
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, probed, dotCoarse, ip, q2) = qs(qi)
+              if (qid != cid && probed.contains(cell)) {
+                var d = dotCoarse(cell); var jj = 0
+                while (jj < mm) { d += ip(jj)(pqc(jj)); jj += 1 }
+                val sim = roundHalfUp(
+                  d.toDouble / (math.sqrt(q2.toDouble) * xD), dec)
+                val h = heaps(qi)
+                if (h.size < kk) h.enqueue((sim, cid))
+                else {
+                  val (ws, wid) = h.head
+                  if (sim > ws || (sim == ws && cid < wid)) { h.dequeue(); h.enqueue((sim, cid)) }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _, _, _, _), qi) =>
+        heaps(qi).iterator.map { case (s, cid) => Scored(qid, cid, s) }
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.toDF()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
   }
 }

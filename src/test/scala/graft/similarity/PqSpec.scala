@@ -107,6 +107,43 @@ class PqSpec extends AnyFunSuite {
       cb2b.cents.view.mapValues(_.toSeq).toMap, "training must be deterministic")
   }
 
+  test("degenerate IVFADC (own-residual centroids, all cells probed) == quantizedTopK") {
+    // ks = corpus size, itersPq = 0, nProbe = nCells: every vector's
+    // residual is its own codebook entry, so the reconstruction is
+    // coarse_cent + (1000*codes - coarse_cent) = the exact milli
+    // vector, and full probing removes the pruning — IVFADC must
+    // reproduce the int8 brute-force ranking bit-for-bit.
+    val corpus = emb.filter(col("vec_id") < 40)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(q, corpus, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 4, itersCoarse = 1,
+        m = 4, ks = 40, itersPq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.quantizedTopK(q, corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.toSeq == exact.toSeq)
+  }
+
+  test("IVFADC: probe pruning yields a subset of full probing; recall holds up") {
+    val q = emb.filter(col("vec_id") < 20)
+    def run(nProbe: Int) = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        k = 10, nCells = 8, nProbe = nProbe, itersCoarse = 2,
+        m = 8, ks = 16, itersPq = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run(8)
+    val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full probing isolates PQ loss from probe loss
+    val recallFull = exact.count(full.contains).toDouble / exact.size
+    assert(recallFull >= 0.25, s"IVFADC full-probe recall collapsed: $recallFull")
+    // pruned probing returns valid rows and keeps a meaningful share
+    val pruned = run(2)
+    val recallPruned = exact.count(pruned.contains).toDouble / exact.size
+    assert(recallPruned >= 0.1, s"IVFADC pruned recall collapsed: $recallPruned")
+  }
+
   test("trained PQ recall vs int8 brute force does not collapse") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
