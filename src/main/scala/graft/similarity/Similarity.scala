@@ -1405,26 +1405,38 @@ object Similarity {
       itersCoarse: Int = 2, m: Int = 4, ks: Int = 4, itersPq: Int = 1,
       simDecimals: Int = 4): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
-    val ss = corpus.sparkSession
-    import ss.implicits._
     val dim = dimOf(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    // ---- coarse quantizer (the ivfTopKQuantized training path) ----
+    // coarse quantizer (the ivfTopKQuantized training path)
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut)
       .cache()
     val coarse = kmeansTrain(codes, nCells, itersCoarse)
-    // ---- residuals on the milli grid -----------------------------
-    val res = codes.withColumn("__cents", centsLiteral(coarse))
+    val res = ivfPqResiduals(codes, coarse).cache()
+    val rcb = ivfPqTrainResidual(res, m, dsub, ks, itersPq)
+    ivfPqServe(queries, ivfPqEncodeRes(res, rcb), coarse, rcb,
+      idCol, vecCol, k, nProbe, simDecimals)
+  }
+
+  /** Coarse assignment + milli-grid residuals: `(id, codes)` ->
+    * `(id, cell, res, nsq)` where `res = 1000*codes - cent[cell]`
+    * (exact int64 per dim, |res| <= 254,000) and `nsq` is the raw
+    * codes' squared norm (the zero-vector guard). Map-side only. */
+  private def ivfPqResiduals(codes: DataFrame,
+      coarse: Map[Int, Array[Long]]): DataFrame =
+    codes.withColumn("__cents", centsLiteral(coarse))
       .withColumn("cell", assignCellExpr("codes"))
       .withColumn("res", expr(
         """zip_with(codes, element_at(filter(__cents, ct -> ct.cell = cell), 1).cent,
           |  (x, mm) -> 1000 * x - mm)""".stripMargin))
       .select(col("id"), col("cell"), col("res"), nsqOf(col("codes")).as("nsq"))
-      .cache()
-    // ---- residual PQ codebook (shared Lloyd loop) ----------------
+
+  /** Residual PQ codebook: the shared [[pqLloydLoop]] on the residual
+    * grid; seeds = the `ks` lowest-id rows' residual subvectors. */
+  private def ivfPqTrainResidual(res: DataFrame, m: Int, dsub: Int,
+      ks: Int, iters: Int): PqCodebook = {
     val sub = res.select(col("id"),
       posexplode(array((0 until m).map(j =>
         slice(col("res"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sub")))
@@ -1435,12 +1447,19 @@ object Similarity {
       full = r.getSeq[Long](2).toArray
       j <- 0 until m
     } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub)).toMap
-    val rcb = PqCodebook(m, dsub, ks, pqLloydLoop(sub, itersPq, seeds))
-    val rdense = rcb.dense
-    // ---- encode: (id, cell, pq codes, nsq) -----------------------
-    val rcbB = ss.sparkContext.broadcast(rdense)
-    val mm = m; val dsubL = dsub
-    val encoded = res.as[(Long, Int, Array[Long], Long)]
+    PqCodebook(m, dsub, ks, pqLloydLoop(sub, iters, seeds))
+  }
+
+  /** Residual argmin encode kernel: `(id, cell, res, nsq)` ->
+    * `(id, cell, pq_codes, nsq)`; ties keep the lower cell id
+    * (exactly [[pqLloydLoop]]'s assignment). */
+  private def ivfPqEncodeRes(res: DataFrame, rcb: PqCodebook): DataFrame = {
+    val ss = res.sparkSession
+    import ss.implicits._
+    val rcbB = ss.sparkContext.broadcast(rcb.dense)
+    val mm = rcb.m; val dsubL = rcb.dsub
+    res.select(col("id"), col("cell"), col("res"), col("nsq"))
+      .as[(Long, Int, Array[Long], Long)]
       .mapPartitions { it =>
         val cents = rcbB.value
         it.map { case (id, cell, rr, nsq) =>
@@ -1465,7 +1484,21 @@ object Similarity {
           (id, cell, out, nsq)
         }
       }
-    // ---- query-side tables ---------------------------------------
+      .toDF("id", "cell", "pq_codes", "nsq")
+  }
+
+  /** ADC serve over an IVFADC code relation `(id, cell, pq_codes,
+    * nsq)` — see [[ivfPqTopK]] for the arithmetic and scale
+    * contract. */
+  private def ivfPqServe(queries: DataFrame, encoded: DataFrame,
+      coarse: Map[Int, Array[Long]], rcb: PqCodebook, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, simDecimals: Int): DataFrame = {
+    val ss = encoded.sparkSession
+    import ss.implicits._
+    val nCells = coarse.size
+    val m = rcb.m; val ks = rcb.ks; val dsub = rcb.dsub
+    val dim = m * dsub
+    val rdense = rcb.dense
     val coarseArr = coarse.toSeq.sortBy(_._1).map(_._2).toArray
     // coarse-centroid norms and coarse-x-residual cross tables
     // (query-independent, nCells + nCells*m*ks longs)
@@ -1523,9 +1556,12 @@ object Similarity {
     val cn2B = ss.sparkContext.broadcast(cn2)
     val crossB = ss.sparkContext.broadcast(cross)
     val rn2B = ss.sparkContext.broadcast(rn2)
-    val kk = k; val dec = simDecimals
+    val kk = k; val dec = simDecimals; val mm = m
     // ---- serve: bounded-heap kernel over the code relation -------
-    val scored = encoded.mapPartitions { it =>
+    val scored = encoded
+      .select(col("id"), col("cell"), col("pq_codes"), col("nsq"))
+      .as[(Long, Int, Array[Int], Long)]
+      .mapPartitions { it =>
       val qs = qB.value
       val cn2T = cn2B.value; val crossT = crossB.value; val rn2T = rn2B.value
       val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
@@ -1569,5 +1605,111 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Read a persisted residual codebook back as a [[PqCodebook]]
+    * (dimension-sized by construction: m x ks x dsub longs). */
+  private def readPqCents(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val cents = spark.read.parquet(path + "/pqcents").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
+    val m = cents.keys.map(_._1).max + 1
+    val ks = cents.keys.map(_._2).max + 1
+    PqCodebook(m, cents.head._2.length, ks, cents)
+  }
+
+  /** PERSISTENT IVFADC INDEX — build: [[ivfIndexBuild]]'s lakehouse
+    * layout with PQ-compressed postings. Trains the coarse quantizer
+    * and the residual codebook on the corpus, persists both
+    * (dimension-sized parquets), and writes postings as
+    * `(id, pq_codes, nsq)` PARTITIONED BY CELL — the on-disk layout
+    * IS the inverted file AND each posting is ~m small ints instead
+    * of a dim-length code vector, so a probed cell's bytes shrink by
+    * ~dim/m on top of the partition pruning. */
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,
+      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = dimOf(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .transform(graft.util.Parallelism.fanOut)
+      .cache()
+    val coarse = kmeansTrain(codes, nCells, itersCoarse)
+    coarse.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    val res = ivfPqResiduals(codes, coarse).cache()
+    val rcb = ivfPqTrainResidual(res, m, dim / m, ks, itersPq)
+    rcb.cents.toSeq.sortBy(_._1).map { case ((j, c), v) => (j, c, v.toSeq) }
+      .toDF("j", "cell", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/pqcents")
+    ivfPqEncodeRes(res, rcb)
+      // co-located postings write: one shuffle on cell -> ~one file
+      // per inverted list instead of one per (task x cell)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/postings")
+    res.unpersist(); codes.unpersist()
+  }
+
+  /** PERSISTENT IVFADC INDEX — incremental append: assign + encode a
+    * delta batch under the PERSISTED coarse centroids and residual
+    * codebook (no retraining of either — one map-side pass over the
+    * delta, appends into the touched cells' directories). Identical
+    * arithmetic to build time, so an appended vector lands exactly
+    * where a from-scratch encode under the same artifacts would put
+    * it. Codebook drift under heavy append is the documented
+    * operational boundary, as for [[ivfIndexAppend]]. */
+  def ivfPqIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val coarse = readCents(spark, path)
+    val rcb = readPqCents(spark, path)
+    val codes = quantizeInt8(delta, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+    ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(path + "/postings")
+  }
+
+  /** PERSISTENT IVFADC INDEX — serve: probe the `nProbe` nearest
+    * cells per query under the persisted artifacts and ADC-rank the
+    * probed cells' PQ postings. The probed-cell union is pushed as a
+    * STATIC partition filter, so the scan reads only probed inverted
+    * lists — and each read byte is PQ-compressed. */
+  def ivfPqIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, path: String,
+      simDecimals: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse = readCents(spark, path)
+    val rcb = readPqCents(spark, path)
+    require(nProbe >= 1 && nProbe <= coarse.size,
+      "need 1 <= nProbe <= nCells")
+    // probed-cell union, query-bounded: derived from the same exact
+    // milli distance the serve kernel uses, driver-side
+    val coarseArr = coarse.toSeq.sortBy(_._1).map(_._2).toArray
+    val probedUnion = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("codes"))
+      .collect()
+      .map(r => r.getSeq[Long](1).toArray)
+      .filter(_.exists(_ != 0L))
+      .flatMap { qc =>
+        coarseArr.zipWithIndex.map { case (cent, cell) =>
+          var s = 0L; var i = 0
+          while (i < cent.length) {
+            val diff = 1000L * qc(i) - cent(i); s += diff * diff; i += 1
+          }
+          (s, cell)
+        }.sortBy { case (d, cell) => (d, cell) }.take(nProbe).map(_._2)
+      }.distinct
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("cell").isin(probedUnion.map(Integer.valueOf).toSeq: _*))
+    ivfPqServe(queries, postings, coarse, rcb, idCol, vecCol, k,
+      nProbe, simDecimals)
   }
 }

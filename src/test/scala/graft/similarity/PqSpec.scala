@@ -144,6 +144,24 @@ class PqSpec extends AnyFunSuite {
     assert(recallPruned >= 0.1, s"IVFADC pruned recall collapsed: $recallPruned")
   }
 
+  test("persistent IVFADC index serves exactly what the in-memory path serves") {
+    // build on the FULL corpus (no append): the persisted artifacts
+    // are the same coarse centroids + residual codebook ivfPqTopK
+    // trains, so serving from disk must be row-identical
+    val path = graft.util.TempDirs.scoped("graft-pqspec-index").toString
+    Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCells = 8, itersCoarse = 2, m = 4, ks = 4, itersPq = 1, path = path)
+    val q = emb.filter(col("vec_id") < 10)
+    val fromDisk = Similarity.ivfPqIndexTopK(q, "vec_id", "embedding",
+        k = 5, nProbe = 2, path = path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inMem = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fromDisk.sorted.toSeq == inMem.sorted.toSeq)
+  }
+
   test("trained PQ recall vs int8 brute force does not collapse") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
