@@ -1630,6 +1630,33 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMING ANN index maintenance: the same base build, but the
+    // held-out tenth arrives as 2 ordered drops through the real
+    // streaming engine (AvailableNow replay, per-batch append under
+    // the persisted artifacts, marker-guarded re-delivery). Appends
+    // are content-commutative — the final postings equal one batch
+    // append of everything — so the SAME oracle as
+    // q_sim_ann_ivfpq_index must hash-match the served result.
+    "q_stream_ann_index" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-streamann-index").toString
+      val dir = graft.util.TempDirs.scoped("graft-streamann")
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      val dropsDir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        e.filter(col("vec_id") % 10 === 9), "vec_id", 2,
+        "graft-streamann-drops")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        graft.streaming.PipelineStreams.annIndexAppendStream(s,
+          dropsDir.toString, "vec_id", "embedding", path,
+          dir.resolve("ckpt").toString)
+      }
+      Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // Stratified EXACT-QUOTA sample: 30 docs per language by portable
     // hash rank — hard per-class counts where q_mix_sample's rate-based
     // membership only hits targets in expectation. The map-side
@@ -1833,6 +1860,125 @@ object PipelineQueries {
         |          ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM cand)
       |""".stripMargin
+
+  /** Shared by q_sim_ann_ivfpq_index (batch build+append) and
+    * q_stream_ann_index (streamed appends): both must reconstruct
+    * the identical on-disk index, so one replay oracles both. */
+  private val ivfPqIndexOracle: String =
+    (ivfIndexAssignCtes + """,
+        |resi AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(len(c.codes)),
+        |      i -> 1000 * c.codes[CAST(i + 1 AS INT)] - ct.cent[CAST(i + 1 AS INT)]) AS res
+        |  FROM a3 a JOIN c ON a.vec_id = c.vec_id
+        |       JOIN cents2 ct ON a.cell = ct.cell),
+        |rsub AS (
+        |  SELECT vec_id, CAST(j AS INT) AS j,
+        |    list_slice(res, j * 16 + 1, j * 16 + 16) AS sc
+        |  FROM resi, range(4) tj(j)),
+        |rx AS (
+        |  SELECT vec_id, j, CAST(i AS INT) AS pos, sc[CAST(i + 1 AS INT)] AS x
+        |  FROM (SELECT vec_id, j, sc, unnest(range(len(sc))) AS i FROM rsub)),
+        |rcents0 AS (
+        |  SELECT j,
+        |    CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cell,
+        |    sc AS cent
+        |  FROM rsub
+        |  WHERE vec_id IN (SELECT vec_id FROM cb ORDER BY vec_id LIMIT 4)),
+        |ra1 AS (
+        |  SELECT vec_id, j, cell FROM (
+        |    SELECT v.vec_id, v.j, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+        |        list_sum(list_transform(range(len(v.sc)),
+        |          i -> (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM rsub v JOIN rcents0 s ON v.j = s.j
+        |    WHERE v.vec_id % 10 <> 9) t WHERE rn = 1),
+        |ru1 AS (
+        |  SELECT a.j, a.cell, x.pos,
+        |    CAST(round((1.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS mc
+        |  FROM ra1 a JOIN rx x ON a.vec_id = x.vec_id AND a.j = x.j
+        |  GROUP BY a.j, a.cell, x.pos),
+        |rcents1 AS (
+        |  SELECT pp.j, pp.cell,
+        |    CASE WHEN count(u.mc) = 0 THEN any_value(pp.cent)
+        |         ELSE list(u.mc ORDER BY u.pos) END AS cent
+        |  FROM rcents0 pp LEFT JOIN ru1 u ON pp.j = u.j AND pp.cell = u.cell
+        |  GROUP BY pp.j, pp.cell),
+        |encr AS (
+        |  SELECT vec_id, j, cell FROM (
+        |    SELECT v.vec_id, v.j, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+        |        list_sum(list_transform(range(len(v.sc)),
+        |          i -> (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM rsub v JOIN rcents1 s ON v.j = s.j) t WHERE rn = 1),
+        |recr AS (
+        |  SELECT en.vec_id, en.j, ct.cent
+        |  FROM encr en JOIN rcents1 ct ON en.j = ct.j AND en.cell = ct.cell),
+        |xhat AS (
+        |  SELECT rc.vec_id, rc.j,
+        |    list_transform(range(16),
+        |      i -> ct.cent[CAST(rc.j * 16 + i + 1 AS INT)] + rc.cent[CAST(i + 1 AS INT)]) AS xs
+        |  FROM recr rc JOIN a3 a ON rc.vec_id = a.vec_id
+        |       JOIN cents2 ct ON a.cell = ct.cell),
+        |xn AS (
+        |  SELECT vec_id, CAST(sum(csq) AS BIGINT) AS x2
+        |  FROM (SELECT vec_id,
+        |          CAST(list_sum(list_transform(xs, y -> y * y)) AS BIGINT) AS csq
+        |        FROM xhat) t
+        |  GROUP BY vec_id),
+        |nq AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM c),
+        |qn AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(codes,
+        |      x -> 1000 * x * 1000 * x)) AS BIGINT) AS q2
+        |  FROM c WHERE vec_id < 10),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT q.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(range(len(q.codes)),
+        |          i -> (1000 * q.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
+        |             * (1000 * q.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
+        |        s.cell) AS rn
+        |    FROM c q CROSS JOIN cents2 s WHERE q.vec_id < 10) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT qp2.query_id, a.vec_id AS neighbor_id
+        |  FROM qprobe qp2 JOIN a3 a ON qp2.cell = a.cell
+        |  WHERE a.vec_id <> qp2.query_id),
+        |qsub AS (
+        |  SELECT vec_id, CAST(j AS INT) AS j,
+        |    list_transform(list_slice(codes, j * 16 + 1, j * 16 + 16),
+        |      x -> 1000 * x) AS qs
+        |  FROM c, range(4) tj(j) WHERE vec_id < 10),
+        |d AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    CAST(list_sum(list_transform(range(len(q.qs)),
+        |      i -> q.qs[CAST(i + 1 AS INT)] * xh.xs[CAST(i + 1 AS INT)])) AS BIGINT) AS pd
+        |  FROM cand cd JOIN qsub q ON q.vec_id = cd.query_id
+        |       JOIN xhat xh ON xh.vec_id = cd.neighbor_id AND xh.j = q.j),
+        |dd AS (SELECT query_id, neighbor_id, CAST(sum(pd) AS BIGINT) AS dt
+        |       FROM d GROUP BY query_id, neighbor_id),
+        |p AS (
+        |  SELECT dd.query_id, dd.neighbor_id,
+        |    round(CAST(dd.dt AS DOUBLE)
+        |      / (sqrt(CAST(qn.q2 AS DOUBLE)) * sqrt(CAST(xn.x2 AS DOUBLE))), 4) AS sim
+        |  FROM dd JOIN qn ON dd.query_id = qn.vec_id
+        |       JOIN xn ON dd.neighbor_id = xn.vec_id
+        |       JOIN nq ON dd.neighbor_id = nq.vec_id
+        |  WHERE qn.q2 > 0 AND xn.x2 > 0 AND nq.nsq > 0),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
 
   private val jaccardPairsSql: String =
     """WITH t AS (
@@ -3859,121 +4005,11 @@ object PipelineQueries {
     // precisely what ivfPqIndexBuild (base) + ivfPqIndexAppend
     // (delta, persisted centroids+codebook, no retrain) must
     // reconstruct from disk.
-    "q_sim_ann_ivfpq_index" ->
-      (ivfIndexAssignCtes + """,
-        |resi AS (
-        |  SELECT a.vec_id, a.cell,
-        |    list_transform(range(len(c.codes)),
-        |      i -> 1000 * c.codes[CAST(i + 1 AS INT)] - ct.cent[CAST(i + 1 AS INT)]) AS res
-        |  FROM a3 a JOIN c ON a.vec_id = c.vec_id
-        |       JOIN cents2 ct ON a.cell = ct.cell),
-        |rsub AS (
-        |  SELECT vec_id, CAST(j AS INT) AS j,
-        |    list_slice(res, j * 16 + 1, j * 16 + 16) AS sc
-        |  FROM resi, range(4) tj(j)),
-        |rx AS (
-        |  SELECT vec_id, j, CAST(i AS INT) AS pos, sc[CAST(i + 1 AS INT)] AS x
-        |  FROM (SELECT vec_id, j, sc, unnest(range(len(sc))) AS i FROM rsub)),
-        |rcents0 AS (
-        |  SELECT j,
-        |    CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cell,
-        |    sc AS cent
-        |  FROM rsub
-        |  WHERE vec_id IN (SELECT vec_id FROM cb ORDER BY vec_id LIMIT 4)),
-        |ra1 AS (
-        |  SELECT vec_id, j, cell FROM (
-        |    SELECT v.vec_id, v.j, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
-        |        list_sum(list_transform(range(len(v.sc)),
-        |          i -> (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM rsub v JOIN rcents0 s ON v.j = s.j
-        |    WHERE v.vec_id % 10 <> 9) t WHERE rn = 1),
-        |ru1 AS (
-        |  SELECT a.j, a.cell, x.pos,
-        |    CAST(round((1.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS mc
-        |  FROM ra1 a JOIN rx x ON a.vec_id = x.vec_id AND a.j = x.j
-        |  GROUP BY a.j, a.cell, x.pos),
-        |rcents1 AS (
-        |  SELECT pp.j, pp.cell,
-        |    CASE WHEN count(u.mc) = 0 THEN any_value(pp.cent)
-        |         ELSE list(u.mc ORDER BY u.pos) END AS cent
-        |  FROM rcents0 pp LEFT JOIN ru1 u ON pp.j = u.j AND pp.cell = u.cell
-        |  GROUP BY pp.j, pp.cell),
-        |encr AS (
-        |  SELECT vec_id, j, cell FROM (
-        |    SELECT v.vec_id, v.j, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
-        |        list_sum(list_transform(range(len(v.sc)),
-        |          i -> (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM rsub v JOIN rcents1 s ON v.j = s.j) t WHERE rn = 1),
-        |recr AS (
-        |  SELECT en.vec_id, en.j, ct.cent
-        |  FROM encr en JOIN rcents1 ct ON en.j = ct.j AND en.cell = ct.cell),
-        |xhat AS (
-        |  SELECT rc.vec_id, rc.j,
-        |    list_transform(range(16),
-        |      i -> ct.cent[CAST(rc.j * 16 + i + 1 AS INT)] + rc.cent[CAST(i + 1 AS INT)]) AS xs
-        |  FROM recr rc JOIN a3 a ON rc.vec_id = a.vec_id
-        |       JOIN cents2 ct ON a.cell = ct.cell),
-        |xn AS (
-        |  SELECT vec_id, CAST(sum(csq) AS BIGINT) AS x2
-        |  FROM (SELECT vec_id,
-        |          CAST(list_sum(list_transform(xs, y -> y * y)) AS BIGINT) AS csq
-        |        FROM xhat) t
-        |  GROUP BY vec_id),
-        |nq AS (
-        |  SELECT vec_id,
-        |    CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nsq
-        |  FROM c),
-        |qn AS (
-        |  SELECT vec_id,
-        |    CAST(list_sum(list_transform(codes,
-        |      x -> 1000 * x * 1000 * x)) AS BIGINT) AS q2
-        |  FROM c WHERE vec_id < 10),
-        |qprobe AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT q.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(range(len(q.codes)),
-        |          i -> (1000 * q.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)])
-        |             * (1000 * q.codes[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
-        |        s.cell) AS rn
-        |    FROM c q CROSS JOIN cents2 s WHERE q.vec_id < 10) t WHERE rn <= 2),
-        |cand AS (
-        |  SELECT qp2.query_id, a.vec_id AS neighbor_id
-        |  FROM qprobe qp2 JOIN a3 a ON qp2.cell = a.cell
-        |  WHERE a.vec_id <> qp2.query_id),
-        |qsub AS (
-        |  SELECT vec_id, CAST(j AS INT) AS j,
-        |    list_transform(list_slice(codes, j * 16 + 1, j * 16 + 16),
-        |      x -> 1000 * x) AS qs
-        |  FROM c, range(4) tj(j) WHERE vec_id < 10),
-        |d AS (
-        |  SELECT cd.query_id, cd.neighbor_id,
-        |    CAST(list_sum(list_transform(range(len(q.qs)),
-        |      i -> q.qs[CAST(i + 1 AS INT)] * xh.xs[CAST(i + 1 AS INT)])) AS BIGINT) AS pd
-        |  FROM cand cd JOIN qsub q ON q.vec_id = cd.query_id
-        |       JOIN xhat xh ON xh.vec_id = cd.neighbor_id AND xh.j = q.j),
-        |dd AS (SELECT query_id, neighbor_id, CAST(sum(pd) AS BIGINT) AS dt
-        |       FROM d GROUP BY query_id, neighbor_id),
-        |p AS (
-        |  SELECT dd.query_id, dd.neighbor_id,
-        |    round(CAST(dd.dt AS DOUBLE)
-        |      / (sqrt(CAST(qn.q2 AS DOUBLE)) * sqrt(CAST(xn.x2 AS DOUBLE))), 4) AS sim
-        |  FROM dd JOIN qn ON dd.query_id = qn.vec_id
-        |       JOIN xn ON dd.neighbor_id = xn.vec_id
-        |       JOIN nq ON dd.neighbor_id = nq.vec_id
-        |  WHERE qn.q2 > 0 AND xn.x2 > 0 AND nq.nsq > 0),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM p)
-        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin),
+    "q_sim_ann_ivfpq_index" -> ivfPqIndexOracle,
+    // appends are content-commutative: 2 streamed drops of the same
+    // held-out tenth end in the identical postings state, so the
+    // batch index oracle IS the streaming gate's oracle
+    "q_stream_ann_index" -> ivfPqIndexOracle,
     // IVFADC replayed in SQL end-to-end: the coarse half is the
     // proven q_kmeans_cells Lloyd chain (cents2 = trained coarse
     // centroids, a3 = corpus cell assignment); the fine half derives

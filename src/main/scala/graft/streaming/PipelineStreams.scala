@@ -569,4 +569,64 @@ object PipelineStreams {
       "clusterIngestStream: replay timed out — the store may hold a " +
         "prefix of the drops (safe to re-run: ingests are idempotent)")
   }
+
+  /** STREAMING ANN index maintenance — embedding micro-batches append
+    * into a PERSISTED IVFADC index
+    * ([[graft.similarity.Similarity.ivfPqIndexAppend]]) via
+    * foreachBatch: each drop is assigned + PQ-encoded under the
+    * persisted coarse centroids and residual codebook (one map-side
+    * pass over the drop, appends into the touched cells' posting
+    * directories — never a retrain, never a corpus re-scan), so index
+    * freshness tracks the ingest stream at O(drop) cost per trigger.
+    * The state IS the index (plain parquet): recovery rebuilds
+    * nothing and any engine can serve it mid-stream.
+    *
+    * Delivery contract: a per-batch marker
+    * (`.batches/<checkpoint-scope>-b<batchId>`, scoped to the
+    * stream's checkpoint since batchIds restart under a fresh one)
+    * written after each append makes checkpoint re-delivery of an
+    * already-appended batch a no-op. The marker is written AFTER the
+    * postings land (a marker-first order could record a batch that
+    * never arrived), so a crash INSIDE the append-then-mark window
+    * re-appends that one batch on recovery — duplicate postings for
+    * its ids, which inflate their presence in top-k results until a
+    * rebuild. Micro-batches are sequential per query, satisfying the
+    * single-writer shape; concurrent external writers are out of
+    * contract here as for every store in this engine. Blocks until
+    * the AvailableNow replay terminates. */
+  def annIndexAppendStream(spark: SparkSession, dropsDir: String,
+      idCol: String, vecCol: String, indexPath: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      timeoutMs: Long = 300000L): Unit = {
+    val markers = new java.io.File(indexPath, ".batches")
+    markers.mkdirs()
+    // markers are scoped to THIS stream's checkpoint: batchIds restart
+    // at 0 under a fresh checkpoint, so an unscoped marker from an
+    // earlier stream would silently swallow a new stream's first drops
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+      .select(col(idCol), col(vecCol))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(markers, s"$scope-b$batchId")
+        if (!marker.exists() && !batch.isEmpty) {
+          graft.similarity.Similarity.ivfPqIndexAppend(
+            batch, idCol, vecCol, indexPath)
+          require(marker.createNewFile(),
+            s"annIndexAppendStream: could not mark batch $batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    q.stop()
+    require(finished,
+      "annIndexAppendStream: replay timed out — the index may hold a " +
+        "prefix of the drops (re-run resumes: marked batches are " +
+        "skipped)")
+  }
 }

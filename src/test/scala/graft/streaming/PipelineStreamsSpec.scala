@@ -403,4 +403,51 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 100L -> 10L,
       30L -> 5L, 5L -> 5L, 200L -> 200L), s"got $got")
   }
+
+  test("annIndexAppendStream: streamed drops == batch appends; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+    val q = emb.filter(col("vec_id") < 10)
+    def buildBase(path: String): Unit =
+      graft.similarity.Similarity.ivfPqIndexBuild(base, "vec_id",
+        "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+        itersPq = 1, path = path)
+    def serve(path: String) =
+      graft.similarity.Similarity.ivfPqIndexTopK(q, "vec_id",
+          "embedding", k = 5, nProbe = 2, path = path)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val dir = graft.util.TempDirs.scoped("streams-annindex")
+    val batchPath = dir.resolve("batch").toString
+    buildBase(batchPath)
+    graft.similarity.Similarity.ivfPqIndexAppend(delta, "vec_id",
+      "embedding", batchPath)
+    val streamPath = dir.resolve("stream").toString
+    buildBase(streamPath)
+    val dropsDir = PipelineStreams.stageOrderedDrops(delta, "vec_id", 2,
+      "streams-annindex-drops")
+    val ckpt = dir.resolve("ckpt").toString
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", streamPath, ckpt)
+    }
+    val streamed = serve(streamPath)
+    assert(streamed == serve(batchPath),
+      "streamed appends must reconstruct the batch-append index")
+    // replaying the same drops against the same checkpoint must not
+    // duplicate postings (checkpoint skips committed batches; the
+    // marker guard covers a redelivered one) — the serve is unchanged
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", streamPath, ckpt)
+    }
+    assert(serve(streamPath) == streamed, "replay must be a no-op")
+    // and the marker guard alone (fresh checkpoint would restart
+    // batchIds): both batch markers exist, scoped to this checkpoint
+    val markers = new java.io.File(streamPath, ".batches").list()
+    assert(markers != null && markers.length == 2, s"markers: ${markers.toSeq}")
+  }
 }
