@@ -1630,6 +1630,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The IVFADC index's recall observable: same build+append, every
+    // approx row carries n_exact/n_hit/recall@5 against the ALL-CELLS
+    // ADC serve over the same postings — pruning loss isolated from
+    // quantization loss (which is a rebuild-time property), the whole
+    // metric inside the hash.
+    "q_sim_ann_ivfpq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivfpq-recall").toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      Similarity.ivfPqIndexTopKWithRecall(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path,
+          sampleMod = 1L)
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMING ANN index maintenance: the same base build, but the
     // held-out tenth arrives as 2 ordered drops through the real
     // streaming engine (AvailableNow replay, per-batch append under
@@ -1861,10 +1880,9 @@ object PipelineQueries {
         |      FROM cand)
       |""".stripMargin
 
-  /** Shared by q_sim_ann_ivfpq_index (batch build+append) and
-    * q_stream_ann_index (streamed appends): both must reconstruct
-    * the identical on-disk index, so one replay oracles both. */
-  private val ivfPqIndexOracle: String =
+  /** IVFADC-index replay through the ranked `r` CTE — shared by the
+    * batch gate, the streaming gate, and the recall observable. */
+  private val ivfPqIndexCtes: String =
     (ivfIndexAssignCtes + """,
         |resi AS (
         |  SELECT a.vec_id, a.cell,
@@ -1976,9 +1994,62 @@ object PipelineQueries {
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM p)
+        |      FROM p)""".stripMargin)
+
+  /** Shared by q_sim_ann_ivfpq_index (batch build+append) and
+    * q_stream_ann_index (streamed appends): both must reconstruct
+    * the identical on-disk index, so one replay oracles both. */
+  private val ivfPqIndexOracle: String =
+    ivfPqIndexCtes + """
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin
+
+  /** The recall observable on top of the same replay: the EXACT leg
+    * is the ADC ranking with NO probe pruning — the same
+    * reconstruction-cosine chain over ALL (query, vector) pairs (the
+    * postings hold PQ codes, so all-cells probing serves ADC over
+    * every reconstruction, NOT full-code brute force — the metric
+    * isolates pruning loss on top of quantization, which is the
+    * serving dial). */
+  private val ivfPqRecallOracle: String =
+    ivfPqIndexCtes + """,
+        |df AS (
+        |  SELECT q.vec_id AS query_id, xh.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(len(q.qs)),
+        |      i -> q.qs[CAST(i + 1 AS INT)] * xh.xs[CAST(i + 1 AS INT)])) AS BIGINT) AS pd
+        |  FROM qsub q JOIN xhat xh ON xh.j = q.j
+        |  WHERE xh.vec_id <> q.vec_id),
+        |ddf AS (SELECT query_id, neighbor_id, CAST(sum(pd) AS BIGINT) AS dt
+        |        FROM df GROUP BY query_id, neighbor_id),
+        |pf AS (
+        |  SELECT ddf.query_id, ddf.neighbor_id,
+        |    round(CAST(ddf.dt AS DOUBLE)
+        |      / (sqrt(CAST(qn.q2 AS DOUBLE)) * sqrt(CAST(xn.x2 AS DOUBLE))), 4) AS sim
+        |  FROM ddf JOIN qn ON ddf.query_id = qn.vec_id
+        |       JOIN xn ON ddf.neighbor_id = xn.vec_id
+        |       JOIN nq ON ddf.neighbor_id = nq.vec_id
+        |  WHERE qn.q2 > 0 AND xn.x2 > 0 AND nq.nsq > 0),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rk
+        |    FROM pf) t WHERE rk <= 5),
+        |approx AS (
+        |  SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5),
+        |nex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+        |hit AS (
+        |  SELECT a.query_id, count(*) AS n_hit
+        |  FROM approx a JOIN exact e
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |  GROUP BY 1)
+        |SELECT a.query_id, a.rank, a.neighbor_id, a.sim, nx.n_exact,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  round(1.0 * coalesce(h.n_hit, 0) / nx.n_exact, 4) AS recall_at_k
+        |FROM approx a
+        |JOIN nex nx USING (query_id)
+        |LEFT JOIN hit h ON a.query_id = h.query_id
+        |ORDER BY query_id, rank""".stripMargin
 
   private val jaccardPairsSql: String =
     """WITH t AS (
@@ -4006,6 +4077,7 @@ object PipelineQueries {
     // (delta, persisted centroids+codebook, no retrain) must
     // reconstruct from disk.
     "q_sim_ann_ivfpq_index" -> ivfPqIndexOracle,
+    "q_sim_ann_ivfpq_recall" -> ivfPqRecallOracle,
     // appends are content-commutative: 2 streamed drops of the same
     // held-out tenth end in the identical postings state, so the
     // batch index oracle IS the streaming gate's oracle

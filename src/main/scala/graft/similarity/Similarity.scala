@@ -1712,4 +1712,39 @@ object Similarity {
     ivfPqServe(queries, postings, coarse, rcb, idCol, vecCol, k,
       nProbe, simDecimals)
   }
+
+  /** [[ivfPqIndexTopK]] with RECALL@K AS AN OBSERVABLE — the
+    * [[ivfIndexTopKWithRecall]] monitor for the PQ-compressed index:
+    * appends never retrain EITHER quantizer, so coarse-centroid AND
+    * residual-codebook drift both erode served quality silently. The
+    * reference leg probes ALL cells over the same postings —
+    * identical ADC arithmetic, so the ratio isolates exactly what
+    * probe pruning sacrifices ON TOP of quantization (PQ loss is a
+    * rebuild-time property; pruning loss is the serving dial). Each
+    * approx row carries `n_exact`, `n_hit` and `recall_at_k` for
+    * queries in the `idCol % sampleMod == 0` sample (null
+    * otherwise); the exact pass costs one unpruned postings scan for
+    * the sampled slice. */
+  def ivfPqIndexTopKWithRecall(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, path: String,
+      sampleMod: Long = 10L, simDecimals: Int = 4): DataFrame = {
+    val approx = ivfPqIndexTopK(queries, idCol, vecCol, k, nProbe,
+      path, simDecimals)
+    val nCells = readCents(queries.sparkSession, path).size
+    val sampled = queries.filter(col(idCol) % sampleMod === 0)
+    val exact = ivfPqIndexTopK(sampled, idCol, vecCol, k,
+      nProbe = nCells, path, simDecimals)
+    val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = approx
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    approx
+      .join(nEx.join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit")),
+        Seq("query_id"), "left")
+      .withColumn("recall_at_k",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
 }
