@@ -1725,6 +1725,79 @@ object Similarity {
     * queries in the `idCol % sampleMod == 0` sample (null
     * otherwise); the exact pass costs one unpruned postings scan for
     * the sampled slice. */
+  /** IVFADC index MAINTENANCE — the drift response for the
+    * PQ-compressed index: measure served recall via
+    * [[ivfPqIndexTopKWithRecall]]; below `recallFloor`, REBUILD both
+    * quantizers from `corpus` and swap the artifacts in place.
+    *
+    * Two deliberate asymmetries vs [[ivfIndexMaintain]]:
+    *   - the retrain needs the RAW corpus (the lakehouse table the
+    *     index serves): PQ postings are lossy, so unlike the plain
+    *     IVF index the quantizers cannot retrain from the index's own
+    *     codes — training on reconstructions would compound the very
+    *     quantization error a retrain exists to re-center;
+    *   - the recall observable compares pruned vs ALL-CELLS ADC over
+    *     the same postings, so the trigger specifically detects
+    *     PROBE-PRUNING decay (appends drifting off the trained
+    *     Voronoi structure pile neighbors into unprobed cells) —
+    *     exactly the failure mode appends cause.
+    *
+    * Cell/codebook geometry (nCells, m, ks) is re-read from the
+    * persisted artifacts, so a maintain never changes the serving
+    * contract. The swap goes through a staging build + per-artifact
+    * rename (postings, then pqcents, then centroids, each with a
+    * `.pre-retrain` aside) — a crash mid-swap leaves the aside copy
+    * named in the thrown error; `.batches` append markers stay in
+    * place, so a checkpointed append stream keeps skipping batches
+    * the rebuilt corpus already contains. */
+  def ivfPqIndexMaintain(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, path: String,
+      recallFloor: Double, itersCoarse: Int = 2,
+      itersPq: Int = 1): IvfMaintainReport = {
+    require(recallFloor >= 0.0 && recallFloor <= 1.0,
+      "recallFloor must be in [0, 1]")
+    val spark = queries.sparkSession
+    def meanRecall(): Double = {
+      val r = ivfPqIndexTopKWithRecall(queries, idCol, vecCol, k,
+          nProbe, path, sampleMod = 1L)
+        .select("query_id", "recall_at_k").distinct()
+        .agg(avg("recall_at_k")).head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }
+    val before = meanRecall()
+    if (before >= recallFloor) return IvfMaintainReport(before, false, None)
+    val nCells = readCents(spark, path).size
+    val rcb0 = readPqCents(spark, path)
+    log.info(f"ivfPqIndexMaintain: recall@$k $before%.4f < floor " +
+      f"$recallFloor%.4f at $path — rebuilding ($nCells cells, " +
+      f"m=${rcb0.m} ks=${rcb0.ks})")
+    val staging = path + "/.retrain-" + java.util.UUID.randomUUID()
+    ivfPqIndexBuild(corpus, idCol, vecCol, nCells, itersCoarse,
+      rcb0.m, rcb0.ks, itersPq, staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("postings", "pqcents", "centroids").foreach { art =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$art")
+      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$art")
+      val aside = new org.apache.hadoop.fs.Path(s"$path/$art.pre-retrain")
+      fs.delete(aside, true)
+      if (fs.exists(live) && !fs.rename(live, aside))
+        throw new IllegalStateException(
+          s"ivfPqIndexMaintain: could not move $live aside to $aside")
+      if (!fs.rename(fresh, live))
+        throw new IllegalStateException(
+          s"ivfPqIndexMaintain: could not move the rebuilt $fresh into " +
+            s"place — the prior artifact is intact at $aside; rename it " +
+            "back to recover")
+      fs.delete(aside, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val after = meanRecall()
+    log.info(f"ivfPqIndexMaintain: rebuilt $path — recall@$k " +
+      f"$before%.4f -> $after%.4f")
+    IvfMaintainReport(before, true, Some(after))
+  }
+
   def ivfPqIndexTopKWithRecall(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, path: String,
       sampleMod: Long = 10L, simDecimals: Int = 4): DataFrame = {

@@ -162,6 +162,50 @@ class PqSpec extends AnyFunSuite {
     assert(fromDisk.sorted.toSeq == inMem.sorted.toSeq)
   }
 
+  test("ivfPqIndexMaintain: skewed appends degrade pruned recall; rebuild recovers it") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("ivfpq-maintain-spec").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val baseA = (0 until 40).map(i => (i.toLong,
+      Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))))
+    val baseB = (40 until 80).map(i => (i.toLong,
+      Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3))))
+    val base = (baseA ++ baseB).toDF("vec_id", "embedding")
+    Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, itersCoarse = 3, m = 2, ks = 8, itersPq = 2, path = path)
+    // a new directional cluster ON the trained A/B Voronoi boundary,
+    // members spread symmetrically across it — nProbe=1 misses the
+    // half in the unprobed cell (the ivfIndexMaintain drift scenario)
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    val delta = (1000 until 1080).map(i => (i.toLong, deltaVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfPqIndexAppend(delta, "vec_id", "embedding", path = path)
+    val corpus = base.unionByName(delta)
+    val queries = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqIndexMaintain(queries, corpus, "vec_id",
+      "embedding", k = 5, nProbe = 1, path = path, recallFloor = 0.95,
+      itersCoarse = 3, itersPq = 2)
+    assert(r.retrained, f"expected rebuild: recallBefore=${r.recallBefore}%.4f")
+    assert(r.recallBefore < 0.95)
+    assert(r.recallAfter.get > r.recallBefore, s"recall did not improve: $r")
+    assert(r.recallAfter.get >= 0.9, s"recovered recall only ${r.recallAfter}")
+    // above the floor now: second maintain is a measured no-op
+    val r2 = Similarity.ivfPqIndexMaintain(queries, corpus, "vec_id",
+      "embedding", k = 5, nProbe = 1, path = path, recallFloor = 0.8,
+      itersCoarse = 3, itersPq = 2)
+    assert(!r2.retrained && r2.recallAfter.isEmpty)
+    // the rebuild preserved the id multiset (base + delta, no loss)
+    val ids = spark.read.parquet(path + "/postings").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
+  }
+
   test("trained PQ recall vs int8 brute force does not collapse") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
