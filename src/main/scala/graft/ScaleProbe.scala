@@ -101,9 +101,13 @@ object ScaleProbe {
     // For the memoized cluster-table queries, repeats>=2 + min() makes
     // the measurement the OPERATOR: the first repeat pays the
     // shared-table init memo, the second rides it.
+    // r9 additions: q_sim_ann_ivfpq (both quantizer trainings + ADC
+    // serve) and q_stream_ann_index (base build + streamed appends
+    // into the persisted PQ index) postdate the r8 probe run.
     val names = Seq("q_dedup_minhash", "q_dedup_ccstar", "q_cluster_ingest",
       "q_sim_ann_ivf_trained", "q_t_c4_clean",
-      "q_t_dsir", "q_stream_cluster", "q_cluster_retract")
+      "q_t_dsir", "q_stream_cluster", "q_cluster_retract",
+      "q_sim_ann_ivfpq", "q_stream_ann_index")
     def timeQuery(name: String, dir: String): Double =
       (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
