@@ -206,6 +206,41 @@ class PqSpec extends AnyFunSuite {
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
   }
 
+  test("zero vectors ride PQ end-to-end guarded; postings scan prunes partitions") {
+    import spark.implicits._
+    // synthetic corpus with an all-zero member: it must encode with
+    // nsq = 0 and never surface as a neighbor or a query
+    def v(i: Int): Array[Float] =
+      Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)
+    val rows = (0 until 20).map(i => (i.toLong, v(i))) :+
+      (99L, Array.fill(8)(0f))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ks = 4, iters = 1)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val zero = enc.filter(col("id") === 99L).head()
+    assert(zero.getLong(2) == 0L, "all-zero vector must carry nsq = 0")
+    val served = Similarity.pqTopKEncoded(corpus, enc, cb,
+      "vec_id", "embedding", k = 21)
+    assert(served.filter(col("neighbor_id") === 99L).count() == 0,
+      "zero vector served as a neighbor")
+    assert(served.filter(col("query_id") === 99L).count() == 0,
+      "zero vector served as a query")
+    // the IVFADC index serve must push the probed-cell set as a
+    // partition filter (the layout's payoff — only probed inverted
+    // lists are read)
+    val path = graft.util.TempDirs.scoped("pqspec-prune").toString
+    Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCells = 8, itersCoarse = 1, m = 4, ks = 4, itersPq = 0, path = path)
+    val plan = Similarity.ivfPqIndexTopK(emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, nProbe = 1, path = path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.contains("PartitionFilters: [isnotnull(cell") ||
+      plan.contains("cell#") && plan.contains("INSET"),
+      s"no partition pruning visible in plan")
+  }
+
   test("trained PQ recall vs int8 brute force does not collapse") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 10)
