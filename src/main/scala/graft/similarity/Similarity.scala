@@ -438,6 +438,10 @@ object Similarity {
       nCells: Int, iters: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // single-writer lease (the Dedup-store discipline): a build racing
+    // an append/maintain on the same path would silently lose the
+    // other writer's postings at overwrite time — make it loud instead
+    graft.ops.StoreLock.withLock(spark, path) {
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // training + assignment
@@ -462,6 +466,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/postings")
     codes.unpersist()
+    }
   }
 
   /** PERSISTENT IVF INDEX — incremental append: assign a delta batch
@@ -476,16 +481,18 @@ object Similarity {
   def ivfIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = delta.sparkSession
-    val cents = readCents(spark, path)
-    quantizeInt8(delta, idCol, vecCol)
-      .select(col(idCol).cast("long").as("id"), col("codes"))
-      .withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", assignCellExpr("codes"))
-      .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
-        col("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(path + "/postings")
+    graft.ops.StoreLock.withLock(spark, path) {
+      val cents = readCents(spark, path)
+      quantizeInt8(delta, idCol, vecCol)
+        .select(col(idCol).cast("long").as("id"), col("codes"))
+        .withColumn("__cents", centsLiteral(cents))
+        .withColumn("cell", assignCellExpr("codes"))
+        .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
+          col("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(path + "/postings")
+    }
   }
 
   /** PERSISTENT IVF INDEX — serve: probe the `nProbe` nearest cells
@@ -658,6 +665,10 @@ object Similarity {
     if (before >= recallFloor) return IvfMaintainReport(before, false, None)
     log.info(f"ivfIndexMaintain: recall@$k $before%.4f < floor " +
       f"$recallFloor%.4f at $path — retraining")
+    // the rebuild-and-swap is a store mutation like any other: lease
+    // it so a concurrent append cannot land between the postings read
+    // and the swap and be silently dropped from the rebuilt index
+    graft.ops.StoreLock.withLock(spark, path) {
     val nCells = readCents(spark, path).size
     val codes = spark.read.parquet(path + "/postings")
       .select(col("id"), col("codes"))
@@ -751,6 +762,7 @@ object Similarity {
     log.info(f"ivfIndexMaintain: retrained $path — recall@$k " +
       f"$before%.4f -> $after%.4f")
     IvfMaintainReport(before, retrained = true, Some(after))
+    }
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN
@@ -1634,6 +1646,9 @@ object Similarity {
     import spark.implicits._
     val dim = dimOf(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    // single-writer lease (the Dedup-store discipline) around the
+    // three-artifact write — see ivfIndexBuild
+    graft.ops.StoreLock.withLock(spark, path) {
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut)
@@ -1654,6 +1669,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/postings")
     res.unpersist(); codes.unpersist()
+    }
   }
 
   /** PERSISTENT IVFADC INDEX — incremental append: assign + encode a
@@ -1667,14 +1683,16 @@ object Similarity {
   def ivfPqIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = delta.sparkSession
-    val coarse = readCents(spark, path)
-    val rcb = readPqCents(spark, path)
-    val codes = quantizeInt8(delta, idCol, vecCol)
-      .select(col(idCol).cast("long").as("id"), col("codes"))
-    ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(path + "/postings")
+    graft.ops.StoreLock.withLock(spark, path) {
+      val coarse = readCents(spark, path)
+      val rcb = readPqCents(spark, path)
+      val codes = quantizeInt8(delta, idCol, vecCol)
+        .select(col(idCol).cast("long").as("id"), col("codes"))
+      ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(path + "/postings")
+    }
   }
 
   /** PERSISTENT IVFADC INDEX — serve: probe the `nProbe` nearest
@@ -1766,6 +1784,10 @@ object Similarity {
     }
     val before = meanRecall()
     if (before >= recallFloor) return IvfMaintainReport(before, false, None)
+    // lease the rebuild-and-swap (see ivfIndexMaintain): a concurrent
+    // append landing after `corpus` was read would otherwise vanish
+    // from the rebuilt postings at swap time
+    graft.ops.StoreLock.withLock(spark, path) {
     val nCells = readCents(spark, path).size
     val rcb0 = readPqCents(spark, path)
     log.info(f"ivfPqIndexMaintain: recall@$k $before%.4f < floor " +
@@ -1792,10 +1814,15 @@ object Similarity {
       fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // the staging build's own lease sidecars (lock released, epoch
+    // persistent by design) would otherwise accumulate per rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(staging + ".epoch"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(staging + ".lock"), true)
     val after = meanRecall()
     log.info(f"ivfPqIndexMaintain: rebuilt $path — recall@$k " +
       f"$before%.4f -> $after%.4f")
     IvfMaintainReport(before, true, Some(after))
+    }
   }
 
   def ivfPqIndexTopKWithRecall(queries: DataFrame, idCol: String,
