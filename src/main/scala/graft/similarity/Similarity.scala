@@ -1134,9 +1134,11 @@ object Similarity {
     * Engine-exact by construction (the [[kmeansFitInt8]] contract,
     * re-stated per subspace): int8 codes, milli-grid centroids,
     * exact-int64 squared-L2 distances, argmin ties to the lower cell
-    * id, `round((1000.0 * sum) / n)` updates, empty cells keep their
-    * centroid, seeds = the `ks` lowest-id vectors' subvectors. The
-    * whole loop replays as DuckDB CTEs for the hash gate.
+    * id, `round((1000.0 * sum(code)) / n)` updates (computed by the
+    * shared loop as `round(sum(milli) / n)` — the same value, since
+    * integer sums scale exactly), empty cells keep their centroid,
+    * seeds = the `ks` lowest-id vectors' subvectors. The whole loop
+    * replays as DuckDB CTEs for the hash gate.
     *
     * Scale shape per iteration: centroids go DOWN as an
     * (m x ks)-struct broadcast literal (dimension-sized — m*ks*dsub =
