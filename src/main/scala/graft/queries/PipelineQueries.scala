@@ -1048,6 +1048,35 @@ object PipelineQueries {
     // — two longs). Under id-ordered arrival the streamed assignment
     // equals the batch greedy fold, so the recursive-CTE oracle is
     // shared with q_pack_sequences.
+    // STREAMING token-budget admission through the real engine: docs
+    // arrive as 3 ordered drops and each source keeps admitting in
+    // arrival order while its running total stays within budget — the
+    // prefix rule, so the plain per-source cumsum SQL oracles the
+    // whole replay (budget 800 vs ~1300-1550 tokens/source at gate SF
+    // keeps the admission honestly partial).
+    "q_stream_budget" -> ((s, d) => {
+      val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        Tables.documents(s, d), "doc_id", 3, "graft-stream-budget")
+      s.catalog.dropTempView("stream_budget_out")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        val q = graft.streaming.PipelineStreams.budgetAdmitStream(
+            graft.streaming.PipelineStreams.readDocs(s, dir.toString,
+              maxFilesPerTrigger = Some(1)),
+            budget = 800L)
+          .toDF()
+          .writeStream.format("memory").queryName("stream_budget_out")
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val finished = q.awaitTermination(300000)
+        q.stop()
+        require(finished,
+          "q_stream_budget: streaming query timed out — refusing to read a partial sink")
+      }
+      s.table("stream_budget_out").orderBy("source", "doc_id")
+    }),
+
     "q_stream_pack" -> ((s, d) => {
       val dir = graft.streaming.PipelineStreams.stageOrderedDrops(
         Tables.documents(s, d), "doc_id", 4, "graft-stream-pack")
@@ -4082,6 +4111,23 @@ object PipelineQueries {
     // held-out tenth end in the identical postings state, so the
     // batch index oracle IS the streaming gate's oracle
     "q_stream_ann_index" -> ivfPqIndexOracle,
+    // the streamed prefix-rule admission equals the batch cumsum over
+    // (source, doc_id) order: the running total accumulates EVERY doc
+    // and a doc admits iff its running total fits the budget
+    "q_stream_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, CAST(toks AS BIGINT) AS toks,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 800 ORDER BY source, doc_id""".stripMargin,
     // IVFADC replayed in SQL end-to-end: the coarse half is the
     // proven q_kmeans_cells Lloyd chain (cents2 = trained coarse
     // centroids, a3 = corpus cell assignment); the fine half derives

@@ -434,6 +434,52 @@ object PipelineStreams {
       }
   }
 
+  final case class BudgetDoc(source: String, doc_id: Long, toks: Long)
+  final case class BudgetAdmit(source: String, doc_id: Long, toks: Long,
+      cum_tokens: Long)
+
+  /** STREAMING token-budget admission — the ingest-time twin of
+    * [[graft.functions.Sampling.tokenBudgetSample]]: docs arrive in
+    * drops and each source admits docs in ARRIVAL order (doc_id
+    * within a micro-batch — iterators carry no order guarantee —
+    * batch order across drops) while the source's running token
+    * total stays within `budget`. "Keep ingesting source X until its
+    * budget is spent" is how mixes are actually capped at ingest
+    * time; the batch sampler is the from-scratch twin with hash
+    * order standing in for arrival order.
+    *
+    * PREFIX rule, exactly the batch filter's semantics: the running
+    * total accumulates EVERY arrived doc (admitted or not), and a
+    * doc admits iff the total after it is still <= budget — so once
+    * a source overflows, everything after drops (no greedy
+    * backfill), and zero-token docs at an exactly-spent budget still
+    * admit. State per source = ONE long (the arrived-token total):
+    * bounded by source cardinality, not corpus size. Emissions are
+    * batch-boundary-invariant: N drops or 1 produce the identical
+    * admission set with identical `cum_tokens`. */
+  def budgetAdmitStream(docs: DataFrame, budget: Long): Dataset[BudgetAdmit] = {
+    require(budget >= 0, "budget must be non-negative")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            cum += d.toks
+            if (cum <= budget) Some(BudgetAdmit(src, d.doc_id, d.toks, cum))
+            else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   final case class ReservoirDoc(stratum: String, doc_id: Long, bucket: Long)
   final case class ReservoirAdmit(stratum: String, doc_id: Long, bucket: Long)
 

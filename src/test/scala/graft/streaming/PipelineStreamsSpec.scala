@@ -404,6 +404,48 @@ class PipelineStreamsSpec extends AnyFunSuite {
       30L -> 5L, 5L -> 5L, 200L -> 200L), s"got $got")
   }
 
+  test("budgetAdmitStream: prefix rule, batch-boundary invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // per-source token stream: src A = 3,4,5,1 tokens; src B = 6,2
+    // budget 8: A admits docs 1 (cum 3) and 2 (cum 7); doc 3 overflows
+    // (cum 12) and doc 4 must NOT backfill (prefix rule: cum 13 > 8).
+    // B admits 6 then 8.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(3), "A"), (2L, words(4), "A"), (3L, words(5), "A"),
+      (4L, words(1), "A"), (5L, words(6), "B"), (6L, words(2), "B"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def run(chunks: Int, tag: String): Seq[(String, Long, Long, Long)] = {
+      val dir = PipelineStreams.stageOrderedDrops(docs, "doc_id", chunks,
+        s"streams-budget-$tag")
+      val view = s"budget_out_$tag"
+      spark.catalog.dropTempView(view)
+      PipelineStreams.withShufflePartitions(spark, 8) {
+        val q = PipelineStreams.budgetAdmitStream(
+            PipelineStreams.readDocs(spark, dir.toString, Some(1)),
+            budget = 8L)
+          .toDF()
+          .writeStream.format("memory").queryName(view)
+          .outputMode("append")
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(120000), "stream timed out"); q.stop()
+      }
+      spark.table(view).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    val admitted = run(3, "a")
+    assert(admitted == Seq(("A", 1L, 3L, 3L), ("A", 2L, 4L, 7L),
+      ("B", 5L, 6L, 6L), ("B", 6L, 2L, 8L)), s"got $admitted")
+    // one drop == three drops: the admission set and cum_tokens are
+    // batch-boundary-invariant
+    assert(run(1, "b") == admitted)
+  }
+
   test("annIndexAppendStream: streamed drops == batch appends; replay is a no-op") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
