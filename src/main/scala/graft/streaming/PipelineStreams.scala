@@ -644,8 +644,15 @@ object PipelineStreams {
       idCol: String, vecCol: String, indexPath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       timeoutMs: Long = 300000L): Unit = {
-    val markers = new java.io.File(indexPath, ".batches")
-    markers.mkdirs()
+    // markers live BESIDE the postings, resolved through the index
+    // path's own Hadoop FileSystem (the StoreLock/maintain-swap
+    // discipline) — a java.io.File here would pin them to the
+    // driver's LOCAL disk, so on an hdfs://-or-object-store index a
+    // driver replacement would lose the dedupe record and checkpoint
+    // re-delivery would silently double-append postings
+    val markersDir = new org.apache.hadoop.fs.Path(indexPath, ".batches")
+    val fs = markersDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(markersDir)
     // markers are scoped to THIS stream's checkpoint: batchIds restart
     // at 0 under a fresh checkpoint, so an unscoped marker from an
     // earlier stream would silently swallow a new stream's first drops
@@ -656,12 +663,14 @@ object PipelineStreams {
       .select(col(idCol), col(vecCol))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(markers, s"$scope-b$batchId")
-        if (!marker.exists() && !batch.isEmpty) {
+        val marker = new org.apache.hadoop.fs.Path(markersDir,
+          s"$scope-b$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
           graft.similarity.Similarity.ivfPqIndexAppend(
             batch, idCol, vecCol, indexPath)
-          require(marker.createNewFile(),
-            s"annIndexAppendStream: could not mark batch $batchId")
+          // overwrite=false: create-or-throw, the atomic twin of
+          // File.createNewFile on filesystems that support it
+          fs.create(marker, false).close()
           ()
         }
       }

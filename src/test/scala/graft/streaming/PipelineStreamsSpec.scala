@@ -489,7 +489,56 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(serve(streamPath) == streamed, "replay must be a no-op")
     // and the marker guard alone (fresh checkpoint would restart
     // batchIds): both batch markers exist, scoped to this checkpoint
-    val markers = new java.io.File(streamPath, ".batches").list()
-    assert(markers != null && markers.length == 2, s"markers: ${markers.toSeq}")
+    val markers = Option(new java.io.File(streamPath, ".batches").list())
+      .getOrElse(Array.empty[String]).filterNot(_.startsWith("."))
+    assert(markers.length == 2, s"markers: ${markers.toSeq}")
+  }
+
+  test("annIndexAppendStream: batch markers resolve through the INDEX " +
+      "path's FileSystem (scheme-qualified path), not the local disk") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9 && col("vec_id") < 200)
+    val dir = graft.util.TempDirs.scoped("streams-annindex-fs")
+    // an EXPLICIT-scheme index path: spark/hadoop resolve it to the
+    // local FS, but java.io.File would mangle it into a literal
+    // "./file:" directory — exactly the divorce the driver-local
+    // marker bug produced on hdfs:// / s3a:// index paths
+    val localDir = dir.resolve("idx")
+    val indexPath = "file://" + localDir
+    graft.similarity.Similarity.ivfPqIndexBuild(base, "vec_id",
+      "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+      itersPq = 1, path = indexPath)
+    val dropsDir = PipelineStreams.stageOrderedDrops(delta, "vec_id", 2,
+      "streams-annindex-fs-drops")
+    val ckpt = dir.resolve("ckpt").toString
+    def countPostings(): Long =
+      spark.read.parquet(indexPath + "/postings").count()
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", indexPath, ckpt)
+    }
+    val after = countPostings()
+    // markers must land BESIDE the postings under the resolved path
+    val markers = Option(new java.io.File(localDir.toFile, ".batches").list())
+      .getOrElse(Array.empty[String]).filterNot(_.startsWith("."))
+    assert(markers.length == 2,
+      s"markers beside the postings: ${markers.toSeq}")
+    assert(!new java.io.File("file:").exists,
+      "no mangled driver-local 'file:' directory may appear")
+    // marker-level replay guard: wipe the CHECKPOINT (batchIds restart
+    // at 0) and replay the same drops — the scoped markers alone must
+    // make every redelivered batch a no-op
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", indexPath, ckpt)
+    }
+    assert(countPostings() == after,
+      "replay under restarted batchIds must not double-append")
   }
 }
