@@ -128,18 +128,56 @@ object StoreLock {
     } catch { case _: Exception => None }
 
   /** Touch the lease mtime every ttl/4 while the mutation runs — a
-    * live holder never goes stale. Daemon + interrupt-to-stop; a
-    * failed touch (fs hiccup) is retried at the next tick, and three
-    * missed ticks still leave one ttl/4 margin before staleness. */
+    * live holder never goes stale WHILE THE HEARTBEAT CAN BEAT.
+    * Daemon + interrupt-to-stop; a failed touch (fs hiccup) is
+    * retried at the next tick, and three missed ticks still leave one
+    * ttl/4 margin before staleness.
+    *
+    * Two documented holes in "a live holder is never stale", both of
+    * which the release-time token + epoch checks catch LOUDLY rather
+    * than silently:
+    *   - filesystems that cannot set mtimes (s3a throws
+    *     UnsupportedOperationException): the heartbeat is structurally
+    *     dead there, so the TTL bound is back in force — detected on
+    *     the first tick and warned ONCE (per-acquire), so operators
+    *     know to size ttlMs to the worst-case mutation;
+    *   - a driver pause longer than the TTL (GC, suspended VM): the
+    *     heartbeat thread is paused WITH the body, a contender may
+    *     reclaim mid-pause, and the resumed writer's release then
+    *     throws on the token/epoch mismatch (StoreLockSpec pins this).
+    * Repeated transient failures (>= 3 consecutive, i.e. staleness is
+    * now possible despite a live holder) also warn once. */
   private def startHeartbeat(fs: FileSystem, lock: Path,
       ttlMs: Long): Thread = {
     val interval = math.max(1000L, ttlMs / 4)
     val t = new Thread(() => {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      var warned = false
+      var consecutiveFailures = 0
+      def warnOnce(why: String): Unit = if (!warned) {
+        warned = true
+        log.warn(s"lease heartbeat for $lock cannot keep the holder " +
+          s"fresh ($why) — the lease degrades to its advisory TTL " +
+          s"semantics: a mutation outliving ttl=${ttlMs} ms may be " +
+          "reclaimed by a contender (the release-time token/epoch " +
+          "check will still fail that loudly). Size ttlMs to the " +
+          "worst-case mutation on this filesystem.")
+      }
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(interval)
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case scala.util.control.NonFatal(_) => () }
+          try {
+            fs.setTimes(lock, System.currentTimeMillis(), -1)
+            consecutiveFailures = 0
+          } catch {
+            case e: UnsupportedOperationException =>
+              warnOnce(s"setTimes unsupported: $e")
+            case scala.util.control.NonFatal(e) =>
+              consecutiveFailures += 1
+              if (consecutiveFailures >= 3)
+                warnOnce(s"$consecutiveFailures consecutive touch " +
+                  s"failures, latest: $e")
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$lock")

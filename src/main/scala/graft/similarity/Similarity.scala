@@ -292,9 +292,14 @@ object Similarity {
       .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
       .cache()
     val cents = kmeansTrain(codes, k, iters)
-    codes.withColumn("__cents", centsLiteral(cents))
+    val assigned = codes.withColumn("__cents", centsLiteral(cents))
       .withColumn("cell", assignCellExpr("codes"))
       .select(col("id"), col("cell"))
+    // training collects are eager — drop the cache instead of holding
+    // it for the session; the returned assignment recomputes the
+    // quantize map-side once at collect time
+    codes.unpersist()
+    assigned
   }
 
   /** The k x dim centroid map as a broadcast array-of-struct literal
@@ -408,9 +413,14 @@ object Similarity {
         simDecimals))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+    val topk = scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+    // training collects are eager — drop the cache instead of holding
+    // it for the session; the serve recomputes the quantize map-side
+    // once at collect time
+    corpusCodes.unpersist()
+    topk
   }
 
   private def nsqOf(c: Column): Column =
@@ -1172,7 +1182,12 @@ object Similarity {
       full = r.getSeq[Long](1).toArray
       j <- 0 until m
     } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub).map(_ * 1000L)).toMap
-    PqCodebook(m, dsub, ks, pqLloydLoop(sub, iters, seeds))
+    val cb = PqCodebook(m, dsub, ks, pqLloydLoop(sub, iters, seeds))
+    // the Lloyd collects are all eager and the returned codebook is
+    // plain driver data — drop the training cache instead of holding
+    // executor storage for the session lifetime
+    codes.unpersist()
+    cb
   }
 
   /** The grid-generic per-subspace Lloyd loop shared by [[pqTrain]]
@@ -1430,8 +1445,15 @@ object Similarity {
     val coarse = kmeansTrain(codes, nCells, itersCoarse)
     val res = ivfPqResiduals(codes, coarse).cache()
     val rcb = ivfPqTrainResidual(res, m, dsub, ks, itersPq)
-    ivfPqServe(queries, ivfPqEncodeRes(res, rcb), coarse, rcb,
-      idCol, vecCol, k, nProbe, simDecimals)
+    val served = ivfPqServe(queries, ivfPqEncodeRes(res, rcb), coarse,
+      rcb, idCol, vecCol, k, nProbe, simDecimals)
+    // training is done (Lloyd collects are eager); drop both training
+    // caches rather than hold executor storage for the session
+    // lifetime (the ivfPqIndexBuild discipline). The returned serve
+    // plan recomputes residual+encode from the corpus — one map-side
+    // pass, paid once at collect time.
+    res.unpersist(); codes.unpersist()
+    served
   }
 
   /** Coarse assignment + milli-grid residuals: `(id, codes)` ->
@@ -1769,7 +1791,14 @@ object Similarity {
     * `.pre-retrain` aside) — a crash mid-swap leaves the aside copy
     * named in the thrown error; `.batches` append markers stay in
     * place, so a checkpointed append stream keeps skipping batches
-    * the rebuilt corpus already contains. */
+    * the rebuilt corpus already contains.
+    *
+    * PRECONDITION (enforced, not assumed): `corpus` must contain
+    * every live posting id. Because the markers survive the swap, a
+    * streamed-append vector missing from `corpus` would be dropped by
+    * the rebuild AND never re-delivered — maintain verifies coverage
+    * with an ids-only anti-join before spending any training cost and
+    * fails loudly on the first uncovered id. */
   def ivfPqIndexMaintain(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int, path: String,
       recallFloor: Double, itersCoarse: Int = 2,
@@ -1795,6 +1824,25 @@ object Similarity {
     log.info(f"ivfPqIndexMaintain: recall@$k $before%.4f < floor " +
       f"$recallFloor%.4f at $path — rebuilding ($nCells cells, " +
       f"m=${rcb0.m} ks=${rcb0.ks})")
+    // REBUILD PRECONDITION — corpus covers the live postings: the
+    // rebuild re-encodes `corpus` from scratch while the `.batches`
+    // append markers stay in place, so a posting id absent from
+    // `corpus` (a streamed append the lakehouse table hasn't caught
+    // up with) would be dropped from the rebuilt index AND never
+    // re-appended by the checkpointed stream — permanent silent
+    // loss. Checked BEFORE any training cost; ids-only scan, the
+    // collect is limit-bounded.
+    val uncovered = spark.read.parquet(path + "/postings").select("id")
+      .join(corpus.select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    if (uncovered.nonEmpty)
+      throw new IllegalStateException(
+        s"ivfPqIndexMaintain: postings at $path hold ids absent from " +
+          s"the rebuild corpus (first ${uncovered.length}: " +
+          s"${uncovered.mkString(", ")}) — rebuilding now would drop " +
+          "them permanently (append markers block re-delivery). Feed " +
+          "a corpus that includes every appended batch, then re-run.")
     val staging = path + "/.retrain-" + java.util.UUID.randomUUID()
     ivfPqIndexBuild(corpus, idCol, vecCol, nCells, itersCoarse,
       rcb0.m, rcb0.ks, itersPq, staging)

@@ -455,8 +455,13 @@ object PipelineStreams {
     * backfill), and zero-token docs at an exactly-spent budget still
     * admit. State per source = ONE long (the arrived-token total):
     * bounded by source cardinality, not corpus size. Emissions are
-    * batch-boundary-invariant: N drops or 1 produce the identical
-    * admission set with identical `cum_tokens`. */
+    * batch-boundary-invariant — N drops or 1 produce the identical
+    * admission set with identical `cum_tokens` — PROVIDED doc_ids are
+    * non-decreasing across drops per source (the [[stageOrderedDrops]]
+    * replay guarantees it; any id-monotone ingest does). Within one
+    * batch rows are re-sorted by doc_id, but a SMALLER doc_id arriving
+    * in a LATER drop is genuinely a different arrival order than the
+    * single-batch replay and admits a different prefix. */
   def budgetAdmitStream(docs: DataFrame, budget: Long): Dataset[BudgetAdmit] = {
     require(budget >= 0, "budget must be non-negative")
     val ss = docs.sparkSession

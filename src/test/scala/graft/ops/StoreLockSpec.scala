@@ -108,6 +108,42 @@ class StoreLockSpec extends AnyFunSuite {
     fsFor(epoch).delete(epoch, false)
   }
 
+  test("multi-TTL pause contract: a holder whose heartbeat stops (GC " +
+      "pause / suspended VM) is reclaimed, and the RESUMED writer's " +
+      "release fails loudly on the token+epoch mismatch") {
+    val dir = graft.util.TempDirs.scoped("storelock-pause").toString
+    val store = dir + "/store"
+    val lock = new Path(store + ".lock")
+    val epoch = new Path(store + ".epoch")
+    val fs = fsFor(lock)
+    @volatile var contenderRan = false
+    val ex = intercept[IllegalStateException] {
+      // a huge ttl puts the first heartbeat tick ~an hour away — from
+      // the lease's point of view this IS a paused driver: nothing
+      // refreshes the mtime while the body runs
+      StoreLock.withLock(spark, store, ttlMs = 3600L * 1000) {
+        // the pause has "already lasted" multi-TTL from the
+        // contender's perspective: age the mtime well past ITS ttl
+        fs.setTimes(lock, System.currentTimeMillis() - 100000L, -1)
+        // contender treats the holder as dead, reclaims, mutates,
+        // stamps the epoch with its own token, releases
+        StoreLock.withLock(spark, store, ttlMs = 1000L) {
+          contenderRan = true
+        }
+        // the paused writer now "resumes" and completes its mutation —
+        // it must NOT be allowed to report clean success
+        "resumed-mutation-done"
+      }
+    }
+    assert(contenderRan, "contender should have reclaimed the stale lease")
+    assert(ex.getMessage.contains("reclaimed while this writer"),
+      ex.getMessage)
+    // the epoch backstop ALSO caught the interleaving (either check
+    // alone suffices; both firing is the belt-and-braces contract)
+    assert(ex.getMessage.contains("epoch"), ex.getMessage)
+    fs.delete(epoch, false)
+  }
+
   test("verified reclaim: breaking the lease observed stale succeeds; " +
       "breaking a lease that was swapped for a fresh one restores it") {
     val dir = graft.util.TempDirs.scoped("storelock-race").toString

@@ -204,6 +204,33 @@ class PqSpec extends AnyFunSuite {
     val ids = spark.read.parquet(path + "/postings").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
+    // COVERAGE PRECONDITION: a corpus that misses appended postings
+    // must fail the rebuild LOUDLY before any training/swap — the
+    // append markers stay in place across a rebuild, so those ids
+    // would otherwise vanish permanently. Replay the exact degrade
+    // scenario above (recallBefore < 0.95 was asserted) on a second
+    // index, but hand maintain a corpus that is missing the delta.
+    val path2 = graft.util.TempDirs.scoped("ivfpq-maintain-cover").toString
+    Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, itersCoarse = 3, m = 2, ks = 8, itersPq = 2, path = path2)
+    Similarity.ivfPqIndexAppend(delta, "vec_id", "embedding", path = path2)
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfPqIndexMaintain(queries, base /* misses delta */,
+        "vec_id", "embedding", k = 5, nProbe = 1, path = path2,
+        recallFloor = 0.95, itersCoarse = 3, itersPq = 2)
+    }
+    assert(ex.getMessage.contains("absent from the rebuild corpus"),
+      s"unexpected message: ${ex.getMessage}")
+    // nothing was swapped: the index still serves every posting id
+    val idsAfter = spark.read.parquet(path2 + "/postings").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAfter == ((0L until 80L) ++ (1000L until 1080L)).sorted)
+    // and the lease was released by the throw: a covering corpus
+    // proceeds normally on the same index
+    val r3 = Similarity.ivfPqIndexMaintain(queries, corpus,
+      "vec_id", "embedding", k = 5, nProbe = 1, path = path2,
+      recallFloor = 0.95, itersCoarse = 3, itersPq = 2)
+    assert(r3.retrained && r3.recallAfter.get >= 0.9, s"got $r3")
   }
 
   test("zero vectors ride PQ end-to-end guarded; postings scan prunes partitions") {
