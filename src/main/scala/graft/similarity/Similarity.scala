@@ -292,8 +292,7 @@ object Similarity {
       .transform(graft.util.Parallelism.fanOut) // consumed iters+1 times
       .cache()
     val cents = kmeansTrain(codes, k, iters)
-    val assigned = codes.withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", assignCellExpr("codes"))
+    val assigned = withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("cell"))
     // training collects are eager — drop the cache instead of holding
     // it for the session; the returned assignment recomputes the
@@ -320,6 +319,83 @@ object Similarity {
        |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
        |  ct.cell AS c))).c""".stripMargin)
 
+  // ---- size-thresholded centroid-table carrier -------------------
+  //
+  // The literal path above inlines one plan node PER CENTROID
+  // COEFFICIENT (array of struct(cell, typedlit(cent))): right for
+  // gate-sized tables (fully codegen-inlined, zero setup), but plan
+  // bloat past ~10^5 coefficients — serialized into every plan copy,
+  // walked by every optimizer rule, rebuilt per Lloyd iteration —
+  // and the adaptive cell sizing (cells ~ sqrt(n)) GROWS into that
+  // regime at production corpus sizes (10^4-10^5 cells x 512-1024
+  // dims). Above the threshold the table rides the expression object
+  // instead ([[graft.plans.CentroidExprs]], the RandomProjectExpr /
+  // BpeSegmentExpr pattern): plan text stays O(1) in the table size,
+  // executors get the table once per stage via the task binary.
+  // Identical exact-integer arithmetic on both paths — argmin /
+  // probe order by (int64 squared distance, cell id) cannot drift
+  // with summation order — spec-pinned in CentroidExprsSpec.
+
+  /** Conf-tunable coefficient threshold (specs set it to 0 to force
+    * the carrier path at toy sizes). */
+  private def centroidLiteralMaxCoeffs(ss: org.apache.spark.sql.SparkSession): Long =
+    ss.conf.get("spark.graft.ann.centroidLiteralMaxCoeffs",
+      "65536").toLong
+
+  private def useCarrier(ss: org.apache.spark.sql.SparkSession,
+      cents: Map[Int, Array[Long]]): Boolean =
+    cents.size.toLong * cents.head._2.length >
+      centroidLiteralMaxCoeffs(ss)
+
+  /** `df` + `cell` = the argmin cell of `codesCol` under `cents`
+    * (milli-grid distance, ties to the lower cell id). */
+  private[graft] def withAssignedCell(df: DataFrame, codesCol: String,
+      cents: Map[Int, Array[Long]]): DataFrame =
+    if (useCarrier(df.sparkSession, cents))
+      df.withColumn("cell", graft.plans.CentroidExprs.assignCell(
+        df.sparkSession, col(codesCol),
+        graft.plans.CentroidExprs.encode(cents, 1000L)))
+    else
+      df.withColumn("__cents", centsLiteral(cents))
+        .withColumn("cell", assignCellExpr(codesCol))
+        .drop("__cents")
+
+  /** `df` + exploded `cell` = the `nProbe` nearest cells of
+    * `codesCol` under `cents`, (distance, cell) ascending. */
+  private[graft] def withProbedCells(df: DataFrame, codesCol: String,
+      cents: Map[Int, Array[Long]], nProbe: Int): DataFrame =
+    if (useCarrier(df.sparkSession, cents))
+      df.withColumn("cell", explode(graft.plans.CentroidExprs.probeCells(
+        df.sparkSession, col(codesCol),
+        graft.plans.CentroidExprs.encode(cents, 1000L), nProbe)))
+    else
+      df.withColumn("__cents", centsLiteral(cents))
+        .withColumn("cell", explode(expr(
+          s"""transform(slice(array_sort(transform(__cents, ct -> struct(
+             |  aggregate(zip_with(`$codesCol`, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
+             |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+             |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
+        .drop("__cents")
+
+  /** `df` + `cell` + `res` where `res = 1000*codes - cent[cell]` —
+    * the IVFADC residual leg, one kernel pass on the carrier path. */
+  private[graft] def withCellAndResidual(df: DataFrame, codesCol: String,
+      cents: Map[Int, Array[Long]]): DataFrame =
+    if (useCarrier(df.sparkSession, cents))
+      df.withColumn("__cr", graft.plans.CentroidExprs.assignResidual(
+          df.sparkSession, col(codesCol),
+          graft.plans.CentroidExprs.encode(cents, 1000L)))
+        .withColumn("cell", col("__cr.cell"))
+        .withColumn("res", col("__cr.res"))
+        .drop("__cr")
+    else
+      df.withColumn("__cents", centsLiteral(cents))
+        .withColumn("cell", assignCellExpr(codesCol))
+        .withColumn("res", expr(
+          s"""zip_with(`$codesCol`, element_at(filter(__cents, ct -> ct.cell = cell), 1).cent,
+             |  (x, mm) -> 1000 * x - mm)""".stripMargin))
+        .drop("__cents")
+
   /** The Lloyd training loop over a cached `(id, codes)` relation —
     * see [[kmeansFitInt8]] for the exactness and scale contract.
     * Returns the trained cell -> milli-grid centroid map. */
@@ -333,8 +409,7 @@ object Similarity {
       i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
     }.toMap
     for (_ <- 1 to iters) {
-      val sums = codes.withColumn("__cents", centsLiteral(cents))
-        .withColumn("cell", assignCellExpr("codes"))
+      val sums = withAssignedCell(codes, "codes", cents)
         .select(col("cell"), posexplode(col("codes")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"))
@@ -387,20 +462,15 @@ object Similarity {
       .transform(graft.util.Parallelism.fanOut)
       .cache()
     val cents = kmeansTrain(corpusCodes, nCells, iters)
-    val assigned = corpusCodes
-      .withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", assignCellExpr("codes"))
+    val assigned = withAssignedCell(corpusCodes, "codes", cents)
       .select(col("id"), col("codes"), nsq(col("codes")).as("nsq"), col("cell"))
     // nProbe nearest cells per query by the same exact distance
-    // (sort_array on struct(d, c) = (distance, cell-id) order)
-    val qProbes = quantizeInt8(queries, idCol, vecCol)
-      .select(col(idCol).cast("long").as("query_id"), col("codes").as("qcodes"))
-      .withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", explode(expr(
-        s"""transform(slice(array_sort(transform(__cents, ct -> struct(
-           |  aggregate(zip_with(qcodes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
-           |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
-           |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
+    // ((distance, cell-id) order)
+    val qProbes = withProbedCells(
+        quantizeInt8(queries, idCol, vecCol)
+          .select(col(idCol).cast("long").as("query_id"),
+            col("codes").as("qcodes")),
+        "qcodes", cents, nProbe)
       .select(col("query_id"), col("qcodes"),
         nsq(col("qcodes")).as("qnsq"), col("cell"))
     val scored = broadcast(qProbes).join(assigned, Seq("cell"))
@@ -466,8 +536,7 @@ object Similarity {
     // builder's cells-per-point density choice without re-deriving it
     Seq((codes.count(), nCells)).toDF("n", "cells")
       .coalesce(1).write.mode("overwrite").parquet(path + "/train.meta")
-    codes.withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", assignCellExpr("codes"))
+    withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
         col("cell"))
       // co-located postings write: one shuffle on cell -> ~one file
@@ -493,10 +562,10 @@ object Similarity {
     val spark = delta.sparkSession
     graft.ops.StoreLock.withLock(spark, path) {
       val cents = readCents(spark, path)
-      quantizeInt8(delta, idCol, vecCol)
-        .select(col(idCol).cast("long").as("id"), col("codes"))
-        .withColumn("__cents", centsLiteral(cents))
-        .withColumn("cell", assignCellExpr("codes"))
+      withAssignedCell(
+          quantizeInt8(delta, idCol, vecCol)
+            .select(col(idCol).cast("long").as("id"), col("codes")),
+          "codes", cents)
         .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
           col("cell"))
         .repartition(col("cell"))
@@ -519,15 +588,11 @@ object Similarity {
     val cents = readCents(spark, path)
     require(nProbe >= 1 && nProbe <= cents.size,
       "need 1 <= nProbe <= nCells")
-    val qProbes = quantizeInt8(queries, idCol, vecCol)
-      .select(col(idCol).cast("long").as("query_id"),
-        col("codes").as("qcodes"))
-      .withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", explode(expr(
-        s"""transform(slice(array_sort(transform(__cents, ct -> struct(
-           |  aggregate(zip_with(qcodes, ct.cent, (x, m) -> (1000 * x - m) * (1000 * x - m)),
-           |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
-           |  ct.cell AS c))), 1, $nProbe), p -> p.c)""".stripMargin)))
+    val qProbes = withProbedCells(
+        quantizeInt8(queries, idCol, vecCol)
+          .select(col(idCol).cast("long").as("query_id"),
+            col("codes").as("qcodes")),
+        "qcodes", cents, nProbe)
       .select(col("query_id"), col("qcodes"),
         nsqOf(col("qcodes")).as("qnsq"), col("cell"))
     // no cache: the probe derivation is query-side work (bounded by
@@ -714,8 +779,7 @@ object Similarity {
     val cents = kmeansTrain(codes, kCells, iters)
     val tmp = new org.apache.hadoop.fs.Path(
       path + "/postings.retrain-" + java.util.UUID.randomUUID())
-    codes.withColumn("__cents", centsLiteral(cents))
-      .withColumn("cell", assignCellExpr("codes"))
+    withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
         col("cell"))
       .repartition(col("cell"))
@@ -1212,9 +1276,23 @@ object Similarity {
         |  aggregate(zip_with(sub, ct.cent, (x, mm) -> (x - mm) * (x - mm)),
         |    CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
         |  ct.cell AS c))).c""".stripMargin)
+    // same threshold as the coarse table: ks x dim total coefficients
+    // (m*ks*dsub) inline fine at gate sizes; production ks=256 over
+    // 512-1024 dims crosses the plan-bloat line, and this literal is
+    // rebuilt EVERY iteration — carry it in the expression object
+    // instead (SubspaceAssignExpr; bit-identical exact-int argmin)
+    val carrier = seeds.size.toLong * seeds.head._2.length >
+      centroidLiteralMaxCoeffs(sub.sparkSession)
+    def withCell(df: DataFrame): DataFrame =
+      if (carrier)
+        df.withColumn("cell", graft.plans.CentroidExprs.subspaceAssign(
+          df.sparkSession, col("j"), col("sub"),
+          graft.plans.CentroidExprs.encodeSub(cents)))
+      else
+        df.withColumn("__cents", centsLit)
+          .withColumn("cell", assignExpr)
     for (_ <- 1 to iters) {
-      val sums = sub.withColumn("__cents", centsLit)
-        .withColumn("cell", assignExpr)
+      val sums = withCell(sub)
         .select(col("j"), col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy("j", "cell", "pos")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"))
@@ -1462,11 +1540,7 @@ object Similarity {
     * codes' squared norm (the zero-vector guard). Map-side only. */
   private def ivfPqResiduals(codes: DataFrame,
       coarse: Map[Int, Array[Long]]): DataFrame =
-    codes.withColumn("__cents", centsLiteral(coarse))
-      .withColumn("cell", assignCellExpr("codes"))
-      .withColumn("res", expr(
-        """zip_with(codes, element_at(filter(__cents, ct -> ct.cell = cell), 1).cent,
-          |  (x, mm) -> 1000 * x - mm)""".stripMargin))
+    withCellAndResidual(codes, "codes", coarse)
       .select(col("id"), col("cell"), col("res"), nsqOf(col("codes")).as("nsq"))
 
   /** Residual PQ codebook: the shared [[pqLloydLoop]] on the residual
