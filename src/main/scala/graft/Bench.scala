@@ -47,95 +47,141 @@ object Bench {
       r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey")
         .groupBy("r_regionkey").count().count()
     } catch { case _: Throwable => () }
-    // ---- canary gate (full-suite runs only) ----------------------
+    // ---- canary gate + mid-run checkpoints (full-suite runs only) -
     // This box shows episodic noisy-neighbor bursts: identical code
     // measured 2-10x apart minutes apart (r5/r6 round-close records
     // were both taken inside bursts, load1 6-13, and misstated the
     // engine by tens of seconds). Before recording a full suite, time
     // a cheap two-query canary pair and spin-wait (bounded) until it
-    // lands within CANARY_FACTOR of its quiet-window best — recording
-    // starts only from a demonstrated-quiet window, and the record
-    // carries the canary evidence either way.
+    // lands within CANARY_FACTOR of its quiet-window best. An entry
+    // gate alone is not enough — the r9 driver record passed it, then
+    // the window degraded MID-RUN and overstated the suite 2x — so the
+    // suite runs in SEGMENTS with a canary re-check after each: a
+    // failed re-check marks the just-finished segment tainted, waits
+    // for quiet, and re-runs it once (per-query min across runs). The
+    // record carries every checkpoint.
+    val canaryEnabled =
+      !(args.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") == "0")
+    var canaryFailed = false
+    // (position in the suite, pair sec, ok) — gate retries count as
+    // one checkpoint (the settled value); mid-run re-checks one each
+    val checkpoints = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Boolean)]
+    val canaryBest = sys.env.get("SPARK_GRAFT_CANARY_BEST")
+      .flatMap(_.toDoubleOption).getOrElse(0.85)
+    val canaryFactor = sys.env.get("SPARK_GRAFT_CANARY_FACTOR")
+      .flatMap(_.toDoubleOption).getOrElse(1.5)
+    val canaryTries = sys.env.get("SPARK_GRAFT_CANARY_TRIES")
+      .flatMap(_.toIntOption).getOrElse(15)
+    val canaryFns: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val names = Seq("q_dedup_exact", "q_a1_groupsum")
+      val fns = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      // a renamed canary must fail the build of the gate, not
+      // silently halve the measured pair and vacuously pass
+      require(fns.length == names.length,
+        s"bench canary queries missing from SparkEntry.queries: " +
+          names.filterNot(n => fns.exists(_._1 == n)).mkString(", "))
+      fns
+    }
+    // a canary query that FAILS must not vacuously pass the gate:
+    // its ~0 s "timing" would always land under the threshold,
+    // making the quiet-window evidence meaningless. Record the
+    // failure and force ok=false (the record still lands, marked
+    // untrustworthy) instead of swallowing it inside the timing.
+    def pairSec(): Double = canaryFns.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+        canaryFailed = true
+        System.err.println(s"canary: query $name FAILED — " +
+          s"gate evidence void (ok=false): $t")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.sum
+    /** spin-wait (bounded) for a quiet window; records one checkpoint. */
+    def canaryGate(at: Int): (Int, Double, Boolean) = {
+      var attempt = 1
+      var sec = pairSec()
+      while (!canaryFailed && sec > canaryBest * canaryFactor &&
+          attempt < canaryTries) {
+        // stderr, never stdout — the one-JSON-line contract stands
+        System.err.println(f"canary: pair $sec%.3f s > " +
+          f"${canaryBest * canaryFactor}%.3f s (load1 ${load1()}%.1f)" +
+          s" — waiting 20 s for a quiet window ($attempt/$canaryTries)")
+        Thread.sleep(20000)
+        attempt += 1
+        sec = pairSec()
+      }
+      val ok = !canaryFailed && sec <= canaryBest * canaryFactor
+      checkpoints += ((at, sec, ok))
+      (attempt, sec, ok)
+    }
     val canary: Option[(Int, Double, Boolean)] =
-      if (args.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") == "0")
-        None
-      else {
-        val names = Seq("q_dedup_exact", "q_a1_groupsum")
-        val fns = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-        // a renamed canary must fail the build of the gate, not
-        // silently halve the measured pair and vacuously pass
-        require(fns.length == names.length,
-          s"bench canary queries missing from SparkEntry.queries: " +
-            names.filterNot(n => fns.exists(_._1 == n)).mkString(", "))
-        // quiet-window pair sum measured 0.83 s (repeats=3, load1 1.3)
-        val best = sys.env.get("SPARK_GRAFT_CANARY_BEST")
-          .flatMap(_.toDoubleOption).getOrElse(0.85)
-        val factor = sys.env.get("SPARK_GRAFT_CANARY_FACTOR")
-          .flatMap(_.toDoubleOption).getOrElse(1.5)
-        val tries = sys.env.get("SPARK_GRAFT_CANARY_TRIES")
-          .flatMap(_.toIntOption).getOrElse(15)
-        // a canary query that FAILS must not vacuously pass the gate:
-        // its ~0 s "timing" would always land under the threshold,
-        // making the quiet-window evidence meaningless. Record the
-        // failure and force ok=false (the record still lands, marked
-        // untrustworthy) instead of swallowing it inside the timing.
-        var canaryFailed = false
-        def pairSec(): Double = fns.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case t: Throwable =>
-            canaryFailed = true
-            System.err.println(s"canary: query $name FAILED — " +
-              s"gate evidence void (ok=false): $t")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache(); System.gc()
-          dt
-        }.sum
-        var attempt = 1
-        var sec = pairSec()
-        while (!canaryFailed && sec > best * factor && attempt < tries) {
-          // stderr, never stdout — the one-JSON-line contract stands
-          System.err.println(f"canary: pair $sec%.3f s > " +
-            f"${best * factor}%.3f s (load1 ${load1()}%.1f) — waiting " +
-            s"20 s for a quiet window ($attempt/$tries)")
-          Thread.sleep(20000)
-          attempt += 1
-          sec = pairSec()
-        }
-        Some((attempt, sec, !canaryFailed && sec <= best * factor))
-      }
+      if (canaryEnabled) Some(canaryGate(at = 0)) else None
+    def attemptOf(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: intra-query caches are part of a query's own
+      // cost, but leaking them across queries pollutes later timings
+      // (storage-memory pressure) and lets later twins reuse them
+      spark.catalog.clearCache()
+      // a streaming query that failed to self-terminate would keep
+      // stealing cores from every later timing — stop strays here
+      spark.streams.active.foreach(_.stop())
+      // OUTSIDE the timed section: let the ContextCleaner actually
+      // reclaim this query's dead broadcasts/shuffles now instead of
+      // letting 90 queries' worth accumulate into heap thrash
+      System.gc()
+      (dt, load1())
+    }
+    // one measurement pass over a query: `repeats` attempts plus one
+    // bounded contention re-try — this box's phantom-load bursts
+    // inflate whatever query they land on 2-4x, and the bench's own
+    // 32-thread activity only reaches load1 ~3-7, so a floor reading
+    // well above that means a neighbor burst hit this measurement
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Vector[(Double, Double)] = {
+      var attempts = (1 to repeats).map(_ => attemptOf(fn)).toVector
+      if (attempts.map(_._2).min > cpus.toInt * 0.3)
+        attempts :+= attemptOf(fn)
+      attempts
+    }
     // results: name -> (best sec, per-attempt secs, max load1 seen
-    // during this query's attempts — contention context per MEASUREMENT,
-    // not per run: one load sample per whole run hid which queries a
-    // noisy-neighbor burst actually landed on)
-    val results = selected.map { case (name, fn) =>
-      def attempt(): (Double, Double) = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // isolate queries: intra-query caches are part of a query's own
-        // cost, but leaking them across queries pollutes later timings
-        // (storage-memory pressure) and lets later twins reuse them
-        spark.catalog.clearCache()
-        // a streaming query that failed to self-terminate would keep
-        // stealing cores from every later timing — stop strays here
-        spark.streams.active.foreach(_.stop())
-        // OUTSIDE the timed section: let the ContextCleaner actually
-        // reclaim this query's dead broadcasts/shuffles now instead of
-        // letting 90 queries' worth accumulate into heap thrash
-        System.gc()
-        (dt, load1())
+    // during this query's attempts — contention context per
+    // MEASUREMENT, not per run). Queries run in SEGMENTS; after each,
+    // a single canary re-check: below threshold -> move on; above ->
+    // the segment ran inside a burst, so wait for quiet (bounded) and
+    // re-run it once, folding the re-run attempts into the min.
+    val segmentSize = sys.env.get("SPARK_GRAFT_CANARY_SEGMENT")
+      .flatMap(_.toIntOption).getOrElse(40).max(1)
+    val results: Seq[(String, Double, Vector[Double], Double)] = {
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[(Double, Double)]]
+      selected.grouped(segmentSize).zipWithIndex.foreach { case (seg, si) =>
+        seg.foreach { case (name, fn) => acc(name) = measure(fn) }
+        if (canaryEnabled && !canaryFailed) {
+          val done = (si * segmentSize + seg.size).min(selected.size)
+          val sec = pairSec()
+          val ok = !canaryFailed && sec <= canaryBest * canaryFactor
+          checkpoints += ((done, sec, ok))
+          if (!ok && !canaryFailed) {
+            System.err.println(f"canary: mid-run re-check failed after " +
+              f"$done queries (pair $sec%.3f s) — segment tainted; " +
+              "waiting for quiet and re-running it once")
+            canaryGate(at = done) // spin-wait; records its own checkpoint
+            seg.foreach { case (name, fn) =>
+              acc(name) = acc(name) ++ measure(fn)
+            }
+          }
+        }
       }
-      var attempts = (1 to repeats).map(_ => attempt()).toVector
-      // contention re-try: this box shows episodic noisy-neighbor
-      // bursts (phantom load 10-20 with zero user processes) that
-      // inflate whatever query they land on 2-4x. The bench's own
-      // 32-thread activity keeps load1 around 3-7, so a reading well
-      // above that means a neighbor burst hit this measurement — take
-      // ONE extra attempt so a single-repeat driver run doesn't record
-      // the burst as the query's cost. Bounded: at most one extra.
-      if (attempts.map(_._2).min > cpus.toInt * 0.3) attempts :+= attempt()
-      (name, attempts.map(_._1).min, attempts.map(_._1), attempts.map(_._2).max)
+      acc.map { case (name, attempts) =>
+        (name, attempts.map(_._1).min, attempts.map(_._1),
+          attempts.map(_._2).max)
+      }.toSeq
     }
     val total = results.map(_._2).sum
     val runLoad = load1()
@@ -146,7 +192,7 @@ object Bench {
     // costliest queries up to a char budget (they carry ~all the
     // total), plus the full-record file pointer for everything else.
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val budget = 1550
+    val budget = 1350
     val picked = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0
@@ -166,8 +212,15 @@ object Bench {
       if (args.nonEmpty) "/root/repo/BENCH_SUBSET.json"
       else "/root/repo/BENCH_FULL.json")
     val outName = new java.io.File(outPath).getName
+    // entry gate + every mid-run checkpoint: the r9 record's failure
+    // mode was a window that degraded AFTER the entry gate — the
+    // record now carries per-segment evidence that it stayed quiet
+    val cpsJson = checkpoints.map { case (at, s, ok) =>
+      s"""{"at":$at,"sec":${f3(s)},"ok":$ok}"""
+    }.mkString("[", ",", "]")
     val canaryJson = canary.map { case (a, s, ok) =>
-      s""","canary":{"attempts":$a,"sec":${f3(s)},"ok":$ok}"""
+      s""","canary":{"attempts":$a,"sec":${f3(s)},"ok":$ok""" +
+        s""","checkpoints":$cpsJson,"all_ok":${checkpoints.forall(_._3)}}"""
     }.getOrElse("")
     val stdoutLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName"$canaryJson,"queries":$qs,"sf":"$sfDir"}"""

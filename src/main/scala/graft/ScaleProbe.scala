@@ -104,10 +104,12 @@ object ScaleProbe {
     // r9 additions: q_sim_ann_ivfpq (both quantizer trainings + ADC
     // serve) and q_stream_ann_index (base build + streamed appends
     // into the persisted PQ index) postdate the r8 probe run.
+    // r10 addition: q_sim_ann_ivfpq_maintain (recall measure + full
+    // rebuild + swap — the heaviest maintenance path).
     val names = Seq("q_dedup_minhash", "q_dedup_ccstar", "q_cluster_ingest",
       "q_sim_ann_ivf_trained", "q_t_c4_clean",
       "q_t_dsir", "q_stream_cluster", "q_cluster_retract",
-      "q_sim_ann_ivfpq", "q_stream_ann_index")
+      "q_sim_ann_ivfpq", "q_stream_ann_index", "q_sim_ann_ivfpq_maintain")
     def timeQuery(name: String, dir: String): Double =
       (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

@@ -1678,6 +1678,31 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFADC DRIFT MAINTENANCE end-to-end: build on the base slice,
+    // append the held-out tenth (recall@5 drops to 0.94 at sf0.01 —
+    // below the 0.999 floor), maintain measures the served recall,
+    // trips, REBUILDS both quantizers from the full corpus (after the
+    // corpus-covers-postings precondition), swaps the artifacts, and
+    // the gate hashes the POST-MAINTAIN serve against a DuckDB replay
+    // trained on everything. `retrained` rides the hash, so a floor
+    // that silently stops tripping turns the gate red.
+    "q_sim_ann_ivfpq_maintain" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivfpq-maintain").toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      val rep = Similarity.ivfPqIndexMaintain(e.filter(col("vec_id") < 10),
+        e, "vec_id", "embedding", k = 5, nProbe = 2, path = path,
+        recallFloor = 0.999, itersCoarse = 2, itersPq = 1)
+      Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .withColumn("retrained", lit(rep.retrained))
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMING ANN index maintenance: the same base build, but the
     // held-out tenth arrives as 2 ordered drops through the real
     // streaming engine (AvailableNow replay, per-batch append under
@@ -1805,8 +1830,11 @@ object PipelineQueries {
     * slice `vec_id % 10 <> 9`, final assignment `a3` over everything)
     * — the shared prefix of the persistent-index oracles; the IVFADC
     * index oracle chains its residual-PQ replay onto it. */
-  private val ivfIndexAssignCtes: String =
-    """WITH e AS (
+  /** `trainPred` selects the TRAINING slice (`cb`): the build-time
+    * corpus for the build+append gates, `TRUE` for the post-maintain
+    * gate (maintain rebuilds both quantizers from the full corpus). */
+  private def ivfIndexAssignCtesFor(trainPred: String): String =
+    s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (
         |  SELECT vec_id, v,
@@ -1818,7 +1846,8 @@ object PipelineQueries {
         |         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
         |    END AS codes
         |  FROM s),
-        |cb AS (SELECT vec_id, codes FROM c WHERE vec_id % 10 <> 9),
+        |cb AS (SELECT vec_id, codes FROM c WHERE $trainPred),""".stripMargin +
+    """
         |x AS (
         |  SELECT vec_id, CAST(i AS INT) AS pos,
         |    codes[CAST(i + 1 AS INT)] AS x
@@ -1877,6 +1906,10 @@ object PipelineQueries {
         |        s.cell) AS rn
         |    FROM c v CROSS JOIN cents2 s) t WHERE rn = 1)""".stripMargin
 
+  /** The build+append gates' training slice (the base build corpus). */
+  private val ivfIndexAssignCtes: String =
+    ivfIndexAssignCtesFor("vec_id % 10 <> 9")
+
   private val ivfIndexServeCtes: String =
     ivfIndexAssignCtes + """,
         |qp AS (
@@ -1910,9 +1943,10 @@ object PipelineQueries {
       |""".stripMargin
 
   /** IVFADC-index replay through the ranked `r` CTE — shared by the
-    * batch gate, the streaming gate, and the recall observable. */
-  private val ivfPqIndexCtes: String =
-    (ivfIndexAssignCtes + """,
+    * batch gate, the streaming gate, the recall observable, and (at
+    * `trainPred = TRUE`, the full corpus) the post-maintain gate. */
+  private def ivfPqIndexCtesFor(trainPred: String): String =
+    (ivfIndexAssignCtesFor(trainPred) + """,
         |resi AS (
         |  SELECT a.vec_id, a.cell,
         |    list_transform(range(len(c.codes)),
@@ -1941,7 +1975,7 @@ object PipelineQueries {
         |             * (v.sc[CAST(i + 1 AS INT)] - s.cent[CAST(i + 1 AS INT)]))),
         |        s.cell) AS rn
         |    FROM rsub v JOIN rcents0 s ON v.j = s.j
-        |    WHERE v.vec_id % 10 <> 9) t WHERE rn = 1),
+        |    WHERE v.vec_id IN (SELECT vec_id FROM cb)) t WHERE rn = 1),
         |ru1 AS (
         |  SELECT a.j, a.cell, x.pos,
         |    CAST(round((1.0 * sum(x.x)) / count(*), 0) AS BIGINT) AS mc
@@ -2025,12 +2059,28 @@ object PipelineQueries {
         |          ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM p)""".stripMargin)
 
+  private val ivfPqIndexCtes: String =
+    ivfPqIndexCtesFor("vec_id % 10 <> 9")
+
   /** Shared by q_sim_ann_ivfpq_index (batch build+append) and
     * q_stream_ann_index (streamed appends): both must reconstruct
     * the identical on-disk index, so one replay oracles both. */
   private val ivfPqIndexOracle: String =
     ivfPqIndexCtes + """
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
+  /** The post-maintain serve: maintain's rebuild IS a deterministic
+    * from-scratch ivfPqIndexBuild on the FULL corpus (same geometry,
+    * read back from the artifacts), so the oracle is the same replay
+    * trained on everything. `retrained` rides the hash: a maintain
+    * that failed to trip its floor would serve the STALE index and
+    * carry false — either way the gate goes red, so the drift
+    * trigger itself is under test, not just the rebuild. */
+  private val ivfPqMaintainOracle: String =
+    ivfPqIndexCtesFor("TRUE") + """
+        |SELECT query_id, rank, neighbor_id, sim, TRUE AS retrained
+        |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
 
   /** The recall observable on top of the same replay: the EXACT leg
@@ -4107,6 +4157,9 @@ object PipelineQueries {
     // reconstruct from disk.
     "q_sim_ann_ivfpq_index" -> ivfPqIndexOracle,
     "q_sim_ann_ivfpq_recall" -> ivfPqRecallOracle,
+    // maintain rebuilds from the FULL corpus: same replay, train
+    // slice = everything; TRUE AS retrained pins the tripped floor
+    "q_sim_ann_ivfpq_maintain" -> ivfPqMaintainOracle,
     // appends are content-commutative: 2 streamed drops of the same
     // held-out tenth end in the identical postings state, so the
     // batch index oracle IS the streaming gate's oracle
