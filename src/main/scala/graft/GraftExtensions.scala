@@ -105,5 +105,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "(form: 'NFC' | 'NFD' | 'NFKC' | 'NFKD' string literal)"
     inject("normalize_text", ntUsage,
       es => NormalizeTextExpr(es(0), strLit(ntUsage, "form", es(1))))
+    // ---- data-carrying kernels: the payload arrives as ONE literal
+    // argument consumed here at resolution time and rides the
+    // expression object thereafter (never the resolved plan) — the
+    // builders are pure, so cluster-wide injection is as safe as the
+    // per-session register() helpers
+    val rpUsage = "random_project(vec, seed, dIn, dOut) - JL +-1-sign " +
+      "projection; the sign matrix derives from the seed alone"
+    inject("random_project", rpUsage,
+      es => RandomProjectExpr(es(0), intLit(rpUsage, "seed", es(1)).toLong,
+        intLit(rpUsage, "dIn", es(2)), intLit(rpUsage, "dOut", es(3))))
+    val bpeUsage = "bpe_segment(text, mergesEnc) - trained-BPE word " +
+      "segmentation; mergesEnc = U+001F-joined merge list " +
+      "(graft.functions.Bpe encodes it)"
+    inject("bpe_segment", bpeUsage,
+      es => BpeSegmentExpr(es(0), strLit(bpeUsage, "mergesEnc", es(1))))
+    // any FOLDABLE array<bigint> (a typedlit Literal from the Scala
+    // entry points, a CreateArray of literals from SQL) — evaluated
+    // once here at resolution time
+    def flatLit(usage: String, arg: String, e: Expression): Array[Long] =
+      e.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) if e.foldable =>
+          e.eval().asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        case _ =>
+          throw new AnalysisException("USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              (s"argument '$arg' must be a foldable array<bigint> " +
+                s"(CentroidExprs.encode/encodeSub), got ${e.sql}; " +
+                s"usage: $usage")))
+      }
+    val acUsage = "graft_assign_cell(codes, table) - argmin centroid " +
+      "cell (exact int64 milli-grid distance, ties to the lower cell); " +
+      "table = CentroidExprs.encode(...)"
+    inject("graft_assign_cell", acUsage,
+      es => AssignCellExpr(es(0), flatLit(acUsage, "table", es(1))))
+    val pcUsage = "graft_probe_cells(codes, table, nProbe) - the nProbe " +
+      "nearest cells, (distance, cell) ascending"
+    inject("graft_probe_cells", pcUsage,
+      es => ProbeCellsExpr(es(0), flatLit(pcUsage, "table", es(1)),
+        intLit(pcUsage, "nProbe", es(2))))
+    val arUsage = "graft_assign_residual(codes, table) - struct(cell, " +
+      "res): argmin cell plus the milli-grid residual in one pass"
+    inject("graft_assign_residual", arUsage,
+      es => AssignResidualExpr(es(0), flatLit(arUsage, "table", es(1))))
+    val saUsage = "graft_subspace_assign(j, sub, table) - per-subspace " +
+      "argmin cell; table = CentroidExprs.encodeSub(...)"
+    inject("graft_subspace_assign", saUsage,
+      es => SubspaceAssignExpr(es(0), es(1),
+        flatLit(saUsage, "table", es(2))))
   }
 }

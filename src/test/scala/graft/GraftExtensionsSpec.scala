@@ -54,6 +54,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(agg == Seq(11L, 22L, 33L))
   }
 
+  test("data-carrying kernels resolve from plain SQL (payload = one " +
+      "literal arg, consumed at resolution)") {
+    val table = graft.plans.CentroidExprs.encode(
+      Map(0 -> Array(0L, 0L), 3 -> Array(2000L, 0L)), scale = 1000L)
+    val tableSql = table.mkString("array(", "L,", "L)")
+    val sub = graft.plans.CentroidExprs.encodeSub(
+      Map((0, 0) -> Array(0L), (0, 1) -> Array(5L)))
+    val subSql = sub.mkString("array(", "L,", "L)")
+    val q = spark.sql(
+      s"""SELECT
+         |  random_project(array(1.0D, 2.0D), 0, 2, 3) AS rp,
+         |  bpe_segment('abab', 'ab') AS bpe,
+         |  graft_assign_cell(array(2L, 0L), $tableSql) AS cell,
+         |  graft_probe_cells(array(2L, 0L), $tableSql, 2) AS probes,
+         |  graft_assign_residual(array(2L, 0L), $tableSql) AS cr,
+         |  graft_subspace_assign(0, array(4L), $subSql) AS sa""".stripMargin)
+      .head()
+    assert(q.getSeq[Double](0).length == 3)
+    assert(q.getSeq[String](1) == Seq("ab", "ab")) // merge (a,b) applied
+    assert(q.getInt(2) == 3)                       // (2000,0) is cell 3
+    assert(q.getSeq[Int](3) == Seq(3, 0))          // (d, cell) ascending
+    assert(q.getStruct(4).getInt(0) == 3 &&
+      q.getStruct(4).getSeq[Long](1) == Seq(0L, 0L))
+    assert(q.getInt(5) == 1)                       // 4 nearer 5 than 0
+  }
+
   test("integral-literal scale args: BIGINT literals accepted, rest rejected usably") {
     // a Scala/SQL Long literal must work (was a raw ClassCastException)
     val sig = spark.sql("SELECT minhash_signature('a b c d', 2L, 4L) AS s")
