@@ -408,24 +408,32 @@ object Similarity {
     var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
       i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
     }.toMap
+    val dim = cents.head._2.length
     for (_ <- 1 to iters) {
+      // per-cell vector sums via the native band_sum aggregate: ONE
+      // dim-array row per cell through the (map-side-combined)
+      // shuffle and k rows to the driver, where the old
+      // posexplode/(cell, pos) grouping multiplied the corpus by dim
+      // BEFORE the partial aggregate and collected k x dim rows.
+      // Arithmetic is unchanged — integer elementwise sums and one
+      // count per cell (codes are fixed-width by quantizeInt8's
+      // contract, so the old per-(cell,pos) count equaled the cell
+      // count) — the training replay oracles stay hash-exact.
       val sums = withAssignedCell(codes, "codes", cents)
-        .select(col("cell"), posexplode(col("codes")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
-        .collect() // k x dim rows — dimension-sized by construction
-      val byCell = sums.groupBy(_.getInt(0))
+        .groupBy("cell")
+        .agg(count(col("codes")).as("n"),
+          graft.plans.BandSumAgg.bandSum(codes.sparkSession,
+            col("codes"), dim).as("sx"))
+        .collect() // k rows, each a dim-array — dimension-sized
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2)))
+        .toMap
       cents = cents.map { case (c, old) =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            val v = old.clone()
-            rows.foreach { r =>
-              // exact-int product, IEEE division, HALF_UP — matches
-              // round((1000.0 * sum) / n, 0) in both engines
-              v(r.getInt(1)) = roundHalfUp(
-                1000.0 * r.getLong(3) / r.getLong(2), 0).toLong
-            }
-            c -> v
+        sums.get(c) match {
+          case Some((n, sx)) =>
+            // exact-int product, IEEE division, HALF_UP — matches
+            // round((1000.0 * sum) / n, 0) in both engines
+            c -> Array.tabulate(dim)(d =>
+              roundHalfUp(1000.0 * sx(d) / n, 0).toLong)
           case None => c -> old // empty cell keeps its centroid
         }
       }
@@ -1291,22 +1299,25 @@ object Similarity {
       else
         df.withColumn("__cents", centsLit)
           .withColumn("cell", assignExpr)
+    val dsub = seeds.head._2.length
     for (_ <- 1 to iters) {
+      // per-(subspace, cell) vector sums via the native band_sum
+      // aggregate — see kmeansTrain: one dsub-array row per (j, cell)
+      // through the shuffle instead of a posexplode'd dsub-fold, same
+      // integer arithmetic (subs are fixed-width by construction)
       val sums = withCell(sub)
-        .select(col("j"), col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
-        .groupBy("j", "cell", "pos")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
-        .collect() // ks x dim rows — dimension-sized by construction
-      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .groupBy("j", "cell")
+        .agg(count(col("sub")).as("n"),
+          graft.plans.BandSumAgg.bandSum(sub.sparkSession,
+            col("sub"), dsub).as("sx"))
+        .collect() // m x ks rows, each a dsub-array — dimension-sized
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Long](3)))
+        .toMap
       cents = cents.map { case (key, old) =>
-        byKey.get(key) match {
-          case Some(rows) =>
-            val v = old.clone()
-            rows.foreach { r =>
-              v(r.getInt(2)) = roundHalfUp(
-                1.0 * r.getLong(4) / r.getLong(3), 0).toLong
-            }
-            key -> v
+        sums.get(key) match {
+          case Some((n, sx)) =>
+            key -> Array.tabulate(dsub)(d =>
+              roundHalfUp(1.0 * sx(d) / n, 0).toLong)
           case None => key -> old // empty cell keeps its centroid
         }
       }
