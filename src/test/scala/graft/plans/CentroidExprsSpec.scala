@@ -157,6 +157,68 @@ class CentroidExprsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](1) == Seq(0L, 0L)) // 1000*2 - 2000
   }
 
+  test("kernels hold against a brute-force reference on randomized " +
+      "tables (ties, negatives, milli extremes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 25) {
+      val dim = 1 + rnd.nextInt(6)
+      val nCells = 1 + rnd.nextInt(7)
+      // sparse value pool FORCES distance ties (the tie-break edge)
+      val pool = Array(-254000L, -1000L, 0L, 1000L, 254000L)
+      val cents = (0 until nCells).map { i =>
+        // non-contiguous cell ids exercise the id-carrying encode
+        (i * 3 + rnd.nextInt(2)) ->
+          Array.fill(dim)(pool(rnd.nextInt(pool.length)))
+      }.toMap
+      val flat = CentroidExprs.encode(cents, scale = 1000L)
+      val codes = Array.fill(dim)((rnd.nextInt(255) - 127).toLong)
+      // reference: direct (distance, cell) total order over the map
+      val scored = cents.toSeq.map { case (c, cent) =>
+        val d = (0 until dim).map { i =>
+          val diff = 1000L * codes(i) - cent(i); diff * diff
+        }.sum
+        (d, c)
+      }.sorted
+      val expectAssign = scored.head._2
+      val nProbe = 1 + rnd.nextInt(nCells)
+      val expectProbes = scored.take(nProbe).map(_._2)
+      val expectRes = cents(expectAssign).zip(codes)
+        .map { case (m, x) => 1000L * x - m }.toSeq
+      val row = Seq(Tuple1(codes.toSeq)).toDF("codes")
+        .select(
+          CentroidExprs.assignCell(spark, col("codes"), flat).as("a"),
+          CentroidExprs.probeCells(spark, col("codes"), flat, nProbe).as("p"),
+          CentroidExprs.assignResidual(spark, col("codes"), flat).as("r"))
+        .head
+      assert(row.getInt(0) == expectAssign, s"round $round assign")
+      assert(row.getSeq[Int](1) == expectProbes, s"round $round probes")
+      assert(row.getStruct(2).getInt(0) == expectAssign &&
+        row.getStruct(2).getSeq[Long](1) == expectRes, s"round $round res")
+    }
+  }
+
+  test("kernels compile in generated code (no silent interpreted " +
+      "fallback): results correct with codegen.fallback=false") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val subTab = CentroidExprs.encodeSub(Map(
+        (0, 0) -> Array(0L, 0L), (0, 1) -> Array(9L, 9L)))
+      val row = tinyDf(Seq((1L, Seq(0L, 2L))))
+        .select(
+          CentroidExprs.assignCell(spark, col("codes"), table).as("a"),
+          CentroidExprs.probeCells(spark, col("codes"), table, 2).as("p"),
+          CentroidExprs.assignResidual(spark, col("codes"), table).as("r"),
+          CentroidExprs.subspaceAssign(spark, lit(0), col("codes"), subTab)
+            .as("s"))
+        .head
+      assert(row.getInt(0) == 5)
+      assert(row.getSeq[Int](1).head == 5)
+      assert(row.getStruct(2).getInt(0) == 5)
+      assert(row.getInt(3) == 0) // (0,2) nearer (0,0) than (9,9)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("null vector -> null; wrong dim and null element fail loudly") {
     val n = tinyDf(Seq((1L, null)))
       .select(CentroidExprs.assignCell(spark, col("codes"), table))
