@@ -1678,6 +1678,31 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // INDEX COMPACTION is value-invisible: same base build + append
+    // as q_sim_ann_ivfpq_index, then the held-out tenth arrives as 3
+    // further appends (file accretion per touched cell), compaction
+    // rewrites every cell past the 1-file threshold, and the served
+    // result must STILL hash-match the ordinary index oracle — the
+    // maintenance op can only change layout, never rows.
+    "q_sim_ann_index_compact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivfpq-compact").toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      (0 to 2).foreach { r =>
+        Similarity.ivfPqIndexAppend(
+          e.filter(col("vec_id") % 10 === 9 && col("vec_id") % 3 === r),
+          "vec_id", "embedding", path = path)
+      }
+      val rep = Similarity.ivfIndexCompact(s, path, maxFilesPerCell = 1)
+      require(rep.cellsCompacted > 0 && rep.filesAfter < rep.filesBefore,
+        s"compaction fixture must actually compact, got $rep")
+      Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVFADC DRIFT MAINTENANCE end-to-end: build on the base slice,
     // append the held-out tenth (recall@5 drops to 0.94 at sf0.01 —
     // below the 0.999 floor), maintain measures the served recall,
@@ -4156,6 +4181,9 @@ object PipelineQueries {
     // (delta, persisted centroids+codebook, no retrain) must
     // reconstruct from disk.
     "q_sim_ann_ivfpq_index" -> ivfPqIndexOracle,
+    // compaction is value-invisible: rows identical to the ordinary
+    // build+append index, only the file layout changes
+    "q_sim_ann_index_compact" -> ivfPqIndexOracle,
     "q_sim_ann_ivfpq_recall" -> ivfPqRecallOracle,
     // maintain rebuilds from the FULL corpus: same replay, train
     // slice = everything; TRUE AS retrained pins the tripped floor

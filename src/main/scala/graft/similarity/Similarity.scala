@@ -1748,6 +1748,81 @@ object Similarity {
     * IS the inverted file AND each posting is ~m small ints instead
     * of a dim-length code vector, so a probed cell's bytes shrink by
     * ~dim/m on top of the partition pruning. */
+  final case class IvfCompactReport(cellsCompacted: Int,
+      filesBefore: Long, filesAfter: Long)
+
+  /** PERSISTENT INDEX — cell-scoped postings COMPACTION, the
+    * small-files maintenance both on-disk indexes need under
+    * always-on append ([[ivfIndexAppend]] / [[ivfPqIndexAppend]] /
+    * [[graft.streaming.PipelineStreams.annIndexAppendStream]] each
+    * write ~one file per TOUCHED cell per drop, so a long-lived
+    * streamed index accretes files without bound — the same disease
+    * [[graft.dedup.Dedup]]'s `compactAfterFiles` handles for the
+    * dedup stores). Cells whose file count exceeds
+    * `maxFilesPerCell` are rewritten to ~one file per inverted list
+    * (the builder's layout) in ONE job over the touched cells only —
+    * the cell filter is a static partition filter, so untouched
+    * cells' bytes are never read and their directories never change.
+    * Schema-agnostic: works on both the plain-codes and the
+    * PQ-compressed postings layout.
+    *
+    * Crash contract: each cell swaps independently (aside-rename,
+    * like [[ivfIndexMaintain]]) — a crash mid-loop leaves every cell
+    * either fully old or fully new; re-run to finish the rest.
+    * Value-invisible by construction: serving reads the same rows
+    * from fewer files (gated — `q_sim_ann_index_compact` hashes the
+    * post-compaction serve against the ordinary index oracle).
+    * Runs under the single-writer lease like every store mutation. */
+  def ivfIndexCompact(ss: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerCell: Int = 16): IvfCompactReport = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be positive")
+    import org.apache.hadoop.fs.Path
+    graft.ops.StoreLock.withLock(ss, path) {
+      val root = new Path(path.stripSuffix("/") + "/postings")
+      val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+      def parquetCount(dir: Path): Long =
+        fs.listStatus(dir).count(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+      val cellDirs = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(_.getPath)
+      val counts = cellDirs.map(d => d -> parquetCount(d))
+      val before = counts.map(_._2).sum
+      val touched = counts.filter(_._2 > maxFilesPerCell).map(_._1)
+      if (touched.isEmpty) IvfCompactReport(0, before, before) else {
+      val touchedCells = touched.map(_.getName.stripPrefix("cell=").toInt)
+      val tmp = new Path(path.stripSuffix("/") +
+        "/postings.compact-" + java.util.UUID.randomUUID())
+      // one job: static partition filter prunes every untouched cell,
+      // repartition(cell) lands ~one file per inverted list
+      ss.read.parquet(root.toString)
+        .filter(col("cell").isin(touchedCells.map(Integer.valueOf).toSeq: _*))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      touched.foreach { live =>
+        val name = live.getName
+        val fresh = new Path(tmp, name)
+        val aside = new Path(root, "." + name + ".pre-compact")
+        fs.delete(aside, true)
+        if (!fs.rename(live, aside))
+          throw new IllegalStateException(
+            s"index compaction: could not move $live aside to $aside")
+        if (!fs.rename(fresh, live))
+          throw new IllegalStateException(
+            s"index compaction: could not move the rewrite $fresh into " +
+              s"place — the prior cell is intact at $aside; rename it " +
+              "back to recover")
+        fs.delete(aside, true)
+      }
+      fs.delete(tmp, true)
+      val after = cellDirs.map(parquetCount).sum
+      log.info(s"compacted index postings at $root: " +
+        s"${touched.length} cell(s), $before -> $after files")
+      IvfCompactReport(touched.length, before, after)
+      }
+    }
+  }
+
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,
       path: String): Unit = {

@@ -233,6 +233,53 @@ class PqSpec extends AnyFunSuite {
     assert(r3.retrained && r3.recallAfter.get >= 0.9, s"got $r3")
   }
 
+  test("ivfIndexCompact: touched cells rewritten to ~one file, " +
+      "untouched cells byte-identical, serving value-invisible") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("ivfpq-compact").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.ivfPqIndexBuild(emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+      itersPq = 1, path = path)
+    // several small appends -> several files per touched cell
+    (1 to 3).foreach { r =>
+      Similarity.ivfPqIndexAppend(emb.filter(col("vec_id") % 4 === r),
+        "vec_id", "embedding", path = path)
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    def serve() = Similarity.ivfPqIndexTopK(q, "vec_id", "embedding",
+        k = 5, nProbe = 2, path = path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val fsRoot = new org.apache.hadoop.fs.Path(path + "/postings")
+    val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    def filesOf(cell: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(fsRoot, cell))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).sorted.toSeq
+    val cells = fs.listStatus(fsRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cell=")).sorted
+    val preServe = serve()
+    val preFiles = cells.map(c => c -> filesOf(c)).toMap
+    val maxPre = preFiles.values.map(_.size).max
+    assert(maxPre > 2, s"fixture should accrete files, got $maxPre")
+    // threshold between 1 and maxPre: some cells compact, quiet ones
+    // (if any are at <= 2 files) must stay byte-identical
+    val r1 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 2)
+    assert(r1.cellsCompacted > 0 && r1.filesAfter < r1.filesBefore, s"$r1")
+    cells.foreach { c =>
+      val now = filesOf(c)
+      if (preFiles(c).size > 2)
+        assert(now.size == 1, s"$c should compact to one file, got $now")
+      else assert(now == preFiles(c), s"untouched $c changed: $now")
+    }
+    assert(serve() == preServe, "compaction must be value-invisible")
+    // idempotent: nothing above the threshold now
+    val r2 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 2)
+    assert(r2.cellsCompacted == 0 && r2.filesBefore == r1.filesAfter)
+    assert(serve() == preServe)
+  }
+
   test("zero vectors ride PQ end-to-end guarded; postings scan prunes partitions") {
     import spark.implicits._
     // synthetic corpus with an all-zero member: it must encode with
