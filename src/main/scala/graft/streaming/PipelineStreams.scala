@@ -644,11 +644,19 @@ object PipelineStreams {
     * rebuild. Micro-batches are sequential per query, satisfying the
     * single-writer shape; concurrent external writers are out of
     * contract here as for every store in this engine. Blocks until
-    * the AvailableNow replay terminates. */
+    * the AvailableNow replay terminates.
+    *
+    * `compactMaxFilesPerCell > 0` runs
+    * [[graft.similarity.Similarity.ivfIndexCompact]] after each
+    * appended batch (the dedup stores' `compactAfterFiles` idiom):
+    * always-on ingest otherwise accretes one file per touched cell
+    * per drop without bound. Compaction is value-invisible and
+    * leased, and it runs AFTER the batch marker lands — a crash
+    * between marker and compact costs only layout, never rows. */
   def annIndexAppendStream(spark: SparkSession, dropsDir: String,
       idCol: String, vecCol: String, indexPath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
-      timeoutMs: Long = 300000L): Unit = {
+      timeoutMs: Long = 300000L, compactMaxFilesPerCell: Int = 0): Unit = {
     // markers live BESIDE the postings, resolved through the index
     // path's own Hadoop FileSystem (the StoreLock/maintain-swap
     // discipline) — a java.io.File here would pin them to the
@@ -676,7 +684,11 @@ object PipelineStreams {
           // overwrite=false: create-or-throw, the atomic twin of
           // File.createNewFile on filesystems that support it
           fs.create(marker, false).close()
-          ()
+          if (compactMaxFilesPerCell > 0) {
+            graft.similarity.Similarity.ivfIndexCompact(
+              batch.sparkSession, indexPath, compactMaxFilesPerCell)
+            ()
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -541,4 +541,50 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(countPostings() == after,
       "replay under restarted batchIds must not double-append")
   }
+
+  test("annIndexAppendStream: in-stream compaction keeps every cell at " +
+      "~one file and never changes the served rows") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9)
+    val q = emb.filter(col("vec_id") < 10)
+    val dir = graft.util.TempDirs.scoped("streams-annindex-compact")
+    def build(tag: String): String = {
+      val p = dir.resolve(tag).toString
+      graft.similarity.Similarity.ivfPqIndexBuild(base, "vec_id",
+        "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+        itersPq = 1, path = p)
+      p
+    }
+    def serve(p: String) =
+      graft.similarity.Similarity.ivfPqIndexTopK(q, "vec_id",
+          "embedding", k = 5, nProbe = 2, path = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    val dropsDir = PipelineStreams.stageOrderedDrops(delta, "vec_id", 3,
+      "streams-annindex-compact-drops")
+    val plain = build("plain")
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", plain, dir.resolve("ck1").toString)
+    }
+    val compacted = build("compacted")
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", compacted, dir.resolve("ck2").toString,
+        compactMaxFilesPerCell = 1)
+    }
+    assert(serve(compacted) == serve(plain),
+      "in-stream compaction must be value-invisible")
+    // every cell of the compacted index sits at <= 1 parquet file
+    val root = new org.apache.hadoop.fs.Path(compacted + "/postings")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cell=")).foreach { d =>
+        val n = fs.listStatus(d.getPath).count(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        assert(n <= 1, s"${d.getPath.getName} holds $n files")
+      }
+  }
 }
