@@ -294,10 +294,11 @@ object Similarity {
     val cents = kmeansTrain(codes, k, iters)
     val assigned = withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("cell"))
-    // training collects are eager — drop the cache instead of holding
-    // it for the session; the returned assignment recomputes the
-    // quantize map-side once at collect time
-    codes.unpersist()
+    // training collects are eager; the returned assignment still reads
+    // the cache — drop it after its first consumption, not before
+    // (see DeferredUnpersist: an eager unpersist recomputed the corpus
+    // chain inside the serve, measured 4-10x on the trained-IVF gate)
+    graft.util.DeferredUnpersist.afterNextAction(df.sparkSession, codes)
     assigned
   }
 
@@ -494,10 +495,12 @@ object Similarity {
     val topk = scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
-    // training collects are eager — drop the cache instead of holding
-    // it for the session; the serve recomputes the quantize map-side
-    // once at collect time
-    corpusCodes.unpersist()
+    // training collects are eager; the serve plan still reads the
+    // cache, so drop it only after the returned plan's first
+    // consumption (unpersisting NOW would recompute the corpus chain
+    // inside the serve — measured 0.6 s -> 5.5-8.5 s on the gate)
+    graft.util.DeferredUnpersist.afterNextAction(
+      corpus.sparkSession, corpusCodes)
     topk
   }
 
@@ -1536,12 +1539,13 @@ object Similarity {
     val rcb = ivfPqTrainResidual(res, m, dsub, ks, itersPq)
     val served = ivfPqServe(queries, ivfPqEncodeRes(res, rcb), coarse,
       rcb, idCol, vecCol, k, nProbe, simDecimals)
-    // training is done (Lloyd collects are eager); drop both training
-    // caches rather than hold executor storage for the session
-    // lifetime (the ivfPqIndexBuild discipline). The returned serve
-    // plan recomputes residual+encode from the corpus — one map-side
-    // pass, paid once at collect time.
-    res.unpersist(); codes.unpersist()
+    // training is done (Lloyd collects are eager), but the returned
+    // serve plan still reads both caches — drop them after its first
+    // consumption, not before (see DeferredUnpersist: an eager
+    // unpersist recomputed the corpus chain inside the serve,
+    // measured 4-10x on the trained-IVF gate)
+    graft.util.DeferredUnpersist.afterNextAction(
+      corpus.sparkSession, res, codes)
     served
   }
 
