@@ -141,6 +141,87 @@ object Sampling {
       .filter(col("rk") <= quota)
   }
 
+  /** TEMPERATURE-SMOOTHED mixture selection — the exponent-smoothed
+    * source re-weighting of multilingual LM training (sampling
+    * sources ~ count^alpha with alpha < 1 so dominant sources are
+    * flattened and low-resource sources keep proportionally more; the
+    * p^alpha idiom of the public mBERT/XLM-R recipes): per-group
+    * quotas proportional to `count_g^alpha`, then [[stratifiedQuota]]'s
+    * deterministic hash-rank selection inside each group.
+    *
+    * `alpha` lives on the PORTABLE grid `1/2^sqrtSteps` (sqrtSteps
+    * 0..6 -> alpha 1, 0.5, 0.25, ... 1/64 — brackets the published
+    * 0.3-0.7 range): `count^(1/2^k)` is k applications of IEEE
+    * correctly-rounded `sqrt`, bit-identical in any engine, where a
+    * general libm `pow` is not. Weights integer-ize as
+    * `floor(1e6 * w)` and quotas are `(totalN * wq_g) DIV W` on exact
+    * int64 (ANSI throws loudly if `totalN * wq` ever overflows int64 —
+    * beyond ~9e18 micro-units, far past any real configuration), so
+    * the whole allocation is engine-exact — no summation-order or
+    * libm drift anywhere. Floor allocation: sum of quotas <= totalN
+    * (the remainder stays unselected, deterministically). Groups
+    * smaller than their quota are kept whole.
+    *
+    * Scale shape: the quota table is group-cardinality-sized (driver
+    * collect by contract, like every mixture-weights table); selection
+    * reuses the bounded-heap map-side prune, so the shuffle carries
+    * `quota x partitions` rows per group, never whole groups. */
+  def temperatureQuota(df: DataFrame, keyCol: String, groupCol: String,
+      totalN: Long, sqrtSteps: Int = 1): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    require(sqrtSteps >= 0 && sqrtSteps <= 6,
+      "sqrtSteps must be in [0, 6] (alpha = 1/2^sqrtSteps)")
+    val ss = df.sparkSession
+    import ss.implicits._
+    var w: Column = col("cnt").cast("double")
+    (1 to sqrtSteps).foreach(_ => w = sqrt(w))
+    val quotas = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wq", floor(w * lit(1e6)).cast("bigint"))
+      .withColumn("w_all",
+        sum("wq").over(Window.partitionBy())) // exact int64, order-free
+      .withColumn("quota", expr(s"($totalN * wq) DIV w_all"))
+      .select(col("grp"), col("quota"))
+    // group-cardinality-sized by contract — the mixture-weights shape
+    val qMap = quotas.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qB = ss.sparkContext.broadcast(qMap)
+    val pruned = df
+      .select(col(groupCol).cast("string").as("stratum"),
+        col(keyCol).cast("long").as("key"),
+        hashBucket(col(keyCol)).as("bucket"))
+      .as[StratumRow]
+      .mapPartitions { it =>
+        // the stratifiedQuota prune with a PER-GROUP bound
+        val qs = qB.value
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { r =>
+          val q = qs.getOrElse(r.stratum, 0L)
+          if (q > 0L) {
+            val h = heaps.getOrElseUpdate(r.stratum,
+              new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+                Ordering.Tuple2[Long, Long]))
+            if (h.size < q) h.enqueue((r.bucket, r.key))
+            else if (Ordering.Tuple2[Long, Long].lt((r.bucket, r.key), h.head)) {
+              h.dequeue(); h.enqueue((r.bucket, r.key))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (b, k) => StratumRow(s, k, b) }
+        }
+      }
+    pruned.toDF()
+      .withColumnRenamed("stratum", "grp")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("bucket"), col("key")))
+        .cast("bigint"))
+      .join(broadcast(quotas), Seq("grp"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("grp"), col("key"), col("rk"), col("quota"))
+  }
+
   /** Fine-grained portable hash: same multiplicative scheme as
     * [[hashBucket]] but folded to [0, 1e9) — enough resolution to
     * order a billion-row stratum with negligible collision mass (and

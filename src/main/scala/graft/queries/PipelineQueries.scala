@@ -1767,6 +1767,19 @@ object PipelineQueries {
         .orderBy("stratum", "rk")
     }),
 
+    // TEMPERATURE-smoothed mixture: per-source quotas ~ count^0.5
+    // (the multilingual-LM p^alpha upsampling idiom) — dominant
+    // sources flattened, low-resource sources keep proportionally
+    // more. Engine-exact via the sqrt grid + integer micro-unit
+    // weights + int64 floor division; selection is the stratified
+    // hash-rank. The oracle restates counts -> sqrt -> quota -> rank.
+    "q_mix_temperature" -> ((s, d) => {
+      graft.functions.Sampling.temperatureQuota(
+          Tables.documents(s, d), "doc_id", "lang",
+          totalN = 300, sqrtSteps = 1)
+        .orderBy("grp", "rk")
+    }),
+
     // WEIGHTED sampling without replacement (sequential Poisson /
     // priority sampling): 20 docs per source, probability ~ n_chars —
     // longer docs proportionally likelier, reproducibly. The priority
@@ -4464,6 +4477,31 @@ object PipelineQueries {
         |SELECT lang AS stratum, doc_id AS key, b AS bucket,
         |  CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 30 ORDER BY stratum, rk""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |wt AS (
+        |  SELECT grp,
+        |    CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+        |  FROM c),
+        |q AS (
+        |  SELECT grp,
+        |    CAST((300 * wq) // (SELECT CAST(sum(wq) AS BIGINT) FROM wt)
+        |      AS BIGINT) AS quota
+        |  FROM wt),
+        |r AS (
+        |  SELECT CAST(lang AS VARCHAR) AS grp,
+        |    CAST(doc_id AS BIGINT) AS key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ((doc_id % 2147483648) * 1597334677 + (doc_id >> 31) * 7919)
+        |        % 10000, doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.grp AS grp, r.key AS key, CAST(r.rk AS BIGINT) AS rk,
+        |  q.quota AS quota
+        |FROM r JOIN q ON r.grp = q.grp
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.grp, r.rk""".stripMargin,
     "q_weighted_sample" ->
       """WITH h AS (
         |  SELECT source, doc_id,

@@ -652,7 +652,20 @@ object PipelineStreams {
     * always-on ingest otherwise accretes one file per touched cell
     * per drop without bound. Compaction is value-invisible and
     * leased, and it runs AFTER the batch marker lands — a crash
-    * between marker and compact costs only layout, never rows. */
+    * between marker and compact costs only layout, never rows.
+    *
+    * Operational boundary — marker growth: `.batches` gains one empty
+    * file per appended batch and compaction deliberately never
+    * touches it (each marker is load-bearing for ITS checkpoint
+    * scope: the wipe-and-replay guard needs the full set). At one
+    * batch per minute that is ~0.5M tiny files per year in one
+    * directory — long-lived deployments should periodically rebuild
+    * ([[graft.similarity.Similarity.ivfPqIndexMaintain]] keeps
+    * markers, but a fresh build at a NEW index path with a NEW
+    * checkpoint starts the ledger empty) or archive markers from
+    * checkpoint scopes that are provably retired (a scope is dead
+    * once its stream's checkpoint dir is deleted AND no re-run with
+    * the same path is possible — only the operator can know that). */
   def annIndexAppendStream(spark: SparkSession, dropsDir: String,
       idCol: String, vecCol: String, indexPath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,

@@ -237,6 +237,44 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureQuota: alpha=1 is proportional, alpha=1/2 flattens " +
+      "the mixture, small groups keep whole, partitioning-invariant") {
+    import spark.implicits._
+    // skewed mixture: A=400, B=100, C=4 (C smaller than any quota)
+    val docs = ((0L until 400L).map(i => (i, "A")) ++
+        (1000L until 1100L).map(i => (i, "B")) ++
+        (2000L until 2004L).map(i => (i, "C")))
+      .toDF("doc_id", "grp_in")
+    def quotasOf(steps: Int): Map[String, Long] =
+      Sampling.temperatureQuota(docs, "doc_id", "grp_in",
+          totalN = 100, sqrtSteps = steps)
+        .groupBy("grp").agg(count(lit(1)).as("n"),
+          first("quota").as("q"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // alpha = 1: proportional floor allocation — 400/504, 100/504,
+    // 4/504; C's quota floors to 0 so it is ABSENT from the output
+    val p = quotasOf(0)
+    assert(p == Map("A" -> 79L, "B" -> 19L), s"got $p")
+    // alpha = 1/2: weights 20:10:2 -> A flattened toward B, C surfaces
+    val t = quotasOf(1)
+    assert(t("A") < p("A") && t("B") > p("B") && t.contains("C"), s"got $t")
+    assert(t == Map("A" -> 62L, "B" -> 31L, "C" -> 6L), s"got $t")
+    // C's quota (6) exceeds its size (4): kept whole, never padded
+    val out = Sampling.temperatureQuota(docs, "doc_id", "grp_in",
+      totalN = 100, sqrtSteps = 1)
+    assert(out.filter(col("grp") === "C").count() == 4L)
+    // selection is a pure function of the key set: repartitioning the
+    // input cannot change the winners (the map-side prune is provably
+    // winner-preserving)
+    val base = out.select("grp", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val reparted = Sampling.temperatureQuota(docs.repartition(17),
+        "doc_id", "grp_in", totalN = 100, sqrtSteps = 1)
+      .select("grp", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(reparted == base)
+  }
+
   test("upsample: exact copy counts, nested fractional slice, no shuffle") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "payload")

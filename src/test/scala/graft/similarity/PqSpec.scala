@@ -280,6 +280,27 @@ class PqSpec extends AnyFunSuite {
     assert(serve() == preServe)
   }
 
+  test("ivfIndexCompact is schema-agnostic: the PLAIN-codes index " +
+      "layout compacts and serves identically too") {
+    val path = graft.util.TempDirs.scoped("ivf-plain-compact").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.ivfIndexBuild(emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", nCells = 4, iters = 1, path = path)
+    (1 to 3).foreach { r =>
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 4 === r),
+        "vec_id", "embedding", path = path)
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    def serve() = Similarity.ivfIndexTopK(q, "vec_id", "embedding",
+        k = 5, nProbe = 2, path = path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val pre = serve()
+    val r1 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 1)
+    assert(r1.cellsCompacted > 0 && r1.filesAfter < r1.filesBefore, s"$r1")
+    assert(serve() == pre, "plain-index compaction must be value-invisible")
+  }
+
   test("zero vectors ride PQ end-to-end guarded; postings scan prunes partitions") {
     import spark.implicits._
     // synthetic corpus with an all-zero member: it must encode with
