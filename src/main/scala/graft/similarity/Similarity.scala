@@ -295,10 +295,11 @@ object Similarity {
     val assigned = withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("cell"))
     // training collects are eager; the returned assignment still reads
-    // the cache — drop it after its first consumption, not before
-    // (see DeferredUnpersist: an eager unpersist recomputed the corpus
-    // chain inside the serve, measured 4-10x on the trained-IVF gate)
-    graft.util.DeferredUnpersist.afterNextAction(df.sparkSession, codes)
+    // the cache — drop it once a completed action CONSUMES the
+    // assignment plan (plan-scoped: an interleaved unrelated action
+    // must not evict it — see DeferredUnpersist)
+    graft.util.DeferredUnpersist.afterConsumed(df.sparkSession,
+      assigned, codes)
     assigned
   }
 
@@ -400,15 +401,26 @@ object Similarity {
   /** The Lloyd training loop over a cached `(id, codes)` relation —
     * see [[kmeansFitInt8]] for the exactness and scale contract.
     * Returns the trained cell -> milli-grid centroid map. */
-  private def kmeansTrain(codes: DataFrame, k: Int,
-      iters: Int): Map[Int, Array[Long]] = {
+  private def kmeansTrain(codes: DataFrame, k: Int, iters: Int,
+      warmInit: Option[Map[Int, Array[Long]]] = None): Map[Int, Array[Long]] = {
     require(k >= 1, "k must be positive")
     require(iters >= 1, "iters must be positive")
-    val init = codes.orderBy("id").limit(k).collect()
-    require(init.length == k, s"k-means needs >= $k vectors, got ${init.length}")
-    var cents: Map[Int, Array[Long]] = init.zipWithIndex.map { case (r, i) =>
-      i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
-    }.toMap
+    var cents: Map[Int, Array[Long]] = warmInit match {
+      case Some(w) =>
+        // WARM START (drift-rebuild seeding): Lloyd from the live
+        // centroids instead of the lowest-id sample — on a drifted-
+        // not-shuffled corpus the seeds are already near their basins,
+        // so fewer iterations reach the same placement quality
+        require(w.size == k, s"warm init carries ${w.size} cells, need $k")
+        w
+      case None =>
+        val init = codes.orderBy("id").limit(k).collect()
+        require(init.length == k,
+          s"k-means needs >= $k vectors, got ${init.length}")
+        init.zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Long](1).toArray.map(_ * 1000L)
+        }.toMap
+    }
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       // per-cell vector sums via the native band_sum aggregate: ONE
@@ -498,9 +510,10 @@ object Similarity {
     // training collects are eager; the serve plan still reads the
     // cache, so drop it only after the returned plan's first
     // consumption (unpersisting NOW would recompute the corpus chain
-    // inside the serve — measured 0.6 s -> 5.5-8.5 s on the gate)
-    graft.util.DeferredUnpersist.afterNextAction(
-      corpus.sparkSession, corpusCodes)
+    // inside the serve — measured 0.6 s -> 5.5-8.5 s on the gate);
+    // plan-scoped so interleaved unrelated actions cannot evict early
+    graft.util.DeferredUnpersist.afterConsumed(
+      corpus.sparkSession, topk, corpusCodes)
     topk
   }
 
@@ -509,11 +522,39 @@ object Similarity {
 
   /** Read a persisted centroid table back as the trained cell -> cent
     * map (dimension-sized BY CONSTRUCTION: nCells x dim longs — the
-    * same query-side collect contract as the ANN probe tables). */
+    * same query-side collect contract as the ANN probe tables).
+    * Resolves the live snapshot; callers needing artifact consistency
+    * across several reads resolve ONE [[IndexLayout.Snapshot]] and use
+    * [[readCentsAt]]. */
   private def readCents(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[Int, Array[Long]] =
-    spark.read.parquet(path + "/centroids").collect()
+    readCentsAt(spark, path.stripSuffix("/") + "/" +
+      IndexLayout.resolve(spark, path).centroids)
+
+  private def readCentsAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[Int, Array[Long]] =
+    spark.read.parquet(dir).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+
+  /** The live postings relation of the index at `path` (union over
+    * postings generations minus superseded cells — see
+    * [[IndexLayout]]). Public: the operational observable for specs
+    * and store audits. */
+  def indexPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    IndexLayout.postingsDf(spark, path, IndexLayout.resolve(spark, path))
+
+  /** The live centroid table of the index at `path`. */
+  def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path.stripSuffix("/") + "/" +
+      IndexLayout.resolve(spark, path).centroids)
+
+  /** Live parquet files per cell across the index's postings
+    * generations — the compaction pressure observable. */
+  def indexPostingsFilesPerCell(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Int, Long] =
+    IndexLayout.filesPerCell(spark, path, IndexLayout.resolve(spark, path))
 
   /** PERSISTENT IVF INDEX — build. The lakehouse half of
     * [[ivfTopKQuantized]]: train the coarse quantizer on the corpus
@@ -529,18 +570,20 @@ object Similarity {
       nCells: Int, iters: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val root = path.stripSuffix("/")
     // single-writer lease (the Dedup-store discipline): a build racing
     // an append/maintain on the same path would silently lose the
     // other writer's postings at overwrite time — make it loud instead
-    graft.ops.StoreLock.withLock(spark, path) {
+    graft.ops.StoreLock.withLockCtx(spark, path) { ctx =>
+    val v = IndexLayout.nextVersion(spark, path)
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // training + assignment
       .cache()
     val cents = kmeansTrain(codes, nCells, iters)
-    cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+    cents.toSeq.sortBy(_._1).map { case (c, v2) => (c, v2.toSeq) }
       .toDF("cell", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids-v$v")
     // pin the TRAINING-TIME corpus size next to the centroids: index
     // maintenance sizes its retrain cell count from the growth ratio
     // (cells' = cells x sqrt(n_now / n_trained)) — preserving the
@@ -554,8 +597,14 @@ object Similarity {
       // per inverted list instead of one per (task x cell)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(path + "/postings")
+      .parquet(s"$root/postings-g$v")
     codes.unpersist()
+    // atomic publish: readers flip from the previous snapshot (if
+    // any) to this one manifest-at-a-time, never mid-write
+    IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
+      s"centroids-v$v", None, Seq(IndexLayout.Gen(s"postings-g$v", Nil))),
+      ctx.token)
+    IndexLayout.gc(spark, path)
     }
   }
 
@@ -572,7 +621,9 @@ object Similarity {
       path: String): Unit = {
     val spark = delta.sparkSession
     graft.ops.StoreLock.withLock(spark, path) {
-      val cents = readCents(spark, path)
+      val snap = IndexLayout.resolve(spark, path)
+      val cents = readCentsAt(spark,
+        path.stripSuffix("/") + "/" + snap.centroids)
       withAssignedCell(
           quantizeInt8(delta, idCol, vecCol)
             .select(col(idCol).cast("long").as("id"), col("codes")),
@@ -580,8 +631,12 @@ object Similarity {
         .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
           col("cell"))
         .repartition(col("cell"))
+        // additive append into the NEWEST generation: data files
+        // commit atomically, so a concurrent reader's snapshot stays
+        // complete (it just may not see the newest rows yet) — no
+        // manifest change needed
         .write.mode("append").partitionBy("cell")
-        .parquet(path + "/postings")
+        .parquet(path.stripSuffix("/") + "/" + snap.gens.last.dir)
     }
   }
 
@@ -596,7 +651,12 @@ object Similarity {
       k: Int, nProbe: Int, path: String,
       simDecimals: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cents = readCents(spark, path)
+    // ONE snapshot for centroids AND postings: a maintenance commit
+    // racing this serve flips the manifest atomically, so both
+    // artifacts here are from the same complete version either way
+    val snap = IndexLayout.resolve(spark, path)
+    val cents = readCentsAt(spark,
+      path.stripSuffix("/") + "/" + snap.centroids)
     require(nProbe >= 1 && nProbe <= cents.size,
       "need 1 <= nProbe <= nCells")
     val qProbes = withProbedCells(
@@ -613,7 +673,9 @@ object Similarity {
     // recomputes it once more.
     val probed = qProbes.select("cell").distinct()
       .collect().map(_.getInt(0)) // query-bounded by contract
-    val postings = spark.read.parquet(path + "/postings")
+    // the probed-cell filter pushes through the generation Union into
+    // every child scan — partition pruning per generation
+    val postings = IndexLayout.postingsDf(spark, path, snap)
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val scored = broadcast(qProbes).join(postings, Seq("cell"))
       .where(col("id") =!= col("query_id") &&
@@ -723,13 +785,13 @@ object Similarity {
     * appended delta already live there as int8 codes): the Lloyd loop
     * ([[kmeansTrain]], same exact-integer arithmetic as build) runs
     * over those codes with the same cell count, and the re-assigned
-    * postings are FULLY materialized to a side dir before a
-    * rename-swap — no original-corpus re-scan, no reader ever sees a
-    * half-written mix. Centroids are rewritten after the swap; a
-    * crash between the two writes leaves new postings under old
-    * centroids — every code is still served exactly, probe pruning is
-    * just stale until a re-run completes the pair (document-level
-    * recovery: run maintain again).
+    * postings AND retrained centroids are FULLY materialized to fresh
+    * versioned directories before ONE atomic manifest commit flips
+    * readers over ([[IndexLayout]]) — no original-corpus re-scan, no
+    * reader ever sees a half-written mix or a torn postings/centroids
+    * pair, and a crash anywhere pre-commit leaves the old snapshot
+    * live (recovery: run maintain again; orphaned fresh dirs are
+    * GC'd).
     *
     * Scale shape: recall probes are query-bounded; the retrain is
     * `iters + 1` scans of the postings (the corpus-sized leg — the
@@ -751,12 +813,15 @@ object Similarity {
     if (before >= recallFloor) return IvfMaintainReport(before, false, None)
     log.info(f"ivfIndexMaintain: recall@$k $before%.4f < floor " +
       f"$recallFloor%.4f at $path — retraining")
-    // the rebuild-and-swap is a store mutation like any other: lease
-    // it so a concurrent append cannot land between the postings read
-    // and the swap and be silently dropped from the rebuilt index
-    graft.ops.StoreLock.withLock(spark, path) {
-    val nCells = readCents(spark, path).size
-    val codes = spark.read.parquet(path + "/postings")
+    // the rebuild-and-publish is a store mutation like any other:
+    // lease it so a concurrent append cannot land between the
+    // postings read and the commit and be silently dropped from the
+    // rebuilt index
+    graft.ops.StoreLock.withLockCtx(spark, path) { ctx =>
+    val root = path.stripSuffix("/")
+    val snap = IndexLayout.resolve(spark, path)
+    val nCells = readCentsAt(spark, s"$root/${snap.centroids}").size
+    val codes = IndexLayout.postingsDf(spark, path, snap)
       .select(col("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut) // training + assignment
       .cache()
@@ -788,48 +853,28 @@ object Similarity {
       log.info(s"ivfIndexMaintain: adaptive retrain $nCells -> $kCells " +
         s"cells ($nNow postings)")
     val cents = kmeansTrain(codes, kCells, iters)
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + "/postings.retrain-" + java.util.UUID.randomUUID())
+    // versioned-snapshot publish (see IndexLayout): BOTH rebuilt
+    // artifacts land in fresh directories, then ONE atomic manifest
+    // write flips readers over — a serve racing this retrain reads
+    // the old snapshot or the new one, never a rename hole, and a
+    // crash anywhere before the commit leaves the old snapshot live
+    // (the orphaned fresh dirs are GC'd by the next maintenance)
+    val v = snap.version + 1
     withAssignedCell(codes, "codes", cents)
       .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
         col("cell"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/postings-g$v")
     codes.unpersist()
-    val live = new org.apache.hadoop.fs.Path(path + "/postings")
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new org.apache.hadoop.fs.Path(path + "/postings.pre-retrain")
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new IllegalStateException(
-        s"ivfIndexMaintain: could not move $live aside to $old")
-    if (!fs.rename(tmp, live))
-      throw new IllegalStateException(
-        s"ivfIndexMaintain: could not move the retrained postings " +
-          s"$tmp into place — the prior postings are intact at $old; " +
-          "rename them back to recover")
-    fs.delete(old, true)
     import spark.implicits._
-    // side-dir + rename for the centroids too: a plain overwrite is
-    // delete-then-write, and a crash in the gap leaves NO centroids —
-    // readCents (and therefore maintain itself) would throw, defeating
-    // the documented run-maintain-again recovery
-    val centTmp = new org.apache.hadoop.fs.Path(
-      path + "/centroids.retrain-" + java.util.UUID.randomUUID())
-    cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+    cents.toSeq.sortBy(_._1).map { case (c, vv) => (c, vv.toSeq) }
       .toDF("cell", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(centTmp.toString)
-    val centLive = new org.apache.hadoop.fs.Path(path + "/centroids")
-    val centOld = new org.apache.hadoop.fs.Path(path + "/centroids.pre-retrain")
-    fs.delete(centOld, true)
-    if (fs.exists(centLive) && !fs.rename(centLive, centOld))
-      throw new IllegalStateException(
-        s"ivfIndexMaintain: could not move $centLive aside")
-    if (!fs.rename(centTmp, centLive))
-      throw new IllegalStateException(
-        s"ivfIndexMaintain: could not move the retrained centroids " +
-          s"into place — the prior centroids are intact at $centOld")
-    fs.delete(centOld, true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids-v$v")
+    IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
+      s"centroids-v$v", None,
+      Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+    IndexLayout.gc(spark, path)
     // re-pin the training size ONLY when the cell count actually
     // changed (or no pin existed yet): a maintain that merely
     // re-placed centroids must keep the prior (n0, c0) baseline, so
@@ -1540,12 +1585,12 @@ object Similarity {
     val served = ivfPqServe(queries, ivfPqEncodeRes(res, rcb), coarse,
       rcb, idCol, vecCol, k, nProbe, simDecimals)
     // training is done (Lloyd collects are eager), but the returned
-    // serve plan still reads both caches — drop them after its first
-    // consumption, not before (see DeferredUnpersist: an eager
-    // unpersist recomputed the corpus chain inside the serve,
-    // measured 4-10x on the trained-IVF gate)
-    graft.util.DeferredUnpersist.afterNextAction(
-      corpus.sparkSession, res, codes)
+    // serve plan still reads both caches — drop them once a completed
+    // action consumes the serve plan (plan-scoped: see
+    // DeferredUnpersist; an eager unpersist recomputed the corpus
+    // chain inside the serve, measured 4-10x on the trained-IVF gate)
+    graft.util.DeferredUnpersist.afterConsumed(
+      corpus.sparkSession, served, res, codes)
     served
   }
 
@@ -1559,19 +1604,29 @@ object Similarity {
       .select(col("id"), col("cell"), col("res"), nsqOf(col("codes")).as("nsq"))
 
   /** Residual PQ codebook: the shared [[pqLloydLoop]] on the residual
-    * grid; seeds = the `ks` lowest-id rows' residual subvectors. */
+    * grid; seeds = the `ks` lowest-id rows' residual subvectors, or
+    * `warmSeeds` (the live codebook, for drift-rebuild warm starts). */
   private def ivfPqTrainResidual(res: DataFrame, m: Int, dsub: Int,
-      ks: Int, iters: Int): PqCodebook = {
+      ks: Int, iters: Int,
+      warmSeeds: Option[Map[(Int, Int), Array[Long]]] = None): PqCodebook = {
     val sub = res.select(col("id"),
       posexplode(array((0 until m).map(j =>
         slice(col("res"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sub")))
-    val init = res.orderBy("id").limit(ks).collect()
-    require(init.length == ks, s"IVFADC needs >= $ks vectors, got ${init.length}")
-    val seeds: Map[(Int, Int), Array[Long]] = (for {
-      (r, c) <- init.zipWithIndex
-      full = r.getSeq[Long](2).toArray
-      j <- 0 until m
-    } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub)).toMap
+    val seeds: Map[(Int, Int), Array[Long]] = warmSeeds match {
+      case Some(w) =>
+        require(w.size == m * ks,
+          s"warm residual seeds carry ${w.size} centroids, need ${m * ks}")
+        w
+      case None =>
+        val init = res.orderBy("id").limit(ks).collect()
+        require(init.length == ks,
+          s"IVFADC needs >= $ks vectors, got ${init.length}")
+        (for {
+          (r, c) <- init.zipWithIndex
+          full = r.getSeq[Long](2).toArray
+          j <- 0 until m
+        } yield (j, c) -> full.slice(j * dsub, (j + 1) * dsub)).toMap
+    }
     PqCodebook(m, dsub, ks, pqLloydLoop(sub, iters, seeds))
   }
 
@@ -1735,8 +1790,16 @@ object Similarity {
   /** Read a persisted residual codebook back as a [[PqCodebook]]
     * (dimension-sized by construction: m x ks x dsub longs). */
   private def readPqCents(spark: org.apache.spark.sql.SparkSession,
-      path: String): PqCodebook = {
-    val cents = spark.read.parquet(path + "/pqcents").collect()
+      path: String): PqCodebook =
+    readPqCentsAt(spark, path.stripSuffix("/") + "/" +
+      IndexLayout.resolve(spark, path).pqcents.getOrElse(
+        throw new IllegalStateException(
+          s"index at $path carries no residual codebook (plain IVF " +
+            "layout?) — expected an IVFADC index")))
+
+  private def readPqCentsAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqCodebook = {
+    val cents = spark.read.parquet(dir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
       .toMap
     val m = cents.keys.map(_._1).max + 1
@@ -1770,59 +1833,90 @@ object Similarity {
     * Schema-agnostic: works on both the plain-codes and the
     * PQ-compressed postings layout.
     *
-    * Crash contract: each cell swaps independently (aside-rename,
-    * like [[ivfIndexMaintain]]) — a crash mid-loop leaves every cell
-    * either fully old or fully new; re-run to finish the rest.
+    * Crash/reader contract ([[IndexLayout]]): the rewrite lands in a
+    * NEW postings generation and ONE atomic manifest commit flips the
+    * heavy cells over (older generations are never touched, only
+    * marked excluded) — a reader racing the compaction always scans a
+    * complete snapshot, and a crash pre-commit leaves the old
+    * snapshot live with the fresh generation orphaned for GC.
     * Value-invisible by construction: serving reads the same rows
     * from fewer files (gated — `q_sim_ann_index_compact` hashes the
     * post-compaction serve against the ordinary index oracle).
+    * Generation growth is bounded: past [[IndexLayout.MaxGens]] the
+    * pass also folds every non-base generation's live cells (already
+    * compact, so the fold is cheap) into the new one.
     * Runs under the single-writer lease like every store mutation. */
   def ivfIndexCompact(ss: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerCell: Int = 16): IvfCompactReport = {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be positive")
     import org.apache.hadoop.fs.Path
-    graft.ops.StoreLock.withLock(ss, path) {
-      val root = new Path(path.stripSuffix("/") + "/postings")
-      val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
-      def parquetCount(dir: Path): Long =
-        fs.listStatus(dir).count(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-      val cellDirs = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        .map(_.getPath)
-      val counts = cellDirs.map(d => d -> parquetCount(d))
-      val before = counts.map(_._2).sum
-      val touched = counts.filter(_._2 > maxFilesPerCell).map(_._1)
-      if (touched.isEmpty) IvfCompactReport(0, before, before) else {
-      val touchedCells = touched.map(_.getName.stripPrefix("cell=").toInt)
-      val tmp = new Path(path.stripSuffix("/") +
-        "/postings.compact-" + java.util.UUID.randomUUID())
-      // one job: static partition filter prunes every untouched cell,
-      // repartition(cell) lands ~one file per inverted list
-      ss.read.parquet(root.toString)
-        .filter(col("cell").isin(touchedCells.map(Integer.valueOf).toSeq: _*))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      touched.foreach { live =>
-        val name = live.getName
-        val fresh = new Path(tmp, name)
-        val aside = new Path(root, "." + name + ".pre-compact")
-        fs.delete(aside, true)
-        if (!fs.rename(live, aside))
-          throw new IllegalStateException(
-            s"index compaction: could not move $live aside to $aside")
-        if (!fs.rename(fresh, live))
-          throw new IllegalStateException(
-            s"index compaction: could not move the rewrite $fresh into " +
-              s"place — the prior cell is intact at $aside; rename it " +
-              "back to recover")
-        fs.delete(aside, true)
+    val root = path.stripSuffix("/")
+    graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
+      val fs = IndexLayout.fsOf(ss, path)
+      val snap0 = IndexLayout.resolve(ss, path)
+      // migrated stores may carry pre-manifest crash damage: restore
+      // any orphaned .cell=*.pre-compact aside before counting files
+      snap0.gens.foreach(g =>
+        IndexLayout.healLegacyAsides(fs, new Path(s"$root/${g.dir}")))
+      val snap = snap0
+      def liveCellsOf(g: IndexLayout.Gen): Seq[Int] = {
+        val gp = new Path(s"$root/${g.dir}")
+        if (!fs.exists(gp)) Seq.empty
+        else fs.listStatus(gp).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .map(_.getPath.getName.stripPrefix("cell=").toInt)
+          .filterNot(g.exclude.contains)
       }
-      fs.delete(tmp, true)
-      val after = cellDirs.map(parquetCount).sum
-      log.info(s"compacted index postings at $root: " +
-        s"${touched.length} cell(s), $before -> $after files")
-      IvfCompactReport(touched.length, before, after)
+      val counts = IndexLayout.filesPerCell(ss, path, snap)
+      val before = counts.values.sum
+      val touched = counts.filter(_._2 > maxFilesPerCell).keySet
+      // generation-count bound: folding non-base gens' live cells
+      // into the new generation collapses the list back to ~2; those
+      // cells are already compact, so the fold is file-count-sized
+      val mustFold = snap.gens.length + 1 > IndexLayout.MaxGens
+      val folded: Set[Int] =
+        if (!mustFold) Set.empty
+        else snap.gens.tail.flatMap(liveCellsOf).toSet -- touched
+      if (touched.isEmpty && folded.isEmpty)
+        IvfCompactReport(0, before, before)
+      else {
+        val v = snap.version + 1
+        def isin(cells: Set[Int]) =
+          col("cell").isin(cells.toSeq.sorted.map(Integer.valueOf): _*)
+        // one job: the cell filters push into every generation scan
+        // as static partition filters, so untouched cells' bytes are
+        // never read; repartition(cell) lands ~one file per list
+        val touchedRows =
+          if (touched.isEmpty) None
+          else Some(IndexLayout.postingsDf(ss, path, snap)
+            .filter(isin(touched)))
+        val foldedRows =
+          if (folded.isEmpty) None
+          else Some(IndexLayout.postingsDf(ss, path,
+              snap.copy(gens = snap.gens.tail))
+            .filter(isin(folded)))
+        (touchedRows.toSeq ++ foldedRows.toSeq).reduceLeft(_.unionByName(_))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/postings-g$v")
+        // new manifest: prior generations exclude every rewritten
+        // cell (touched everywhere; folded only outside the base);
+        // generations left with no live cells drop out entirely
+        val newGens = snap.gens.zipWithIndex.flatMap { case (g, i) =>
+          val excl = (g.exclude.toSet ++ touched ++
+            (if (i == 0) Set.empty[Int] else folded)).toSeq.sorted
+          val live = liveCellsOf(g).toSet -- excl
+          if (live.isEmpty) None else Some(IndexLayout.Gen(g.dir, excl))
+        } :+ IndexLayout.Gen(s"postings-g$v", Nil)
+        IndexLayout.commit(ss, path,
+          snap.copy(version = v, gens = newGens), ctx.token)
+        IndexLayout.gc(ss, path)
+        val after = IndexLayout
+          .filesPerCell(ss, path, IndexLayout.resolve(ss, path)).values.sum
+        log.info(s"compacted index postings at $path: " +
+          s"${touched.size} heavy cell(s), ${folded.size} folded, " +
+          s"$before -> $after files, ${newGens.length} generation(s)")
+        IvfCompactReport(touched.size, before, after)
       }
     }
   }
@@ -1831,33 +1925,57 @@ object Similarity {
       nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,
       path: String): Unit = {
     val spark = corpus.sparkSession
+    // single-writer lease (the Dedup-store discipline) around the
+    // three-artifact write + atomic manifest publish — see
+    // ivfIndexBuild / IndexLayout
+    graft.ops.StoreLock.withLockCtx(spark, path) { ctx =>
+      val v = IndexLayout.nextVersion(spark, path)
+      ivfPqBuildVersion(corpus, idCol, vecCol, nCells, itersCoarse,
+        m, ks, itersPq, path, v, None, None)
+      IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
+        s"centroids-v$v", Some(s"pqcents-v$v"),
+        Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+      IndexLayout.gc(spark, path)
+    }
+  }
+
+  /** Train + write one IVFADC artifact version (no lease, no manifest
+    * — the caller holds the lock and commits): centroids-v`v`,
+    * pqcents-v`v`, postings-g`v` under `path`. `warmCoarse` /
+    * `warmRcb` seed the two Lloyd loops from live artifacts (the
+    * drift-rebuild warm start) instead of the lowest-id sample —
+    * identical per-iteration arithmetic either way. */
+  private def ivfPqBuildVersion(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, itersCoarse: Int, m: Int, ks: Int,
+      itersPq: Int, path: String, v: Long,
+      warmCoarse: Option[Map[Int, Array[Long]]],
+      warmRcb: Option[PqCodebook]): Unit = {
+    val spark = corpus.sparkSession
     import spark.implicits._
+    val root = path.stripSuffix("/")
     val dim = dimOf(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    // single-writer lease (the Dedup-store discipline) around the
-    // three-artifact write — see ivfIndexBuild
-    graft.ops.StoreLock.withLock(spark, path) {
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("codes"))
       .transform(graft.util.Parallelism.fanOut)
       .cache()
-    val coarse = kmeansTrain(codes, nCells, itersCoarse)
-    coarse.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) }
+    val coarse = kmeansTrain(codes, nCells, itersCoarse, warmCoarse)
+    coarse.toSeq.sortBy(_._1).map { case (c, vv) => (c, vv.toSeq) }
       .toDF("cell", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids-v$v")
     val res = ivfPqResiduals(codes, coarse).cache()
-    val rcb = ivfPqTrainResidual(res, m, dim / m, ks, itersPq)
-    rcb.cents.toSeq.sortBy(_._1).map { case ((j, c), v) => (j, c, v.toSeq) }
+    val rcb = ivfPqTrainResidual(res, m, dim / m, ks, itersPq,
+      warmRcb.map(_.cents))
+    rcb.cents.toSeq.sortBy(_._1).map { case ((j, c), vv) => (j, c, vv.toSeq) }
       .toDF("j", "cell", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/pqcents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcents-v$v")
     ivfPqEncodeRes(res, rcb)
       // co-located postings write: one shuffle on cell -> ~one file
       // per inverted list instead of one per (task x cell)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(path + "/postings")
+      .parquet(s"$root/postings-g$v")
     res.unpersist(); codes.unpersist()
-    }
   }
 
   /** PERSISTENT IVFADC INDEX — incremental append: assign + encode a
@@ -1872,14 +1990,18 @@ object Similarity {
       path: String): Unit = {
     val spark = delta.sparkSession
     graft.ops.StoreLock.withLock(spark, path) {
-      val coarse = readCents(spark, path)
-      val rcb = readPqCents(spark, path)
+      val root = path.stripSuffix("/")
+      val snap = IndexLayout.resolve(spark, path)
+      val coarse = readCentsAt(spark, s"$root/${snap.centroids}")
+      val rcb = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
       val codes = quantizeInt8(delta, idCol, vecCol)
         .select(col(idCol).cast("long").as("id"), col("codes"))
       ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
         .repartition(col("cell"))
+        // additive append into the newest generation — reader-safe,
+        // no manifest change (see ivfIndexAppend)
         .write.mode("append").partitionBy("cell")
-        .parquet(path + "/postings")
+        .parquet(s"$root/${snap.gens.last.dir}")
     }
   }
 
@@ -1892,8 +2014,13 @@ object Similarity {
       k: Int, nProbe: Int, path: String,
       simDecimals: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val coarse = readCents(spark, path)
-    val rcb = readPqCents(spark, path)
+    // ONE snapshot for all three artifacts: the manifest flip is
+    // atomic, so centroids, codebook and postings here are always an
+    // internally consistent version (see IndexLayout)
+    val root = path.stripSuffix("/")
+    val snap = IndexLayout.resolve(spark, path)
+    val coarse = readCentsAt(spark, s"$root/${snap.centroids}")
+    val rcb = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
     require(nProbe >= 1 && nProbe <= coarse.size,
       "need 1 <= nProbe <= nCells")
     // probed-cell union, query-bounded: derived from the same exact
@@ -1913,7 +2040,7 @@ object Similarity {
           (s, cell)
         }.sortBy { case (d, cell) => (d, cell) }.take(nProbe).map(_._2)
       }.distinct
-    val postings = spark.read.parquet(path + "/postings")
+    val postings = IndexLayout.postingsDf(spark, path, snap)
       .filter(col("cell").isin(probedUnion.map(Integer.valueOf).toSeq: _*))
     ivfPqServe(queries, postings, coarse, rcb, idCol, vecCol, k,
       nProbe, simDecimals)
@@ -1950,12 +2077,21 @@ object Similarity {
     *
     * Cell/codebook geometry (nCells, m, ks) is re-read from the
     * persisted artifacts, so a maintain never changes the serving
-    * contract. The swap goes through a staging build + per-artifact
-    * rename (postings, then pqcents, then centroids, each with a
-    * `.pre-retrain` aside) — a crash mid-swap leaves the aside copy
-    * named in the thrown error; `.batches` append markers stay in
-    * place, so a checkpointed append stream keeps skipping batches
-    * the rebuilt corpus already contains.
+    * contract. All three rebuilt artifacts land in fresh versioned
+    * directories and ONE atomic manifest commit flips readers over
+    * ([[IndexLayout]]) — a serve racing the rebuild reads the old or
+    * the new snapshot, never a rename hole or a torn artifact trio; a
+    * crash pre-commit leaves the old snapshot live (orphans GC'd).
+    * `.batches` append markers stay in place, so a checkpointed
+    * append stream keeps skipping batches the rebuilt corpus already
+    * contains.
+    *
+    * `warmStart = true` seeds BOTH Lloyd loops from the live
+    * centroids/codebook instead of the lowest-id sample: on a
+    * drifted-not-shuffled corpus the seeds start near their basins,
+    * so the scheduled rebuild spends fewer iterations (the
+    * `itersCoarse`/`itersPq` knobs) for equal-or-better post-maintain
+    * recall. Default off — the cold path is the hash-gated one.
     *
     * PRECONDITION (enforced, not assumed): `corpus` must contain
     * every live posting id. Because the markers survive the swap, a
@@ -1966,7 +2102,7 @@ object Similarity {
   def ivfPqIndexMaintain(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int, path: String,
       recallFloor: Double, itersCoarse: Int = 2,
-      itersPq: Int = 1): IvfMaintainReport = {
+      itersPq: Int = 1, warmStart: Boolean = false): IvfMaintainReport = {
     require(recallFloor >= 0.0 && recallFloor <= 1.0,
       "recallFloor must be in [0, 1]")
     val spark = queries.sparkSession
@@ -1982,12 +2118,15 @@ object Similarity {
     // lease the rebuild-and-swap (see ivfIndexMaintain): a concurrent
     // append landing after `corpus` was read would otherwise vanish
     // from the rebuilt postings at swap time
-    graft.ops.StoreLock.withLock(spark, path) {
-    val nCells = readCents(spark, path).size
-    val rcb0 = readPqCents(spark, path)
+    graft.ops.StoreLock.withLockCtx(spark, path) { ctx =>
+    val root = path.stripSuffix("/")
+    val snap = IndexLayout.resolve(spark, path)
+    val coarse0 = readCentsAt(spark, s"$root/${snap.centroids}")
+    val nCells = coarse0.size
+    val rcb0 = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
     log.info(f"ivfPqIndexMaintain: recall@$k $before%.4f < floor " +
       f"$recallFloor%.4f at $path — rebuilding ($nCells cells, " +
-      f"m=${rcb0.m} ks=${rcb0.ks})")
+      f"m=${rcb0.m} ks=${rcb0.ks}, warmStart=$warmStart)")
     // REBUILD PRECONDITION — corpus covers the live postings: the
     // rebuild re-encodes `corpus` from scratch while the `.batches`
     // append markers stay in place, so a posting id absent from
@@ -1996,7 +2135,7 @@ object Similarity {
     // re-appended by the checkpointed stream — permanent silent
     // loss. Checked BEFORE any training cost; ids-only scan, the
     // collect is limit-bounded.
-    val uncovered = spark.read.parquet(path + "/postings").select("id")
+    val uncovered = IndexLayout.postingsDf(spark, path, snap).select("id")
       .join(corpus.select(col(idCol).cast("long").as("id")),
         Seq("id"), "left_anti")
       .limit(5).collect().map(_.getLong(0))
@@ -2007,31 +2146,15 @@ object Similarity {
           s"${uncovered.mkString(", ")}) — rebuilding now would drop " +
           "them permanently (append markers block re-delivery). Feed " +
           "a corpus that includes every appended batch, then re-run.")
-    val staging = path + "/.retrain-" + java.util.UUID.randomUUID()
-    ivfPqIndexBuild(corpus, idCol, vecCol, nCells, itersCoarse,
-      rcb0.m, rcb0.ks, itersPq, staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("postings", "pqcents", "centroids").foreach { art =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$art")
-      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$art")
-      val aside = new org.apache.hadoop.fs.Path(s"$path/$art.pre-retrain")
-      fs.delete(aside, true)
-      if (fs.exists(live) && !fs.rename(live, aside))
-        throw new IllegalStateException(
-          s"ivfPqIndexMaintain: could not move $live aside to $aside")
-      if (!fs.rename(fresh, live))
-        throw new IllegalStateException(
-          s"ivfPqIndexMaintain: could not move the rebuilt $fresh into " +
-            s"place — the prior artifact is intact at $aside; rename it " +
-            "back to recover")
-      fs.delete(aside, true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    // the staging build's own lease sidecars (lock released, epoch
-    // persistent by design) would otherwise accumulate per rebuild
-    fs.delete(new org.apache.hadoop.fs.Path(staging + ".epoch"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(staging + ".lock"), true)
+    val v = snap.version + 1
+    ivfPqBuildVersion(corpus, idCol, vecCol, nCells, itersCoarse,
+      rcb0.m, rcb0.ks, itersPq, path, v,
+      if (warmStart) Some(coarse0) else None,
+      if (warmStart) Some(rcb0) else None)
+    IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
+      s"centroids-v$v", Some(s"pqcents-v$v"),
+      Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+    IndexLayout.gc(spark, path)
     val after = meanRecall()
     log.info(f"ivfPqIndexMaintain: rebuilt $path — recall@$k " +
       f"$before%.4f -> $after%.4f")

@@ -201,7 +201,7 @@ class PqSpec extends AnyFunSuite {
       itersCoarse = 3, itersPq = 2)
     assert(!r2.retrained && r2.recallAfter.isEmpty)
     // the rebuild preserved the id multiset (base + delta, no loss)
-    val ids = spark.read.parquet(path + "/postings").select("id")
+    val ids = Similarity.indexPostings(spark, path).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
     // COVERAGE PRECONDITION: a corpus that misses appended postings
@@ -222,7 +222,7 @@ class PqSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("absent from the rebuild corpus"),
       s"unexpected message: ${ex.getMessage}")
     // nothing was swapped: the index still serves every posting id
-    val idsAfter = spark.read.parquet(path2 + "/postings").select("id")
+    val idsAfter = Similarity.indexPostings(spark, path2).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(idsAfter == ((0L until 80L) ++ (1000L until 1080L)).sorted)
     // and the lease was released by the throw: a covering corpus
@@ -231,6 +231,47 @@ class PqSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nProbe = 1, path = path2,
       recallFloor = 0.95, itersCoarse = 3, itersPq = 2)
     assert(r3.retrained && r3.recallAfter.get >= 0.9, s"got $r3")
+  }
+
+  test("ivfPqIndexMaintain warmStart: the rebuild seeds Lloyd from the " +
+      "live artifacts and recovers recall with FEWER iterations") {
+    import spark.implicits._
+    // the degrade fixture of the maintain spec, replayed on the warm
+    // path with itersCoarse=1/itersPq=1 — from random lowest-id seeds
+    // one iteration is a weak retrain, but seeded from the live
+    // centroids (already near their basins, drift being additive) the
+    // cheap rebuild must still clear the recall bar
+    val path = graft.util.TempDirs.scoped("ivfpq-warm-spec").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val base = ((0 until 40).map(i => (i.toLong,
+        Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3)))) ++
+      (40 until 80).map(i => (i.toLong,
+        Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3)))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, itersCoarse = 3, m = 2, ks = 8, itersPq = 2, path = path)
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    val delta = (1000 until 1080).map(i => (i.toLong, deltaVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfPqIndexAppend(delta, "vec_id", "embedding", path = path)
+    val queries = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqIndexMaintain(queries, base.unionByName(delta),
+      "vec_id", "embedding", k = 5, nProbe = 1, path = path,
+      recallFloor = 0.95, itersCoarse = 1, itersPq = 1, warmStart = true)
+    assert(r.retrained, f"expected rebuild: recallBefore=${r.recallBefore}%.4f")
+    assert(r.recallBefore < 0.95)
+    assert(r.recallAfter.get >= 0.9,
+      s"warm 1-iteration rebuild must recover recall, got $r")
+    // the warm rebuild preserved the id multiset and serves normally
+    val ids = Similarity.indexPostings(spark, path).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
   }
 
   test("ivfIndexCompact: touched cells rewritten to ~one file, " +
@@ -251,28 +292,53 @@ class PqSpec extends AnyFunSuite {
         k = 5, nProbe = 2, path = path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sorted.toSeq
-    val fsRoot = new org.apache.hadoop.fs.Path(path + "/postings")
-    val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    def filesOf(cell: String): Seq[String] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(fsRoot, cell))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName).sorted.toSeq
-    val cells = fs.listStatus(fsRoot).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("cell=")).sorted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // per-(gen dir, cell) parquet file names — old generations must
+    // stay byte-untouched across a compaction (reader isolation)
+    def genFiles(snap: IndexLayout.Snapshot): Map[(String, String), Seq[String]] =
+      snap.gens.flatMap { g =>
+        val gp = new org.apache.hadoop.fs.Path(path, g.dir)
+        fs.listStatus(gp).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("cell=")).map { d =>
+            (g.dir, d.getPath.getName) ->
+              fs.listStatus(d.getPath)
+                .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+                .map(_.getPath.getName).sorted.toSeq
+          }
+      }.toMap
+    val preSnap = IndexLayout.resolve(spark, path)
     val preServe = serve()
-    val preFiles = cells.map(c => c -> filesOf(c)).toMap
-    val maxPre = preFiles.values.map(_.size).max
+    val preCounts = Similarity.indexPostingsFilesPerCell(spark, path)
+    val preGenFiles = genFiles(preSnap)
+    val maxPre = preCounts.values.max
     assert(maxPre > 2, s"fixture should accrete files, got $maxPre")
+    // READER ISOLATION: a postings plan resolved against the
+    // pre-compaction snapshot must still collect AFTER the compaction
+    // commits (its generation dirs are never renamed or deleted while
+    // the previous manifest is within the GC grace window)
+    val oldSnapPlan = IndexLayout.postingsDf(spark, path, preSnap)
     // threshold between 1 and maxPre: some cells compact, quiet ones
     // (if any are at <= 2 files) must stay byte-identical
     val r1 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 2)
     assert(r1.cellsCompacted > 0 && r1.filesAfter < r1.filesBefore, s"$r1")
-    cells.foreach { c =>
-      val now = filesOf(c)
-      if (preFiles(c).size > 2)
-        assert(now.size == 1, s"$c should compact to one file, got $now")
-      else assert(now == preFiles(c), s"untouched $c changed: $now")
+    val postCounts = Similarity.indexPostingsFilesPerCell(spark, path)
+    val postSnap = IndexLayout.resolve(spark, path)
+    preCounts.foreach { case (cell, n) =>
+      if (n > 2)
+        assert(postCounts(cell) == 1,
+          s"cell=$cell should compact to one live file, got ${postCounts(cell)}")
+      else assert(postCounts(cell) == n, s"untouched cell=$cell changed")
     }
+    // old generation dirs byte-untouched (only the manifest excludes
+    // their heavy cells now)
+    preGenFiles.foreach { case ((gen, cell), files) =>
+      assert(genFiles(postSnap.copy(gens = preSnap.gens)).get((gen, cell))
+        .contains(files), s"pre-compaction $gen/$cell was mutated")
+    }
+    assert(oldSnapPlan.count() ==
+      Similarity.indexPostings(spark, path).count(),
+      "old-snapshot reader must still see the full relation")
     assert(serve() == preServe, "compaction must be value-invisible")
     // idempotent: nothing above the threshold now
     val r2 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 2)
@@ -342,7 +408,7 @@ class PqSpec extends AnyFunSuite {
     val corpus = emb.filter(col("vec_id") < 40)
     Similarity.ivfPqIndexBuild(corpus, "vec_id", "embedding",
       nCells = 4, itersCoarse = 1, m = 4, ks = 4, itersPq = 0, path = path)
-    val before = spark.read.parquet(path + "/postings").count()
+    val before = Similarity.indexPostings(spark, path).count()
     val delta = emb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
     graft.ops.StoreLock.withLock(spark, path) {
       // build, append and maintain all mutate through the same
@@ -352,10 +418,10 @@ class PqSpec extends AnyFunSuite {
       }
     }
     // blocked writers left the store untouched
-    assert(spark.read.parquet(path + "/postings").count() == before)
+    assert(Similarity.indexPostings(spark, path).count() == before)
     // and once the lease is free, the append goes through
     Similarity.ivfPqIndexAppend(delta, "vec_id", "embedding", path)
-    assert(spark.read.parquet(path + "/postings").count() == before + 5)
+    assert(Similarity.indexPostings(spark, path).count() == before + 5)
   }
 
   test("trained PQ recall vs int8 brute force does not collapse") {

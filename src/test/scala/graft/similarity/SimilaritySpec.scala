@@ -248,7 +248,7 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.ivfIndexBuild(base, "vec_id", "embedding",
       nCells = 4, iters = 2, path = path2)
     Similarity.ivfIndexAppend(delta, "vec_id", "embedding", path = path2)
-    val postings = spark.read.parquet(path2 + "/postings")
+    val postings = Similarity.indexPostings(spark, path2)
     assert(postings.count() == emb.count())
     assert(postings.select("id").distinct().count() == emb.count())
     // serving over the merged index must surface delta members too
@@ -341,7 +341,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!r2.retrained && r2.recallAfter.isEmpty)
     assert(r2.recallBefore >= 0.9)
     // the rebuild preserved the id multiset (base + delta, no loss)
-    val ids = spark.read.parquet(path + "/postings").select("id")
+    val ids = Similarity.indexPostings(spark, path).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 80L) ++ (1000L until 1080L)).sorted)
   }
@@ -378,7 +378,7 @@ class SimilaritySpec extends AnyFunSuite {
       k = 5, nProbe = 1, path = path, recallFloor = 0.95, iters = 3)
     assert(r.retrained, f"expected retrain: recallBefore=${r.recallBefore}%.4f")
     // the retrained quantizer carries the adaptively larger cell count
-    val cells = spark.read.parquet(path + "/centroids").count()
+    val cells = Similarity.indexCentroids(spark, path).count()
     assert(cells == 10L, s"adaptive cell count: expected 10, got $cells")
     // ... and the training-size pin advanced to the retrained state
     val meta = spark.read.parquet(path + "/train.meta").head()
@@ -387,7 +387,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.recallAfter.get >= 0.9,
       s"recall floor did not hold after adaptive retrain: $r")
     // rebuild preserved the id multiset
-    val ids = spark.read.parquet(path + "/postings").select("id")
+    val ids = Similarity.indexPostings(spark, path).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 80L) ++ (1000L until 1800L)).sorted)
   }
@@ -417,7 +417,7 @@ class SimilaritySpec extends AnyFunSuite {
     val r1 = Similarity.ivfIndexMaintain(queries, "vec_id", "embedding",
       k = 5, nProbe = 1, path = path, recallFloor = 1.0, iters = 3)
     assert(r1.retrained, f"expected retrain: recall=${r1.recallBefore}%.4f")
-    assert(spark.read.parquet(path + "/centroids").count() == 3L,
+    assert(Similarity.indexCentroids(spark, path).count() == 3L,
       "3x growth must NOT resize (hysteresis)")
     // THE FIX: the no-resize retrain must keep the (80, 3) baseline —
     // re-pinning (240, 3) here would reset the growth ratio and a
@@ -431,7 +431,7 @@ class SimilaritySpec extends AnyFunSuite {
     // the Voronoi boundary between two of the RETRAINED centroids
     // (read back from the index — the retrain landed them wherever
     // Lloyd did), members spread symmetrically across it.
-    val cents = spark.read.parquet(path + "/centroids").collect()
+    val cents = Similarity.indexCentroids(spark, path).collect()
       .map(_.getSeq[Any](1).map(_.toString.toDouble).toArray)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -459,7 +459,7 @@ class SimilaritySpec extends AnyFunSuite {
     val r2 = Similarity.ivfIndexMaintain(queries2, "vec_id", "embedding",
       k = 5, nProbe = 1, path = path, recallFloor = 1.0, iters = 3)
     assert(r2.retrained, f"expected retrain: recall=${r2.recallBefore}%.4f")
-    assert(spark.read.parquet(path + "/centroids").count() == 6L,
+    assert(Similarity.indexCentroids(spark, path).count() == 6L,
       "cumulative 4.25x growth must resize 3 -> 6 cells")
     val m2 = spark.read.parquet(path + "/train.meta").head()
     assert(m2.getAs[Long]("n") == 340L && m2.getAs[Int]("cells") == 6,
