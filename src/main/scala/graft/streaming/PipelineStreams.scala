@@ -654,18 +654,19 @@ object PipelineStreams {
     * leased, and it runs AFTER the batch marker lands — a crash
     * between marker and compact costs only layout, never rows.
     *
-    * Operational boundary — marker growth: `.batches` gains one empty
-    * file per appended batch and compaction deliberately never
-    * touches it (each marker is load-bearing for ITS checkpoint
-    * scope: the wipe-and-replay guard needs the full set). At one
-    * batch per minute that is ~0.5M tiny files per year in one
-    * directory — long-lived deployments should periodically rebuild
-    * ([[graft.similarity.Similarity.ivfPqIndexMaintain]] keeps
-    * markers, but a fresh build at a NEW index path with a NEW
-    * checkpoint starts the ledger empty) or archive markers from
-    * checkpoint scopes that are provably retired (a scope is dead
-    * once its stream's checkpoint dir is deleted AND no re-run with
-    * the same path is possible — only the operator can know that). */
+    * Marker growth is BOUNDED by horizon folding: at each stream
+    * start, [[annIndexMarkersCompact]] folds every marker at or below
+    * the checkpoint's committed-batch horizon into ONE empty horizon
+    * file (`<scope>-h<H>` — the batch id rides the NAME, so the fold
+    * commit is the same atomic create-new as the markers themselves),
+    * and the skip check becomes `batchId <= H || marker exists`. The
+    * fold is exactly information-preserving: a batch at or below the
+    * horizon is committed in the checkpoint (never redelivered by
+    * it), and on a WIPED checkpoint the horizon file skips the
+    * restarted batch ids 0..H just as the individual markers did — so
+    * replay-after-fold cannot double-append (spec-pinned). Live
+    * marker count is therefore bounded by the batches of the CURRENT
+    * run, not the stream's lifetime. */
   def annIndexAppendStream(spark: SparkSession, dropsDir: String,
       idCol: String, vecCol: String, indexPath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
@@ -682,16 +683,20 @@ object PipelineStreams {
     // markers are scoped to THIS stream's checkpoint: batchIds restart
     // at 0 under a fresh checkpoint, so an unscoped marker from an
     // earlier stream would silently swallow a new stream's first drops
-    val scope = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val scope = markerScope(checkpointDir)
+    // fold committed-horizon markers BEFORE the run: bounds the live
+    // marker count to this run's batches (see annIndexMarkersCompact)
+    annIndexMarkersCompact(spark, indexPath, checkpointDir)
+    // the horizon is static during the run: folds only happen above,
+    // and batches this run appends are guarded by their own markers
+    val horizon = markerHorizon(fs, markersDir, scope)
     val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
       .select(col(idCol), col(vecCol))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new org.apache.hadoop.fs.Path(markersDir,
           s"$scope-b$batchId")
-        if (!fs.exists(marker) && !batch.isEmpty) {
+        if (batchId > horizon && !fs.exists(marker) && !batch.isEmpty) {
           graft.similarity.Similarity.ivfPqIndexAppend(
             batch, idCol, vecCol, indexPath)
           // overwrite=false: create-or-throw, the atomic twin of
@@ -713,5 +718,72 @@ object PipelineStreams {
       "annIndexAppendStream: replay timed out — the index may hold a " +
         "prefix of the drops (re-run resumes: marked batches are " +
         "skipped)")
+  }
+
+  /** Markers scoped to one stream's checkpoint path (batchIds restart
+    * under a fresh checkpoint, so scopes must not collide). */
+  private def markerScope(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  /** The scope's folded horizon: max H over `<scope>-h<H>` files
+    * (-1 when none) — batches at or below it are recorded appended. */
+  private def markerHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      markersDir: org.apache.hadoop.fs.Path, scope: String): Long =
+    if (!fs.exists(markersDir)) -1L
+    else fs.listStatus(markersDir).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix(s"$scope-h") match {
+        case n if n != s.getPath.getName => n.toLongOption
+        case _ => None
+      }).maxOption.getOrElse(-1L)
+
+  /** FOLD append markers at or below the checkpoint's committed-batch
+    * horizon into one empty `<scope>-h<H>` file — the bound on
+    * `.batches` growth (one marker per micro-batch, forever, was the
+    * small-files pathology re-created one level up from the postings
+    * [[graft.similarity.Similarity.ivfIndexCompact]] flattens).
+    *
+    * Soundness: a batch with a commit-log entry is never redelivered
+    * by ITS checkpoint, and under a WIPED checkpoint (batch ids
+    * restart at 0) the horizon skips ids 0..H exactly as the folded
+    * per-batch markers would have — marker(b) <=> `b <= H or file
+    * exists` is preserved verbatim. Crash-safe by construction: the
+    * horizon file is created (atomic create-new, id in the NAME)
+    * BEFORE any marker is deleted, so a crash mid-fold only leaves
+    * redundant files. Runs under the store lease like every index
+    * mutation; returns the horizon (-1 if nothing is committed). */
+  def annIndexMarkersCompact(spark: SparkSession, indexPath: String,
+      checkpointDir: String): Long = {
+    val markersDir = new org.apache.hadoop.fs.Path(indexPath, ".batches")
+    val fs = markersDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val cfs = commits.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed: Seq[Long] =
+      if (!cfs.exists(commits)) Seq.empty
+      else cfs.listStatus(commits).toSeq.flatMap(s =>
+        s.getPath.getName.stripSuffix(".compact").toLongOption)
+    if (committed.isEmpty) -1L
+    else graft.ops.StoreLock.withLock(spark, indexPath) {
+      val scope = markerScope(checkpointDir)
+      val h = committed.max
+      val prior = markerHorizon(fs, markersDir, scope)
+      if (h > prior) {
+        fs.mkdirs(markersDir)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(markersDir, s"$scope-h$h"), false)
+        out.close()
+      }
+      val live = math.max(h, prior)
+      fs.listStatus(markersDir).foreach { st =>
+        val n = st.getPath.getName
+        val b = n.stripPrefix(s"$scope-b")
+        val hh = n.stripPrefix(s"$scope-h")
+        if ((b != n && b.toLongOption.exists(_ <= live)) ||
+            (hh != n && hh.toLongOption.exists(_ < live)))
+          fs.delete(st.getPath, false)
+      }
+      live
+    }
   }
 }

@@ -487,11 +487,13 @@ class PipelineStreamsSpec extends AnyFunSuite {
         "vec_id", "embedding", streamPath, ckpt)
     }
     assert(serve(streamPath) == streamed, "replay must be a no-op")
-    // and the marker guard alone (fresh checkpoint would restart
-    // batchIds): both batch markers exist, scoped to this checkpoint
+    // marker growth is bounded: the replay run folded the committed
+    // horizon, so the two per-batch markers collapsed into ONE
+    // horizon file carrying the max committed batch id in its name
     val markers = Option(new java.io.File(streamPath, ".batches").list())
       .getOrElse(Array.empty[String]).filterNot(_.startsWith("."))
-    assert(markers.length == 2, s"markers: ${markers.toSeq}")
+    assert(markers.length == 1 && markers.head.endsWith("-h1"),
+      s"markers should fold to one horizon file: ${markers.toSeq}")
   }
 
   test("annIndexAppendStream: batch markers resolve through the INDEX " +
@@ -514,7 +516,7 @@ class PipelineStreamsSpec extends AnyFunSuite {
       "streams-annindex-fs-drops")
     val ckpt = dir.resolve("ckpt").toString
     def countPostings(): Long =
-      spark.read.parquet(indexPath + "/postings").count()
+      graft.similarity.Similarity.indexPostings(spark, indexPath).count()
     PipelineStreams.withShufflePartitions(spark, 8) {
       PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
         "vec_id", "embedding", indexPath, ckpt)
@@ -577,14 +579,74 @@ class PipelineStreamsSpec extends AnyFunSuite {
     }
     assert(serve(compacted) == serve(plain),
       "in-stream compaction must be value-invisible")
-    // every cell of the compacted index sits at <= 1 parquet file
-    val root = new org.apache.hadoop.fs.Path(compacted + "/postings")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(root).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("cell=")).foreach { d =>
-        val n = fs.listStatus(d.getPath).count(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-        assert(n <= 1, s"${d.getPath.getName} holds $n files")
+    // every LIVE cell of the compacted index sits at <= 1 parquet
+    // file (counted across postings generations minus excluded cells)
+    graft.similarity.Similarity
+      .indexPostingsFilesPerCell(spark, compacted).foreach {
+        case (cell, n) => assert(n <= 1, s"cell=$cell holds $n live files")
       }
+  }
+
+  test("annIndexMarkersCompact: replay after the fold never " +
+      "double-appends — same checkpoint, a WIPED checkpoint, and new " +
+      "drops arriving after the wipe") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9 && col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") % 10 === 9 &&
+      col("vec_id") >= 400 && col("vec_id") < 600)
+    val dir = graft.util.TempDirs.scoped("streams-marker-fold")
+    val indexPath = dir.resolve("idx").toString
+    graft.similarity.Similarity.ivfPqIndexBuild(base, "vec_id",
+      "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+      itersPq = 1, path = indexPath)
+    val dropsDir = PipelineStreams.stageOrderedDrops(delta, "vec_id", 2,
+      "streams-marker-fold-drops")
+    val ckpt = dir.resolve("ckpt").toString
+    def run(): Unit = PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", indexPath, ckpt)
+    }
+    def countPostings(): Long =
+      graft.similarity.Similarity.indexPostings(spark, indexPath).count()
+    def markers(): Seq[String] =
+      Option(new java.io.File(indexPath, ".batches").list())
+        .getOrElse(Array.empty[String]).filterNot(_.startsWith("."))
+        .toSeq.sorted
+    run()
+    val after = countPostings()
+    assert(markers().count(_.contains("-b")) == 2, s"got ${markers()}")
+    // explicit fold: both batch markers collapse into one horizon file
+    val h = PipelineStreams.annIndexMarkersCompact(spark, indexPath, ckpt)
+    assert(h == 1L, s"horizon should be the max committed batch, got $h")
+    assert(markers().length == 1 && markers().head.endsWith("-h1"),
+      s"got ${markers()}")
+    // restart from the SAME checkpoint: nothing redelivered, nothing
+    // double-appended, and the fold is idempotent
+    run()
+    assert(countPostings() == after, "same-checkpoint replay must be a no-op")
+    // WIPE the checkpoint (batch ids restart at 0): the horizon file
+    // alone must make the redelivered batches no-ops
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    run()
+    assert(countPostings() == after,
+      "wipe-and-replay after the fold must not double-append")
+    // NEW drops arriving after the wipe must still land: stage a
+    // third file with a later mtime into the same drop folder
+    val lateDir = PipelineStreams.stageOrderedDrops(late, "vec_id", 1,
+      "streams-marker-fold-late")
+    val lateFile = Option(lateDir.toFile.listFiles())
+      .flatMap(_.find(_.getName.endsWith(".parquet"))).get
+    val dest = dropsDir.resolve("c02.parquet")
+    java.nio.file.Files.copy(lateFile.toPath, dest)
+    require(dest.toFile.setLastModified(1000000000000L + 2 * 60000L))
+    rm(new java.io.File(ckpt))
+    run()
+    assert(countPostings() == after + late.count(),
+      "post-fold appends of genuinely new drops must land exactly once")
   }
 }
