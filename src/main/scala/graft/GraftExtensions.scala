@@ -123,12 +123,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // any FOLDABLE array<bigint> (a typedlit Literal from the Scala
     // entry points, a CreateArray of literals from SQL) — evaluated
     // once here at resolution time
-    def flatLit(usage: String, arg: String, e: Expression): Array[Long] =
+    def flatLit(usage: String, arg: String,
+        e: Expression): graft.plans.CentroidExprs.FlatTable =
       e.dataType match {
         case org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, _) if e.foldable =>
-          e.eval().asInstanceOf[
-            org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            e.eval().asInstanceOf[
+              org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
         case _ =>
           throw new AnalysisException("USER_RAISED_EXCEPTION",
             Map("errorMessage" ->

@@ -163,8 +163,25 @@ object CentroidExprs {
     }
   }
 
-  private def flatOf(e: Expression): Array[Long] =
-    e.eval().asInstanceOf[ArrayData].toLongArray()
+  /** The carrier field type: an immutable wrapper with ELEMENT-WISE
+    * equals/hashCode, so two structurally identical kernels compare
+    * equal — a raw `Array[Long]` case-class field is reference-equal,
+    * which defeats Catalyst canonicalization / semanticEquals-driven
+    * subexpression elimination and exchange reuse (r10 advisory).
+    * `ofLong` keeps the primitive array reachable zero-copy for the
+    * hot loops ([[flatArrayOf]]). */
+  type FlatTable = scala.collection.immutable.ArraySeq[Long]
+
+  private[plans] def wrapFlat(a: Array[Long]): FlatTable =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+
+  private[plans] def flatArrayOf(t: FlatTable): Array[Long] = t match {
+    case l: scala.collection.immutable.ArraySeq.ofLong => l.unsafeArray
+    case other => other.toArray
+  }
+
+  private def flatOf(e: Expression): FlatTable =
+    wrapFlat(e.eval().asInstanceOf[ArrayData].toLongArray())
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -223,14 +240,14 @@ object CentroidExprs {
 /** Shared shape of the three carrier kernels: array<bigint> codes in,
   * table in the expression object, null-in-null-out. */
 sealed trait CentroidKernelExpr extends UnaryExpression {
-  def flat: Array[Long]
+  def flat: CentroidExprs.FlatTable
 
   // decoded once per (de)serialized expression instance — one decode
   // per executor per stage, and nothing outlives the stage (a shared
   // session-level cache here would be the very storage leak the
   // carrier exists to avoid)
   @transient protected lazy val table: CentroidExprs.Table =
-    new CentroidExprs.Table(flat)
+    new CentroidExprs.Table(CentroidExprs.flatArrayOf(flat))
 
   override def nullable: Boolean = child.nullable
 
@@ -281,11 +298,13 @@ sealed trait CentroidKernelExpr extends UnaryExpression {
   * ties to the lower cell id. Null in either input yields null;
   * out-of-range j or a dim-mismatched subvector fails loudly. */
 case class SubspaceAssignExpr(left: Expression, right: Expression,
-    flat: Array[Long])
+    flat: CentroidExprs.FlatTable)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  @transient private lazy val tbl: Array[Long] =
+    CentroidExprs.flatArrayOf(flat)
   @transient private lazy val (m, ks, dsub) =
-    (flat(0).toInt, flat(1).toInt, flat(2).toInt)
+    (tbl(0).toInt, tbl(1).toInt, tbl(2).toInt)
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable
@@ -322,7 +341,7 @@ case class SubspaceAssignExpr(left: Expression, right: Expression,
       val base = 3 + (j * ks + c) * dsub
       var s = 0L; var dd = 0
       while (dd < dsub && s < bestD) {
-        val diff = x(dd) - flat(base + dd)
+        val diff = x(dd) - tbl(base + dd)
         s += diff * diff; dd += 1
       }
       if (s < bestD) { bestD = s; best = c } // strict: ties keep lower c
@@ -364,8 +383,8 @@ case class SubspaceAssignExpr(left: Expression, right: Expression,
 }
 
 /** argmin cell by (exact int64 squared distance, cell id). */
-case class AssignCellExpr(child: Expression, flat: Array[Long])
-    extends CentroidKernelExpr {
+case class AssignCellExpr(child: Expression,
+    flat: CentroidExprs.FlatTable) extends CentroidKernelExpr {
   override def dataType: DataType = IntegerType
   override def compute(input: Any): Any =
     table.assign(table.codesOf(input, prettyName))
@@ -375,8 +394,9 @@ case class AssignCellExpr(child: Expression, flat: Array[Long])
 }
 
 /** the nProbe nearest cell ids, ordered by (distance, cell id). */
-case class ProbeCellsExpr(child: Expression, flat: Array[Long],
-    nProbe: Int) extends CentroidKernelExpr {
+case class ProbeCellsExpr(child: Expression,
+    flat: CentroidExprs.FlatTable, nProbe: Int)
+    extends CentroidKernelExpr {
   require(nProbe >= 1, "nProbe must be positive")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def compute(input: Any): Any =
@@ -389,8 +409,8 @@ case class ProbeCellsExpr(child: Expression, flat: Array[Long],
 
 /** struct(cell, res): the argmin cell plus the milli-grid residual
   * `scale*x - cent[cell]` in one pass. */
-case class AssignResidualExpr(child: Expression, flat: Array[Long])
-    extends CentroidKernelExpr {
+case class AssignResidualExpr(child: Expression,
+    flat: CentroidExprs.FlatTable) extends CentroidKernelExpr {
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("res", ArrayType(LongType, containsNull = false),

@@ -241,4 +241,43 @@ class CentroidExprsSpec extends AnyFunSuite {
       Option(exNull.getCause).exists(_.getMessage.contains("null element")),
       s"got: $exNull")
   }
+
+  test("structurally equal kernels canonicalize equal (content-based " +
+      "table equality enables CSE / exchange reuse)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types._
+    val attr = AttributeReference("codes",
+      ArrayType(LongType, containsNull = true))()
+    // two INDEPENDENT encodes of the same map -> distinct arrays with
+    // equal content; reference equality would report these unequal
+    val cents = Map(0 -> Array(1L, 2L), 3 -> Array(7L, -4L))
+    def mk() = CentroidExprs.wrapFlat(CentroidExprs.encode(cents, 1000L))
+    val a1 = AssignCellExpr(attr, mk())
+    val a2 = AssignCellExpr(attr, mk())
+    assert(a1 == a2 && a1.hashCode == a2.hashCode,
+      "equal-content kernels must compare equal")
+    assert(a1.semanticEquals(a2),
+      "equal-content kernels must be semantically equal")
+    assert(a1.canonicalized == a2.canonicalized)
+    val p1 = ProbeCellsExpr(attr, mk(), nProbe = 2)
+    assert(p1.semanticEquals(ProbeCellsExpr(attr, mk(), nProbe = 2)))
+    assert(!p1.semanticEquals(ProbeCellsExpr(attr, mk(), nProbe = 1)))
+    val r1 = AssignResidualExpr(attr, mk())
+    assert(r1.semanticEquals(AssignResidualExpr(attr, mk())))
+    // different table content must NOT compare equal
+    val other = CentroidExprs.wrapFlat(
+      CentroidExprs.encode(Map(0 -> Array(9L, 9L), 3 -> Array(7L, -4L)), 1000L))
+    assert(!a1.semanticEquals(AssignCellExpr(attr, other)))
+    val j = AttributeReference("j", IntegerType)()
+    val subTable = Map((0, 0) -> Array(1L), (0, 1) -> Array(5L))
+    def mkSub() = CentroidExprs.wrapFlat(CentroidExprs.encodeSub(subTable))
+    val s1 = SubspaceAssignExpr(j, attr, mkSub())
+    assert(s1.semanticEquals(SubspaceAssignExpr(j, attr, mkSub())))
+    // and the kernel still evaluates correctly through the wrapper
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1L, 2L)))
+    assert(AssignCellExpr(
+      Literal.create(Seq(1L, 2L), ArrayType(LongType)), mk())
+      .eval(row) == 0)
+  }
 }
