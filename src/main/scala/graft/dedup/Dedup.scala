@@ -978,6 +978,7 @@ object Dedup {
         .distinct(),
       checkpointDir)
     var sig = signature(edges)
+    log.info(s"connectedComponentsStar: round 0 edges=${sig._1}")
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -986,6 +987,10 @@ object Dedup {
       converged = s == sig
       sig = s
       iter += 1
+      // the scale-adjudication observable: rounds ~ log n is the
+      // designed cost; PER-ROUND edge growth would compound at 1000x
+      log.info(s"connectedComponentsStar: round $iter edges=${s._1}" +
+        (if (converged) " (fixpoint)" else ""))
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds — " +
