@@ -214,13 +214,24 @@ object Bench {
     val outName = new java.io.File(outPath).getName
     // entry gate + every mid-run checkpoint: the r9 record's failure
     // mode was a window that degraded AFTER the entry gate — the
-    // record now carries per-segment evidence that it stayed quiet
-    val cpsJson = checkpoints.map { case (at, s, ok) =>
-      s"""{"at":$at,"sec":${f3(s)},"ok":$ok}"""
+    // record now carries per-segment evidence that it stayed quiet.
+    // A failed re-check whose segment was then re-measured under a
+    // demonstrated-quiet window is marked "recovered" (a later
+    // checkpoint at the same position passed), and all_ok is computed
+    // over the SETTLED (last) checkpoint per position — so a recovered
+    // record is distinguishable from a genuinely tainted one while the
+    // raw per-checkpoint evidence stays in the record.
+    val cpsJson = checkpoints.zipWithIndex.map { case ((at, s, ok), i) =>
+      val recovered = !ok &&
+        checkpoints.drop(i + 1).exists(c => c._1 == at && c._3)
+      s"""{"at":$at,"sec":${f3(s)},"ok":$ok""" +
+        (if (recovered) ""","recovered":true}""" else "}")
     }.mkString("[", ",", "]")
+    val allOkSettled = checkpoints.groupBy(_._1)
+      .forall { case (_, xs) => xs.last._3 }
     val canaryJson = canary.map { case (a, s, ok) =>
       s""","canary":{"attempts":$a,"sec":${f3(s)},"ok":$ok""" +
-        s""","checkpoints":$cpsJson,"all_ok":${checkpoints.forall(_._3)}}"""
+        s""","checkpoints":$cpsJson,"all_ok":$allOkSettled}"""
     }.getOrElse("")
     val stdoutLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName"$canaryJson,"queries":$qs,"sf":"$sfDir"}"""

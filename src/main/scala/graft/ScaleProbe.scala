@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def stageScaled(spark: SparkSession, baseDir: String,
+  private[graft] def stageScaled(spark: SparkSession, baseDir: String,
       factor: Int): String = {
     val dir = graft.util.TempDirs.scoped("graft-scaleprobe").toString
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")

@@ -940,7 +940,8 @@ object Dedup {
     */
   def connectedComponentsStar(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      roundObserver: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
@@ -979,6 +980,7 @@ object Dedup {
       checkpointDir)
     var sig = signature(edges)
     log.info(s"connectedComponentsStar: round 0 edges=${sig._1}")
+    roundObserver(0, sig._1)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -991,6 +993,7 @@ object Dedup {
       // designed cost; PER-ROUND edge growth would compound at 1000x
       log.info(s"connectedComponentsStar: round $iter edges=${s._1}" +
         (if (converged) " (fixpoint)" else ""))
+      roundObserver(iter, s._1)
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds — " +

@@ -340,6 +340,15 @@ class PqSpec extends AnyFunSuite {
       Similarity.indexPostings(spark, path).count(),
       "old-snapshot reader must still see the full relation")
     assert(serve() == preServe, "compaction must be value-invisible")
+    // the multi-generation read (probed isin + per-gen excludes) must
+    // still prune partitions in every generation's scan
+    val plan = Similarity.ivfPqIndexTopK(q, "vec_id", "embedding",
+        k = 5, nProbe = 2, path = path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.contains("PartitionFilters: [isnotnull(cell") ||
+      plan.contains("cell#") && plan.contains("INSET"),
+      "no partition pruning visible in the post-compaction plan")
     // idempotent: nothing above the threshold now
     val r2 = Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 2)
     assert(r2.cellsCompacted == 0 && r2.filesBefore == r1.filesAfter)
