@@ -128,7 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.dataType match {
         case org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, _) if e.foldable =>
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          new graft.plans.CentroidExprs.FlatTable(
             e.eval().asInstanceOf[
               org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
         case _ =>

@@ -163,22 +163,44 @@ object CentroidExprs {
     }
   }
 
-  /** The carrier field type: an immutable wrapper with ELEMENT-WISE
-    * equals/hashCode, so two structurally identical kernels compare
-    * equal — a raw `Array[Long]` case-class field is reference-equal,
-    * which defeats Catalyst canonicalization / semanticEquals-driven
-    * subexpression elimination and exchange reuse (r10 advisory).
-    * `ofLong` keeps the primitive array reachable zero-copy for the
-    * hot loops ([[flatArrayOf]]). */
-  type FlatTable = scala.collection.immutable.ArraySeq[Long]
+  /** The carrier field type: CONTENT-equal (so two structurally
+    * identical kernels compare equal — a raw `Array[Long]` case-class
+    * field is reference-equal, which defeats Catalyst canonicalization
+    * / semanticEquals-driven subexpression elimination and exchange
+    * reuse) with the costs bounded for the table sizes this carrier
+    * exists for (10^7-10^8 longs):
+    *   - hashCode is computed ONCE and cached (Catalyst touches
+    *     expression hashes many times per plan during analysis and
+    *     optimization — an uncached content hash would walk the whole
+    *     table each touch);
+    *   - equals short-circuits on reference, then on the cached
+    *     hashes, before any content compare;
+    *   - toString is O(1), so plan/treeString rendering never inlines
+    *     the table. The raw array stays reachable zero-copy for the
+    *     kernels. */
+  final class FlatTable(val arr: Array[Long]) extends Serializable {
+    @transient private var h: Int = 0
+    override def hashCode: Int = {
+      var x = h
+      if (x == 0) {
+        x = java.util.Arrays.hashCode(arr)
+        if (x == 0) x = 1 // 0 marks "not yet computed"
+        h = x // idempotent benign race
+      }
+      x
+    }
+    override def equals(o: Any): Boolean = o match {
+      case t: FlatTable => (this eq t) ||
+        (hashCode == t.hashCode && java.util.Arrays.equals(arr, t.arr))
+      case _ => false
+    }
+    override def toString: String = s"FlatTable(${arr.length} longs)"
+  }
 
   private[plans] def wrapFlat(a: Array[Long]): FlatTable =
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    new FlatTable(a)
 
-  private[plans] def flatArrayOf(t: FlatTable): Array[Long] = t match {
-    case l: scala.collection.immutable.ArraySeq.ofLong => l.unsafeArray
-    case other => other.toArray
-  }
+  private[plans] def flatArrayOf(t: FlatTable): Array[Long] = t.arr
 
   private def flatOf(e: Expression): FlatTable =
     wrapFlat(e.eval().asInstanceOf[ArrayData].toLongArray())

@@ -88,6 +88,16 @@ private[graft] object IndexLayout {
       .flatMap(s => manifestVersion(s.getPath.getName).map(_ -> s.getPath))
       .sortBy(_._1)
 
+  /** The pre-manifest layout's implicit v0 snapshot, if the fixed
+    * legacy dirs exist — the ONE definition both [[resolveOpt]] and
+    * [[commit]]'s migration backfill share (divergent copies would
+    * silently protect different things during migration). */
+  private def legacySnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
+    if (!fs.exists(new Path(root, "postings"))) None
+    else Some(Snapshot(0L, "centroids",
+      Some("pqcents").filter(d => fs.exists(new Path(root, d))),
+      Seq(Gen("postings", Nil))))
+
   /** Highest committed snapshot; `None` for a root with neither a
     * manifest nor a legacy layout (a store not yet built). */
   def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
@@ -95,12 +105,7 @@ private[graft] object IndexLayout {
     val fs = fsOf(ss, path)
     listManifests(fs, root).lastOption match {
       case Some((v, p)) => Some(parse(fs, p, v))
-      case None => // legacy (pre-manifest) layout: implicit snapshot v0
-        if (fs.exists(new Path(root, "postings")))
-          Some(Snapshot(0L, "centroids",
-            Some("pqcents").filter(d => fs.exists(new Path(root, d))),
-            Seq(Gen("postings", Nil))))
-        else None
+      case None => legacySnapshot(fs, root)
     }
   }
 
@@ -180,17 +185,15 @@ private[graft] object IndexLayout {
     // implicit v0 snapshot as manifest-v0 FIRST, so the GC grace
     // window protects the legacy dirs exactly like any superseded
     // version (readers mid-scan on the old layout keep their files)
-    if (listManifests(fs, root).isEmpty &&
-        fs.exists(new Path(root, "postings"))) {
-      val legacy = Snapshot(0L, "centroids",
-        Some("pqcents").filter(d => fs.exists(new Path(root, d))),
-        Seq(Gen("postings", Nil)))
-      val t0 = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
-      val o0 = fs.create(t0, true)
-      try o0.write(serialize(legacy).getBytes("UTF-8")) finally o0.close()
-      if (!fs.rename(t0, new Path(root, f"manifest-v${0L}%012d")))
-        fs.delete(t0, false) // racing backfill lost: v0 already exists
-    }
+    if (listManifests(fs, root).isEmpty) legacySnapshot(fs, root)
+      .foreach { legacy =>
+        val t0 = new Path(root,
+          ".manifest-tmp-" + java.util.UUID.randomUUID())
+        val o0 = fs.create(t0, true)
+        try o0.write(serialize(legacy).getBytes("UTF-8")) finally o0.close()
+        if (!fs.rename(t0, new Path(root, f"manifest-v${0L}%012d")))
+          fs.delete(t0, false) // racing backfill lost: v0 already exists
+      }
     val tmp = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
     try out.write(serialize(snap).getBytes("UTF-8")) finally out.close()

@@ -649,12 +649,20 @@ object Similarity {
     * payoff, visible as PartitionFilters in the plan. */
   def ivfIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, path: String,
-      simDecimals: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+      simDecimals: Int = 4): DataFrame =
     // ONE snapshot for centroids AND postings: a maintenance commit
     // racing this serve flips the manifest atomically, so both
     // artifacts here are from the same complete version either way
-    val snap = IndexLayout.resolve(spark, path)
+    ivfIndexTopKAt(queries, idCol, vecCol, k, nProbe, path,
+      IndexLayout.resolve(queries.sparkSession, path), simDecimals)
+
+  /** [[ivfIndexTopK]] against an ALREADY-RESOLVED snapshot — the
+    * multi-read entry point ([[ivfIndexTopKWithRecall]] compares two
+    * serves that must see the SAME index version). */
+  private def ivfIndexTopKAt(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, path: String,
+      snap: IndexLayout.Snapshot, simDecimals: Int): DataFrame = {
+    val spark = queries.sparkSession
     val cents = readCentsAt(spark,
       path.stripSuffix("/") + "/" + snap.centroids)
     require(nProbe >= 1 && nProbe <= cents.size,
@@ -711,12 +719,20 @@ object Similarity {
   def ivfIndexTopKWithRecall(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, path: String,
       sampleMod: Long = 10L, simDecimals: Int = 4): DataFrame = {
-    val approx = ivfIndexTopK(queries, idCol, vecCol, k, nProbe, path,
-      simDecimals)
-    val nCells = readCents(queries.sparkSession, path).size
+    // ONE snapshot for BOTH legs and the cell count: a maintenance /
+    // compaction commit (or append) landing between independent
+    // resolutions would compare one index version's approx serve
+    // against another's exact oracle — recall would spuriously dip
+    // (tripping maintain's floor on a healthy index) or read high
+    val spark = queries.sparkSession
+    val snap = IndexLayout.resolve(spark, path)
+    val approx = ivfIndexTopKAt(queries, idCol, vecCol, k, nProbe,
+      path, snap, simDecimals)
+    val nCells = readCentsAt(spark,
+      path.stripSuffix("/") + "/" + snap.centroids).size
     val sampled = queries.filter(col(idCol) % sampleMod === 0)
-    val exact = ivfIndexTopK(sampled, idCol, vecCol, k, nProbe = nCells,
-      path, simDecimals)
+    val exact = ivfIndexTopKAt(sampled, idCol, vecCol, k,
+      nProbe = nCells, path, snap, simDecimals)
     val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val hits = approx
       .join(exact.select(col("query_id"), col("neighbor_id")),
@@ -1787,15 +1803,22 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** The snapshot's residual-codebook dir, or a DESCRIPTIVE failure
+    * on a plain-IVF store (a bare `.get` would die with an opaque
+    * 'None.get' naming neither the path nor the layout mismatch). */
+  private def pqcentsDirOf(path: String,
+      snap: IndexLayout.Snapshot): String =
+    path.stripSuffix("/") + "/" + snap.pqcents.getOrElse(
+      throw new IllegalStateException(
+        s"index at $path carries no residual codebook (plain IVF " +
+          "layout?) — expected an IVFADC index"))
+
   /** Read a persisted residual codebook back as a [[PqCodebook]]
     * (dimension-sized by construction: m x ks x dsub longs). */
   private def readPqCents(spark: org.apache.spark.sql.SparkSession,
       path: String): PqCodebook =
-    readPqCentsAt(spark, path.stripSuffix("/") + "/" +
-      IndexLayout.resolve(spark, path).pqcents.getOrElse(
-        throw new IllegalStateException(
-          s"index at $path carries no residual codebook (plain IVF " +
-            "layout?) — expected an IVFADC index")))
+    readPqCentsAt(spark,
+      pqcentsDirOf(path, IndexLayout.resolve(spark, path)))
 
   private def readPqCentsAt(spark: org.apache.spark.sql.SparkSession,
       dir: String): PqCodebook = {
@@ -1993,7 +2016,7 @@ object Similarity {
       val root = path.stripSuffix("/")
       val snap = IndexLayout.resolve(spark, path)
       val coarse = readCentsAt(spark, s"$root/${snap.centroids}")
-      val rcb = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
+      val rcb = readPqCentsAt(spark, pqcentsDirOf(path, snap))
       val codes = quantizeInt8(delta, idCol, vecCol)
         .select(col(idCol).cast("long").as("id"), col("codes"))
       ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
@@ -2012,15 +2035,22 @@ object Similarity {
     * lists — and each read byte is PQ-compressed. */
   def ivfPqIndexTopK(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int, path: String,
-      simDecimals: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+      simDecimals: Int = 4): DataFrame =
     // ONE snapshot for all three artifacts: the manifest flip is
     // atomic, so centroids, codebook and postings here are always an
     // internally consistent version (see IndexLayout)
+    ivfPqIndexTopKAt(queries, idCol, vecCol, k, nProbe, path,
+      IndexLayout.resolve(queries.sparkSession, path), simDecimals)
+
+  /** [[ivfPqIndexTopK]] against an already-resolved snapshot (the
+    * recall observable's both-legs-one-version entry point). */
+  private def ivfPqIndexTopKAt(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, path: String,
+      snap: IndexLayout.Snapshot, simDecimals: Int): DataFrame = {
+    val spark = queries.sparkSession
     val root = path.stripSuffix("/")
-    val snap = IndexLayout.resolve(spark, path)
     val coarse = readCentsAt(spark, s"$root/${snap.centroids}")
-    val rcb = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
+    val rcb = readPqCentsAt(spark, pqcentsDirOf(path, snap))
     require(nProbe >= 1 && nProbe <= coarse.size,
       "need 1 <= nProbe <= nCells")
     // probed-cell union, query-bounded: derived from the same exact
@@ -2123,7 +2153,7 @@ object Similarity {
     val snap = IndexLayout.resolve(spark, path)
     val coarse0 = readCentsAt(spark, s"$root/${snap.centroids}")
     val nCells = coarse0.size
-    val rcb0 = readPqCentsAt(spark, s"$root/${snap.pqcents.get}")
+    val rcb0 = readPqCentsAt(spark, pqcentsDirOf(path, snap))
     log.info(f"ivfPqIndexMaintain: recall@$k $before%.4f < floor " +
       f"$recallFloor%.4f at $path — rebuilding ($nCells cells, " +
       f"m=${rcb0.m} ks=${rcb0.ks}, warmStart=$warmStart)")
@@ -2165,12 +2195,19 @@ object Similarity {
   def ivfPqIndexTopKWithRecall(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, path: String,
       sampleMod: Long = 10L, simDecimals: Int = 4): DataFrame = {
-    val approx = ivfPqIndexTopK(queries, idCol, vecCol, k, nProbe,
-      path, simDecimals)
-    val nCells = readCents(queries.sparkSession, path).size
+    // ONE snapshot for both legs and the cell count — see
+    // ivfIndexTopKWithRecall: independent resolutions racing a
+    // maintenance commit would compare across index versions and
+    // spuriously trip (or mask) maintain's recall floor
+    val spark = queries.sparkSession
+    val snap = IndexLayout.resolve(spark, path)
+    val approx = ivfPqIndexTopKAt(queries, idCol, vecCol, k, nProbe,
+      path, snap, simDecimals)
+    val nCells = readCentsAt(spark,
+      path.stripSuffix("/") + "/" + snap.centroids).size
     val sampled = queries.filter(col(idCol) % sampleMod === 0)
-    val exact = ivfPqIndexTopK(sampled, idCol, vecCol, k,
-      nProbe = nCells, path, simDecimals)
+    val exact = ivfPqIndexTopKAt(sampled, idCol, vecCol, k,
+      nProbe = nCells, path, snap, simDecimals)
     val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val hits = approx
       .join(exact.select(col("query_id"), col("neighbor_id")),

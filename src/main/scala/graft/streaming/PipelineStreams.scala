@@ -744,15 +744,27 @@ object PipelineStreams {
     * small-files pathology re-created one level up from the postings
     * [[graft.similarity.Similarity.ivfIndexCompact]] flattens).
     *
-    * Soundness: a batch with a commit-log entry is never redelivered
-    * by ITS checkpoint, and under a WIPED checkpoint (batch ids
-    * restart at 0) the horizon skips ids 0..H exactly as the folded
-    * per-batch markers would have — marker(b) <=> `b <= H or file
-    * exists` is preserved verbatim. Crash-safe by construction: the
-    * horizon file is created (atomic create-new, id in the NAME)
-    * BEFORE any marker is deleted, so a crash mid-fold only leaves
-    * redundant files. Runs under the store lease like every index
-    * mutation; returns the horizon (-1 if nothing is committed). */
+    * Soundness — the fold only ever ABSORBS EXISTING MARKERS: the new
+    * horizon is the largest committed id reachable from the prior
+    * horizon through a CONTIGUOUS run of marker files, so
+    * `marker(b) <=> b <= H or file exists` is preserved verbatim. A
+    * committed batch that never wrote a marker (an empty drop file —
+    * the `!batch.isEmpty` guard skips both append and marker) is NOT
+    * absorbed: under a wiped checkpoint its batch id belongs to
+    * whatever file occupies that slot on replay, and a horizon that
+    * had swallowed the id could silently skip a genuinely new drop if
+    * the folder's file prefix ever changed. Such a gap stops the fold
+    * at the last marker below it (markers above stay individual
+    * files — bounded by batches since the empty drop, and empty drop
+    * files are an anomaly worth surfacing anyway). Also a batch with
+    * a commit-log entry is never redelivered by ITS checkpoint, and
+    * under a WIPED checkpoint (batch ids restart at 0) the horizon
+    * skips ids 0..H exactly as the folded per-batch markers would
+    * have. Crash-safe by construction: the horizon file is created
+    * (atomic create-new, id in the NAME) BEFORE any marker is
+    * deleted, so a crash mid-fold only leaves redundant files. Runs
+    * under the store lease like every index mutation; returns the
+    * settled horizon (-1 if nothing is foldable). */
   def annIndexMarkersCompact(spark: SparkSession, indexPath: String,
       checkpointDir: String): Long = {
     val markersDir = new org.apache.hadoop.fs.Path(indexPath, ".batches")
@@ -766,24 +778,34 @@ object PipelineStreams {
     if (committed.isEmpty) -1L
     else graft.ops.StoreLock.withLock(spark, indexPath) {
       val scope = markerScope(checkpointDir)
-      val h = committed.max
       val prior = markerHorizon(fs, markersDir, scope)
+      val marked: Set[Long] =
+        if (!fs.exists(markersDir)) Set.empty
+        else fs.listStatus(markersDir).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          val b = n.stripPrefix(s"$scope-b")
+          if (b != n) b.toLongOption else None
+        }.toSet
+      // extend the horizon only through contiguously MARKED ids (the
+      // fold replaces files that exist, never invents coverage for a
+      // committed-but-empty batch that wrote none)
+      var h = prior
+      while (h < committed.max && marked.contains(h + 1)) h += 1
       if (h > prior) {
         fs.mkdirs(markersDir)
         val out = fs.create(
           new org.apache.hadoop.fs.Path(markersDir, s"$scope-h$h"), false)
         out.close()
       }
-      val live = math.max(h, prior)
-      fs.listStatus(markersDir).foreach { st =>
+      if (h >= 0) fs.listStatus(markersDir).foreach { st =>
         val n = st.getPath.getName
         val b = n.stripPrefix(s"$scope-b")
         val hh = n.stripPrefix(s"$scope-h")
-        if ((b != n && b.toLongOption.exists(_ <= live)) ||
-            (hh != n && hh.toLongOption.exists(_ < live)))
+        if ((b != n && b.toLongOption.exists(_ <= h)) ||
+            (hh != n && hh.toLongOption.exists(_ < h)))
           fs.delete(st.getPath, false)
       }
-      live
+      h
     }
   }
 }

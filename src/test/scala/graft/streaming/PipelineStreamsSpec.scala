@@ -649,4 +649,61 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(countPostings() == after + late.count(),
       "post-fold appends of genuinely new drops must land exactly once")
   }
+
+  test("annIndexMarkersCompact: a committed-but-EMPTY batch stops the " +
+      "fold — the horizon only ever absorbs existing markers") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val delta = emb.filter(col("vec_id") % 10 === 9 && col("vec_id") < 400)
+    val dir = graft.util.TempDirs.scoped("streams-marker-gap")
+    val indexPath = dir.resolve("idx").toString
+    graft.similarity.Similarity.ivfPqIndexBuild(base, "vec_id",
+      "embedding", nCells = 4, itersCoarse = 1, m = 4, ks = 4,
+      itersPq = 1, path = indexPath)
+    val dropsDir = PipelineStreams.stageOrderedDrops(delta, "vec_id", 2,
+      "streams-marker-gap-drops")
+    // plant a ZERO-ROW drop file between the two real ones: its batch
+    // commits but writes no marker (the !batch.isEmpty guard) — under
+    // a wiped checkpoint that batch id belongs to whatever file holds
+    // the slot on replay, so the fold must NOT absorb it
+    val gapDir = graft.util.TempDirs.scoped("streams-marker-gap-empty")
+    delta.filter(lit(false)).coalesce(1)
+      .write.mode("overwrite").parquet(gapDir.toString)
+    val gapFile = Option(gapDir.toFile.listFiles())
+      .flatMap(_.find(_.getName.endsWith(".parquet"))).get
+    val dest = dropsDir.resolve("c00b.parquet") // sorts between c00/c01
+    java.nio.file.Files.copy(gapFile.toPath, dest)
+    require(dest.toFile.setLastModified(1000000000000L + 30000L))
+    val ckpt = dir.resolve("ckpt").toString
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", indexPath, ckpt)
+    }
+    val after = graft.similarity.Similarity
+      .indexPostings(spark, indexPath).count()
+    // batches: 0 = first real drop (marker b0), 1 = empty (committed,
+    // unmarked), 2 = second real drop (marker b2)
+    val h = PipelineStreams.annIndexMarkersCompact(spark, indexPath, ckpt)
+    assert(h == 0L, s"the unmarked empty batch must stop the fold, got $h")
+    val markers = Option(new java.io.File(indexPath, ".batches").list())
+      .getOrElse(Array.empty[String]).filterNot(_.startsWith("."))
+      .toSeq.sorted
+    assert(markers.exists(_.endsWith("-h0")) &&
+      markers.exists(_.endsWith("-b2")) &&
+      !markers.exists(_.endsWith("-b0")), s"got $markers")
+    // wipe-and-replay: horizon + surviving marker together still make
+    // every redelivered batch a no-op
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexAppendStream(spark, dropsDir.toString,
+        "vec_id", "embedding", indexPath, ckpt)
+    }
+    assert(graft.similarity.Similarity
+      .indexPostings(spark, indexPath).count() == after,
+      "gap-stopped fold must still dedupe the full replay")
+  }
 }
