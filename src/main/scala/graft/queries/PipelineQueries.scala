@@ -1703,6 +1703,49 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // LEGACY-LAYOUT MIGRATION is value-invisible: build, then flatten
+    // the artifacts to the PRE-MANIFEST on-disk shape (bare
+    // postings/centroids/pqcents, no manifest — the exact layout
+    // round-10 stores left behind), run the same append+compact
+    // choreography as q_sim_ann_index_compact — the first replacing
+    // mutation must resolve the implicit v0 snapshot, backfill
+    // manifest-v0 and commit the generation layout on top — and the
+    // served result must STILL hash-match the ordinary index oracle.
+    // The whole migration path (resolve-legacy, backfill, generation
+    // commit, grace-window GC) sits under the DuckDB gate.
+    "q_sim_ann_index_migrate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivfpq-migrate").toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      // flatten to the legacy layout: versioned dirs -> fixed names,
+      // manifests removed (IndexLayoutSpec's migration fixture)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      def mv(from: String, to: String): Unit =
+        require(fs.rename(new org.apache.hadoop.fs.Path(root, from),
+          new org.apache.hadoop.fs.Path(root, to)),
+          s"migration fixture: could not flatten $from -> $to")
+      mv("centroids-v1", "centroids")
+      mv("pqcents-v1", "pqcents")
+      mv("postings-g1", "postings")
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("manifest-v"))
+        .foreach(p => fs.delete(p, false))
+      (0 to 2).foreach { r =>
+        Similarity.ivfPqIndexAppend(
+          e.filter(col("vec_id") % 10 === 9 && col("vec_id") % 3 === r),
+          "vec_id", "embedding", path = path)
+      }
+      val rep = Similarity.ivfIndexCompact(s, path, maxFilesPerCell = 1)
+      require(rep.cellsCompacted > 0 && rep.filesAfter < rep.filesBefore,
+        s"migration fixture must actually compact, got $rep")
+      Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVFADC DRIFT MAINTENANCE end-to-end: build on the base slice,
     // append the held-out tenth (recall@5 drops to 0.94 at sf0.01 —
     // below the 0.999 floor), maintain measures the served recall,
@@ -4197,6 +4240,9 @@ object PipelineQueries {
     // compaction is value-invisible: rows identical to the ordinary
     // build+append index, only the file layout changes
     "q_sim_ann_index_compact" -> ivfPqIndexOracle,
+    // migration is value-invisible BY CONTRACT — the ordinary index
+    // replay oracles the post-migration serve verbatim
+    "q_sim_ann_index_migrate" -> ivfPqIndexOracle,
     "q_sim_ann_ivfpq_recall" -> ivfPqRecallOracle,
     // maintain rebuilds from the FULL corpus: same replay, train
     // slice = everything; TRUE AS retrained pins the tripped floor
