@@ -1216,95 +1216,71 @@ object Dedup {
       java.util.UUID.randomUUID().toString).toString
   }
 
-  /** THRESHOLD-BASED in-place store compaction: every ingest appends
-    * one small parquet batch, so an always-on store accretes files
-    * forever — the classic small-files problem (at one drop/hour, a
-    * year is ~9k files; each probe join then pays 9k scan tasks and
-    * the namenode 9k block lookups). When the store exceeds
+  /** THRESHOLD-BASED store compaction: every ingest appends one small
+    * parquet batch, so an always-on store accretes files forever —
+    * the classic small-files problem (at one drop/hour, a year is
+    * ~9k files; each probe join then pays 9k scan tasks and the
+    * namenode 9k block lookups). When the live snapshot exceeds
     * `maxFiles` data files, rewrite it to ~128 MB-target files via
-    * the [[graft.ops.ScaleOps.compactPath]] sizing rule, then swap
-    * dirs. The rewrite is fully materialized to a UNIQUE side dir
-    * BEFORE any swap (same recache-by-path discipline as the batch
-    * commit), so no reader of the store path observes a half-written
-    * mix. Swap = rename store → `.pre-compact`, rename rewrite →
-    * store, delete `.pre-compact`; a crash between the renames leaves
-    * the store at `.pre-compact` and the next ingest fails loudly on
-    * the missing path (rename it back to recover) — with the
-    * documented single-writer discipline there is no torn in-between.
-    * Compaction changes file layout only: row multiset, schema, and
-    * every downstream candidate set are invariant (spec-asserted). */
+    * the [[graft.ops.ScaleOps.compactPath]] sizing rule and publish
+    * the rewrite as a NEW snapshot generation with ONE atomic
+    * manifest commit ([[graft.ops.TableLayout.publish]]) — a
+    * concurrent reader that resolved the prior manifest keeps its
+    * complete file set through the GC grace window, so there is no
+    * rename hole (the pre-round-11 aside-swap's reader gap). Must run
+    * under the store lease; `token` is the lease epoch token the
+    * commit re-verifies. Compaction changes file layout only: row
+    * multiset, schema, and every downstream candidate set are
+    * invariant (spec-asserted). */
   private def maybeCompactStore(ss: SparkSession, storePath: String,
-      maxFiles: Int): Unit = {
+      maxFiles: Int, token: String): Unit = {
     if (maxFiles <= 0) return // disabled
-    import org.apache.hadoop.fs.Path
-    val root = new Path(storePath.stripSuffix("/"))
-    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
-    val files = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (files.length <= maxFiles) return
-    val totalBytes = files.map(_.getLen).sum
+    val snap = graft.ops.TableLayout.resolve(ss, storePath)
+    val (nFiles, totalBytes, _) =
+      graft.ops.TableLayout.fileStats(ss, storePath, snap)
+    if (nFiles <= maxFiles) return
     val target = math.max(1,
       math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
-    val tmp = new Path(root.toString + ".compact-" +
-      java.util.UUID.randomUUID().toString)
-    ss.read.parquet(root.toString).repartition(target)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(root.toString + ".pre-compact")
-    fs.delete(old, true)
-    if (!fs.rename(root, old))
-      throw new IllegalStateException(
-        s"store compaction: could not move $root aside to $old")
-    if (!fs.rename(tmp, root))
-      throw new IllegalStateException(
-        s"store compaction: could not move the rewrite $tmp into " +
-          s"place — the prior store is intact at $old; rename it back " +
-          s"to $root to recover")
-    fs.delete(old, true)
-    log.info(s"compacted store $root: ${files.length} files " +
-      s"(${totalBytes} bytes) -> $target file(s)")
+    graft.ops.TableLayout.publish(
+      graft.ops.TableLayout.readAt(ss, storePath, snap)
+        .repartition(target),
+      storePath, None, token)
+    log.info(s"compacted store $storePath: $nFiles files " +
+      s"($totalBytes bytes) -> $target file(s)")
   }
 
   /** [[maybeCompactStore]] for a PARTITIONED store: each ingest append
     * lands one small file in every touched partition dir, so an
     * always-on partitioned store accretes files per-bucket. Buckets
-    * whose data-file count exceeds `maxFiles` rewrite through
-    * [[graft.ops.MergeUpsert.replacePartitions]] — only the
-    * over-threshold buckets are read, shuffled, or swapped; every
-    * other bucket's files are untouched bytes on disk. Row multiset,
-    * schema, and partition values are invariant (spec-asserted). */
+    * whose live data-file count exceeds `maxFiles` rewrite through
+    * [[graft.ops.TableLayout.replacePartitions]] — only the
+    * over-threshold buckets are read or shuffled (the rewrite lands
+    * in a new snapshot generation; every other bucket's files are
+    * untouched bytes on disk, and concurrent readers keep the prior
+    * complete snapshot). Row multiset, schema, and partition values
+    * are invariant (spec-asserted). */
   private def maybeCompactBuckets(ss: SparkSession, storePath: String,
-      partitionCol: String, maxFiles: Int): Unit = {
+      partitionCol: String, maxFiles: Int, token: String): Unit = {
     if (maxFiles <= 0) return // disabled
-    import org.apache.hadoop.fs.Path
-    val root = new Path(storePath.stripSuffix("/"))
-    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
-    val over = fs.listStatus(root)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(partitionCol + "="))
-      .filter { st =>
-        fs.listStatus(st.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
-          maxFiles
-      }
-      .map(_.getPath.getName.stripPrefix(partitionCol + "="))
+    val snap = graft.ops.TableLayout.resolve(ss, storePath)
+    val over = graft.ops.TableLayout
+      .filesPerPartition(ss, storePath, snap)
+      .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (over.isEmpty) return
-    // partition values render as directory names via toString (the
-    // replacePartitions contract) — the store writes integral ib
-    // values, so the dir-name string IS the value; filtering on the
-    // DISCOVERED (string-comparable) partition column keeps the scan
-    // statically pruned to the over-threshold buckets
-    val touchedVals = over.toSeq
-    val live = ss.read.parquet(root.toString)
-    val pc = col(partitionCol).cast("string")
-    val replacement = live.filter(pc.isin(touchedVals: _*))
-      // one file per bucket target: replacePartitions' own
-      // repartition(partitionCol) already co-locates each bucket
-      .localCheckpoint()
-    val touched = replacement.select(col(partitionCol)).distinct()
-    graft.ops.MergeUpsert.replacePartitions(ss, root.toString,
-      replacement, partitionCol, touched)
-    log.info(s"compacted ${touchedVals.length} bucket(s) of $root: " +
-      touchedVals.mkString(", "))
+    // partition values render via toString (the replacePartitions
+    // contract) — the store writes integral ib values, so the
+    // dir-name string IS the value; filtering on the partition
+    // column keeps the scan statically pruned to the over-threshold
+    // buckets. No pre-materialization needed: the rewrite lands in a
+    // NEW generation dir, so the lazy plan's source files are never
+    // swapped out from under it.
+    val live = graft.ops.TableLayout.readAt(ss, storePath, snap)
+    val replacement = live.filter(
+      col(partitionCol).cast("string").isin(over: _*))
+    graft.ops.TableLayout.replacePartitions(ss, storePath, replacement,
+      over, token)
+    log.info(s"compacted ${over.length} bucket(s) of $storePath: " +
+      over.mkString(", "))
   }
 
   /** Store HEALTH, one observable for ingest monitoring: the
@@ -1314,32 +1290,21 @@ object Dedup {
     * physical file count and byte size that drive the
     * [[maybeCompactStore]] trigger. */
   def storeHealth(ss: SparkSession, storePath: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(storePath.stripSuffix("/"))
-    val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
-    // RECURSIVE listing: a partitioned store ([[lshStoreInit]] with
-    // idBuckets > 0, the cluster table's /labels) keeps its data files
-    // under partition dirs, which a flat top-level listing reports as
-    // 0 files — the compaction-trigger observable would read healthy
-    // forever. `max_files_per_dir` is the per-bucket accretion signal
+    // LIVE-SNAPSHOT accounting ([[graft.ops.TableLayout.fileStats]]):
+    // only the files the current manifest serves count — superseded
+    // generations awaiting GC are not compaction pressure, and a
+    // recursive listing over them would double-count every rewritten
+    // bucket. `max_files_per_dir` is the per-bucket accretion signal
     // that drives [[maybeCompactBuckets]] (flat stores: the whole-dir
     // file count, same trigger as [[maybeCompactStore]]).
-    val byDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val dir = f.getPath.getParent.toString
-        val (n, b) = byDir.getOrElse(dir, (0L, 0L))
-        byDir(dir) = (n + 1, b + f.getLen)
-      }
-    }
-    val store = ss.read.parquet(root.toString)
+    val snap = graft.ops.TableLayout.resolve(ss, storePath)
+    val (nFiles, totalBytes, maxPerDir) =
+      graft.ops.TableLayout.fileStats(ss, storePath, snap)
+    val store = graft.ops.TableLayout.readAt(ss, storePath, snap)
     graft.ops.Profiling.profile(store, store.columns.toSeq)
-      .withColumn("n_files", lit(byDir.valuesIterator.map(_._1).sum))
-      .withColumn("total_bytes", lit(byDir.valuesIterator.map(_._2).sum))
-      .withColumn("max_files_per_dir",
-        lit(if (byDir.isEmpty) 0L else byDir.valuesIterator.map(_._1).max))
+      .withColumn("n_files", lit(nFiles))
+      .withColumn("total_bytes", lit(totalBytes))
+      .withColumn("max_files_per_dir", lit(maxPerDir))
   }
 
   /** Initialize a fingerprint STORE from a corpus: one row per
@@ -1353,7 +1318,7 @@ object Dedup {
       textCol: String, storePath: String, nfc: Boolean = true): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
-    graft.ops.StoreLock.withLock(ss, storePath) {
+    graft.ops.StoreLock.withLockCtx(ss, storePath) { ctx =>
     // pin the fingerprint FUNCTION VERSION: NFC-folded and raw-byte
     // fingerprints of the same canonical text differ, so a store built
     // under one setting silently misses every row under the other —
@@ -1368,12 +1333,16 @@ object Dedup {
     Seq(Tuple1(nfc)).toDF("nfc")
       .write.mode("overwrite")
       .parquet(storePath.stripSuffix("/") + ".meta")
-    corpus.select(col(idCol),
-        TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
-      .groupBy("fingerprint")
-      .agg(min(col(idCol)).as("first_id"))
-      .withColumn("nfc", lit(nfc))
-      .write.mode("overwrite").parquet(storePath)
+    // versioned publish ([[graft.ops.TableLayout]]): a RE-init lands
+    // as one atomic manifest commit — readers see the old store or
+    // the new one, never the overwrite's deleted-then-rewriting gap
+    graft.ops.TableLayout.publish(
+      corpus.select(col(idCol),
+          TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col(idCol)).as("first_id"))
+        .withColumn("nfc", lit(nfc)),
+      storePath, None, ctx.token)
     }
   }
 
@@ -1432,7 +1401,7 @@ object Dedup {
       storePath: String, compactAfterFiles: Int = 64,
       nfc: Boolean = true): DataFrame = {
     val spark = drop.sparkSession
-    graft.ops.StoreLock.withLock(spark, storePath) {
+    graft.ops.StoreLock.withLockCtx(spark, storePath) { ctx =>
     // fingerprint-version pin: a store hashed under the other fold
     // setting would silently classify every re-delivered doc as
     // novel. Meta read + in-row agreement are session-cached under
@@ -1451,7 +1420,7 @@ object Dedup {
             "version's fingerprintStoreInit (or predates the NFC fold); " +
             "re-init the store", e)
       }
-      val store0 = spark.read.parquet(storePath)
+      val store0 = graft.ops.TableLayout.read(spark, storePath)
       // the rows' own pin (fingerprintStoreInit writes it on every
       // row): meta and rows must agree — disagreement marks a crashed
       // re-init that flipped the fold. A rowless store (empty corpus)
@@ -1475,7 +1444,7 @@ object Dedup {
         s"$storePath (meta nfc=$storeNfc) — folded and " +
         "raw fingerprints of the same text differ; re-init or use the " +
         "store's setting")
-    val store = spark.read.parquet(storePath)
+    val store = graft.ops.TableLayout.read(spark, storePath)
     val fp = drop.select(col(idCol),
       TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
@@ -1490,14 +1459,14 @@ object Dedup {
         col("first_id"))
       .write.mode("overwrite").parquet(batchPath)
     val classified = spark.read.parquet(batchPath)
-    classified
+    graft.ops.TableLayout.append(classified
       .where(col("status") === "accepted")
       .select(col("fingerprint"), col(idCol).as("first_id"))
-      .withColumn("nfc", lit(nfc))
-      .write.mode("append").parquet(storePath)
+      .withColumn("nfc", lit(nfc)), storePath, None)
     // after the append, never before: the classification is already
-    // committed to the batch dir, so the swap can't invalidate it
-    maybeCompactStore(spark, storePath, compactAfterFiles)
+    // committed to the batch dir, so the compaction commit can't
+    // invalidate it
+    maybeCompactStore(spark, storePath, compactAfterFiles, ctx.token)
     classified
     }
   }
@@ -1527,7 +1496,7 @@ object Dedup {
       precomputedBuckets: Option[DataFrame] = None): Unit = {
     val ss = corpus.sparkSession
     import ss.implicits._
-    graft.ops.StoreLock.withLock(ss, storePath) {
+    graft.ops.StoreLock.withLockCtx(ss, storePath) { ctx =>
     // meta FIRST, then the bucket rows — and the rows THEMSELVES carry
     // the parameters. Ingest validates BOTH sources: a crash between
     // the two writes (or a failed re-init with new parameters) leaves
@@ -1558,13 +1527,15 @@ object Dedup {
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
       .withColumn("id_buckets", lit(idBuckets))
+    // versioned publish ([[graft.ops.TableLayout]]): one atomic
+    // manifest commit, no overwrite gap for concurrent readers
     if (idBuckets > 0)
-      rows.withColumn("ib",
+      graft.ops.TableLayout.publish(
+        rows.withColumn("ib",
           pmod(graft.functions.Sampling.hashBucket(col(idCol)),
-            lit(idBuckets.toLong)))
-        .repartition(col("ib"))
-        .write.mode("overwrite").partitionBy("ib").parquet(storePath)
-    else rows.write.mode("overwrite").parquet(storePath)
+            lit(idBuckets.toLong))),
+        storePath, Some("ib"), ctx.token)
+    else graft.ops.TableLayout.publish(rows, storePath, None, ctx.token)
     }
   }
 
@@ -1622,7 +1593,7 @@ object Dedup {
       nfcFold: Boolean = true,
       precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val ss = drop.sparkSession
-    graft.ops.StoreLock.withLock(ss, storePath) {
+    graft.ops.StoreLock.withLockCtx(ss, storePath) { ctx =>
     def params(row: org.apache.spark.sql.Row): (Int, Int, Int, Boolean, Int) =
       (row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
         row.getAs[Int]("bands"), row.getAs[Boolean]("nfc"),
@@ -1650,7 +1621,7 @@ object Dedup {
       // a caller parameter — a drifted value would append a key's
       // rows into a different partition than its live rows), so it
       // only has to agree between meta and rows.
-      val inStore = ss.read.parquet(storePath)
+      val inStore = graft.ops.TableLayout.read(ss, storePath)
         .select("n", "num_hashes", "bands", "nfc", "id_buckets").take(1)
         .headOption.map(params).getOrElse(meta)
       require(inStore == meta,
@@ -1679,7 +1650,7 @@ object Dedup {
         textCol, n, numHashes, bands))
       .withColumnRenamed(idCol, "drop_id")
       .cache()
-    val store = ss.read.parquet(storePath)
+    val store = graft.ops.TableLayout.read(ss, storePath)
       .select(col(idCol).as("store_id"), col("band"), col("bh"))
     val batchPath = freshBatchDir(ss, storePath)
     dropB.join(store, Seq("band", "bh"))
@@ -1694,28 +1665,29 @@ object Dedup {
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands)).withColumn("nfc", lit(nfcFold))
       .withColumn("id_buckets", lit(idBuckets))
+    // TableLayout.append co-locates each bucket's rows before the
+    // partitioned append: without that every shuffle task writes a
+    // file into every bucket dir it touches — up to tasks x buckets
+    // tiny files PER DROP (measured +20 s on the sf0.1 ingest gate
+    // from the listing cost alone); one small shuffle makes it ~one
+    // file per touched bucket
     if (idBuckets > 0)
-      appendRows.withColumn("ib",
+      graft.ops.TableLayout.append(
+        appendRows.withColumn("ib",
           pmod(graft.functions.Sampling.hashBucket(col(idCol)),
-            lit(idBuckets.toLong)))
-        // co-locate each bucket's rows before the partitioned append:
-        // without this every shuffle task writes a file into every
-        // bucket dir it touches — up to tasks x buckets tiny files PER
-        // DROP (measured +20 s on the sf0.1 ingest gate from the
-        // listing cost alone); one small shuffle makes it ~one file
-        // per touched bucket
-        .repartition(col("ib"))
-        .write.mode("append").partitionBy("ib").parquet(storePath)
-    else appendRows.write.mode("append").parquet(storePath)
+            lit(idBuckets.toLong))),
+        storePath, Some("ib"))
+    else graft.ops.TableLayout.append(appendRows, storePath, None)
     dropB.unpersist()
-    // candidates are committed to the batch dir above, so the dir
-    // swap cannot invalidate anything this call returns. Partitioned
-    // stores compact per-BUCKET (each append lands one small file in
-    // every touched bucket dir — the same small-files accretion the
-    // flat path bounds, at bucket grain).
+    // candidates are committed to the batch dir above, so the
+    // compaction commit cannot invalidate anything this call returns.
+    // Partitioned stores compact per-BUCKET (each append lands one
+    // small file in every touched bucket dir — the same small-files
+    // accretion the flat path bounds, at bucket grain).
     if (idBuckets > 0)
-      maybeCompactBuckets(ss, storePath, "ib", compactAfterFiles)
-    else maybeCompactStore(ss, storePath, compactAfterFiles)
+      maybeCompactBuckets(ss, storePath, "ib", compactAfterFiles,
+        ctx.token)
+    else maybeCompactStore(ss, storePath, compactAfterFiles, ctx.token)
     val cand = ss.read.parquet(batchPath)
     val tx = nfcFolded(texts.select(col(idCol), col(textCol)), textCol,
       nfcFold)
@@ -1831,19 +1803,23 @@ object Dedup {
         bands, threshold, maxBucketSize, nfcFold,
         precomputedBuckets = Some(fullBuckets))
       .select("id_a", "id_b")
-    connectedComponents(corpus, idCol, pairs,
+    val labelRows = connectedComponents(corpus, idCol, pairs,
         checkpointDir = checkpointDir)
       .select(col("id").as(idCol), col("cluster"))
       .withColumn("ver", lit(0L))
       // STABLE partition key (id bucket, never the mutable label):
       // ingest-time label remaps rewrite only the buckets holding
-      // touched rows, via MergeUpsert's partition-scoped merge
+      // touched rows, via TableLayout's partition-scoped merge
       .withColumn("ib",
         pmod(graft.functions.Sampling.hashBucket(col(idCol)),
           lit(idBuckets.toLong)))
-      .repartition(col("ib"))
-      .write.mode("overwrite").partitionBy("ib")
-      .parquet(storePath + "/labels")
+    // the labels store takes its OWN nested lease (the lsh sibling
+    // already does): TableLayout's commit re-verifies the epoch at
+    // the store root it publishes to
+    graft.ops.StoreLock.withLockCtx(ss, storePath + "/labels") { lctx =>
+      graft.ops.TableLayout.publish(labelRows, storePath + "/labels",
+        Some("ib"), lctx.token)
+    }
     fullBuckets.unpersist()
     }
   }
@@ -1861,7 +1837,7 @@ object Dedup {
 
   private def clusterTableUnchecked(ss: SparkSession,
       storePath: String): DataFrame =
-    ss.read.parquet(storePath + "/labels")
+    graft.ops.TableLayout.read(ss, storePath + "/labels")
 
   private def retractMarkerPath(storePath: String): String =
     storePath + "/retract.intent"
@@ -2063,8 +2039,10 @@ object Dedup {
     // members) is otherwise evaluated twice — once for the merge's
     // touched-partition collect, once for the staged write
     val updates = newRows.unionByName(movedRows).cache()
-    graft.ops.MergeUpsert.mergeByKey(ss, storePath + "/labels", updates,
-      Seq(idCol), "ver", "ib")
+    graft.ops.StoreLock.withLockCtx(ss, storePath + "/labels") { lctx =>
+      graft.ops.TableLayout.mergeByKey(ss, storePath + "/labels",
+        updates, Seq(idCol), "ver", lctx.token)
+    }
     updates.unpersist()
     verCache.put(storePath, (newVer, ctx.token))
     comp.unpersist()
@@ -2155,8 +2133,8 @@ object Dedup {
     // store's OWN lease is taken too: a standalone lshIncrementalIngest
     // racing the purge would otherwise re-append the retracted ids'
     // buckets mid-swap.
-    val lshPath = new Path(storePath + "/lsh")
-    graft.ops.StoreLock.withLock(ss, storePath + "/lsh") {
+    val lshPath = storePath + "/lsh"
+    graft.ops.StoreLock.withLockCtx(ss, lshPath) { lshCtx =>
     val lshBuckets = try {
       val m = ss.read.parquet(storePath + "/lsh.meta").head()
       if (m.schema.fieldNames.contains("id_buckets"))
@@ -2167,43 +2145,34 @@ object Dedup {
       val ibOfLsh = pmod(graft.functions.Sampling.hashBucket(col(idCol)),
         lit(lshBuckets.toLong))
       // touched bucket VALUES derive from the removed ids alone —
-      // bucket-count-bounded, no store scan. Cast to the discovered
-      // partition type (int) so the filter prunes statically.
-      val touchedLsh = remove
+      // bucket-count-bounded, no store scan
+      val touchedVals = remove
         .select(ibOfLsh.cast("int").as("ib")).distinct()
-        .localCheckpoint()
-      val touchedVals = touchedLsh.collect().map(_.getInt(0)).toSeq
-      val replacement = ss.read.parquet(lshPath.toString)
+        .collect().map(_.getInt(0)).toSeq.sorted
+      // no pre-materialization: the purged rows land in a NEW
+      // snapshot generation ([[graft.ops.TableLayout]]), so this
+      // lazy plan's source partitions are never swapped out from
+      // under it — and a concurrent reader keeps the prior complete
+      // snapshot through the GC grace window
+      val replacement = graft.ops.TableLayout.read(ss, lshPath)
         .filter(col("ib").isin(touchedVals: _*))
         .join(remove.withColumnRenamed(idCol, "__rm"),
           col(idCol) === col("__rm"), "left_anti")
         .drop("__rm")
-        // materialize BEFORE the swap: the plan reads the very
-        // partitions replacePartitions is about to rename
-        .localCheckpoint()
-      graft.ops.MergeUpsert.replacePartitions(ss, lshPath.toString,
-        replacement, "ib", touchedLsh)
+      graft.ops.TableLayout.replacePartitions(ss, lshPath,
+        replacement, touchedVals.map(_.toString), lshCtx.token)
       log.info(s"clusterTableRetract: purged ${touchedVals.length} of " +
-        s"$lshBuckets band-store bucket(s): ${touchedVals.sorted.mkString(", ")}")
+        s"$lshBuckets band-store bucket(s): ${touchedVals.mkString(", ")}")
     } else {
-      // legacy flat band store: side-dir full rewrite + rename-swap
-      // (the maybeCompactStore discipline) — O(corpus) IO; re-init
-      // with the bucketed layout to make retraction delta-sized
-      val tmp = new Path(
-        storePath + "/lsh.retract-" + java.util.UUID.randomUUID())
-      ss.read.parquet(lshPath.toString)
-        .join(remove.withColumnRenamed(idCol, "__rm"),
-          col(idCol) === col("__rm"), "left_anti")
-        .drop("__rm")
-        .write.mode("overwrite").parquet(tmp.toString)
-      val oldLsh = new Path(storePath + "/lsh.pre-retract")
-      fs.delete(oldLsh, true)
-      require(fs.rename(lshPath, oldLsh),
-        s"clusterTableRetract: could not move $lshPath aside")
-      require(fs.rename(tmp, lshPath),
-        s"clusterTableRetract: could not move the purged store into " +
-          s"place — the prior store is intact at $oldLsh")
-      fs.delete(oldLsh, true)
+      // legacy flat band store: versioned full rewrite — O(corpus)
+      // IO; re-init with the bucketed layout to make retraction
+      // delta-sized
+      graft.ops.TableLayout.publish(
+        graft.ops.TableLayout.read(ss, lshPath)
+          .join(remove.withColumnRenamed(idCol, "__rm"),
+            col(idCol) === col("__rm"), "left_anti")
+          .drop("__rm"),
+        lshPath, None, lshCtx.token)
     }
     }
     // 2. re-cluster the affected clusters' survivors
@@ -2243,18 +2212,27 @@ object Dedup {
     // replacement = the touched buckets' rows minus every affected-
     // cluster member, plus the survivors' re-clustered rows — removed
     // ids appear in neither, so they are GONE after the swap
-    val touched = members.select("ib").distinct()
-    val keptRows = labels.join(touched, Seq("ib"), "left_semi")
+    val touchedVals = members.select(col("ib").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val keptRows = labels
+      .filter(col("ib").cast("string").isin(touchedVals: _*))
       .join(members.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"), col("ver"), col("ib"))
-    val replacement = keptRows.unionByName(newRows)
-      // fully materialize BEFORE the swap: the plan reads the labels
-      // path that replacePartitions is about to rewrite
-      .localCheckpoint()
-    val touchedVals = touched.localCheckpoint()
+    // ver/ib column types must match across the union: keptRows reads
+    // back discovery-typed columns while newRows carries fresh longs —
+    // align on the read-back types so the staged write's partition
+    // values render identically
+    val replacement = keptRows.unionByName(newRows
+      .select(col(idCol), col("cluster"),
+        col("ver").cast(keptRows.schema("ver").dataType),
+        col("ib").cast(keptRows.schema("ib").dataType)))
+    // no pre-materialization (see the band-store leg above): the
+    // rewrite lands in a new snapshot generation
+    graft.ops.StoreLock.withLockCtx(ss, storePath + "/labels") { lctx =>
+      graft.ops.TableLayout.replacePartitions(ss, storePath + "/labels",
+        replacement, touchedVals, lctx.token)
+    }
     labels.unpersist(); members.unpersist(); remove.unpersist()
-    graft.ops.MergeUpsert.replacePartitions(ss, storePath + "/labels",
-      replacement, "ib", touchedVals)
     // both commits landed — clear the intent marker; reads and
     // ingests resume
     require(fs.delete(marker, true),

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * in for a table format's atomic commit; the swap is the documented
   * non-transactional boundary (readers racing the swap can see a
   * partition mid-replace, exactly like the reference's file drops).
+  *
+  * SCOPE: this is the op for PUBLIC plain-parquet lakes, where the
+  * directory layout is the interface (any engine reads the table
+  * path directly — the reference's published-artifact shape). The
+  * engine's own mutable stores (dedup fingerprint/LSH stores, the
+  * cluster table's labels) use [[TableLayout]] instead: same
+  * partition-scoped IO, but rewrites land in new snapshot
+  * generations behind an atomic manifest commit, so engine readers
+  * racing a rewrite keep a complete snapshot — the reader isolation
+  * a raw directory swap cannot give.
   */
 object MergeUpsert {
 

@@ -1,0 +1,597 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** VERSIONED SNAPSHOT LAYOUT for the engine's mutable parquet stores
+  * — [[graft.similarity.IndexLayout]]'s reader-isolation contract,
+  * generalized from the ANN index's three-artifact snapshot to any
+  * single-relation store (the dedup fingerprint store, the LSH band
+  * store, the cluster table's labels).
+  *
+  * Problem (the round-11 carry-over boundary): every dedup store
+  * mutation that REWRITES data — threshold compaction, the keyed
+  * label merge, retraction's partition purge — swapped directories
+  * via rename (`maybeCompactStore`'s aside dance,
+  * `MergeUpsert.replacePartitions`' per-partition tombstones).
+  * Writers are leased, but READERS take no lock: a probe join that
+  * plans or lists files inside a swap window sees a missing
+  * directory (FileNotFoundException) or, on rename-less object
+  * stores, a partial one. At gate scale the window is milliseconds;
+  * at 100 TB, with an always-on ingest compacting behind a serving
+  * fleet, it is a real outage window on every store the engine
+  * maintains.
+  *
+  * Contract here (the IndexLayout discipline): data directories are
+  * IMMUTABLE ONCE SUPERSEDED — appends add files to the newest
+  * generation in place (Spark commits data files atomically, so
+  * concurrent readers just see the old file set), rewrites write NEW
+  * generation directories — and the live set is named by ONE small
+  * manifest file committed atomically, so a reader that resolved a
+  * manifest always sees a complete, internally consistent snapshot,
+  * never a rename hole.
+  *
+  * Layout under a store root `path`:
+  *   - `_manifest-v<NNNNNNNNNNNN>`   ordered commit log; the HIGHEST
+  *     version is live. UNDERSCORE-prefixed so Spark/Hadoop file
+  *     indexes ignore it: a legacy plain-parquet reader of the root
+  *     never trips over the manifest itself. Commit = write
+  *     `.manifest-tmp-<uuid>`, then rename to the (never
+  *     pre-existing) final name. Old manifests are kept
+  *     [[KeepManifests]] deep: the PREVIOUS snapshot stays fully
+  *     readable, which is the GC grace window (an in-flight reader
+  *     must only finish its scan before two further rewrites land).
+  *   - `data-g<V>`   data GENERATIONS, oldest first in the manifest.
+  *     Flat stores hold bare parquet files; partitioned stores hold
+  *     `<pcol>=<value>` partition directories. A partition-scoped
+  *     rewrite ([[replacePartitions]]) writes the touched partitions
+  *     into a NEW generation and EXCLUDES those values from every
+  *     older generation in the manifest — older directories are
+  *     never touched, so the previous snapshot keeps serving. The
+  *     live relation is the union over generations of (rows minus
+  *     excluded partition values); exclusion filters reference only
+  *     the partition column, so they prune statically per scan.
+  *   - Legacy stores (plain parquet written before the manifest
+  *     layout — bare files or partition dirs at the root) resolve as
+  *     the implicit generation `""` of snapshot v0 and are read via
+  *     explicit root-level file/dir lists (never a recursive root
+  *     scan, which would trip over later generation subdirs). The
+  *     first rewrite materializes v0 as a real manifest, so the GC
+  *     grace window protects the legacy files exactly like any
+  *     superseded generation. A non-engine reader doing a plain
+  *     `read.parquet(root)` on a MIGRATED store fails loudly on the
+  *     mixed directory structure (never silently reads a partial or
+  *     doubled store); audit reads go through [[read]] or a
+  *     generation directory.
+  *
+  * Generation growth is bounded: each partition rewrite adds one
+  * generation, and once the live count would exceed [[MaxGens]] the
+  * rewrite folds every NON-BASE generation's live rows into the new
+  * one (non-base generations hold only previously-rewritten
+  * partitions, so the fold is touched-data-sized, never
+  * store-sized), collapsing the list back to two. A generation whose
+  * every on-disk partition value is excluded is dropped from the
+  * manifest outright.
+  *
+  * Double-writer safety (the [[StoreLock]] epoch discipline, applied
+  * where it can abort BEFORE damage): [[commit]] re-reads
+  * `<path>.epoch` and throws if it no longer carries the committing
+  * writer's token — on object stores where create-if-absent degrades
+  * to advisory and two leased writers both enter, the LOSER aborts
+  * before publishing a manifest, leaving its orphaned generation to
+  * GC and the live snapshot untouched.
+  *
+  * Values of the partition column must render losslessly via
+  * `toString` (string or integral — the [[replacePartitions]]
+  * contract inherited from MergeUpsert) and must not contain `,`,
+  * `;` or newlines (the manifest line grammar); nulls are rejected.
+  * The engine's stores partition on int hash buckets, which satisfy
+  * all of this by construction.
+  */
+private[graft] object TableLayout {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Live generation count above which a partition rewrite folds
+    * non-base generations into the new one. */
+  val MaxGens = 4
+
+  /** Manifests (snapshots) kept live; the previous one is the
+    * reader grace window. */
+  val KeepManifests = 2
+
+  /** One data generation: its directory under the store root (`""` =
+    * the legacy root-level layout) and the partition VALUES (raw
+    * `toString` rendering) later generations superseded. */
+  final case class Gen(dir: String, exclude: Seq[String])
+
+  final case class Snapshot(version: Long, pcol: Option[String],
+      gens: Seq[Gen])
+
+  def fsOf(ss: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(ss.sessionState.newHadoopConf())
+
+  private def rootOf(path: String) = new Path(path.stripSuffix("/"))
+
+  private def manifestVersion(name: String): Option[Long] =
+    if (name.startsWith("_manifest-v"))
+      scala.util.Try(name.stripPrefix("_manifest-v").toLong).toOption
+    else None
+
+  private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+      .flatMap(s => manifestVersion(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1)
+
+  /** Root-level partition dirs (`<pcol>=<escaped>` names), any pcol. */
+  private def rootPartitionDirs(fs: FileSystem, root: Path) =
+    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("."))
+
+  private def rootDataFiles(fs: FileSystem, root: Path) =
+    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** The pre-manifest layout's implicit v0 snapshot, if root-level
+    * data exists — the ONE definition [[resolveOpt]] and [[commit]]'s
+    * migration backfill share. */
+  private def legacySnapshot(fs: FileSystem, root: Path): Option[Snapshot] = {
+    val pdirs = rootPartitionDirs(fs, root)
+    if (pdirs.nonEmpty)
+      Some(Snapshot(0L,
+        Some(pdirs.head.getPath.getName.split("=", 2)(0)),
+        Seq(Gen("", Nil))))
+    else if (rootDataFiles(fs, root).nonEmpty)
+      Some(Snapshot(0L, None, Seq(Gen("", Nil))))
+    else None
+  }
+
+  /** Highest committed snapshot; `None` for a root with neither a
+    * manifest nor legacy data (a store not yet built). */
+  def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    listManifests(fs, root).lastOption match {
+      case Some((v, p)) => Some(parse(fs, p, v))
+      case None => legacySnapshot(fs, root)
+    }
+  }
+
+  def resolve(ss: SparkSession, path: String): Snapshot =
+    resolveOpt(ss, path).getOrElse(throw new IllegalStateException(
+      s"no store at $path: neither a manifest nor legacy parquet data " +
+        "exists — initialize the store first"))
+
+  private def parse(fs: FileSystem, p: Path, v: Long): Snapshot = {
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    var pcol: Option[String] = None
+    val gens = Seq.newBuilder[Gen]
+    text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split("=", 2) match {
+        case Array("v", _) => ()
+        case Array("pcol", c) => pcol = Some(c)
+        case Array("gen", spec) =>
+          val parts = spec.split(";", 2)
+          val dir = if (parts.isEmpty) "" else parts(0)
+          val excl =
+            if (parts.length < 2 || parts(1).isEmpty) Seq.empty[String]
+            else parts(1).split(",").toSeq
+          gens += Gen(dir, excl)
+        case _ => throw new IllegalStateException(
+          s"unparseable store manifest line in $p: '$line'")
+      }
+    }
+    Snapshot(v, pcol, gens.result())
+  }
+
+  private def serialize(s: Snapshot): String = {
+    val b = new StringBuilder
+    b ++= s"v=${s.version}\n"
+    s.pcol.foreach(c => b ++= s"pcol=$c\n")
+    s.gens.foreach(g => b ++= s"gen=${g.dir};${g.exclude.sorted.mkString(",")}\n")
+    b.result()
+  }
+
+  private def writeManifest(fs: FileSystem, root: Path,
+      snap: Snapshot): Boolean = {
+    val tmp = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(serialize(snap).getBytes("UTF-8")) finally out.close()
+    val fin = new Path(root, f"_manifest-v${snap.version}%012d")
+    val ok = fs.rename(tmp, fin)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  /** Atomically publish `snap` as the live snapshot. Must run under
+    * the store lease; `expectEpochToken` is the committing writer's
+    * [[StoreLock.LockCtx]] token — the epoch is re-verified HERE,
+    * before the manifest lands, so a writer that lost an
+    * advisory-lease race aborts with the store still on the previous
+    * snapshot instead of publishing over it. */
+  def commit(ss: SparkSession, path: String, snap: Snapshot,
+      expectEpochToken: String): Unit = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val epoch = new Path(path.stripSuffix("/") + ".epoch")
+    val epochNow: Option[String] =
+      try {
+        val in = fs.open(epoch)
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        t.split("\n").headOption.map(_.trim)
+      } catch { case _: Exception => None }
+    if (!epochNow.contains(expectEpochToken))
+      throw new IllegalStateException(
+        s"store commit at $path aborted BEFORE publishing: the mutation " +
+          s"epoch no longer carries this writer's token " +
+          s"'$expectEpochToken' (now ${epochNow.fold("<gone>")(t => s"'$t'")}) — " +
+          "a concurrent writer entered mid-mutation (advisory-lease " +
+          "race); the live snapshot is untouched, this writer's " +
+          "generation is orphaned and will be GC'd.")
+    // migrating a legacy (pre-manifest) store: materialize its
+    // implicit v0 snapshot as _manifest-v0 FIRST, so the GC grace
+    // window protects the legacy root files exactly like any
+    // superseded generation
+    if (listManifests(fs, root).isEmpty) legacySnapshot(fs, root)
+      .foreach { legacy =>
+        // a false return = v0 already exists (racing backfill lost);
+        // writeManifest already dropped its tmp file — nothing to do
+        writeManifest(fs, root, legacy): Unit
+      }
+    if (!writeManifest(fs, root, snap))
+      throw new IllegalStateException(
+        s"store commit at $path: could not publish manifest " +
+          s"v${snap.version} (a manifest with this version already " +
+          "exists?) — the live snapshot is unchanged")
+    log.info(s"committed store snapshot v${snap.version} at $path " +
+      s"(${snap.gens.length} generation(s))")
+  }
+
+  /** The version the NEXT commit will carry (names its generation
+    * directory too). Call under the store lease. */
+  def nextVersion(ss: SparkSession, path: String): Long =
+    resolveOpt(ss, path).map(_.version + 1L).getOrElse(1L)
+
+  private def genDirName(v: Long) = s"data-g$v"
+
+  /** Drop manifests beyond the newest [[KeepManifests]] and every
+    * engine-named data artifact no kept manifest references. Runs
+    * under the store lease, right after a commit — so the grace
+    * window for an in-flight reader is a FULL rewrite cycle. Never
+    * touches sidecars (`.meta`, `.batch`, lease files — all siblings
+    * of the root) or anything it did not name itself. */
+  def gc(ss: SparkSession, path: String,
+      keepManifests: Int = KeepManifests): Unit = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val manifests = listManifests(fs, root)
+    if (manifests.isEmpty) return
+    val (dead, kept) = manifests.splitAt(
+      math.max(0, manifests.length - keepManifests))
+    val referenced: Set[String] =
+      kept.flatMap { case (v, p) => parse(fs, p, v).gens.map(_.dir) }.toSet
+    dead.foreach { case (_, p) => fs.delete(p, false) }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.matches("data-g\\d+") && !referenced.contains(n)) ||
+          n.startsWith(".manifest-tmp-")) {
+        log.info(s"store gc at $path: deleting unreferenced $n")
+        fs.delete(st.getPath, true)
+      }
+    }
+    // the legacy root-level generation, once unreferenced: reap the
+    // root-level data files and partition dirs (they are only ever
+    // engine-written parquet output)
+    if (!referenced.contains("")) {
+      rootDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
+      rootPartitionDirs(fs, root).foreach(d => fs.delete(d.getPath, true))
+      val succ = new Path(root, "_SUCCESS")
+      if (fs.exists(succ)) fs.delete(succ, false)
+    }
+  }
+
+  /** One generation's relation, with its exclusions applied; `None`
+    * when the generation holds no data files (an emptied rewrite
+    * writes none). Legacy root generations read via EXPLICIT
+    * root-level listings — never a recursive root scan, which would
+    * trip over sibling generation dirs. */
+  private def genDf(ss: SparkSession, root: Path, fs: FileSystem,
+      pcol: Option[String], g: Gen,
+      schema: Option[StructType]): Option[DataFrame] = {
+    val rd0 = ss.read
+    val rd = schema.fold(rd0)(rd0.schema)
+    val base: Option[DataFrame] =
+      if (g.dir.isEmpty) {
+        val pdirs = rootPartitionDirs(fs, root)
+        if (pdirs.nonEmpty)
+          Some(rd.option("basePath", root.toString)
+            .parquet(pdirs.map(_.getPath.toString): _*))
+        else {
+          val files = rootDataFiles(fs, root)
+          if (files.isEmpty) None
+          else Some(rd.parquet(files.map(_.getPath.toString): _*))
+        }
+      } else {
+        val dir = new Path(root, g.dir)
+        if (!hasData(fs, dir)) None else Some(rd.parquet(dir.toString))
+      }
+    base.map { df =>
+      if (g.exclude.isEmpty) df
+      else {
+        val pc = pcol.getOrElse(throw new IllegalStateException(
+          s"store at $root: generation ${g.dir} carries partition " +
+            "exclusions but the manifest names no partition column"))
+        df.filter(!col(pc).cast("string")
+          .isin(g.exclude: _*))
+      }
+    }
+  }
+
+  private def hasData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && s.getPath.getName.contains("=")))
+
+  /** The live relation at `snap` — union over generations of (rows
+    * minus excluded partition values). Optional `schema` pins the
+    * read-back types (the MergeUpsert discipline: numeric-LOOKING
+    * string partition values must survive as written). */
+  def readAt(ss: SparkSession, path: String, snap: Snapshot,
+      schema: Option[StructType] = None): DataFrame = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val dfs = snap.gens.flatMap(g => genDf(ss, root, fs, snap.pcol, g, schema))
+    if (dfs.isEmpty)
+      throw new IllegalStateException(
+        s"store at $path resolves to snapshot v${snap.version} but no " +
+          "generation holds data files — a corrupted or hand-edited " +
+          "manifest")
+    dfs.reduceLeft(_.unionByName(_))
+  }
+
+  def read(ss: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    readAt(ss, path, resolve(ss, path), schema)
+
+  private def requireCleanVals(vals: Seq[String]): Unit =
+    vals.foreach { v =>
+      require(v != null, "TableLayout: null partition values are not " +
+        "supported (partition on a non-null key-derived column)")
+      require(!v.exists(c => c == ',' || c == ';' || c == '\n'),
+        s"TableLayout: partition value '$v' contains a manifest " +
+          "delimiter (,;\\n) — partition on a clean key-derived column")
+    }
+
+  /** APPEND `df` to the store: files land in the newest generation
+    * (or the legacy root for a pre-manifest store, preserving its
+    * plain layout until the first rewrite migrates it). Additive and
+    * atomic per file — concurrent readers just see the old file set.
+    * `pcol` must match the store's layout; for a store that does not
+    * exist yet, use [[publish]]. */
+  def append(df: DataFrame, path: String, pcol: Option[String]): Unit = {
+    val ss = df.sparkSession
+    val snap = resolve(ss, path)
+    require(snap.pcol == pcol,
+      s"TableLayout.append at $path: layout mismatch (store " +
+        s"pcol=${snap.pcol}, caller pcol=$pcol)")
+    val target =
+      if (snap.gens.last.dir.isEmpty) path.stripSuffix("/")
+      else new Path(rootOf(path), snap.gens.last.dir).toString
+    pcol match {
+      case Some(pc) =>
+        // co-locate each partition's rows first: an unrepartitioned
+        // partitionBy append emits up to tasks x partitions tiny
+        // files per drop (see the band-store ingest note)
+        df.repartition(col(pc)).write.mode("append")
+          .partitionBy(pc).parquet(target)
+      case None =>
+        df.write.mode("append").parquet(target)
+    }
+  }
+
+  /** Publish `df` as the ENTIRE live content of the store — init,
+    * re-init, full compaction, and full rewrites (the flat-store
+    * retraction) all land here. The data is fully written to a new
+    * generation before the one-manifest commit, so readers see the
+    * old store or the new one, never a mix; the old generations
+    * survive [[KeepManifests]] further rewrites for in-flight
+    * readers. Must run under the store lease (`token` = the
+    * [[StoreLock.LockCtx]] epoch token). */
+  def publish(df: DataFrame, path: String, pcol: Option[String],
+      token: String): Unit = {
+    val ss = df.sparkSession
+    val v = nextVersion(ss, path)
+    val dir = new Path(rootOf(path), genDirName(v))
+    pcol match {
+      case Some(pc) =>
+        df.repartition(col(pc)).write.mode("overwrite")
+          .partitionBy(pc).parquet(dir.toString)
+      case None =>
+        df.write.mode("overwrite").parquet(dir.toString)
+    }
+    commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(v), Nil))), token)
+    gc(ss, path)
+  }
+
+  /** Rewrite EXACTLY the partitions whose values (raw `toString`
+    * rendering) are in `touchedVals` with the rows of `replacement`
+    * (whose partition values must be a subset of `touchedVals`): the
+    * touched partitions land in a NEW generation and the manifest
+    * excludes their values from every older one — a touched value
+    * with NO replacement rows is thereby deleted, and no existing
+    * directory is ever renamed or rewritten. Untouched partitions
+    * are never read, shuffled, or re-staged. Folds non-base
+    * generations into the new one past [[MaxGens]] (touched-data-
+    * sized — non-base generations hold only previously-rewritten
+    * partitions). Must run under the store lease. */
+  def replacePartitions(ss: SparkSession, path: String,
+      replacement: DataFrame, touchedVals: Seq[String],
+      token: String): Unit = {
+    requireCleanVals(touchedVals)
+    val snap = resolve(ss, path)
+    val pc = snap.pcol.getOrElse(throw new IllegalStateException(
+      s"TableLayout.replacePartitions at $path: the store is not " +
+        "partitioned — use publish for a full rewrite"))
+    require(Set("string", "int", "bigint", "smallint", "tinyint")
+        .contains(replacement.schema(pc).dataType.simpleString),
+      s"replacePartitions: partition column '$pc' must be string or " +
+        "integral (directory-name rendering for other types diverges " +
+        s"from Spark's), got ${replacement.schema(pc).dataType.simpleString}")
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val v = snap.version + 1L
+    val newDir = new Path(root, genDirName(v))
+    val touchedSet = touchedVals.toSet
+    // fold decision BEFORE writing: past MaxGens the new generation
+    // absorbs every non-base generation's live rows (minus the
+    // touched values, which the replacement supersedes)
+    val fold = snap.gens.length + 1 > MaxGens && snap.gens.length > 1
+    val content =
+      if (!fold) replacement
+      else {
+        val nonBase = snap.gens.tail
+          .flatMap(g => genDf(ss, root, fs, snap.pcol, g,
+            Some(replacement.schema)))
+        nonBase.foldLeft(replacement) { (acc, df) =>
+          acc.unionByName(df.filter(
+            !col(pc).cast("string").isin(touchedVals: _*)))
+        }
+      }
+    content.repartition(col(pc)).write.mode("overwrite")
+      .partitionBy(pc).parquet(newDir.toString)
+    // kept older generations: base only when folding, all otherwise —
+    // each with the touched values excluded on top of its own
+    val keptOld = (if (fold) snap.gens.take(1) else snap.gens).map { g =>
+      g.copy(exclude = (g.exclude ++ touchedVals).distinct)
+    }
+    // drop generations whose every on-disk partition value is now
+    // excluded — they contribute nothing and would only accrete
+    val liveOld = keptOld.filter { g =>
+      val dirs =
+        if (g.dir.isEmpty) rootPartitionDirs(fs, root)
+        else if (fs.exists(new Path(root, g.dir)))
+          fs.listStatus(new Path(root, g.dir)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        else Seq.empty
+      val excludedNames = g.exclude.map(x =>
+        s"$pc=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(x)).toSet
+      dirs.exists(d => !excludedNames.contains(d.getPath.getName))
+    }
+    val newGens = liveOld :+ Gen(genDirName(v), Nil)
+    commit(ss, path, Snapshot(v, snap.pcol, newGens), token)
+    gc(ss, path)
+    log.info(s"replaced ${touchedVals.length} partition(s) of $path " +
+      s"at snapshot v$v${if (fold) " (generation fold)" else ""}")
+  }
+
+  /** Keyed MERGE (upsert) into a partitioned versioned store:
+    * updates override matching keys (`versionCol` strictly greater
+    * wins), unmatched keys insert, untouched partitions are never
+    * read or rewritten — [[MergeUpsert.mergeByKey]] semantics on the
+    * snapshot layout. Because the merged rows land in a NEW
+    * generation, the merge plan may lazily read the very partitions
+    * being replaced — there is no swap to invalidate them. Must run
+    * under the store lease.
+    *
+    * PRECONDITION (inherited): keys do not move between partitions —
+    * partition on a key-derived or immutable column. */
+  def mergeByKey(ss: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String, token: String): Unit = {
+    val snap = resolve(ss, path)
+    val pc = snap.pcol.getOrElse(throw new IllegalStateException(
+      s"TableLayout.mergeByKey at $path: the store is not partitioned"))
+    val touchedVals = updates.select(col(pc).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    requireCleanVals(touchedVals)
+    val base = readAt(ss, path, snap, Some(updates.schema))
+      .filter(col(pc).cast("string").isin(touchedVals: _*))
+    val merged = base.unionByName(updates)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    replacePartitions(ss, path, merged, touchedVals, token)
+  }
+
+  /** Live data-file statistics of the snapshot — the compaction
+    * pressure metric (total files/bytes plus the per-directory max
+    * that drives bucket-grain compaction). Excluded partition dirs
+    * do not count: their files are dead weight awaiting GC, not
+    * compaction pressure. */
+  def fileStats(ss: SparkSession, path: String,
+      snap: Snapshot): (Long, Long, Long) = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val perDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    snap.gens.foreach { g =>
+      val excludedNames = snap.pcol.fold(Set.empty[String])(pc =>
+        g.exclude.map(x => s"$pc=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(x)).toSet)
+      val base = if (g.dir.isEmpty) root else new Path(root, g.dir)
+      if (fs.exists(base)) {
+        val (pdirs, files) =
+          if (g.dir.isEmpty)
+            (rootPartitionDirs(fs, root), rootDataFiles(fs, root))
+          else {
+            val all = fs.listStatus(base).toSeq
+            (all.filter(s => s.isDirectory &&
+              s.getPath.getName.contains("=")),
+              all.filter(s => s.isFile &&
+                s.getPath.getName.endsWith(".parquet")))
+          }
+        files.foreach { f =>
+          val (n, b) = perDir.getOrElse(base.toString, (0L, 0L))
+          perDir(base.toString) = (n + 1, b + f.getLen)
+        }
+        pdirs.filterNot(d => excludedNames.contains(d.getPath.getName))
+          .foreach { d =>
+            fs.listStatus(d.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val k = d.getPath.toString
+                val (n, b) = perDir.getOrElse(k, (0L, 0L))
+                perDir(k) = (n + 1, b + f.getLen)
+              }
+          }
+      }
+    }
+    val counts = perDir.valuesIterator.toSeq
+    (counts.map(_._1).sum, counts.map(_._2).sum,
+      if (counts.isEmpty) 0L else counts.map(_._1).max)
+  }
+
+  /** Live parquet-file count per partition value (raw rendering)
+    * across the snapshot's generations — the bucket-grain compaction
+    * trigger. */
+  def filesPerPartition(ss: SparkSession, path: String,
+      snap: Snapshot): Map[String, Long] = {
+    val pc = snap.pcol.getOrElse(return Map.empty)
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    snap.gens.flatMap { g =>
+      val dirs =
+        if (g.dir.isEmpty) rootPartitionDirs(fs, root)
+        else if (fs.exists(new Path(root, g.dir)))
+          fs.listStatus(new Path(root, g.dir)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        else Seq.empty
+      dirs.flatMap { d =>
+        val vRaw = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils
+          .unescapePathName(d.getPath.getName.split("=", 2)(1))
+        if (g.exclude.contains(vRaw)) None
+        else Some(vRaw -> fs.listStatus(d.getPath).count(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
+      }
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+  }
+}

@@ -876,11 +876,45 @@ object PipelineQueries {
         .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 1)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val classified = Dedup.incrementalIngest(drop, "doc_id", "text", dir)
-      val after = s.read.parquet(dir).count()
+      val after = graft.ops.TableLayout.read(s, dir).count()
       classified.groupBy("status")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
         .withColumn("store_after", lit(after))
         .orderBy("status")
+    }),
+
+    // The fingerprint store driven through THREE snapshot versions of
+    // the manifest layout ([[graft.ops.TableLayout]]): init (v1), a
+    // first drop whose append trips compactAfterFiles=1 (compaction
+    // publishes v2), then a second drop classified against the
+    // compacted store — its dup_in_store plants include twins of
+    // drop 1's ACCEPTED docs, so the hash proves the rewrite lost no
+    // appended fingerprint — and a final compaction (v3). Gates the
+    // per-drop classifications plus the final store size.
+    "q_dedup_store_evolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.util.TempDirs.scoped("graft-fpevolve").toString + "/store"
+      Dedup.fingerprintStoreInit(
+        docs.where(col("doc_id") % 4 === 1), "doc_id", "text", dir)
+      val drop1 = docs.where(col("doc_id") % 4 === 2).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 16 === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val c1 = Dedup.incrementalIngest(drop1, "doc_id", "text", dir,
+        compactAfterFiles = 1)
+      val drop2 = docs.where(col("doc_id") % 4 === 3).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 8 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val c2 = Dedup.incrementalIngest(drop2, "doc_id", "text", dir,
+        compactAfterFiles = 1)
+      val storeFinal = graft.ops.TableLayout.read(s, dir).count()
+      c1.withColumn("drop_no", lit(1))
+        .unionByName(c2.withColumn("drop_no", lit(2)))
+        .groupBy("drop_no", "status")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .withColumn("store_final", lit(storeFinal))
+        .orderBy("drop_no", "status")
     }),
 
     // Incremental NEAR-DUP ingest vs a persisted LSH band store: the
@@ -3665,6 +3699,52 @@ object PipelineQueries {
         |  (SELECT count(*) FROM store)
         |    + (SELECT count(*) FROM c WHERE status = 'accepted') AS store_after
         |FROM c GROUP BY status ORDER BY status""".stripMargin,
+    // sequential set logic over the same table: drop 1 vs the init
+    // store, drop 2 vs the store EXTENDED by drop 1's accepted
+    // fingerprints — compaction between the two is layout-only, so
+    // the classifications and the final store size must be invariant
+    "q_dedup_store_evolve" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |store0 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 = 1),
+        |d1 AS (
+        |  SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, fp FROM fp WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, fp FROM fp WHERE doc_id % 16 = 2),
+        |k1 AS (SELECT fp, min(doc_id) AS keeper FROM d1 GROUP BY 1),
+        |c1 AS (
+        |  SELECT d1.doc_id,
+        |    CASE WHEN d1.fp IN (SELECT fp FROM store0) THEN 'dup_in_store'
+        |      WHEN d1.doc_id <> k1.keeper THEN 'dup_in_drop'
+        |      ELSE 'accepted' END AS status, d1.fp
+        |  FROM d1 JOIN k1 USING (fp)),
+        |store1 AS (SELECT fp FROM store0
+        |  UNION SELECT fp FROM c1 WHERE status = 'accepted'),
+        |d2 AS (
+        |  SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, fp FROM fp WHERE doc_id % 8 = 2),
+        |k2 AS (SELECT fp, min(doc_id) AS keeper FROM d2 GROUP BY 1),
+        |c2 AS (
+        |  SELECT d2.doc_id,
+        |    CASE WHEN d2.fp IN (SELECT fp FROM store1) THEN 'dup_in_store'
+        |      WHEN d2.doc_id <> k2.keeper THEN 'dup_in_drop'
+        |      ELSE 'accepted' END AS status, d2.fp
+        |  FROM d2 JOIN k2 USING (fp)),
+        |u AS (
+        |  SELECT 1 AS drop_no, doc_id, status FROM c1
+        |  UNION ALL SELECT 2, doc_id, status FROM c2)
+        |SELECT drop_no, status, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  (SELECT count(*) FROM store1)
+        |    + (SELECT count(*) FROM c2 WHERE status = 'accepted')
+        |    AS store_final
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Composite oracle: near-dup cluster keepers (recursive closure
     // over the exact-jaccard pair set), Gopher repetition gate, OOV
     // rate, language ID, split hash — joined at doc grain exactly as

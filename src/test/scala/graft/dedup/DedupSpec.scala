@@ -507,7 +507,7 @@ class DedupSpec extends AnyFunSuite {
     assert(c1 == Map(10L -> "dup_in_store", 11L -> "accepted",
       12L -> "dup_in_drop", 13L -> "accepted"))
     // dup_in_store rows point at the original carrier
-    assert(spark.read.parquet(dir).count() == 4) // 2 init + 2 accepted
+    assert(graft.ops.TableLayout.read(spark, dir).count() == 4) // 2 init + 2 accepted
 
     // drop 2: drop 1's accepted text must now hit the store
     val drop2 = Seq((20L, "epsilon zeta"), (21L, "iota kappa"))
@@ -515,7 +515,7 @@ class DedupSpec extends AnyFunSuite {
     val c2 = Dedup.incrementalIngest(drop2, "doc_id", "text", dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     assert(c2 == Map(20L -> "dup_in_store", 21L -> "accepted"))
-    assert(spark.read.parquet(dir).count() == 5)
+    assert(graft.ops.TableLayout.read(spark, dir).count() == 5)
   }
 
   test("batch-dir retention: a legacy (pre-naming-scheme) dir survives " +
@@ -589,7 +589,7 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 == Set((200L, 101L)), s"got $p2")
 
-    val storeRows = spark.read.parquet(dir).count()
+    val storeRows = graft.ops.TableLayout.read(spark, dir).count()
 
     // at-least-once RE-DELIVERY of drop 2: no self-pairs (its own
     // earlier append is in the store), the real pair re-emits, and the
@@ -597,7 +597,7 @@ class DedupSpec extends AnyFunSuite {
     val p2b = Dedup.lshIncrementalIngest(drop2, texts2, "doc_id", "text", dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2b == Set((200L, 101L)), s"re-delivery got $p2b")
-    assert(spark.read.parquet(dir).count() == storeRows,
+    assert(graft.ops.TableLayout.read(spark, dir).count() == storeRows,
       "re-delivered drop must not duplicate index rows")
 
     // parameter drift vs the store meta fails loudly
@@ -618,9 +618,11 @@ class DedupSpec extends AnyFunSuite {
 
   test("store compaction: bounded file count, invariant classifications") {
     import spark.implicits._
+    // LIVE-snapshot file count (the store is manifest-versioned now:
+    // superseded generations awaiting GC are not compaction pressure)
     def dataFiles(dir: String): Int =
-      new java.io.File(dir).listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      graft.ops.TableLayout.fileStats(spark, dir,
+        graft.ops.TableLayout.resolve(spark, dir))._1.toInt
     // two stores fed identical drops: compacting (threshold 2 files)
     // vs never-compacting — classifications must match drop for drop
     val dirC = graft.util.TempDirs.scoped("dedup-compact").toString + "/store"
@@ -652,9 +654,9 @@ class DedupSpec extends AnyFunSuite {
       s"compacted store grew to $maxFiles files")
     assert(dataFiles(dirN) > dataFiles(dirC))
     // row multiset identical after all the swaps
-    val rowsC = spark.read.parquet(dirC).collect()
+    val rowsC = graft.ops.TableLayout.read(spark, dirC).collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
-    val rowsN = spark.read.parquet(dirN).collect()
+    val rowsN = graft.ops.TableLayout.read(spark, dirN).collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(rowsC == rowsN)
     // health observable: profile rows for all store columns (incl. the
@@ -940,7 +942,7 @@ class DedupSpec extends AnyFunSuite {
       standing.unionByName(drop), "doc_id", "text", dir).collect()
     assert(got.isEmpty)
     // the drop's buckets did append: params still validate afterwards
-    assert(spark.read.parquet(dir).count() > 0)
+    assert(graft.ops.TableLayout.read(spark, dir).count() > 0)
     // and a drifted-parameter call still fails loudly on the meta pin
     val ex = intercept[IllegalArgumentException] {
       Dedup.lshIncrementalIngest(drop, standing.unionByName(drop),
@@ -949,20 +951,28 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("does not match the store"))
   }
 
+  /** Live md5s per bucket across the store's snapshot generations —
+    * the byte-identical observable for the partition-scoped-purge
+    * contract, on the manifest-versioned layout. */
   private def bucketFileMd5s(root: String): Map[String, Map[String, String]] = {
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("ib="))
-    dirs.map { d =>
-      d.getName -> d.listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map { f =>
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
-          f.getName -> md5
-        }.toMap
-    }.toMap
+    val snap = graft.ops.TableLayout.resolve(spark, root)
+    val base = new java.io.File(root)
+    snap.gens.flatMap { g =>
+      val gdir = if (g.dir.isEmpty) base else new java.io.File(base, g.dir)
+      Option(gdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("ib="))
+        .filter(d => !g.exclude.contains(d.getName.stripPrefix("ib=")))
+        .map { d =>
+          d.getName -> d.listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map { f =>
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              val md5 = java.security.MessageDigest.getInstance("MD5")
+                .digest(bytes).map("%02x".format(_)).mkString
+              f.getName -> md5
+            }.toMap
+        }
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.flatMap(_._2).toMap }
   }
 
   test("clusterTableRetract: band-store purge is partition-scoped " +
@@ -995,7 +1005,7 @@ class DedupSpec extends AnyFunSuite {
     // the touched bucket no longer holds doc 5's band rows
     assert(after.get(s"ib=$rmBucket") != Some(before(s"ib=$rmBucket")),
       "the removed id's bucket was not rewritten")
-    assert(spark.read.parquet(dir + "/lsh")
+    assert(graft.ops.TableLayout.read(spark, dir + "/lsh")
       .where(col("doc_id") === 5L).count() == 0)
     // labels repaired, everything else intact
     val got = Dedup.clusterTable(spark, dir)
@@ -1053,7 +1063,7 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("another writer"))
     // the blocked attempt mutated nothing
-    assert(spark.read.parquet(dir).count() == 1)
+    assert(graft.ops.TableLayout.read(spark, dir).count() == 1)
     // a lease older than the TTL marks a dead holder: reclaimed, the
     // ingest proceeds, and the lease is released afterwards
     assert(lock.setLastModified(
@@ -1077,12 +1087,9 @@ class DedupSpec extends AnyFunSuite {
       "probes invariant; labels files stay bounded over drops") {
     import spark.implicits._
     def maxBucketFiles(root: String): Int = {
-      val dirs = Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("ib="))
-      if (dirs.isEmpty) 0
-      else dirs.map(_.listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))).max
+      val m = graft.ops.TableLayout.filesPerPartition(spark, root,
+        graft.ops.TableLayout.resolve(spark, root))
+      if (m.isEmpty) 0 else m.values.max.toInt
     }
     val dir = graft.util.TempDirs.scoped("dedup-lshbuckets").toString + "/store"
     val standing = Seq(
@@ -1177,13 +1184,13 @@ class DedupSpec extends AnyFunSuite {
     val corpus = Seq((1L, "alpha beta gamma delta"),
       (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
     Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 2)
-    val before = spark.read.parquet(dir + "/labels")
+    val before = graft.ops.TableLayout.read(spark, dir + "/labels")
       .select("doc_id", "cluster", "ver").collect().toSet
     val out = Dedup.clusterTableIngest(corpus.where(col("doc_id") < 0),
       corpus, "doc_id", "text", dir)
     assert(out.columns.toSeq == Seq("doc_id", "cluster"))
     assert(out.count() == 0L)
-    val after = spark.read.parquet(dir + "/labels")
+    val after = graft.ops.TableLayout.read(spark, dir + "/labels")
       .select("doc_id", "cluster", "ver").collect().toSet
     assert(after == before)
   }
@@ -1222,7 +1229,7 @@ class DedupSpec extends AnyFunSuite {
       (5L, "shared phrase common tail words here"),
       (6L, "shared phrase common tail words here too")).toDF("doc_id", "text")
     Dedup.clusterTableInit(corpus, "doc_id", "text", dir, idBuckets = 2)
-    def maxVer: Long = spark.read.parquet(dir + "/labels")
+    def maxVer: Long = graft.ops.TableLayout.read(spark, dir + "/labels")
       .agg(max("ver")).head().getLong(0)
     assert(maxVer == 0L)
     var all = corpus

@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The versioned-snapshot store layout's contracts: atomic manifest
+  * commits, reader isolation across rewrites (the round-11 dedup
+  * boundary — a reader that resolved a snapshot keeps a complete file
+  * set through the GC grace window), legacy-layout migration,
+  * generation folding, the keyed merge, and the double-writer epoch
+  * abort. */
+class TableLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lockedToken[T](path: String)(body: String => T): T =
+    StoreLock.withLockCtx(spark, path)(ctx => body(ctx.token))
+
+  private def rows(df: DataFrame): Set[(Long, String, Int)] =
+    df.select(col("id"), col("v"), col("ib").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  private def mk(ids: Seq[Long], tag: String, buckets: Int = 4) =
+    ids.toDF("id").select(col("id"),
+      concat(lit(tag + "-"), col("id")).as("v"),
+      pmod(col("id"), lit(buckets.toLong)).cast("int").as("ib"))
+
+  test("publish/read roundtrip, flat and partitioned; re-publish is " +
+      "one atomic snapshot flip with the old generation GC'd on grace") {
+    val flat = graft.util.TempDirs.scoped("tl-flat").toString + "/store"
+    lockedToken(flat) { t =>
+      TableLayout.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        flat, None, t)
+    }
+    assert(TableLayout.read(spark, flat).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    val part = graft.util.TempDirs.scoped("tl-part").toString + "/store"
+    lockedToken(part)(t =>
+      TableLayout.publish(mk(0L to 7L, "x"), part, Some("ib"), t))
+    assert(rows(TableLayout.read(spark, part)) == rows(mk(0L to 7L, "x")))
+    // re-publish: new content lives, version advanced
+    lockedToken(part)(t =>
+      TableLayout.publish(mk(0L to 3L, "y"), part, Some("ib"), t))
+    assert(rows(TableLayout.read(spark, part)) == rows(mk(0L to 3L, "y")))
+    assert(TableLayout.resolve(spark, part).version == 2L)
+    // third publish: v1's generation falls out of the 2-deep grace
+    // window and its directory is reaped
+    lockedToken(part)(t =>
+      TableLayout.publish(mk(0L to 1L, "z"), part, Some("ib"), t))
+    assert(!new java.io.File(part, "data-g1").exists(),
+      "superseded generation beyond the grace window must be GC'd")
+    assert(new java.io.File(part, "data-g2").exists(),
+      "the PREVIOUS generation is the reader grace window")
+  }
+
+  test("reader isolation: a snapshot resolved before a rewrite serves " +
+      "its complete pre-rewrite content afterwards") {
+    val path = graft.util.TempDirs.scoped("tl-iso").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 9L, "old"), path, Some("ib"), t))
+    val pre = TableLayout.resolve(spark, path)
+    // rewrite buckets 0 and 1 (replacement also DROPS id 0 and 4)
+    val repl = mk(Seq(8L, 1L, 5L, 9L), "new")
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, repl, Seq("0", "1"), t))
+    // the OLD snapshot still reads every pre-rewrite row
+    assert(rows(TableLayout.readAt(spark, path, pre)) ==
+      rows(mk(0L to 9L, "old")),
+      "pre-rewrite snapshot must stay fully readable (grace window)")
+    // the live snapshot merged: buckets 0,1 replaced, 2,3 untouched
+    val live = rows(TableLayout.read(spark, path))
+    val want = rows(mk(Seq(8L, 1L, 5L, 9L), "new")) ++
+      rows(mk(0L to 9L, "old")).filter(r => r._3 != 0 && r._3 != 1)
+    assert(live == want)
+  }
+
+  test("replacePartitions deletes an emptied partition and never " +
+      "touches other buckets' files") {
+    val path = graft.util.TempDirs.scoped("tl-empty").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 7L, "a"), path, Some("ib"), t))
+    def fileSet(d: java.io.File): Set[String] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).map(f => f.getName + ":" + f.lastModified).toSet
+    val g1 = new java.io.File(path, "data-g1")
+    val before = Option(g1.listFiles()).get.filter(_.isDirectory)
+      .map(d => d.getName -> fileSet(d)).toMap
+    // empty bucket 2 entirely (no replacement rows carry ib=2)
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path,
+        mk(0L to 7L, "a").filter(col("ib") =!= 2 && col("ib") =!= 3),
+        Seq("2", "3"), t))
+    val live = rows(TableLayout.read(spark, path))
+    assert(live == rows(mk(0L to 7L, "a")).filter(r => r._3 < 2),
+      s"buckets 2,3 must be gone: $live")
+    // untouched buckets' generation-1 files are byte-for-byte the same
+    val after = Option(g1.listFiles()).get.filter(_.isDirectory)
+      .map(d => d.getName -> fileSet(d)).toMap
+    Seq("ib=0", "ib=1").foreach(b =>
+      assert(after.get(b) == before.get(b), s"$b was rewritten"))
+  }
+
+  test("legacy plain-parquet stores migrate on first rewrite: reads " +
+      "work before and after, legacy files survive the grace window") {
+    // flat legacy: engine-written plain parquet at the root
+    val flat = graft.util.TempDirs.scoped("tl-legacyflat").toString + "/store"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(flat)
+    assert(TableLayout.resolve(spark, flat).version == 0L)
+    assert(TableLayout.read(spark, flat).count() == 2L)
+    lockedToken(flat)(t =>
+      TableLayout.publish(Seq((3L, "c")).toDF("id", "v"), flat, None, t))
+    assert(TableLayout.read(spark, flat).collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+    assert(new java.io.File(flat).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "legacy root files must survive the grace window (v0 kept)")
+    // partitioned legacy with a rewrite + append cycle
+    val part = graft.util.TempDirs.scoped("tl-legacypart").toString + "/store"
+    mk(0L to 7L, "l").repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(part)
+    val snap0 = TableLayout.resolve(spark, part)
+    assert(snap0.version == 0L && snap0.pcol.contains("ib"))
+    assert(rows(TableLayout.read(spark, part)) == rows(mk(0L to 7L, "l")))
+    lockedToken(part)(t =>
+      TableLayout.replacePartitions(spark, part, mk(Seq(4L), "m"),
+        Seq("0"), t))
+    assert(rows(TableLayout.read(spark, part)) ==
+      rows(mk(Seq(4L), "m")) ++
+        rows(mk(0L to 7L, "l")).filter(_._3 != 0))
+    // the pre-migration snapshot still serves (manifest v0 backfilled)
+    assert(rows(TableLayout.readAt(spark, part, snap0)) ==
+      rows(mk(0L to 7L, "l")))
+    // appends go to the newest generation; the legacy root gains no files
+    val rootFilesBefore = new java.io.File(part).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ib="))
+    TableLayout.append(mk(Seq(12L), "n"), part, Some("ib"))
+    assert(new java.io.File(part).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ib=")) ==
+      rootFilesBefore)
+    assert(rows(TableLayout.read(spark, part)).contains((12L, "n-12", 0)))
+  }
+
+  test("generation folding past MaxGens keeps the live relation exact " +
+      "and collapses the manifest") {
+    val path = graft.util.TempDirs.scoped("tl-fold").toString + "/store"
+    val buckets = 6
+    var expect = rows(mk(0L to 17L, "r0", buckets))
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 17L, "r0", buckets), path,
+        Some("ib"), t))
+    // 7 rounds of single-bucket rewrites: gens would reach 8 without
+    // folding; the manifest must stay at or under MaxGens
+    (1 to 7).foreach { r =>
+      val b = r % buckets
+      val repl = mk((0L to 17L).filter(_ % buckets == b), s"r$r", buckets)
+      lockedToken(path)(t =>
+        TableLayout.replacePartitions(spark, path, repl,
+          Seq(b.toString), t))
+      expect = expect.filter(_._3 != b) ++ rows(repl)
+      assert(rows(TableLayout.read(spark, path)) == expect,
+        s"round $r diverged")
+      val snap = TableLayout.resolve(spark, path)
+      assert(snap.gens.length <= TableLayout.MaxGens,
+        s"round $r: ${snap.gens.length} generations")
+    }
+  }
+
+  test("mergeByKey: updates override on version, inserts append, " +
+      "untouched partitions never read or rewritten") {
+    val path = graft.util.TempDirs.scoped("tl-merge").toString + "/store"
+    val base = (0L to 7L).toDF("id").select(col("id"),
+      concat(lit("v0-"), col("id")).as("v"), lit(0L).as("ver"),
+      pmod(col("id"), lit(4L)).cast("int").as("ib"))
+    lockedToken(path)(t => TableLayout.publish(base, path, Some("ib"), t))
+    val updates = Seq((0L, "v1-0", 1L, 0), (1L, "v1-1", 1L, 1),
+      (20L, "v1-20", 1L, 0)).toDF("id", "v", "ver", "ib")
+    lockedToken(path)(t =>
+      TableLayout.mergeByKey(spark, path, updates, Seq("id"), "ver", t))
+    val got = TableLayout.read(spark, path)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "v1-0" && got(1L) == "v1-1" && got(20L) == "v1-20")
+    assert(got(2L) == "v0-2" && got.size == 9)
+  }
+
+  test("a racing writer that lost the advisory lease aborts BEFORE " +
+      "publishing: the live snapshot is the winner's alone") {
+    val path = graft.util.TempDirs.scoped("tl-race").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(Seq((1L, "a")).toDF("id", "v"), path, None, t))
+    val live = TableLayout.resolve(spark, path)
+    // simulate the loser: it entered under token X, then a second
+    // writer re-stamped the epoch — the loser's commit must throw and
+    // leave the manifest chain untouched
+    val ex = intercept[IllegalStateException] {
+      TableLayout.publish(Seq((9L, "z")).toDF("id", "v"), path, None,
+        "stale-loser-token")
+    }
+    assert(ex.getMessage.contains("aborted BEFORE publishing"))
+    assert(TableLayout.resolve(spark, path).version == live.version)
+    assert(TableLayout.read(spark, path).collect()
+      .map(_.getString(1)).toSet == Set("a"))
+  }
+
+  test("fileStats and filesPerPartition count only the live snapshot") {
+    val path = graft.util.TempDirs.scoped("tl-stats").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 7L, "a"), path, Some("ib"), t))
+    TableLayout.append(mk(Seq(8L), "b"), path, Some("ib"))
+    val snap = TableLayout.resolve(spark, path)
+    val per = TableLayout.filesPerPartition(spark, path, snap)
+    assert(per("0") == 2L, s"bucket 0 should hold init+append: $per")
+    // rewrite bucket 0: its dead generation-1 files stop counting
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, mk(Seq(0L), "c"),
+        Seq("0"), t))
+    val per2 = TableLayout.filesPerPartition(spark, path,
+      TableLayout.resolve(spark, path))
+    assert(per2("0") == 1L, s"live-only accounting: $per2")
+    val (n, bytes, maxPerDir) = TableLayout.fileStats(spark, path,
+      TableLayout.resolve(spark, path))
+    assert(n == per2.values.sum && bytes > 0L && maxPerDir == 1L)
+  }
+}
