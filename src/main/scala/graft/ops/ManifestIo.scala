@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The low-level atomic-manifest primitives BOTH versioned store
+  * layouts share — [[graft.similarity.IndexLayout]] (the ANN index's
+  * three-artifact snapshot, `manifest-v*` names) and [[TableLayout]]
+  * (single-relation stores, `_manifest-v*` names). One discipline:
+  * a zero-padded ordered commit log of small text manifests, each
+  * published by write-to-dot-tmp + rename-to-fresh-name (atomic on
+  * HDFS/posix — readers see a whole manifest or none), guarded by a
+  * re-read of the store's [[StoreLock]] epoch so an advisory-lease
+  * race loser aborts BEFORE publishing.
+  */
+private[graft] object ManifestIo {
+
+  /** Committed manifests under `root` with the given name `prefix`,
+    * ordered oldest-first by version. */
+  def list(fs: FileSystem, root: Path, prefix: String): Seq[(Long, Path)] =
+    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+      .flatMap { s =>
+        val name = s.getPath.getName
+        (if (name.startsWith(prefix))
+          scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+        else None).map(_ -> s.getPath)
+      }
+      .sortBy(_._1)
+
+  def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Atomically publish `text` as `<prefix><version zero-padded-12>`:
+    * write a dot-tmp, rename to the final name. Returns false (tmp
+    * dropped) when the final name already exists — the caller decides
+    * whether that is a racing-backfill no-op or a hard error. */
+  def writeAtomic(fs: FileSystem, root: Path, prefix: String,
+      version: Long, text: String): Boolean = {
+    val tmp = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val ok = fs.rename(tmp, new Path(root, f"$prefix$version%012d"))
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  /** Re-read the [[StoreLock]] epoch at `<storePath>.epoch` and throw
+    * unless it still carries the committing writer's token — the
+    * pre-publish abort that keeps an advisory-lease race loser from
+    * replacing the winner's snapshot. `what` names the store family
+    * in the error ("index", "store"). */
+  def requireEpochToken(fs: FileSystem, storePath: String,
+      expectToken: String, what: String): Unit = {
+    val epoch = new Path(storePath.stripSuffix("/") + ".epoch")
+    val epochNow: Option[String] =
+      try readText(fs, epoch).split("\n").headOption.map(_.trim)
+      catch { case _: Exception => None }
+    if (!epochNow.contains(expectToken))
+      throw new IllegalStateException(
+        s"$what commit at $storePath aborted BEFORE publishing: the " +
+          s"mutation epoch no longer carries this writer's token " +
+          s"'$expectToken' (now ${epochNow.fold("<gone>")(t => s"'$t'")}) — " +
+          "a concurrent writer entered mid-mutation (advisory-lease " +
+          "race); the live snapshot is untouched, this writer's " +
+          "artifacts are orphaned and will be GC'd.")
+  }
+}

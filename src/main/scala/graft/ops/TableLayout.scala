@@ -116,15 +116,10 @@ private[graft] object TableLayout {
 
   private def rootOf(path: String) = new Path(path.stripSuffix("/"))
 
-  private def manifestVersion(name: String): Option[Long] =
-    if (name.startsWith("_manifest-v"))
-      scala.util.Try(name.stripPrefix("_manifest-v").toLong).toOption
-    else None
+  private val ManifestPrefix = "_manifest-v"
 
   private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
-    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
-      .flatMap(s => manifestVersion(s.getPath.getName).map(_ -> s.getPath))
-      .sortBy(_._1)
+    ManifestIo.list(fs, root, ManifestPrefix)
 
   /** Root-level partition dirs (`<pcol>=<escaped>` names), any pcol. */
   private def rootPartitionDirs(fs: FileSystem, root: Path) =
@@ -167,10 +162,7 @@ private[graft] object TableLayout {
         "exists — initialize the store first"))
 
   private def parse(fs: FileSystem, p: Path, v: Long): Snapshot = {
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = ManifestIo.readText(fs, p)
     var pcol: Option[String] = None
     val gens = Seq.newBuilder[Gen]
     text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -200,15 +192,9 @@ private[graft] object TableLayout {
   }
 
   private def writeManifest(fs: FileSystem, root: Path,
-      snap: Snapshot): Boolean = {
-    val tmp = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(serialize(snap).getBytes("UTF-8")) finally out.close()
-    val fin = new Path(root, f"_manifest-v${snap.version}%012d")
-    val ok = fs.rename(tmp, fin)
-    if (!ok) fs.delete(tmp, false)
-    ok
-  }
+      snap: Snapshot): Boolean =
+    ManifestIo.writeAtomic(fs, root, ManifestPrefix, snap.version,
+      serialize(snap))
 
   /** Atomically publish `snap` as the live snapshot. Must run under
     * the store lease; `expectEpochToken` is the committing writer's
@@ -220,22 +206,7 @@ private[graft] object TableLayout {
       expectEpochToken: String): Unit = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    val epoch = new Path(path.stripSuffix("/") + ".epoch")
-    val epochNow: Option[String] =
-      try {
-        val in = fs.open(epoch)
-        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        t.split("\n").headOption.map(_.trim)
-      } catch { case _: Exception => None }
-    if (!epochNow.contains(expectEpochToken))
-      throw new IllegalStateException(
-        s"store commit at $path aborted BEFORE publishing: the mutation " +
-          s"epoch no longer carries this writer's token " +
-          s"'$expectEpochToken' (now ${epochNow.fold("<gone>")(t => s"'$t'")}) — " +
-          "a concurrent writer entered mid-mutation (advisory-lease " +
-          "race); the live snapshot is untouched, this writer's " +
-          "generation is orphaned and will be GC'd.")
+    ManifestIo.requireEpochToken(fs, path, expectEpochToken, "store")
     // migrating a legacy (pre-manifest) store: materialize its
     // implicit v0 snapshot as _manifest-v0 FIRST, so the GC grace
     // window protects the legacy root files exactly like any

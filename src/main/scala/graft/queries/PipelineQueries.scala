@@ -942,6 +942,57 @@ object PipelineQueries {
         .orderBy("drop_id", "store_id")
     }),
 
+    // LEGACY-LAYOUT MIGRATION of a BUCKETED dedup store is
+    // value-invisible: same fixture as q_incremental_neardup, but the
+    // band store is id-bucketed, then FLATTENED to the pre-manifest
+    // on-disk shape (bare ib=* partition dirs at the root, no
+    // manifest — the exact layout round-10 stores left behind), and
+    // the ingest runs with compactAfterFiles=1 so the per-bucket
+    // compaction must resolve the implicit v0 snapshot, backfill
+    // _manifest-v0, and commit the generation layout on top. The
+    // near-dup pairs must STILL hash-match the exhaustive-jaccard
+    // oracle — migration and compaction can only change layout,
+    // never results. The whole migration path (legacy resolve,
+    // backfill, generation commit, grace-window GC) sits under the
+    // DuckDB gate.
+    "q_dedup_store_migrate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = docs.where(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text")
+      val dir = graft.util.TempDirs.scoped("graft-lshmigrate").toString + "/store"
+      Dedup.lshStoreInit(standing, "doc_id", "text", dir, idBuckets = 4)
+      // flatten to the legacy layout: generation partition dirs ->
+      // root, manifests removed (TableLayoutSpec's migration fixture)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val g1 = new org.apache.hadoop.fs.Path(root, "data-g1")
+      fs.listStatus(g1).foreach { st =>
+        if (st.getPath.getName.startsWith("ib="))
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(root, st.getPath.getName)),
+            s"migration fixture: could not flatten ${st.getPath}")
+      }
+      require(fs.delete(g1, true), "migration fixture: leftover data-g1")
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("_manifest-v"))
+        .foreach(pth => fs.delete(pth, false))
+      val drop = docs.where(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" shared tail anchor words appended"))
+              .as("text")))
+      val pairs = Dedup.lshIncrementalIngest(drop,
+          standing.unionByName(drop), "doc_id", "text", dir,
+          compactAfterFiles = 1)
+        .select(col("drop_id"), col("store_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("drop_id", "store_id")
+      require(fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("_manifest-v")),
+        "migration fixture must have committed a manifest")
+      pairs
+    }),
+
     // Quality-aware cluster representatives: same LSH->CC clusters as
     // q_dedup_clusters, but each cluster keeps its LONGEST member
     // (token-count argmax, min-id ties) instead of the arbitrary
@@ -2618,6 +2669,40 @@ object PipelineQueries {
         |          ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM cand)""".stripMargin
 
+  /** Exhaustive drop x standing jaccard ground truth for the
+    * incremental LSH ingest — shared by q_incremental_neardup and
+    * q_dedup_store_migrate (layout choreography is value-invisible). */
+  private val incrementalNeardupOracle: String =
+      """WITH standing AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |drp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text || ' shared tail anchor words appended'
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 4),
+        |u AS (SELECT * FROM standing UNION ALL SELECT * FROM drp),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM u),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(a) - 2),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT d.doc_id AS drop_id, s.doc_id AS store_id, count(*) AS shared
+        |  FROM sh d JOIN sh s ON d.shingle = s.shingle
+        |  WHERE d.doc_id IN (SELECT doc_id FROM drp)
+        |    AND s.doc_id IN (SELECT doc_id FROM standing)
+        |  GROUP BY 1, 2)
+        |SELECT drop_id, store_id,
+        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        |FROM p
+        |JOIN n na ON drop_id = na.doc_id JOIN n nb ON store_id = nb.doc_id
+        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
+        |ORDER BY drop_id, store_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_t_bpe" -> bpeOracle(6),
     "q_t_bpe_segment" -> bpeSegmentOracle(24),
@@ -3119,37 +3204,11 @@ object PipelineQueries {
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     // exhaustive drop x standing jaccard >= 0.5 (the incremental LSH
     // probe's ground truth; parameters spec-proven exhaustive on this
-    // corpus)
-    "q_incremental_neardup" ->
-      """WITH standing AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        |drp AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 5000000, text || ' shared tail anchor words appended'
-        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 4),
-        |u AS (SELECT * FROM standing UNION ALL SELECT * FROM drp),
-        |t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM u),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(len(a) - 2),
-        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) END) AS shingle
-        |  FROM t),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p AS (
-        |  SELECT d.doc_id AS drop_id, s.doc_id AS store_id, count(*) AS shared
-        |  FROM sh d JOIN sh s ON d.shingle = s.shingle
-        |  WHERE d.doc_id IN (SELECT doc_id FROM drp)
-        |    AND s.doc_id IN (SELECT doc_id FROM standing)
-        |  GROUP BY 1, 2)
-        |SELECT drop_id, store_id,
-        |  round(1.0 * shared / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
-        |FROM p
-        |JOIN n na ON drop_id = na.doc_id JOIN n nb ON store_id = nb.doc_id
-        |WHERE 1.0 * shared / (na.n_sh + nb.n_sh - shared) >= 0.5
-        |ORDER BY drop_id, store_id""".stripMargin,
+    // corpus). Shared verbatim by q_dedup_store_migrate: the bucketed
+    // legacy-migration choreography is layout-only, so its pairs must
+    // hash-match the same ground truth.
+    "q_incremental_neardup" -> incrementalNeardupOracle,
+    "q_dedup_store_migrate" -> incrementalNeardupOracle,
     // same closure + token counts: per cluster keep the (tokens DESC,
     // id ASC) argmax member — the quality-aware keeper
     "q_dedup_best_rep" ->

@@ -78,15 +78,13 @@ private[graft] object IndexLayout {
   private[similarity] def fsOf(ss: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(ss.sessionState.newHadoopConf())
 
-  private def manifestVersion(name: String): Option[Long] =
-    if (name.startsWith("manifest-v"))
-      scala.util.Try(name.stripPrefix("manifest-v").toLong).toOption
-    else None
+  // manifest primitives shared with the dedup stores' TableLayout —
+  // one atomic-commit discipline ([[graft.ops.ManifestIo]]); the
+  // index keeps its pre-existing un-prefixed manifest names
+  private val ManifestPrefix = "manifest-v"
 
   private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
-    (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
-      .flatMap(s => manifestVersion(s.getPath.getName).map(_ -> s.getPath))
-      .sortBy(_._1)
+    graft.ops.ManifestIo.list(fs, root, ManifestPrefix)
 
   /** The pre-manifest layout's implicit v0 snapshot, if the fixed
     * legacy dirs exist — the ONE definition both [[resolveOpt]] and
@@ -120,10 +118,7 @@ private[graft] object IndexLayout {
     resolveOpt(ss, path).map(_.version + 1L).getOrElse(1L)
 
   private def parse(fs: FileSystem, p: Path, v: Long): Snapshot = {
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = graft.ops.ManifestIo.readText(fs, p)
     var centroids: Option[String] = None
     var pqcents: Option[String] = None
     val gens = Seq.newBuilder[Gen]
@@ -165,46 +160,25 @@ private[graft] object IndexLayout {
       expectEpochToken: String): Unit = {
     val root = new Path(path.stripSuffix("/"))
     val fs = fsOf(ss, path)
-    val epoch = new Path(path.stripSuffix("/") + ".epoch")
-    val epochNow: Option[String] =
-      try {
-        val in = fs.open(epoch)
-        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        t.split("\n").headOption.map(_.trim)
-      } catch { case _: Exception => None }
-    if (!epochNow.contains(expectEpochToken))
-      throw new IllegalStateException(
-        s"index commit at $path aborted BEFORE publishing: the mutation " +
-          s"epoch no longer carries this writer's token " +
-          s"'$expectEpochToken' (now ${epochNow.fold("<gone>")(t => s"'$t'")}) — " +
-          "a concurrent writer entered mid-mutation (advisory-lease " +
-          "race); the live snapshot is untouched, this writer's " +
-          "artifacts are orphaned and will be GC'd.")
+    graft.ops.ManifestIo.requireEpochToken(fs, path, expectEpochToken,
+      "index")
     // migrating a legacy (pre-manifest) store: materialize its
     // implicit v0 snapshot as manifest-v0 FIRST, so the GC grace
     // window protects the legacy dirs exactly like any superseded
-    // version (readers mid-scan on the old layout keep their files)
+    // version (readers mid-scan on the old layout keep their files).
+    // A false return = v0 already exists (racing backfill lost) — a
+    // no-op by design.
     if (listManifests(fs, root).isEmpty) legacySnapshot(fs, root)
       .foreach { legacy =>
-        val t0 = new Path(root,
-          ".manifest-tmp-" + java.util.UUID.randomUUID())
-        val o0 = fs.create(t0, true)
-        try o0.write(serialize(legacy).getBytes("UTF-8")) finally o0.close()
-        if (!fs.rename(t0, new Path(root, f"manifest-v${0L}%012d")))
-          fs.delete(t0, false) // racing backfill lost: v0 already exists
+        graft.ops.ManifestIo.writeAtomic(fs, root, ManifestPrefix, 0L,
+          serialize(legacy)): Unit
       }
-    val tmp = new Path(root, ".manifest-tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(serialize(snap).getBytes("UTF-8")) finally out.close()
-    val fin = new Path(root, f"manifest-v${snap.version}%012d")
-    if (!fs.rename(tmp, fin)) {
-      fs.delete(tmp, false)
+    if (!graft.ops.ManifestIo.writeAtomic(fs, root, ManifestPrefix,
+        snap.version, serialize(snap)))
       throw new IllegalStateException(
-        s"index commit at $path: could not publish $fin (a manifest " +
-          "with this version already exists?) — the live snapshot is " +
-          "unchanged")
-    }
+        s"index commit at $path: could not publish manifest " +
+          s"v${snap.version} (a manifest with this version already " +
+          "exists?) — the live snapshot is unchanged")
     log.info(s"committed index snapshot v${snap.version} at $path " +
       s"(${snap.gens.length} postings generation(s))")
   }
