@@ -206,6 +206,39 @@ class TableLayoutSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("a"))
   }
 
+  test("multi-generation reads keep partition pruning: caller filters " +
+      "AND exclusion filters land in every generation scan's " +
+      "PartitionFilters") {
+    val path = graft.util.TempDirs.scoped("tl-prune").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 11L, "a"), path, Some("ib"), t))
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, mk(Seq(4L), "b"),
+        Seq("0"), t))
+    // two live generations now: g1 excludes ib=0, g2 holds it
+    val snap = TableLayout.resolve(spark, path)
+    assert(snap.gens.length == 2 && snap.gens.head.exclude == Seq("0"))
+    val probed = TableLayout.read(spark, path).filter(col("ib") === 1)
+    val plan = probed.queryExecution.executedPlan.toString
+    // the strict PqSpec discipline: the predicate must sit inside the
+    // PartitionFilters bracket of BOTH scans — 'ib#' anywhere in the
+    // plan would also match mere data filters and pass with pruning
+    // silently lost
+    val brackets = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    assert(brackets.length == 2, s"expected two generation scans: $plan")
+    brackets.foreach(b => assert(b.contains("ib#"),
+      s"generation scan without an ib partition filter: $b"))
+    // the excluded-value filter prunes too: a full read must list NO
+    // ib=0 directory under the excluded generation (file-level proof,
+    // independent of filter rendering)
+    val g1Files = TableLayout.read(spark, path).queryExecution
+      .executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(!g1Files.contains("data-g1/ib=0"),
+      "excluded partition's files still feed the union read")
+    assert(rows(probed) == rows(mk(0L to 11L, "a")).filter(_._3 == 1))
+  }
+
   test("fileStats and filesPerPartition count only the live snapshot") {
     val path = graft.util.TempDirs.scoped("tl-stats").toString + "/store"
     lockedToken(path)(t =>
