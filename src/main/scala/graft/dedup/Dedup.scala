@@ -1448,9 +1448,31 @@ object Dedup {
     val fp = drop.select(col(idCol),
       TextFunctions.fingerprint(col(textCol), nfc).as("fingerprint"))
     val keeper = fp.groupBy("fingerprint").agg(min(col(idCol)).as("__keeper"))
+      .cache()
+    // STORE-SIDE BLOOM PRUNE: the classification is a LEFT OUTER join
+    // with the increment-sized side on the left, and Spark can only
+    // broadcast-build the RIGHT side of a left-outer join — so the
+    // corpus-sized store would shuffle in full on EVERY drop (and the
+    // optimizer's own runtime bloom filter does not fire here: the
+    // creation side needs a selective scan filter it cannot see in a
+    // derived drop). Building an explicit bloom over the drop's
+    // fingerprints ([[graft.plans.BloomFilterOps]], two drop-sized
+    // jobs against the cached keeper) and probing the store scan
+    // map-side cuts the store's shuffle input from corpus-sized to
+    // matched + fpp of the rest. No false negatives, so every store
+    // row that matches a drop fingerprint survives — classifications
+    // are invariant (spec-asserted); false positives only shuffle a
+    // few extra rows the join then ignores. Past Spark's bloom caps
+    // (maxNumItems/maxNumBits) a corpus-sized "drop" degrades the fpp
+    // toward 1 — the prune fades to a no-op, never to a wrong answer.
+    val nKeys = keeper.count()
+    val bloom = graft.plans.BloomFilterOps.buildBloom(keeper,
+      col("fingerprint"), nKeys)
+    val storePruned = store.filter(graft.plans.BloomFilterOps
+      .mightContain(spark, bloom, col("fingerprint")))
     val batchPath = freshBatchDir(spark, storePath)
     fp.join(keeper, Seq("fingerprint"))
-      .join(store.select(col("fingerprint"), col("first_id")),
+      .join(storePruned.select(col("fingerprint"), col("first_id")),
         Seq("fingerprint"), "left")
       .select(col(idCol), col("fingerprint"),
         when(col("first_id").isNotNull, lit("dup_in_store"))
@@ -1458,6 +1480,7 @@ object Dedup {
           .otherwise(lit("accepted")).as("status"),
         col("first_id"))
       .write.mode("overwrite").parquet(batchPath)
+    keeper.unpersist()
     val classified = spark.read.parquet(batchPath)
     graft.ops.TableLayout.append(classified
       .where(col("status") === "accepted")
@@ -1652,14 +1675,37 @@ object Dedup {
       .cache()
     val store = graft.ops.TableLayout.read(ss, storePath)
       .select(col(idCol).as("store_id"), col("band"), col("bh"))
+    // STORE-SIDE BLOOM PRUNES (the incrementalIngest discipline; the
+    // blooms build over the CACHED dropB, so each costs one cheap
+    // drop-sized job): (a) the bucket probe is an equi-join whose
+    // store side is corpus x bands-sized — when the drop outgrows the
+    // broadcast threshold the whole store would shuffle per drop, so
+    // probe the store scan with a bloom over the drop's (band, bh)
+    // keys; (b) the idempotence anti-join's right side is every
+    // indexed id (a corpus-sized distinct per drop) — prune it with a
+    // bloom over the drop's ids BEFORE the distinct. Right-side
+    // pruning by left-key blooms preserves BOTH joins exactly: no
+    // false negatives means every matching store row survives, and
+    // anti-join semantics only consult right rows that match a left
+    // key. False positives only shuffle a few extra rows.
+    val nDropB = dropB.count()
+    val probeBloom = graft.plans.BloomFilterOps.buildBloom(dropB,
+      struct(col("band"), col("bh")), nDropB)
+    val storePruned = store.filter(graft.plans.BloomFilterOps
+      .mightContain(ss, probeBloom, struct(col("band"), col("bh"))))
+    val idBloom = graft.plans.BloomFilterOps.buildBloom(dropB,
+      col("drop_id"), nDropB)
     val batchPath = freshBatchDir(ss, storePath)
-    dropB.join(store, Seq("band", "bh"))
+    dropB.join(storePruned, Seq("band", "bh"))
       .where(col("drop_id") =!= col("store_id"))
       .select("drop_id", "store_id").distinct()
       .write.mode("overwrite").parquet(batchPath)
     // idempotent append: a re-delivered drop's ids are already indexed
     val appendRows = dropB
-      .join(store.select(col("store_id").as("drop_id")).distinct(),
+      .join(store
+        .filter(graft.plans.BloomFilterOps.mightContain(ss, idBloom,
+          col("store_id")))
+        .select(col("store_id").as("drop_id")).distinct(),
         Seq("drop_id"), "left_anti")
       .select(col("drop_id").as(idCol), col("band"), col("bh"))
       .withColumn("n", lit(n)).withColumn("num_hashes", lit(numHashes))

@@ -1254,4 +1254,58 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(labels == Set(1L, 2L, 5L, 10L, 11L, 12L))
   }
+  test("per-drop store joins are bloom-pruned map-side: the executed " +
+      "classification and probe plans carry might_contain over the " +
+      "store scan") {
+    import spark.implicits._
+    import scala.collection.mutable.ArrayBuffer
+    val plans = ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val fdir = graft.util.TempDirs.scoped("dedup-bloomplan").toString + "/fp"
+      Dedup.fingerprintStoreInit(
+        Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+        "doc_id", "text", fdir)
+      Dedup.incrementalIngest(
+        Seq((10L, "alpha beta"), (11L, "epsilon zeta")).toDF("doc_id", "text"),
+        "doc_id", "text", fdir).collect()
+      val ldir = graft.util.TempDirs.scoped("dedup-bloomplan").toString + "/lsh"
+      val standing = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "one two three four five six seven eight nine")
+      ).toDF("doc_id", "text")
+      Dedup.lshStoreInit(standing, "doc_id", "text", ldir)
+      val drop = Seq((100L,
+        "alpha beta gamma delta epsilon zeta eta theta tail"))
+        .toDF("doc_id", "text")
+      Dedup.lshIncrementalIngest(drop, standing.unionByName(drop),
+        "doc_id", "text", ldir).collect()
+      // QueryExecutionListener delivery is async: poll until the
+      // expected plan shapes arrive (bounded)
+      def snapshot(): Seq[String] = plans.synchronized(plans.toList)
+      def pruned(): Int = snapshot().count(_.contains("might_contain"))
+      val deadline = System.currentTimeMillis() + 20000
+      // fingerprint classification + LSH probe + LSH idempotence
+      // anti-join = at least 3 bloom-probed executions
+      while (pruned() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(pruned() >= 3,
+        s"expected >=3 bloom-pruned store plans, got ${pruned()}:\n" +
+          snapshot().filter(_.contains("might_contain")).mkString("\n---\n"))
+      // and at least one of them probes an on-disk store generation
+      assert(snapshot().exists(pl => pl.contains("might_contain") &&
+        pl.contains("data-g")),
+        "no bloom-probed plan scans a store generation")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
 }
