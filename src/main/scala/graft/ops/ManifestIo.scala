@@ -46,6 +46,29 @@ private[graft] object ManifestIo {
     ok
   }
 
+  /** The WHOLE commit choreography both layouts share: pre-publish
+    * epoch re-verification, legacy-v0 backfill on the first-ever
+    * manifest (so the GC grace window protects pre-manifest data
+    * exactly like any superseded snapshot; a false backfill return =
+    * a racing backfill already published v0 — a no-op by design),
+    * then the atomic publish, throwing on a version collision with
+    * the live snapshot untouched. */
+  def commit(fs: FileSystem, root: Path, prefix: String,
+      storePath: String, what: String, version: Long, text: String,
+      legacyBackfill: => Option[(Long, String)],
+      expectToken: String): Unit = {
+    requireEpochToken(fs, storePath, expectToken, what)
+    if (list(fs, root, prefix).isEmpty)
+      legacyBackfill.foreach { case (v0, t0) =>
+        writeAtomic(fs, root, prefix, v0, t0): Unit
+      }
+    if (!writeAtomic(fs, root, prefix, version, text))
+      throw new IllegalStateException(
+        s"$what commit at $storePath: could not publish manifest " +
+          s"v$version (a manifest with this version already exists?) " +
+          "— the live snapshot is unchanged")
+  }
+
   /** Re-read the [[StoreLock]] epoch at `<storePath>.epoch` and throw
     * unless it still carries the committing writer's token — the
     * pre-publish abort that keeps an advisory-lease race loser from

@@ -131,6 +131,25 @@ private[graft] object TableLayout {
     (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
+  /** A generation's on-disk partition dirs (root-level for the
+    * legacy generation) — the ONE listing [[replacePartitions]]'
+    * generation-drop decision, [[fileStats]] and
+    * [[filesPerPartition]] all share. */
+  private def genPartitionDirs(fs: FileSystem, root: Path,
+      g: Gen): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (g.dir.isEmpty) rootPartitionDirs(fs, root)
+    else if (fs.exists(new Path(root, g.dir)))
+      fs.listStatus(new Path(root, g.dir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    else Seq.empty
+
+  /** A generation's excluded partition values rendered as directory
+    * names — the ONE rendering every exclusion-vs-dir comparison
+    * shares. */
+  private def excludedDirNames(pc: String, g: Gen): Set[String] =
+    g.exclude.map(x => s"$pc=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(x)).toSet
+
   /** The pre-manifest layout's implicit v0 snapshot, if root-level
     * data exists — the ONE definition [[resolveOpt]] and [[commit]]'s
     * migration backfill share. */
@@ -191,11 +210,6 @@ private[graft] object TableLayout {
     b.result()
   }
 
-  private def writeManifest(fs: FileSystem, root: Path,
-      snap: Snapshot): Boolean =
-    ManifestIo.writeAtomic(fs, root, ManifestPrefix, snap.version,
-      serialize(snap))
-
   /** Atomically publish `snap` as the live snapshot. Must run under
     * the store lease; `expectEpochToken` is the committing writer's
     * [[StoreLock.LockCtx]] token — the epoch is re-verified HERE,
@@ -206,22 +220,10 @@ private[graft] object TableLayout {
       expectEpochToken: String): Unit = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    ManifestIo.requireEpochToken(fs, path, expectEpochToken, "store")
-    // migrating a legacy (pre-manifest) store: materialize its
-    // implicit v0 snapshot as _manifest-v0 FIRST, so the GC grace
-    // window protects the legacy root files exactly like any
-    // superseded generation
-    if (listManifests(fs, root).isEmpty) legacySnapshot(fs, root)
-      .foreach { legacy =>
-        // a false return = v0 already exists (racing backfill lost);
-        // writeManifest already dropped its tmp file — nothing to do
-        writeManifest(fs, root, legacy): Unit
-      }
-    if (!writeManifest(fs, root, snap))
-      throw new IllegalStateException(
-        s"store commit at $path: could not publish manifest " +
-          s"v${snap.version} (a manifest with this version already " +
-          "exists?) — the live snapshot is unchanged")
+    ManifestIo.commit(fs, root, ManifestPrefix, path, "store",
+      snap.version, serialize(snap),
+      legacySnapshot(fs, root).map(l => (0L, serialize(l))),
+      expectEpochToken)
     log.info(s"committed store snapshot v${snap.version} at $path " +
       s"(${snap.gens.length} generation(s))")
   }
@@ -323,8 +325,11 @@ private[graft] object TableLayout {
     if (dfs.isEmpty)
       throw new IllegalStateException(
         s"store at $path resolves to snapshot v${snap.version} but no " +
-          "generation holds data files — a corrupted or hand-edited " +
-          "manifest")
+          "generation holds data files — the store is EMPTY (every row " +
+          "retracted, or a partitioned init over an empty input, which " +
+          "writes no files): re-initialize the store to continue; if " +
+          "it should hold data, the manifest was corrupted or " +
+          "hand-edited")
     dfs.reduceLeft(_.unionByName(_))
   }
 
@@ -407,6 +412,11 @@ private[graft] object TableLayout {
       replacement: DataFrame, touchedVals: Seq[String],
       token: String): Unit = {
     requireCleanVals(touchedVals)
+    // a no-op rewrite (nothing touched; by the values-subset contract
+    // the replacement is then empty too) must not burn a snapshot
+    // version: committing would shrink the reader grace window and
+    // churn generations for zero data change
+    if (touchedVals.isEmpty) return
     val snap = resolve(ss, path)
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.replacePartitions at $path: the store is not " +
@@ -446,16 +456,9 @@ private[graft] object TableLayout {
     // drop generations whose every on-disk partition value is now
     // excluded — they contribute nothing and would only accrete
     val liveOld = keptOld.filter { g =>
-      val dirs =
-        if (g.dir.isEmpty) rootPartitionDirs(fs, root)
-        else if (fs.exists(new Path(root, g.dir)))
-          fs.listStatus(new Path(root, g.dir)).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        else Seq.empty
-      val excludedNames = g.exclude.map(x =>
-        s"$pc=" + org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(x)).toSet
-      dirs.exists(d => !excludedNames.contains(d.getPath.getName))
+      val excluded = excludedDirNames(pc, g)
+      genPartitionDirs(fs, root, g)
+        .exists(d => !excluded.contains(d.getPath.getName))
     }
     val newGens = liveOld :+ Gen(genDirName(v), Nil)
     commit(ss, path, Snapshot(v, snap.pcol, newGens), token)
@@ -483,6 +486,7 @@ private[graft] object TableLayout {
     val touchedVals = updates.select(col(pc).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
     requireCleanVals(touchedVals)
+    if (touchedVals.isEmpty) return // empty updates: no-op, no commit
     val base = readAt(ss, path, snap, Some(updates.schema))
       .filter(col(pc).cast("string").isin(touchedVals: _*))
     val merged = base.unionByName(updates)
@@ -494,48 +498,48 @@ private[graft] object TableLayout {
   }
 
   /** Live data-file statistics of the snapshot — the compaction
-    * pressure metric (total files/bytes plus the per-directory max
-    * that drives bucket-grain compaction). Excluded partition dirs
-    * do not count: their files are dead weight awaiting GC, not
-    * compaction pressure. */
+    * pressure metric. The per-"dir" max aggregates by PARTITION VALUE
+    * across generations for partitioned stores (a bucket's live files
+    * span the base generation plus every append generation — that sum
+    * is exactly what [[filesPerPartition]] feeds the bucket-grain
+    * compaction trigger, so the health observable must report the
+    * same number) and by physical directory for flat stores. Excluded
+    * partition dirs do not count: their files are dead weight
+    * awaiting GC, not compaction pressure. */
   def fileStats(ss: SparkSession, path: String,
       snap: Snapshot): (Long, Long, Long) = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    val perDir = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // key: partition dir NAME (pc=value — aggregates across
+    // generations) for partitioned data; the generation dir for flat
+    val perKey = scala.collection.mutable.Map.empty[String, (Long, Long)]
     snap.gens.foreach { g =>
       val excludedNames = snap.pcol.fold(Set.empty[String])(pc =>
-        g.exclude.map(x => s"$pc=" + org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(x)).toSet)
+        excludedDirNames(pc, g))
       val base = if (g.dir.isEmpty) root else new Path(root, g.dir)
       if (fs.exists(base)) {
-        val (pdirs, files) =
-          if (g.dir.isEmpty)
-            (rootPartitionDirs(fs, root), rootDataFiles(fs, root))
-          else {
-            val all = fs.listStatus(base).toSeq
-            (all.filter(s => s.isDirectory &&
-              s.getPath.getName.contains("=")),
-              all.filter(s => s.isFile &&
-                s.getPath.getName.endsWith(".parquet")))
-          }
+        val files =
+          if (g.dir.isEmpty) rootDataFiles(fs, root)
+          else fs.listStatus(base).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
         files.foreach { f =>
-          val (n, b) = perDir.getOrElse(base.toString, (0L, 0L))
-          perDir(base.toString) = (n + 1, b + f.getLen)
+          val (n, b) = perKey.getOrElse(base.toString, (0L, 0L))
+          perKey(base.toString) = (n + 1, b + f.getLen)
         }
-        pdirs.filterNot(d => excludedNames.contains(d.getPath.getName))
+        genPartitionDirs(fs, root, g)
+          .filterNot(d => excludedNames.contains(d.getPath.getName))
           .foreach { d =>
             fs.listStatus(d.getPath)
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
-                val k = d.getPath.toString
-                val (n, b) = perDir.getOrElse(k, (0L, 0L))
-                perDir(k) = (n + 1, b + f.getLen)
+                val k = d.getPath.getName
+                val (n, b) = perKey.getOrElse(k, (0L, 0L))
+                perKey(k) = (n + 1, b + f.getLen)
               }
           }
       }
     }
-    val counts = perDir.valuesIterator.toSeq
+    val counts = perKey.valuesIterator.toSeq
     (counts.map(_._1).sum, counts.map(_._2).sum,
       if (counts.isEmpty) 0L else counts.map(_._1).max)
   }
@@ -549,13 +553,7 @@ private[graft] object TableLayout {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
     snap.gens.flatMap { g =>
-      val dirs =
-        if (g.dir.isEmpty) rootPartitionDirs(fs, root)
-        else if (fs.exists(new Path(root, g.dir)))
-          fs.listStatus(new Path(root, g.dir)).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        else Seq.empty
-      dirs.flatMap { d =>
+      genPartitionDirs(fs, root, g).flatMap { d =>
         val vRaw = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils
           .unescapePathName(d.getPath.getName.split("=", 2)(1))

@@ -160,25 +160,14 @@ private[graft] object IndexLayout {
       expectEpochToken: String): Unit = {
     val root = new Path(path.stripSuffix("/"))
     val fs = fsOf(ss, path)
-    graft.ops.ManifestIo.requireEpochToken(fs, path, expectEpochToken,
-      "index")
-    // migrating a legacy (pre-manifest) store: materialize its
-    // implicit v0 snapshot as manifest-v0 FIRST, so the GC grace
-    // window protects the legacy dirs exactly like any superseded
-    // version (readers mid-scan on the old layout keep their files).
-    // A false return = v0 already exists (racing backfill lost) — a
-    // no-op by design.
-    if (listManifests(fs, root).isEmpty) legacySnapshot(fs, root)
-      .foreach { legacy =>
-        graft.ops.ManifestIo.writeAtomic(fs, root, ManifestPrefix, 0L,
-          serialize(legacy)): Unit
-      }
-    if (!graft.ops.ManifestIo.writeAtomic(fs, root, ManifestPrefix,
-        snap.version, serialize(snap)))
-      throw new IllegalStateException(
-        s"index commit at $path: could not publish manifest " +
-          s"v${snap.version} (a manifest with this version already " +
-          "exists?) — the live snapshot is unchanged")
+    // the shared choreography ([[graft.ops.ManifestIo.commit]]):
+    // epoch re-verification, legacy-v0 backfill (readers mid-scan on
+    // the pre-manifest layout keep their files through the grace
+    // window), atomic publish
+    graft.ops.ManifestIo.commit(fs, root, ManifestPrefix, path, "index",
+      snap.version, serialize(snap),
+      legacySnapshot(fs, root).map(l => (0L, serialize(l))),
+      expectEpochToken)
     log.info(s"committed index snapshot v${snap.version} at $path " +
       s"(${snap.gens.length} postings generation(s))")
   }

@@ -257,5 +257,39 @@ class TableLayoutSpec extends AnyFunSuite {
     val (n, bytes, maxPerDir) = TableLayout.fileStats(spark, path,
       TableLayout.resolve(spark, path))
     assert(n == per2.values.sum && bytes > 0L && maxPerDir == 1L)
+    // a bucket whose live files SPAN generations (old rows in the
+    // base, appends in the newest) must report the cross-generation
+    // SUM as its per-dir pressure — the health observable and the
+    // bucket-compaction trigger must see the same number
+    TableLayout.append(mk(Seq(16L), "d"), path, Some("ib"))
+    TableLayout.append(mk(Seq(24L), "e"), path, Some("ib"))
+    val snap3 = TableLayout.resolve(spark, path)
+    val per3 = TableLayout.filesPerPartition(spark, path, snap3)
+    val (_, _, max3) = TableLayout.fileStats(spark, path, snap3)
+    assert(max3 == per3.values.max,
+      s"health max ($max3) diverges from the compaction trigger " +
+        s"(${per3.values.max}): $per3")
+    assert(per3("0") >= 3L, s"bucket 0 should span generations: $per3")
+  }
+
+  test("a no-op rewrite (nothing touched, empty updates) burns no " +
+      "snapshot version and writes no generation") {
+    val path = graft.util.TempDirs.scoped("tl-noop").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 3L, "a"), path, Some("ib"), t))
+    val v1 = TableLayout.resolve(spark, path).version
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path,
+        mk(Seq.empty[Long], "x"), Seq.empty, t))
+    lockedToken(path)(t =>
+      TableLayout.mergeByKey(spark, path,
+        (Seq.empty[Long]).toDF("id").select(col("id"),
+          lit("v").as("v"), lit(1L).as("ver"), lit(0).as("ib"))
+          .withColumn("ver", col("ver")),
+        Seq("id"), "ver", t))
+    assert(TableLayout.resolve(spark, path).version == v1,
+      "a no-op rewrite must not commit")
+    assert(!new java.io.File(path, "data-g" + (v1 + 1)).exists())
+    assert(rows(TableLayout.read(spark, path)) == rows(mk(0L to 3L, "a")))
   }
 }
