@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
 import graft.ops.{HistogramOps => H}
 import graft.similarity.Similarity
+import graft.text.TextIndex
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * text analysis, dedup (exact + near-dup), similarity search. Every
@@ -1926,7 +1927,69 @@ object PipelineQueries {
     "q_t_tfidf" -> ((s, d) => {
       T.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")
+    }),
+
+    // PERSISTENT INVERTED TEXT INDEX + BM25 top-5 — build the
+    // bucket-partitioned postings store, then serve first-8-token
+    // self-queries (every 37th doc). The oracle restates tokenize →
+    // tf/df/dl → the portable-exact micro-unit BM25 (the no-libm ln
+    // polynomial, generated from the SAME template as the engine
+    // expression) → (score_u DESC, doc_id) top-5.
+    "q_text_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx").toString + "/index"
+      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Same serve through the INCREMENTAL path: build on doc_id%3<>0,
+    // append the rest — postings, stats and scores must equal the
+    // full-corpus build bit for bit (same full-corpus oracle).
+    "q_text_bm25_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx-app").toString + "/index"
+      TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path, nBuckets = 32)
+      TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
+    // HYBRID lexical ⊕ embedding retrieval: BM25 top-10 and exact
+    // cosine top-10 over the same query ids, fused by micro-unit
+    // reciprocal-rank fusion (rrfK=60) into the final top-5. The
+    // oracle recomputes both legs (the q_sim_topk cosine chain + the
+    // BM25 chain) and the integer fusion.
+    "q_text_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx-hyb").toString + "/index"
+      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      val bm = TextIndex.topK(bm25Queries(docs, "doc_id < 10"),
+        "query_id", "qtext", k = 10, path)
+      val cos = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TextIndex.rrfFuse(Seq(bm, cos), k = 5)
+        .orderBy("query_id", "rank")
     }))
+
+  /** The BM25 gates' query frame: each selected doc's first 8
+    * whitespace tokens re-joined as the query text (self-retrieval —
+    * the source doc should rank at or near the top). */
+  private def bm25Queries(docs: DataFrame, pred: String): DataFrame =
+    docs.filter(expr(pred))
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(T.tokens(col("text")), 1, 8)).as("qtext"))
 
   private val punctClass = """[.,;:!?''"()\-]""" // SQL-escaped ' as ''
 
@@ -4719,5 +4782,91 @@ object PipelineQueries {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  CAST(idf_x1000 AS BIGINT) AS idf_x1000, CAST(score AS BIGINT) AS score
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_text_bm25_topk" -> bm25OracleSql("doc_id % 37 = 0", 5),
+    // the append gate serves the SAME postings + stats the full build
+    // produces, so it shares the full-corpus oracle verbatim
+    "q_text_bm25_append" -> bm25OracleSql("doc_id % 37 = 0", 5),
+    "q_text_hybrid_rrf" -> hybridRrfOracleSql)
+
+  /** BM25 oracle CTE chain up through the per-query ranking `bmr`:
+    * tokenize (null-safe, the engine tokenizer restated), per-doc
+    * lengths, corpus stats, tf/df, the first-8-token query terms for
+    * docs matching `queryPred`, and the micro-unit scoring — the
+    * contribution expression GENERATED from the engine's own template
+    * ([[graft.text.TextIndex.contribMicroSql]], DuckDB dialect), so
+    * the no-libm ln polynomial cannot drift between the sides. */
+  private def bm25Ctes(queryPred: String): String = {
+    val contrib = TextIndex.contribMicroSql("tf", "dl", "df", "n", "t",
+      TextIndex.DuckDialect)
+    raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(coalesce(text, ''))) = 0
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+         |    END AS toks
+         |  FROM documents),
+         |dln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                CAST(coalesce(sum(dl), 0) AS BIGINT) AS t
+         |         FROM dln),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |q AS (SELECT DISTINCT query_id, term FROM (
+         |        SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
+         |        FROM d WHERE $queryPred)),
+         |mm AS (SELECT q.query_id, tf.doc_id, tf.tf, dln.dl, dfq.df,
+         |         meta.n, meta.t
+         |       FROM q JOIN tf USING (term)
+         |         JOIN dln ON tf.doc_id = dln.doc_id
+         |         JOIN dfq USING (term) CROSS JOIN meta),
+         |bms AS (SELECT query_id, doc_id,
+         |          CAST(sum($contrib) AS BIGINT) AS score_u
+         |        FROM mm GROUP BY query_id, doc_id),
+         |bmr AS (SELECT query_id, doc_id, score_u,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_u DESC, doc_id) AS rank
+         |        FROM bms)""".stripMargin
+  }
+
+  private def bm25OracleSql(queryPred: String, k: Int): String =
+    bm25Ctes(queryPred) + s"""
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_u
+       |FROM bmr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid oracle: the BM25 chain (queries = docs with id < 10) and
+    * the q_sim_topk exact-cosine chain, both at top-10, fused by the
+    * generated micro-unit RRF expression into the final top-5. */
+  private def hybridRrfOracleSql: String = {
+    val rrf = TextIndex.rrfMicroSql("rank", 60)
+    bm25Ctes("doc_id < 10") + s""",
+       |cq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < 10),
+       |cc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |       FROM embeddings),
+       |cs AS (SELECT query_id, neighbor_id,
+       |         round(list_cosine_similarity(qv, cv), 4) AS sim
+       |       FROM cq CROSS JOIN cc WHERE query_id <> neighbor_id),
+       |cr AS (SELECT query_id, neighbor_id AS doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS rank
+       |       FROM cs),
+       |legs AS (
+       |  SELECT query_id, doc_id, $rrf AS rrf_u
+       |  FROM bmr WHERE rank <= 10
+       |  UNION ALL
+       |  SELECT query_id, doc_id, $rrf AS rrf_u
+       |  FROM cr WHERE rank <= 10),
+       |fs AS (SELECT query_id, doc_id, CAST(sum(rrf_u) AS BIGINT) AS rrf_u
+       |       FROM legs GROUP BY query_id, doc_id),
+       |fr AS (SELECT query_id, doc_id, rrf_u,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_u DESC, doc_id) AS rank
+       |       FROM fs)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
+       |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -1,0 +1,334 @@
+package graft.text
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.{ManifestIo, StoreLock, TableLayout}
+import graft.plans.PortableHash64Expr
+
+/** PERSISTENT INVERTED TEXT INDEX + BM25 top-k — the keyword-retrieval
+  * counterpart of the [[graft.similarity.Similarity]] ANN family
+  * (extension surface: the reference pipeline has no retrieval ops;
+  * an LLM-data platform needs BOTH lexical and embedding search, plus
+  * their fusion, for decontamination forensics, eval-set curation and
+  * RAG corpus serving).
+  *
+  * Layout: ONE [[TableLayout]] versioned-snapshot store of postings
+  * `(term, doc_id, tf, dl, bucket)` PARTITIONED BY `bucket =
+  * pmod(portable_hash64(term), nBuckets)` — the on-disk layout IS the
+  * sharded inverted file, so a serve scans only the buckets its query
+  * terms hash to (static partition pruning) and within them only the
+  * matching terms (predicate pushdown to parquet). Readers inherit the
+  * snapshot contract: appends are file-atomic into the newest
+  * generation, rewrites land in new generations behind one atomic
+  * manifest, so a serve racing maintenance always sees a complete
+  * index. Corpus statistics (doc count, total token count — the BM25
+  * `N` and `avgdl` inputs) live in a tiny versioned `_textmeta-v*`
+  * sidecar, committed write-tmp + rename like the manifests.
+  *
+  * Scoring contract (PORTABLE-EXACT, the house oracle discipline):
+  * Okapi BM25 with k1 = 1.2, b = 0.75 and the Robertson-Sparck-Jones
+  * "+1" idf, computed WITHOUT libm — `ln` is evaluated by a fixed
+  * atanh-series polynomial over IEEE exactly-rounded `+ - * /` after
+  * a bit-exact power-of-two range reduction (`length(bin(floor(x)))`),
+  * so every engine that parses the same expression computes the SAME
+  * double, bit for bit. Per-term idf is scaled to int64 MICRO-UNITS,
+  * each posting's contribution is floored to micro-units, and the
+  * per-document score is an int64 SUM of those — integer addition is
+  * associative, so the score is independent of Spark's partial-
+  * aggregation order and identical in any oracle engine. The SQL for
+  * both sides is GENERATED from one template ([[idfMicroSql]] /
+  * [[contribMicroSql]]) so engine and oracle cannot drift.
+  *
+  * Scale shape: build is one tokenize pass + one (doc, term) partial-
+  * aggregated count shuffle + the bucket-co-located store write; serve
+  * broadcasts the query-term table (queries are small by contract —
+  * the ANN-family serving discipline), scans only matched buckets and
+  * terms, derives per-term document frequency FROM the scanned slice
+  * (postings hold one row per (term, doc), so `count(*)` per term IS
+  * df — no separate df artifact to drift), and aggregates int64
+  * micro-units at (query, doc) grain. Nothing corpus-sized reaches
+  * the driver; the one skew boundary is a stopword query term, whose
+  * inverted list is corpus-sized by nature — production callers drop
+  * terms with `df > maxDfFrac * N` via the knob (the
+  * [[TextFunctions.tfIdfTopTerms]] `dropMajorityTokens` discipline);
+  * the gates pin the knob off for exhaustive-parameter oracling.
+  */
+object TextIndex {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** BM25 constants, folded: k1 = 1.2, b = 0.75 → k1+1 = 2.2,
+    * k1*(1-b) = 0.3, k1*b = 0.9 — kept as double LITERALS in the
+    * generated expressions so both engines parse the identical
+    * values. */
+  val K1 = 1.2
+  val B = 0.75
+
+  final case class Meta(nDocs: Long, totalTokens: Long, nBuckets: Int)
+
+  // ---------------------------------------------------------------
+  // portable-exact scoring SQL (ONE generator, both dialects)
+  // ---------------------------------------------------------------
+
+  /** Dialect switch: the only constructs Spark SQL and DuckDB spell
+    * differently in the scoring expressions. */
+  sealed trait Dialect { def shl1(e: String): String }
+  case object SparkDialect extends Dialect {
+    def shl1(e: String): String = s"shiftleft(CAST(1 AS BIGINT), $e)"
+  }
+  case object DuckDialect extends Dialect {
+    def shl1(e: String): String = s"(CAST(1 AS BIGINT) << $e)"
+  }
+
+  /** Micro-unit BM25 idf as a SQL expression over int64 columns/
+    * expressions `df` and `n`:
+    * `floor(1e6 * ln((n - df + 0.5)/(df + 0.5) + 1)) + .5` with `ln`
+    * expanded to the portable fixed polynomial:
+    * range-reduce x = m * 2^e via e = length(bin(floor(x))) - 1
+    * (exact integer ops; x > 1 always since n >= df >= 1), then
+    * ln(m) by the degree-9 atanh series in z = (m-1)/(m+1) — every
+    * arithmetic node is an IEEE exactly-rounded op with a pinned
+    * association order, so the resulting double is engine-portable
+    * bit for bit; truncation error (~1e-7, z <= 1/3) is part of the
+    * CONTRACT, not drift. */
+  def idfMicroSql(df: String, n: String, d: Dialect): String = {
+    val x = s"(((($n - $df) + 0.5) / ($df + 0.5)) + 1.0)"
+    val fx = s"CAST(floor($x) AS BIGINT)"
+    val e = s"CAST(length(bin($fx)) - 1 AS INT)"
+    val p = s"CAST(${d.shl1(e)} AS DOUBLE)"
+    val m = s"($x / $p)"
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    val z2 = s"($z * $z)"
+    val poly = s"(1.0 + ($z2 * ((1.0/3.0) + ($z2 * ((1.0/5.0) + " +
+      s"($z2 * ((1.0/7.0) + ($z2 * (1.0/9.0)))))))))"
+    val lnm = s"((2.0 * $z) * $poly)"
+    val lnx = s"((CAST($e AS DOUBLE) * 0.6931471805599453) + $lnm)"
+    s"CAST(floor(($lnx * 1000000.0) + 0.5) AS BIGINT)"
+  }
+
+  /** One posting's micro-unit BM25 contribution over int64 columns
+    * `tf` (term frequency in the doc), `dl` (doc token length), `df`,
+    * and the corpus stats `n` (doc count) / `t` (total tokens):
+    * `idf_u * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)` with
+    * `dl/avgdl` computed as the exactly-rounded `(dl*n)/t` (int64
+    * product, one double division) and the result floored to int64
+    * micro-units — summable in any order. */
+  def contribMicroSql(tf: String, dl: String, df: String, n: String,
+      t: String, d: Dialect): String = {
+    val idf = idfMicroSql(df, n, d)
+    val dlr = s"(CAST(($dl * $n) AS DOUBLE) / CAST($t AS DOUBLE))"
+    val den = s"(CAST($tf AS DOUBLE) + (0.3 + (0.9 * $dlr)))"
+    val num = s"(CAST($idf AS DOUBLE) * (CAST($tf AS DOUBLE) * 2.2))"
+    s"CAST(floor(($num / $den) + 0.5) AS BIGINT)"
+  }
+
+  /** Reciprocal-rank-fusion contribution of one leg's `rank` (int64,
+    * 1-based) in micro-units: `floor(1e6 / (rrfK + rank) + .5)` —
+    * one exactly-rounded division, engine-portable. */
+  def rrfMicroSql(rank: String, rrfK: Int): String =
+    s"CAST(floor((1000000.0 / (CAST($rrfK AS DOUBLE) + " +
+      s"CAST($rank AS DOUBLE))) + 0.5) AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // meta sidecar
+  // ---------------------------------------------------------------
+
+  private val MetaPrefix = "_textmeta-v"
+  private val KeepMetas = 2
+
+  private def writeMeta(ss: SparkSession, path: String, meta: Meta): Unit = {
+    val root = new Path(path.stripSuffix("/"))
+    val fs = TableLayout.fsOf(ss, path)
+    val v = ManifestIo.list(fs, root, MetaPrefix).lastOption
+      .map(_._1 + 1L).getOrElse(1L)
+    val text = s"n_docs=${meta.nDocs}\ntotal_tokens=${meta.totalTokens}\n" +
+      s"n_buckets=${meta.nBuckets}\n"
+    if (!ManifestIo.writeAtomic(fs, root, MetaPrefix, v, text))
+      throw new IllegalStateException(
+        s"text index at $path: could not publish meta v$v")
+    // prune metas beyond the newest KeepMetas (same grace discipline
+    // as the store manifests: the previous stats stay readable for
+    // an in-flight serve)
+    val all = ManifestIo.list(fs, root, MetaPrefix)
+    all.dropRight(KeepMetas).foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** The live corpus stats; fails descriptively on a root that has
+    * postings but no meta (not built by [[build]]). */
+  def readMeta(ss: SparkSession, path: String): Meta = {
+    val root = new Path(path.stripSuffix("/"))
+    val fs = TableLayout.fsOf(ss, path)
+    val last = ManifestIo.list(fs, root, MetaPrefix).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no text-index meta at $path — the index was not built by " +
+          "TextIndex.build (or the sidecar was deleted); rebuild it"))
+    val kv = ManifestIo.readText(fs, last._2).split("\n").map(_.trim)
+      .filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+    Meta(kv("n_docs").toLong, kv("total_tokens").toLong,
+      kv("n_buckets").toInt)
+  }
+
+  // ---------------------------------------------------------------
+  // build / append / serve
+  // ---------------------------------------------------------------
+
+  /** Null-safe portable tokens: the engine-wide whitespace tokenizer
+    * over `coalesce(text, '')` so null and empty documents both carry
+    * zero tokens (and length 0) instead of a poisoned -1 size. */
+  private def toks(textCol: Column): Column =
+    TextFunctions.tokens(coalesce(textCol, lit("")))
+
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        toks(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
+          lit(nBuckets.toLong)).cast("int"))
+  }
+
+  private def corpusStats(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(toks(col(textCol))).cast("bigint")), lit(0L))
+        .as("t")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build (or fully rebuild) the index at `path` from `docs`: one
+    * tokenize + (doc, term) count shuffle, postings co-located by
+    * term bucket, published as a fresh store snapshot with the corpus
+    * stats committed alongside. Runs under the single-writer lease. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    StoreLock.withLockCtx(spark, path) { ctx =>
+      val (n, t) = corpusStats(docs, idCol, textCol)
+      TableLayout.publish(postingsOf(docs, idCol, textCol, nBuckets),
+        path, Some("bucket"), ctx.token)
+      writeMeta(spark, path, Meta(n, t, nBuckets))
+      log.info(s"built text index at $path: $n docs, $t tokens, " +
+        s"$nBuckets buckets")
+    }
+  }
+
+  /** Incremental append: tokenize + encode the delta under the SAME
+    * bucket hash and add its postings to the newest generation
+    * (file-atomic — a racing serve sees the old file set), then
+    * commit updated corpus stats. A serve between the data append and
+    * the meta commit scores new postings under stats one delta stale
+    * — bounded staleness, the documented ANN-append drift analog,
+    * never a partial read. Delta doc_ids must be NEW (re-appending an
+    * id would double its postings — upstream exact-dedup's job). */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    StoreLock.withLock(spark, path) {
+      val meta = readMeta(spark, path)
+      val (n, t) = corpusStats(delta, idCol, textCol)
+      TableLayout.append(postingsOf(delta, idCol, textCol, meta.nBuckets),
+        path, Some("bucket"))
+      writeMeta(spark, path,
+        meta.copy(nDocs = meta.nDocs + n, totalTokens = meta.totalTokens + t))
+    }
+  }
+
+  /** BM25 top-k serve. `queries` is a SMALL frame (broadcast by
+    * contract, like every ANN query set): `(idCol, textCol)` rows,
+    * tokenized with the corpus tokenizer; duplicate query terms score
+    * once (set-of-terms queries — the classic probabilistic-model
+    * reading). Scans only the buckets the query terms hash to and,
+    * within them, only matching terms; df derives from the scanned
+    * slice. `maxDfFrac` (0,1] drops query terms whose df exceeds the
+    * fraction of the corpus — the stopword-skew dial; 1.0 = keep all.
+    * Output: `(query_id, rank, doc_id, score_u)`, score_u in int64
+    * micro-units, ties broken by doc_id ascending; queries with no
+    * matching term emit no rows. */
+  def topK(queries: DataFrame, idCol: String, textCol: String, k: Int,
+      path: String, maxDfFrac: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac in (0, 1]")
+    val spark = queries.sparkSession
+    val meta = readMeta(spark, path)
+    val qterms = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(toks(col(textCol))).as("term"))
+      .distinct()
+      .withColumn("bucket",
+        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
+          lit(meta.nBuckets.toLong)).cast("int"))
+    // query-bounded driver collect (the probedUnion discipline): the
+    // term + bucket literal lists that prune the postings scan
+    val termRows = qterms.select("term", "bucket").distinct().collect()
+    if (termRows.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, rank BIGINT, doc_id BIGINT, score_u BIGINT"))
+    val terms = termRows.map(_.getString(0)).distinct.toSeq
+    val buckets = termRows.map(_.getInt(1)).distinct.toSeq
+    val slice = TableLayout.read(spark, path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("term").isin(terms: _*))
+    // postings are one row per (term, doc): count per term IS df
+    val dfreq0 = slice.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (maxDfFrac >= 1.0) dfreq0
+      else dfreq0.filter(col("df").cast("double") <=
+        lit(maxDfFrac) * lit(meta.nDocs.toDouble))
+    val contrib = contribMicroSql("tf", "dl", "df",
+      meta.nDocs.toString + "L", meta.totalTokens.toString + "L",
+      SparkDialect)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    slice
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
+      .withColumn("contrib_u", expr(contrib))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib_u").as("score_u"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_u")
+  }
+
+  /** RECIPROCAL-RANK FUSION of retrieval legs (Cormack et al. 2009)
+    * — the standard lexical ⊕ embedding hybrid: each leg is a
+    * `(query_id, doc_id, rank)` frame (extra columns ignored), a
+    * doc's fused score is the int64 micro-unit sum of
+    * `1e6 / (rrfK + rank)` over the legs that returned it, and the
+    * fused top-k re-ranks on (score desc, doc_id asc). Legs are
+    * top-k-sized (queries × k rows), so the union and the (query,
+    * doc) re-aggregation are trivially small next to the retrieval
+    * itself at any scale. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(k >= 1 && rrfK >= 0, "need k >= 1, rrfK >= 0")
+    val scored = legs.map { l =>
+      l.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+          col("rank").cast("long"))
+        .withColumn("rrf_u", expr(rrfMicroSql("rank", rrfK)))
+        .select("query_id", "doc_id", "rrf_u")
+    }.reduceLeft(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id").asc)
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum("rrf_u").as("rrf_u"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_u")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown cat sat on the mat"),
+    (3L, "distributed inverted index retrieval with bm25 scoring"),
+    (4L, "spark builds the distributed index for retrieval"),
+    (5L, ""),
+    (6L, "fox fox fox fox fox")
+  ).toDF("doc_id", "text")
+
+  /** Scala twin of [[TextIndex.idfMicroSql]] — same op tree, so the
+    * Column evaluation must match it EXACTLY (both are IEEE
+    * exactly-rounded sequences of the same shape). */
+  private def idfMicroRef(df: Long, n: Long): Long = {
+    val x = (((n - df) + 0.5) / (df + 0.5)) + 1.0
+    val fx = math.floor(x).toLong
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(fx)
+    val p = (1L << e).toDouble
+    val m = x / p
+    val z = (m - 1.0) / (m + 1.0)
+    val z2 = z * z
+    val poly = 1.0 + (z2 * ((1.0 / 3.0) + (z2 * ((1.0 / 5.0) +
+      (z2 * ((1.0 / 7.0) + (z2 * (1.0 / 9.0))))))))
+    val lnm = (2.0 * z) * poly
+    val lnx = (e.toDouble * 0.6931471805599453) + lnm
+    math.floor((lnx * 1000000.0) + 0.5).toLong
+  }
+
+  test("portable idf: Column evaluation == Scala twin, and tracks ln") {
+    val cases = (for (n <- Seq(3L, 10L, 1000L, 1000000L);
+                      df <- Seq(1L, 2L, 7L, n / 2 + 1, n) if df <= n)
+      yield (df, n)).distinct
+    val got = cases.toDF("df", "n")
+      .withColumn("idf_u",
+        expr(TextIndex.idfMicroSql("df", "n", TextIndex.SparkDialect)))
+      .select("df", "n", "idf_u").collect()
+    got.foreach { r =>
+      val (df, n, u) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(u === idfMicroRef(df, n), s"df=$df n=$n")
+      val exact = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6
+      // series truncation (z <= 1/3, degree 9) stays under ~2 micro-units
+      assert(math.abs(u - exact) <= 2.0, s"df=$df n=$n u=$u exact=$exact")
+    }
+  }
+
+  test("build + topK: self-retrieval ranks the source doc first") {
+    val path = graft.util.TempDirs.scoped("textidx-basic").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 8)
+    val meta = TextIndex.readMeta(spark, path)
+    assert(meta.nDocs === 6L)
+    assert(meta.totalTokens === 9 + 8 + 7 + 7 + 0 + 5)
+    val q = Seq((3L, "distributed inverted index retrieval with bm25 scoring"))
+      .toDF("query_id", "qtext")
+    val top = TextIndex.topK(q, "query_id", "qtext", k = 3, path).collect()
+    assert(top.head.getLong(0) === 3L)   // query_id
+    assert(top.head.getLong(1) === 1L)   // rank
+    assert(top.head.getLong(2) === 3L)   // the doc itself wins
+    assert(top.forall(_.getLong(3) > 0L))
+    // doc 4 shares "distributed"/"index"/"retrieval" — must appear
+    assert(top.map(_.getLong(2)).contains(4L))
+  }
+
+  test("append path equals full build bit for bit") {
+    val full = graft.util.TempDirs.scoped("textidx-full").toString + "/ix"
+    val inc = graft.util.TempDirs.scoped("textidx-inc").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", full, nBuckets = 4)
+    TextIndex.build(corpus.filter($"doc_id" <= 3), "doc_id", "text", inc,
+      nBuckets = 4)
+    TextIndex.append(corpus.filter($"doc_id" > 3), "doc_id", "text", inc)
+    assert(TextIndex.readMeta(spark, inc) ===
+      TextIndex.readMeta(spark, full))
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"))
+      .toDF("query_id", "qtext")
+    def serve(p: String) =
+      TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(inc) === serve(full))
+  }
+
+  test("serve prunes to the query terms' buckets") {
+    val path = graft.util.TempDirs.scoped("textidx-prune").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 8)
+    val q = Seq((1L, "fox")).toDF("query_id", "qtext")
+    val plan = TextIndex.topK(q, "query_id", "qtext", k = 3, path)
+      .queryExecution.executedPlan.toString
+    // the bucket partition filter and the term pushdown both reach
+    // the postings scan
+    assert(plan.contains("bucket"), plan.take(2000))
+    assert(plan.contains("term"), plan.take(2000))
+    val top = TextIndex.topK(q, "query_id", "qtext", k = 3, path).collect()
+    // tf=5 but dl=5 self-repetition: doc 6 still outranks the long docs
+    assert(top.head.getLong(2) === 6L)
+  }
+
+  test("empty / unmatched queries emit no rows with the right schema") {
+    val path = graft.util.TempDirs.scoped("textidx-empty").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    val q0 = Seq((9L, "")).toDF("query_id", "qtext")
+    val r0 = TextIndex.topK(q0, "query_id", "qtext", k = 3, path)
+    assert(r0.columns.toSeq ===
+      Seq("query_id", "rank", "doc_id", "score_u"))
+    assert(r0.count() === 0L)
+    val q1 = Seq((9L, "zzzunseen")).toDF("query_id", "qtext")
+    assert(TextIndex.topK(q1, "query_id", "qtext", k = 3, path)
+      .count() === 0L)
+  }
+
+  test("maxDfFrac drops ubiquitous terms from scoring") {
+    val path = graft.util.TempDirs.scoped("textidx-maxdf").toString + "/ix"
+    // "the" appears in docs 1, 2, 4 (df=3, N=6 -> frac 0.5)
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    val q = Seq((1L, "the")).toDF("query_id", "qtext")
+    assert(TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .count() === 3L)
+    assert(TextIndex.topK(q, "query_id", "qtext", k = 5, path,
+      maxDfFrac = 0.4).count() === 0L)
+  }
+
+  test("rrfFuse: hand-checked fusion of two legs") {
+    // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
+    // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = TextIndex.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+    def rrf(rank: Long): Long =
+      math.floor(1000000.0 / (60.0 + rank.toDouble) + 0.5).toLong
+    assert(fused.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq(
+        (1L, 11L, rrf(1) + rrf(2)),
+        (2L, 10L, rrf(1)),
+        (3L, 12L, rrf(2))))
+  }
+}
