@@ -45,15 +45,24 @@ object Dsir {
       lit(buckets.toLong))
 
   /** DSIR's feature set: unigrams + bigrams of the whitespace
-    * tokens. */
-  private def grams(text: Column): Column =
-    concat(TextFunctions.tokens(text), TextFunctions.wordShingles(text, 2))
+    * tokens. Bigrams come from the NATIVE shingle kernel
+    * ([[graft.plans.WordShinglesExpr]], `distinct = false` — byte-
+    * identical output to the HOF [[TextFunctions.wordShingles]] by
+    * the kernel's parity contract): the HOF's interpreted lambda
+    * re-evaluates the token split per `element_at`, an O(tokens²)
+    * regex pass per document that dominated the whole operator
+    * (~30x on the sf0.1 gram pass). */
+  private def grams(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    concat(TextFunctions.tokens(text),
+      graft.plans.WordShinglesExpr.wordShingles(spark, text, 2,
+        distinct = false))
 
   /** Per-corpus hashed-feature distribution: (bucket, cnt) over ALL
     * gram occurrences — `buckets` rows out, map-side combined. */
   def bucketCounts(df: DataFrame, textCol: String,
       buckets: Int): DataFrame =
-    df.select(explode(grams(col(textCol))).as("gram"))
+    df.select(explode(grams(df.sparkSession, col(textCol))).as("gram"))
       .select(featureBucket(col("gram"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
@@ -96,7 +105,8 @@ object Dsir {
       textCol: String, buckets: Int = 4096): DataFrame = {
     val w = importanceWeights(raw, target, textCol, buckets)
     val occ = raw
-      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .select(col(idCol),
+        explode(grams(raw.sparkSession, col(textCol))).as("gram"))
       .select(col(idCol), featureBucket(col("gram"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("k"))
     val perDoc = occ

@@ -28,6 +28,11 @@ object TextFunctions {
     size(bpeishTokens(text)).cast("bigint")
 
   /** Contiguous word n-gram shingles over the whitespace tokens. */
+  /** HOF word-shingle twin — ORACLE/REFERENCE ONLY on hot paths: the
+    * interpreted `transform` lambda re-evaluates the token split per
+    * `element_at` (O(tokens²) regex work per document). Corpus-scale
+    * operators route through the byte-identical compiled kernel,
+    * [[graft.plans.WordShinglesExpr]]. */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array().cast("array<string>"))
@@ -548,9 +553,16 @@ object TextFunctions {
       textCol: String,
       lmCorpus: Option[org.apache.spark.sql.DataFrame] = None):
       org.apache.spark.sql.DataFrame = {
-    val bg = df.select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+    // native shingle kernel, not the HOF twin: the interpreted lambda
+    // re-splits the text per element_at — O(tokens^2) per doc (see
+    // Dsir.grams); output byte-identical by the kernel's parity
+    // contract
+    def bigrams(frame: org.apache.spark.sql.DataFrame) =
+      graft.plans.WordShinglesExpr.wordShingles(frame.sparkSession,
+        col(textCol), 2, distinct = false)
+    val bg = df.select(col(idCol), explode(bigrams(df)).as("bg"))
     val lmBg = lmCorpus match {
-      case Some(c) => c.select(explode(wordShingles(col(textCol), 2)).as("bg"))
+      case Some(c) => c.select(explode(bigrams(c)).as("bg"))
       case None => bg.select("bg")
     }
     val occ = bg.groupBy(idCol, "bg").agg(count(lit(1)).as("k"))
