@@ -144,13 +144,48 @@ object ScaleProbe {
     System.err.println(f"[probe] bpe 100 merges: local $bpeLocal%.2f s, " +
       f"distributed $bpeDist%.2f s")
 
+    // Text index (r11 addition): build is corpus-linear BY DESIGN (one
+    // tokenize + count shuffle); the claim under test is the SERVE —
+    // a FIXED 10-query set against the 10x corpus must stay ~flat,
+    // because the `_k`-suffixed copies carry a disjoint vocabulary, so
+    // the queried terms' posting lists don't grow: any corpus-sized
+    // read surviving the bucket+term prune shows up as a positive
+    // serve exponent.
+    def timeTextIndex(dir: String): (Double, Double) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val path = graft.util.TempDirs.scoped("probe-textidx").toString + "/ix"
+      val t0 = System.nanoTime()
+      graft.text.TextIndex.build(docs, "doc_id", "text", path,
+        nBuckets = 64)
+      val tb = (System.nanoTime() - t0) / 1e9
+      val q = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 8))
+            .as("qtext"))
+      val ts = (1 to repeats).map { _ =>
+        val t1 = System.nanoTime()
+        graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+          .count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      (tb, ts)
+    }
+    val (tiBuildB, tiServeB) = timeTextIndex(baseDir)
+    val (tiBuildS, tiServeS) = timeTextIndex(scaledDir)
+    val tiServeExp = math.log(tiServeS / tiServeB) /
+      math.log(factor.toDouble)
+    System.err.println(f"[probe] text index: build $tiBuildB%.2f -> " +
+      f"$tiBuildS%.2f s, serve $tiServeB%.2f -> $tiServeS%.2f s " +
+      f"(serve exponent $tiServeExp%.2f)")
+
     def f3(d: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qJson = rows.map { case (n, tb, ts, exp) =>
       s""""$n":{"base_sec":${f3(tb)},"scaled_sec":${f3(ts)},"exponent":${f3(exp)}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"queries":$qJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)}},"queries":$qJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -1261,26 +1261,11 @@ object Dedup {
     * are invariant (spec-asserted). */
   private def maybeCompactBuckets(ss: SparkSession, storePath: String,
       partitionCol: String, maxFiles: Int, token: String): Unit = {
-    if (maxFiles <= 0) return // disabled
-    val snap = graft.ops.TableLayout.resolve(ss, storePath)
-    val over = graft.ops.TableLayout
-      .filesPerPartition(ss, storePath, snap)
-      .filter(_._2 > maxFiles).keys.toSeq.sorted
-    if (over.isEmpty) return
-    // partition values render via toString (the replacePartitions
-    // contract) — the store writes integral ib values, so the
-    // dir-name string IS the value; filtering on the partition
-    // column keeps the scan statically pruned to the over-threshold
-    // buckets. No pre-materialization needed: the rewrite lands in a
-    // NEW generation dir, so the lazy plan's source files are never
-    // swapped out from under it.
-    val live = graft.ops.TableLayout.readAt(ss, storePath, snap)
-    val replacement = live.filter(
-      col(partitionCol).cast("string").isin(over: _*))
-    graft.ops.TableLayout.replacePartitions(ss, storePath, replacement,
-      over, token)
-    log.info(s"compacted ${over.length} bucket(s) of $storePath: " +
-      over.mkString(", "))
+    // the generic bucket-grain compaction (partition values render via
+    // toString — the store writes integral ib values, so the dir-name
+    // string IS the value); shared with the text index
+    graft.ops.TableLayout.compactPartitions(ss, storePath, maxFiles,
+      token): Unit
   }
 
   /** Store HEALTH, one observable for ingest monitoring: the

@@ -497,6 +497,37 @@ private[graft] object TableLayout {
     replacePartitions(ss, path, merged, touchedVals, token)
   }
 
+  /** Rewrite every partition whose LIVE file count exceeds `maxFiles`
+    * into the next generation (~one file per partition value — the
+    * [[replacePartitions]] write is partition-co-located) — the
+    * bucket-grain small-files compaction every partitioned store
+    * shares (dedup fingerprint/LSH/label stores, the text index).
+    * Statically pruned to the over-threshold values; value-invisible
+    * by construction (same rows, fewer files). Returns the touched
+    * partition values (empty = nothing over threshold, no snapshot
+    * burned). `maxFiles <= 0` disables. Must run under the store
+    * lease. */
+  def compactPartitions(ss: SparkSession, path: String, maxFiles: Int,
+      token: String): Seq[String] = {
+    if (maxFiles <= 0) return Seq.empty
+    val snap = resolve(ss, path)
+    val pc = snap.pcol.getOrElse(throw new IllegalStateException(
+      s"TableLayout.compactPartitions at $path: the store is not " +
+        "partitioned — full-store compaction is publish()"))
+    val over = filesPerPartition(ss, path, snap)
+      .filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (over.isEmpty) return Seq.empty
+    // no pre-materialization needed: the rewrite lands in a NEW
+    // generation dir, so the lazy plan's source files are never
+    // swapped out from under it
+    val replacement = readAt(ss, path, snap)
+      .filter(col(pc).cast("string").isin(over: _*))
+    replacePartitions(ss, path, replacement, over, token)
+    log.info(s"compacted ${over.length} partition(s) of $path: " +
+      over.mkString(", "))
+    over
+  }
+
   /** Live data-file statistics of the snapshot — the compaction
     * pressure metric. The per-"dir" max aggregates by PARTITION VALUE
     * across generations for partitioned stores (a bucket's live files

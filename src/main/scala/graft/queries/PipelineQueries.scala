@@ -1946,8 +1946,10 @@ object PipelineQueries {
     }),
 
     // Same serve through the INCREMENTAL path: build on doc_id%3<>0,
-    // append the rest — postings, stats and scores must equal the
-    // full-corpus build bit for bit (same full-corpus oracle).
+    // append the rest, then COMPACT every bucket to ~one file — the
+    // postings, stats and scores must equal the full-corpus build bit
+    // for bit (same full-corpus oracle; compaction is value-invisible
+    // or the hash turns red).
     "q_text_bm25_append" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val path =
@@ -1956,6 +1958,32 @@ object PipelineQueries {
         "doc_id", "text", path, nBuckets = 32)
       TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", path)
+      TextIndex.compact(s, path, maxFilesPerBucket = 1)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
+    // STREAMED text-index maintenance: base build on doc_id%3<>0, the
+    // rest arrives as 2 ordered drops through the real streaming
+    // engine (foreachBatch append + per-batch markers), served result
+    // vs the same full-corpus oracle — appends are content-
+    // commutative, so one oracle covers batch and streamed paths.
+    "q_stream_text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx-str").toString + "/index"
+      val dir = graft.util.TempDirs.scoped("graft-textidx-str-ckpt")
+      TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path, nBuckets = 32)
+      val dropsDir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text"),
+        "doc_id", 2, "graft-textidx-drops")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        graft.streaming.PipelineStreams.textIndexAppendStream(s,
+          dropsDir.toString, "doc_id", "text", path,
+          dir.resolve("ckpt").toString)
+      }
       TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
           "query_id", "qtext", k = 5, path)
         .orderBy("query_id", "rank")
@@ -4787,6 +4815,10 @@ object PipelineQueries {
     // the append gate serves the SAME postings + stats the full build
     // produces, so it shares the full-corpus oracle verbatim
     "q_text_bm25_append" -> bm25OracleSql("doc_id % 37 = 0", 5),
+    // the streamed appends land the same postings + stats the batch
+    // path does (content-commutative), so the full-corpus oracle
+    // covers the streaming gate too
+    "q_stream_text_bm25" -> bm25OracleSql("doc_id % 37 = 0", 5),
     "q_text_hybrid_rrf" -> hybridRrfOracleSql)
 
   /** BM25 oracle CTE chain up through the per-query ranking `bmr`:

@@ -670,14 +670,66 @@ object PipelineStreams {
   def annIndexAppendStream(spark: SparkSession, dropsDir: String,
       idCol: String, vecCol: String, indexPath: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
-      timeoutMs: Long = 300000L, compactMaxFilesPerCell: Int = 0): Unit = {
-    // markers live BESIDE the postings, resolved through the index
+      timeoutMs: Long = 300000L, compactMaxFilesPerCell: Int = 0): Unit =
+    markedAppendStream(spark,
+      readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+        .select(col(idCol), col(vecCol)),
+      indexPath, checkpointDir, timeoutMs, "annIndexAppendStream")(
+      append = batch => graft.similarity.Similarity.ivfPqIndexAppend(
+        batch, idCol, vecCol, indexPath),
+      postMark = batch =>
+        if (compactMaxFilesPerCell > 0) {
+          graft.similarity.Similarity.ivfIndexCompact(
+            batch.sparkSession, indexPath, compactMaxFilesPerCell)
+          ()
+        })
+
+  /** STREAMING TEXT-INDEX maintenance — the [[annIndexAppendStream]]
+    * twin for the BM25 inverted index
+    * ([[graft.text.TextIndex.append]]): each document micro-batch is
+    * tokenized + bucket-encoded under the index's persisted bucket
+    * hash and appended into the touched buckets' directories, with
+    * the corpus stats (the BM25 `N`/`avgdl` inputs) committed after
+    * each drop — O(drop) per trigger, never a rebuild. The state IS
+    * the index; the delivery/marker/horizon contract is the shared
+    * choreography verbatim. `compactMaxFilesPerBucket > 0` runs
+    * [[graft.text.TextIndex.compact]] after each appended batch's
+    * marker lands (a crash between marker and compact costs only
+    * layout, never rows). */
+  def textIndexAppendStream(spark: SparkSession, dropsDir: String,
+      idCol: String, textCol: String, indexPath: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      timeoutMs: Long = 300000L, compactMaxFilesPerBucket: Int = 0): Unit =
+    markedAppendStream(spark,
+      readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+        .select(col(idCol), col(textCol)),
+      indexPath, checkpointDir, timeoutMs, "textIndexAppendStream")(
+      append = batch => graft.text.TextIndex.append(
+        batch, idCol, textCol, indexPath),
+      postMark = batch =>
+        if (compactMaxFilesPerBucket > 0) {
+          graft.text.TextIndex.compact(
+            batch.sparkSession, indexPath, compactMaxFilesPerBucket)
+          ()
+        })
+
+  /** The marker choreography every marked append stream shares
+    * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
+    * committed-horizon markers, then foreachBatch-run `append` for
+    * each genuinely new non-empty batch, commit its marker, and run
+    * `postMark` (the optional in-stream compaction). Blocks until the
+    * AvailableNow replay terminates. */
+  private def markedAppendStream(spark: SparkSession, source: DataFrame,
+      storePath: String, checkpointDir: String, timeoutMs: Long,
+      what: String)(append: DataFrame => Unit,
+      postMark: DataFrame => Unit): Unit = {
+    // markers live BESIDE the store data, resolved through the store
     // path's own Hadoop FileSystem (the StoreLock/maintain-swap
     // discipline) — a java.io.File here would pin them to the
     // driver's LOCAL disk, so on an hdfs://-or-object-store index a
     // driver replacement would lose the dedupe record and checkpoint
-    // re-delivery would silently double-append postings
-    val markersDir = new org.apache.hadoop.fs.Path(indexPath, ".batches")
+    // re-delivery would silently double-append
+    val markersDir = new org.apache.hadoop.fs.Path(storePath, ".batches")
     val fs = markersDir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(markersDir)
     // markers are scoped to THIS stream's checkpoint: batchIds restart
@@ -686,27 +738,21 @@ object PipelineStreams {
     val scope = markerScope(checkpointDir)
     // fold committed-horizon markers BEFORE the run: bounds the live
     // marker count to this run's batches (see annIndexMarkersCompact)
-    annIndexMarkersCompact(spark, indexPath, checkpointDir)
+    annIndexMarkersCompact(spark, storePath, checkpointDir)
     // the horizon is static during the run: folds only happen above,
     // and batches this run appends are guarded by their own markers
     val horizon = markerHorizon(fs, markersDir, scope)
-    val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
-      .select(col(idCol), col(vecCol))
+    val q = source
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new org.apache.hadoop.fs.Path(markersDir,
           s"$scope-b$batchId")
         if (batchId > horizon && !fs.exists(marker) && !batch.isEmpty) {
-          graft.similarity.Similarity.ivfPqIndexAppend(
-            batch, idCol, vecCol, indexPath)
+          append(batch)
           // overwrite=false: create-or-throw, the atomic twin of
           // File.createNewFile on filesystems that support it
           fs.create(marker, false).close()
-          if (compactMaxFilesPerCell > 0) {
-            graft.similarity.Similarity.ivfIndexCompact(
-              batch.sparkSession, indexPath, compactMaxFilesPerCell)
-            ()
-          }
+          postMark(batch)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -715,9 +761,8 @@ object PipelineStreams {
     val finished = q.awaitTermination(timeoutMs)
     q.stop()
     require(finished,
-      "annIndexAppendStream: replay timed out — the index may hold a " +
-        "prefix of the drops (re-run resumes: marked batches are " +
-        "skipped)")
+      s"$what: replay timed out — the store may hold a prefix of the " +
+        "drops (re-run resumes: marked batches are skipped)")
   }
 
   /** Markers scoped to one stream's checkpoint path (batchIds restart

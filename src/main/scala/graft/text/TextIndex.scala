@@ -246,6 +246,34 @@ object TextIndex {
     }
   }
 
+  final case class CompactReport(bucketsCompacted: Int,
+      filesBefore: Long, filesAfter: Long)
+
+  /** Bucket-grain small-files compaction — the maintenance always-on
+    * [[append]] needs (each append lands ~one file per touched
+    * bucket, so a long-lived streamed index accretes files without
+    * bound — the same disease the ANN postings and dedup stores
+    * compact away). Buckets past `maxFilesPerBucket` live files are
+    * rewritten to ~one file each via the snapshot layout's
+    * partition-scoped rewrite: untouched buckets' bytes are never
+    * read, readers racing the compaction keep the previous snapshot,
+    * and the rewrite is value-invisible (the append gate serves the
+    * compacted index against the ordinary full-corpus oracle). Runs
+    * under the single-writer lease. */
+  def compact(ss: SparkSession, path: String,
+      maxFilesPerBucket: Int = 16): CompactReport =
+    StoreLock.withLockCtx(ss, path) { ctx =>
+      val before = TableLayout.fileStats(ss, path,
+        TableLayout.resolve(ss, path))._1
+      val over = TableLayout.compactPartitions(ss, path,
+        maxFilesPerBucket, ctx.token)
+      val after =
+        if (over.isEmpty) before
+        else TableLayout.fileStats(ss, path,
+          TableLayout.resolve(ss, path))._1
+      CompactReport(over.length, before, after)
+    }
+
   /** BM25 top-k serve. `queries` is a SMALL frame (broadcast by
     * contract, like every ANN query set): `(idCol, textCol)` rows,
     * tokenized with the corpus tokenizer; duplicate query terms score

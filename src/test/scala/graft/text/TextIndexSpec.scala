@@ -125,6 +125,63 @@ class TextIndexSpec extends AnyFunSuite {
       maxDfFrac = 0.4).count() === 0L)
   }
 
+  test("compact folds per-bucket append files, value-invisible, idempotent") {
+    val path = graft.util.TempDirs.scoped("textidx-compact").toString + "/ix"
+    TextIndex.build(corpus.filter($"doc_id" <= 2), "doc_id", "text", path,
+      nBuckets = 2)
+    TextIndex.append(corpus.filter($"doc_id" === 3L || $"doc_id" === 4L),
+      "doc_id", "text", path)
+    TextIndex.append(corpus.filter($"doc_id" > 4), "doc_id", "text", path)
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"))
+      .toDF("query_id", "qtext")
+    def serve() = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = serve()
+    val r = TextIndex.compact(spark, path, maxFilesPerBucket = 1)
+    assert(r.bucketsCompacted > 0)
+    assert(r.filesAfter < r.filesBefore)
+    val perBucket = graft.ops.TableLayout.filesPerPartition(spark, path,
+      graft.ops.TableLayout.resolve(spark, path))
+    assert(perBucket.values.forall(_ <= 1L), perBucket)
+    assert(serve() === before)
+    assert(TextIndex.compact(spark, path, maxFilesPerBucket = 1)
+      .bucketsCompacted === 0)
+  }
+
+  test("textIndexAppendStream: streamed drops == batch build; replay no-op") {
+    val path = graft.util.TempDirs.scoped("textidx-stream").toString + "/ix"
+    val full = graft.util.TempDirs.scoped("textidx-stream-full").toString +
+      "/ix"
+    val ckpt = graft.util.TempDirs.scoped("textidx-stream-ckpt")
+      .resolve("ckpt").toString
+    TextIndex.build(corpus.filter($"doc_id" <= 3), "doc_id", "text", path,
+      nBuckets = 4)
+    TextIndex.build(corpus, "doc_id", "text", full, nBuckets = 4)
+    val drops = graft.streaming.PipelineStreams.stageOrderedDrops(
+      corpus.filter($"doc_id" > 3).select("doc_id", "text"), "doc_id", 2,
+      "textidx-stream-drops")
+    def run(): Unit =
+      graft.streaming.PipelineStreams.withShufflePartitions(spark, 4) {
+        graft.streaming.PipelineStreams.textIndexAppendStream(spark,
+          drops.toString, "doc_id", "text", path, ckpt,
+          compactMaxFilesPerBucket = 1)
+      }
+    run()
+    assert(TextIndex.readMeta(spark, path) ===
+      TextIndex.readMeta(spark, full))
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"),
+      (3L, "fox")).toDF("query_id", "qtext")
+    def serve(p: String) =
+      TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(path) === serve(full))
+    // same-checkpoint replay: markers make re-delivery a no-op
+    run()
+    assert(TextIndex.readMeta(spark, path) ===
+      TextIndex.readMeta(spark, full))
+    assert(serve(path) === serve(full))
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
