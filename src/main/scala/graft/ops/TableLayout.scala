@@ -318,19 +318,26 @@ private[graft] object TableLayout {
     * read-back types (the MergeUpsert discipline: numeric-LOOKING
     * string partition values must survive as written). */
   def readAt(ss: SparkSession, path: String, snap: Snapshot,
-      schema: Option[StructType] = None): DataFrame = {
-    val root = rootOf(path)
-    val fs = fsOf(ss, path)
-    val dfs = snap.gens.flatMap(g => genDf(ss, root, fs, snap.pcol, g, schema))
-    if (dfs.isEmpty)
+      schema: Option[StructType] = None): DataFrame =
+    readAtOpt(ss, path, snap, schema).getOrElse(
       throw new IllegalStateException(
         s"store at $path resolves to snapshot v${snap.version} but no " +
           "generation holds data files — the store is EMPTY (every row " +
           "retracted, or a partitioned init over an empty input, which " +
           "writes no files): re-initialize the store to continue; if " +
           "it should hold data, the manifest was corrupted or " +
-          "hand-edited")
-    dfs.reduceLeft(_.unionByName(_))
+          "hand-edited"))
+
+  /** [[readAt]] that returns `None` for a dataless snapshot instead
+    * of throwing — for callers where an empty store is a valid state
+    * answered with an empty result (e.g. a text-index serve over an
+    * empty corpus). */
+  def readAtOpt(ss: SparkSession, path: String, snap: Snapshot,
+      schema: Option[StructType] = None): Option[DataFrame] = {
+    val root = rootOf(path)
+    val fs = fsOf(ss, path)
+    val dfs = snap.gens.flatMap(g => genDf(ss, root, fs, snap.pcol, g, schema))
+    if (dfs.isEmpty) None else Some(dfs.reduceLeft(_.unionByName(_)))
   }
 
   def read(ss: SparkSession, path: String,
@@ -382,7 +389,7 @@ private[graft] object TableLayout {
     * readers. Must run under the store lease (`token` = the
     * [[StoreLock.LockCtx]] epoch token). */
   def publish(df: DataFrame, path: String, pcol: Option[String],
-      token: String): Unit = {
+      token: String, beforeCommit: Path => Unit = _ => ()): Unit = {
     val ss = df.sparkSession
     val v = nextVersion(ss, path)
     val dir = new Path(rootOf(path), genDirName(v))
@@ -393,6 +400,12 @@ private[graft] object TableLayout {
       case None =>
         df.write.mode("overwrite").parquet(dir.toString)
     }
+    // sidecars a client snapshots WITH the data (e.g. the text
+    // index's corpus stats) land in the generation dir BEFORE the
+    // manifest commit, so a reader that resolves the snapshot always
+    // finds them — underscore/dot names only, which parquet readers
+    // ignore
+    beforeCommit(dir)
     commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(v), Nil))), token)
     gc(ss, path)
   }
@@ -410,7 +423,7 @@ private[graft] object TableLayout {
     * partitions). Must run under the store lease. */
   def replacePartitions(ss: SparkSession, path: String,
       replacement: DataFrame, touchedVals: Seq[String],
-      token: String): Unit = {
+      token: String, beforeCommit: Path => Unit = _ => ()): Unit = {
     requireCleanVals(touchedVals)
     // a no-op rewrite (nothing touched; by the values-subset contract
     // the replacement is then empty too) must not burn a snapshot
@@ -426,6 +439,22 @@ private[graft] object TableLayout {
       s"replacePartitions: partition column '$pc' must be string or " +
         "integral (directory-name rendering for other types diverges " +
         s"from Spark's), got ${replacement.schema(pc).dataType.simpleString}")
+    // STRING partition values that Spark's partition-type INFERENCE
+    // would parse as a non-string (numbers, dates) are rejected where
+    // exclusions are born: an unpinned read would infer `pc=05` as
+    // int 5, the exclusion filter's cast-to-string would render "5",
+    // never match the stored "05", and every superseded row would
+    // silently resurrect next to its replacement
+    if (replacement.schema(pc).dataType.simpleString == "string")
+      touchedVals.foreach { v =>
+        require(scala.util.Try(BigDecimal(v)).isFailure &&
+            !v.matches("""\d{4}-\d{2}-\d{2}.*"""),
+          s"replacePartitions: string partition value '$v' is " +
+            "numeric/date-like — Spark partition-type inference would " +
+            "re-type it on unpinned reads and break exclusion " +
+            "filtering; partition on a non-ambiguous key-derived " +
+            "column (or an integral one)")
+      }
     val root = rootOf(path)
     val fs = fsOf(ss, path)
     val v = snap.version + 1L
@@ -461,6 +490,9 @@ private[graft] object TableLayout {
         .exists(d => !excluded.contains(d.getPath.getName))
     }
     val newGens = liveOld :+ Gen(genDirName(v), Nil)
+    // client sidecars (e.g. the text index's paired stats) land in
+    // the new generation BEFORE the manifest references it
+    beforeCommit(newDir)
     commit(ss, path, Snapshot(v, snap.pcol, newGens), token)
     gc(ss, path)
     log.info(s"replaced ${touchedVals.length} partition(s) of $path " +
@@ -497,35 +529,48 @@ private[graft] object TableLayout {
     replacePartitions(ss, path, merged, touchedVals, token)
   }
 
+  final case class CompactReport(touched: Seq[String],
+      filesBefore: Long, filesAfter: Long)
+
   /** Rewrite every partition whose LIVE file count exceeds `maxFiles`
     * into the next generation (~one file per partition value — the
     * [[replacePartitions]] write is partition-co-located) — the
     * bucket-grain small-files compaction every partitioned store
     * shares (dedup fingerprint/LSH/label stores, the text index).
     * Statically pruned to the over-threshold values; value-invisible
-    * by construction (same rows, fewer files). Returns the touched
-    * partition values (empty = nothing over threshold, no snapshot
-    * burned). `maxFiles <= 0` disables. Must run under the store
-    * lease. */
+    * by construction (same rows, fewer files). The report's file
+    * counts come from the listings this pass takes anyway — callers
+    * must not re-list just to report (object-store LIST calls are
+    * the metadata cost here). An empty `touched` = nothing over
+    * threshold, no snapshot burned. `maxFiles <= 0` disables.
+    * `beforeCommit` is [[replacePartitions]]'s sidecar hook. Must run
+    * under the store lease. */
   def compactPartitions(ss: SparkSession, path: String, maxFiles: Int,
-      token: String): Seq[String] = {
-    if (maxFiles <= 0) return Seq.empty
+      token: String,
+      beforeCommit: Path => Unit = _ => ()): CompactReport = {
+    if (maxFiles <= 0) return CompactReport(Seq.empty, 0L, 0L)
     val snap = resolve(ss, path)
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.compactPartitions at $path: the store is not " +
         "partitioned — full-store compaction is publish()"))
-    val over = filesPerPartition(ss, path, snap)
-      .filter(_._2 > maxFiles).keys.toSeq.sorted
-    if (over.isEmpty) return Seq.empty
+    val counts = filesPerPartition(ss, path, snap)
+    val before = counts.values.sum
+    val over = counts.filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (over.isEmpty) return CompactReport(Seq.empty, before, before)
     // no pre-materialization needed: the rewrite lands in a NEW
     // generation dir, so the lazy plan's source files are never
     // swapped out from under it
     val replacement = readAt(ss, path, snap)
       .filter(col(pc).cast("string").isin(over: _*))
-    replacePartitions(ss, path, replacement, over, token)
+    replacePartitions(ss, path, replacement, over, token, beforeCommit)
+    // one post-rewrite listing for the exact after-count (an emptied
+    // partition writes zero files, so it is not derivable from
+    // `before` alone)
+    val after = filesPerPartition(ss, path, resolve(ss, path))
+      .values.sum
     log.info(s"compacted ${over.length} partition(s) of $path: " +
       over.mkString(", "))
-    over
+    CompactReport(over, before, after)
   }
 
   /** Live data-file statistics of the snapshot — the compaction

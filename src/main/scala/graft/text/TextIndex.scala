@@ -26,8 +26,11 @@ import graft.plans.PortableHash64Expr
   * generation, rewrites land in new generations behind one atomic
   * manifest, so a serve racing maintenance always sees a complete
   * index. Corpus statistics (doc count, total token count — the BM25
-  * `N` and `avgdl` inputs) live in a tiny versioned `_textmeta-v*`
-  * sidecar, committed write-tmp + rename like the manifests.
+  * `N` and `avgdl` inputs) live in tiny versioned `_textmeta-v*`
+  * files INSIDE the data generations (atomic create-new, written
+  * before the manifest commit), so the stats snapshot WITH the
+  * postings: one resolve serves bucketing-consistent stats and data
+  * even while a rebuild with different `nBuckets` races the serve.
   *
   * Scoring contract (PORTABLE-EXACT, the house oracle discipline):
   * Okapi BM25 with k1 = 1.2, b = 0.75 and the Robertson-Sparck-Jones
@@ -140,32 +143,60 @@ object TextIndex {
   private val MetaPrefix = "_textmeta-v"
   private val KeepMetas = 2
 
-  private def writeMeta(ss: SparkSession, path: String, meta: Meta): Unit = {
-    val root = new Path(path.stripSuffix("/"))
-    val fs = TableLayout.fsOf(ss, path)
-    val v = ManifestIo.list(fs, root, MetaPrefix).lastOption
+  /** Write `meta` INSIDE generation dir `genDir` (atomic create-new
+    * via the manifest primitive; underscore name, invisible to
+    * parquet readers). The meta SNAPSHOTS WITH the data: it lives in
+    * a generation the manifest references, so a serve that resolved
+    * ONE snapshot reads stats consistent with that snapshot's
+    * bucketing — a rebuild with a different `nBuckets` publishes its
+    * meta inside its own generation BEFORE the manifest commit (the
+    * `beforeCommit` hook), never beside another snapshot's postings,
+    * and superseded metas die with their generations under the
+    * ordinary GC grace window. */
+  private def writeMetaIn(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: Path, meta: Meta): Unit = {
+    val v = ManifestIo.list(fs, genDir, MetaPrefix).lastOption
       .map(_._1 + 1L).getOrElse(1L)
     val text = s"n_docs=${meta.nDocs}\ntotal_tokens=${meta.totalTokens}\n" +
       s"n_buckets=${meta.nBuckets}\n"
-    if (!ManifestIo.writeAtomic(fs, root, MetaPrefix, v, text))
+    if (!ManifestIo.writeAtomic(fs, genDir, MetaPrefix, v, text))
       throw new IllegalStateException(
-        s"text index at $path: could not publish meta v$v")
-    // prune metas beyond the newest KeepMetas (same grace discipline
-    // as the store manifests: the previous stats stay readable for
-    // an in-flight serve)
-    val all = ManifestIo.list(fs, root, MetaPrefix)
+        s"text index: could not publish meta v$v in $genDir")
+    val all = ManifestIo.list(fs, genDir, MetaPrefix)
     all.dropRight(KeepMetas).foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** The generation dir the NEWEST stats land in (and appends write
+    * to): the snapshot's last generation. */
+  private def newestGenDir(path: String,
+      snap: TableLayout.Snapshot): Path = {
+    val root = new Path(path.stripSuffix("/"))
+    if (snap.gens.last.dir.isEmpty) root
+    else new Path(root, snap.gens.last.dir)
   }
 
   /** The live corpus stats; fails descriptively on a root that has
     * postings but no meta (not built by [[build]]). */
-  def readMeta(ss: SparkSession, path: String): Meta = {
+  def readMeta(ss: SparkSession, path: String): Meta =
+    readMetaAt(ss, path, TableLayout.resolve(ss, path))
+
+  /** Corpus stats AT a resolved snapshot: newest generation first,
+    * highest meta version within it — always paired with the
+    * snapshot's own postings (the reader-isolation contract extended
+    * to the stats). */
+  private def readMetaAt(ss: SparkSession, path: String,
+      snap: TableLayout.Snapshot): Meta = {
     val root = new Path(path.stripSuffix("/"))
     val fs = TableLayout.fsOf(ss, path)
-    val last = ManifestIo.list(fs, root, MetaPrefix).lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"no text-index meta at $path — the index was not built by " +
-          "TextIndex.build (or the sidecar was deleted); rebuild it"))
+    val last = snap.gens.reverse.iterator
+      .map(g => if (g.dir.isEmpty) root else new Path(root, g.dir))
+      .filter(fs.exists)
+      .flatMap(d => ManifestIo.list(fs, d, MetaPrefix).lastOption)
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"no text-index meta in any generation of $path at snapshot " +
+          s"v${snap.version} — the index was not built by " +
+          "TextIndex.build (or the meta was deleted); rebuild it"))
     val kv = ManifestIo.readText(fs, last._2).split("\n").map(_.trim)
       .filter(_.nonEmpty).map { l =>
         val Array(k, v) = l.split("=", 2); k -> v
@@ -217,9 +248,13 @@ object TextIndex {
     val spark = docs.sparkSession
     StoreLock.withLockCtx(spark, path) { ctx =>
       val (n, t) = corpusStats(docs, idCol, textCol)
+      val fs = TableLayout.fsOf(spark, path)
+      // meta lands INSIDE the new generation before the manifest
+      // commit: a reader resolving the new snapshot always finds
+      // stats whose nBuckets matches the postings it reads
       TableLayout.publish(postingsOf(docs, idCol, textCol, nBuckets),
-        path, Some("bucket"), ctx.token)
-      writeMeta(spark, path, Meta(n, t, nBuckets))
+        path, Some("bucket"), ctx.token,
+        beforeCommit = dir => writeMetaIn(fs, dir, Meta(n, t, nBuckets)))
       log.info(s"built text index at $path: $n docs, $t tokens, " +
         s"$nBuckets buckets")
     }
@@ -237,12 +272,19 @@ object TextIndex {
       path: String): Unit = {
     val spark = delta.sparkSession
     StoreLock.withLock(spark, path) {
-      val meta = readMeta(spark, path)
+      val snap = TableLayout.resolve(spark, path)
+      val meta = readMetaAt(spark, path, snap)
       val (n, t) = corpusStats(delta, idCol, textCol)
       TableLayout.append(postingsOf(delta, idCol, textCol, meta.nBuckets),
         path, Some("bucket"))
-      writeMeta(spark, path,
-        meta.copy(nDocs = meta.nDocs + n, totalTokens = meta.totalTokens + t))
+      // updated stats into the SAME newest generation the postings
+      // landed in (the snapshot version is unchanged by an append,
+      // and nBuckets cannot change outside a rebuild, so a serve
+      // between the data and the stats sees bounded-stale N/avgdl,
+      // never inconsistent bucketing)
+      writeMetaIn(TableLayout.fsOf(spark, path), newestGenDir(path, snap),
+        meta.copy(nDocs = meta.nDocs + n,
+          totalTokens = meta.totalTokens + t))
     }
   }
 
@@ -263,15 +305,15 @@ object TextIndex {
   def compact(ss: SparkSession, path: String,
       maxFilesPerBucket: Int = 16): CompactReport =
     StoreLock.withLockCtx(ss, path) { ctx =>
-      val before = TableLayout.fileStats(ss, path,
-        TableLayout.resolve(ss, path))._1
-      val over = TableLayout.compactPartitions(ss, path,
-        maxFilesPerBucket, ctx.token)
-      val after =
-        if (over.isEmpty) before
-        else TableLayout.fileStats(ss, path,
-          TableLayout.resolve(ss, path))._1
-      CompactReport(over.length, before, after)
+      // stats unchanged by a layout rewrite — but the new generation
+      // must carry its OWN meta copy (beforeCommit), because a
+      // compaction that touches every bucket drops all older
+      // generations (and their metas) from the manifest
+      val meta = readMeta(ss, path)
+      val fs = TableLayout.fsOf(ss, path)
+      val r = TableLayout.compactPartitions(ss, path, maxFilesPerBucket,
+        ctx.token, beforeCommit = dir => writeMetaIn(fs, dir, meta))
+      CompactReport(r.touched.length, r.filesBefore, r.filesAfter)
     }
 
   /** BM25 top-k serve. `queries` is a SMALL frame (broadcast by
@@ -290,7 +332,12 @@ object TextIndex {
     require(k >= 1, "k must be positive")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac in (0, 1]")
     val spark = queries.sparkSession
-    val meta = readMeta(spark, path)
+    // ONE snapshot resolution for stats AND postings: meta is read
+    // from the snapshot's own generations, so a serve racing a
+    // rebuild can never pair one snapshot's nBuckets with another's
+    // postings (the bucketing would prune matching rows silently)
+    val snap = TableLayout.resolve(spark, path)
+    val meta = readMetaAt(spark, path, snap)
     val qterms = queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(toks(col(textCol))).as("term"))
@@ -301,14 +348,15 @@ object TextIndex {
     // query-bounded driver collect (the probedUnion discipline): the
     // term + bucket literal lists that prune the postings scan
     val termRows = qterms.select("term", "bucket").distinct().collect()
-    if (termRows.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "query_id BIGINT, rank BIGINT, doc_id BIGINT, score_u BIGINT"))
+    // no query terms, or an EMPTY index (a build over an empty/
+    // all-blank corpus commits a dataless snapshot — valid, and a
+    // serve against it is an empty result, not a failure)
+    val liveOpt = TableLayout.readAtOpt(spark, path, snap)
+    if (termRows.isEmpty || liveOpt.isEmpty)
+      return emptyTopK(spark)
     val terms = termRows.map(_.getString(0)).distinct.toSeq
     val buckets = termRows.map(_.getInt(1)).distinct.toSeq
-    val slice = TableLayout.read(spark, path)
+    val slice = liveOpt.get
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       .filter(col("term").isin(terms: _*))
     // postings are one row per (term, doc): count per term IS df
@@ -332,6 +380,12 @@ object TextIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_u")
   }
+
+  private def emptyTopK(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, rank BIGINT, doc_id BIGINT, score_u BIGINT"))
 
   /** RECIPROCAL-RANK FUSION of retrieval legs (Cormack et al. 2009)
     * — the standard lexical ⊕ embedding hybrid: each leg is a

@@ -292,4 +292,31 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(path, "data-g" + (v1 + 1)).exists())
     assert(rows(TableLayout.read(spark, path)) == rows(mk(0L to 3L, "a")))
   }
+
+  test("replacePartitions rejects inference-ambiguous STRING partition " +
+      "values (exclusion filtering would silently resurrect rows)") {
+    val path = graft.util.TempDirs.scoped("tl-strpart").toString + "/store"
+    // non-ambiguous string values ("b0"...) work end to end
+    val ok = (0L to 3L).toDF("id").select(col("id"), lit("x").as("v"),
+      concat(lit("b"), pmod(col("id"), lit(2L))).as("ib"))
+    lockedToken(path)(t => TableLayout.publish(ok, path, Some("ib"), t))
+    lockedToken(path)(t => TableLayout.replacePartitions(spark, path,
+      ok.filter(col("ib") === "b0"), Seq("b0"), t))
+    assert(TableLayout.read(spark, path).count() === 4L)
+    // numeric-looking string values are rejected where exclusions are
+    // born, with the store untouched
+    val bad = graft.util.TempDirs.scoped("tl-strpart-bad").toString +
+      "/store"
+    val numish = (0L to 3L).toDF("id").select(col("id"),
+      lit("x").as("v"),
+      concat(lit("0"), pmod(col("id"), lit(2L))).as("ib")) // "00"/"01"
+    lockedToken(bad)(t => TableLayout.publish(numish, bad, Some("ib"), t))
+    val pre = TableLayout.resolve(spark, bad)
+    val ex = intercept[IllegalArgumentException] {
+      lockedToken(bad)(t => TableLayout.replacePartitions(spark, bad,
+        numish.filter(col("ib") === "01"), Seq("01"), t))
+    }
+    assert(ex.getMessage.contains("numeric/date-like"))
+    assert(TableLayout.resolve(spark, bad).version === pre.version)
+  }
 }

@@ -182,6 +182,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(serve(path) === serve(full))
   }
 
+  test("meta snapshots WITH the data: a rebuild with different " +
+      "nBuckets cannot be paired with another snapshot's postings") {
+    val path = graft.util.TempDirs.scoped("textidx-meta-snap").toString +
+      "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 8)
+    assert(TextIndex.readMeta(spark, path).nBuckets === 8)
+    val q = Seq((1L, "the quick brown fox")).toDF("query_id", "qtext")
+    val before = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("rank").collect().toSeq
+    // full rebuild with DIFFERENT bucketing: meta lands inside the
+    // new generation before its manifest commit, so the live serve
+    // pairs the new stats with the new postings...
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    assert(TextIndex.readMeta(spark, path).nBuckets === 4)
+    assert(TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("rank").collect().toSeq === before)
+    // ...and the SUPERSEDED generation still carries its own meta for
+    // in-flight readers of the previous snapshot (grace window)
+    val g1 = new java.io.File(path, "data-g1")
+    assert(g1.exists, "previous generation must survive the grace window")
+    assert(g1.listFiles().exists(_.getName.startsWith("_textmeta-v")),
+      "previous generation must keep its paired meta")
+  }
+
+  test("empty-corpus build serves empty results, not a failure") {
+    val path = graft.util.TempDirs.scoped("textidx-empty-corpus")
+      .toString + "/ix"
+    TextIndex.build(corpus.filter($"doc_id" < 0), "doc_id", "text", path,
+      nBuckets = 4)
+    val meta = TextIndex.readMeta(spark, path)
+    assert(meta.nDocs === 0L && meta.totalTokens === 0L)
+    val q = Seq((1L, "anything at all")).toDF("query_id", "qtext")
+    val r = TextIndex.topK(q, "query_id", "qtext", k = 3, path)
+    assert(r.columns.toSeq === Seq("query_id", "rank", "doc_id", "score_u"))
+    assert(r.count() === 0L)
+    // and the index grows out of the empty state through append
+    TextIndex.append(corpus.filter($"doc_id" === 3L), "doc_id", "text",
+      path)
+    assert(TextIndex.topK(Seq((1L, "distributed")).toDF("query_id",
+      "qtext"), "query_id", "qtext", k = 3, path).count() === 1L)
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
