@@ -1989,6 +1989,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // EXACT PHRASE search over the POSITIONAL index: queries are each
+    // 41st doc's tokens 3..5 as a contiguous phrase; documents rank
+    // by occurrence count (overlaps counted). The oracle restates the
+    // anchor-join (positions from the token arrays, group by
+    // (query, doc, pos - qpos), anchor complete iff every qpos
+    // matched) — all-integer output.
+    "q_text_phrase" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx-phr").toString + "/index"
+      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      val q = docs.filter(expr("doc_id % 41 = 0"))
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(T.tokens(col("text")), 3, 3)).as("qtext"))
+      TextIndex.phraseTopK(q, "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
     // HYBRID lexical ⊕ embedding retrieval: BM25 top-10 and exact
     // cosine top-10 over the same query ids, fused by micro-unit
     // reciprocal-rank fusion (rrfK=60) into the final top-5. The
@@ -4819,7 +4837,49 @@ object PipelineQueries {
     // path does (content-commutative), so the full-corpus oracle
     // covers the streaming gate too
     "q_stream_text_bm25" -> bm25OracleSql("doc_id % 37 = 0", 5),
+    "q_text_phrase" -> phraseOracleSql,
     "q_text_hybrid_rrf" -> hybridRrfOracleSql)
+
+  /** Phrase-search oracle: token positions from the arrays, the
+    * query's (qpos, term) rows for tokens 3..5 of every 41st doc, and
+    * the anchor-join — an anchor (query, doc, pos - qpos) is one
+    * occurrence iff every query position matched there. */
+  private def phraseOracleSql: String =
+    raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(coalesce(text, ''))) = 0
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+         |    END AS toks
+         |  FROM documents),
+         |pos AS (SELECT doc_id,
+         |          CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         |          unnest(toks) AS term
+         |        FROM d),
+         |qp AS (SELECT doc_id AS query_id,
+         |         CAST(generate_subscripts(toks[3:5], 1) - 1 AS BIGINT)
+         |           AS qpos,
+         |         unnest(toks[3:5]) AS term
+         |       FROM d WHERE doc_id % 41 = 0),
+         |ql AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qlen
+         |       FROM qp GROUP BY query_id),
+         |m AS (SELECT qp.query_id, pos.doc_id,
+         |        pos.pos - qp.qpos AS anchor, qp.qpos
+         |      FROM qp JOIN pos USING (term)),
+         |a AS (SELECT query_id, doc_id, anchor,
+         |        CAST(count(DISTINCT qpos) AS BIGINT) AS nq
+         |      FROM m GROUP BY query_id, doc_id, anchor),
+         |c AS (SELECT a.query_id, a.doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_phrase
+         |      FROM a JOIN ql ON a.query_id = ql.query_id
+         |        AND a.nq = ql.qlen
+         |      GROUP BY a.query_id, a.doc_id),
+         |r AS (SELECT query_id, doc_id, n_phrase,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY n_phrase DESC, doc_id) AS rank
+         |      FROM c)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_phrase
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** BM25 oracle CTE chain up through the per-query ranking `bmr`:
     * tokenize (null-safe, the engine tokenizer restated), per-doc

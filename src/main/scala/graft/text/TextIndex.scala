@@ -215,6 +215,12 @@ object TextIndex {
   private def toks(textCol: Column): Column =
     TextFunctions.tokens(coalesce(textCol, lit("")))
 
+  /** POSITIONAL postings: one row per (term, doc) carrying tf, the
+    * doc length, and the term's sorted 0-based token positions — the
+    * classic positional inverted file, enabling phrase queries
+    * ([[phraseTopK]]) on top of BM25. BM25 serving never reads the
+    * positions column (parquet column pruning), so the bag-of-words
+    * path pays nothing for it. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -222,9 +228,11 @@ object TextIndex {
       .select(col(idCol).cast("long").as("doc_id"),
         toks(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long")))
+          .as("positions"))
       .withColumn("bucket",
         pmod(PortableHash64Expr.portableHash64(spark, col("term")),
           lit(nBuckets.toLong)).cast("int"))
@@ -380,6 +388,72 @@ object TextIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_u")
   }
+
+  /** EXACT PHRASE top-k over the positional index: rank documents by
+    * how many times the query's token sequence occurs CONTIGUOUSLY
+    * (`n_phrase`, overlapping occurrences counted), ties by doc_id.
+    * Pure relational anchor-join shape, no per-row array programs:
+    * the query's `(qpos, term)` rows join matching postings' exploded
+    * positions on term (the same bucket-pruned, term-pushed scan as
+    * [[topK]]); an occurrence anchored at token `a` exists iff EVERY
+    * query position `qpos` matches a posting position `a + qpos`, so
+    * matches group by `(query, doc, pos - qpos)` and an anchor counts
+    * when `count(DISTINCT qpos)` equals the query length. Repeated
+    * query tokens are exact (each qpos must land at the same anchor).
+    * Scale: the join runs at matched-posting-position grain — the
+    * query's terms only — and anchors aggregate map-side; queries are
+    * broadcast by the serving contract. */
+  def phraseTopK(queries: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = queries.sparkSession
+    val snap = TableLayout.resolve(spark, path)
+    val meta = readMetaAt(spark, path, snap)
+    val qpos = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        posexplode(toks(col(textCol))).as(Seq("qpos", "term")))
+      .select(col("query_id"), col("qpos").cast("long").as("qpos"),
+        col("term"))
+    val qterms = qpos.select("term").distinct()
+      .withColumn("bucket",
+        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
+          lit(meta.nBuckets.toLong)).cast("int"))
+    val termRows = qterms.collect()
+    val liveOpt = TableLayout.readAtOpt(spark, path, snap)
+    if (termRows.isEmpty || liveOpt.isEmpty) return emptyPhrase(spark)
+    val terms = termRows.map(_.getString(0)).distinct.toSeq
+    val buckets = termRows.map(_.getInt(1)).distinct.toSeq
+    val positions = liveOpt.get
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val qlen = qpos.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    val anchors = positions
+      .join(broadcast(qpos), Seq("term"))
+      // anchor < 0 can never complete (qpos 0 would need pos < 0) —
+      // dropped early, mirrored implicitly by the oracle's HAVING
+      .withColumn("anchor", col("pos") - col("qpos"))
+      .filter(col("anchor") >= 0)
+      .groupBy("query_id", "doc_id", "anchor")
+      .agg(countDistinct(col("qpos")).as("nq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_phrase").desc, col("doc_id").asc)
+    anchors
+      .join(broadcast(qlen), Seq("query_id"))
+      .filter(col("nq") === col("qlen"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_phrase"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_phrase")
+  }
+
+  private def emptyPhrase(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, rank BIGINT, doc_id BIGINT, n_phrase BIGINT"))
 
   private def emptyTopK(spark: SparkSession): DataFrame =
     spark.createDataFrame(

@@ -96,6 +96,11 @@ class TextIndexSpec extends AnyFunSuite {
     // the postings scan
     assert(plan.contains("bucket"), plan.take(2000))
     assert(plan.contains("term"), plan.take(2000))
+    // the positional payload must NOT tax the bag-of-words path: no
+    // scan in the BM25 serve reads the positions column
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("positions")),
+      schemas.mkString("; "))
     val top = TextIndex.topK(q, "query_id", "qtext", k = 3, path).collect()
     // tf=5 but dl=5 self-repetition: doc 6 still outranks the long docs
     assert(top.head.getLong(2) === 6L)
@@ -222,6 +227,30 @@ class TextIndexSpec extends AnyFunSuite {
       path)
     assert(TextIndex.topK(Seq((1L, "distributed")).toDF("query_id",
       "qtext"), "query_id", "qtext", k = 3, path).count() === 1L)
+  }
+
+  test("phraseTopK: contiguity, overlap counting, repeated tokens") {
+    val path = graft.util.TempDirs.scoped("textidx-phrase").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 8)
+    def phrase(p: String) = TextIndex.phraseTopK(
+        Seq((9L, p)).toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 5, path)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // exact contiguous phrase: only doc 1
+    assert(phrase("the quick brown fox") === Seq((1L, 1L)))
+    // shared prefix phrase: docs 1 and 2, once each
+    assert(phrase("the quick brown") === Seq((1L, 1L), (2L, 1L)))
+    // words present but NOT contiguous: no match ("quick" ... "fox"
+    // with "brown" between in doc 1)
+    assert(phrase("quick fox") === Seq.empty)
+    // overlapping occurrences all count: "fox fox" in
+    // "fox fox fox fox fox" anchors at 0,1,2,3
+    assert(phrase("fox fox") === Seq((6L, 4L)))
+    // repeated token must match at EVERY query position: "fox the"
+    // never occurs
+    assert(phrase("fox the") === Seq.empty)
+    // phrase crossing a repeated word: "over the lazy" in doc 1
+    assert(phrase("over the lazy") === Seq((1L, 1L)))
   }
 
   test("rrfFuse: hand-checked fusion of two legs") {
