@@ -59,6 +59,27 @@ object PipelineQueries {
     * not lean on the sharing: every mutating gate still hash-matches
     * its own from-scratch DuckDB closure oracle over the post-mutation
     * corpus, so a stale or wrong pristine table fails the gate. */
+  /** Build-once memo for the FULL-CORPUS text index (the
+    * cluster-table discipline applied to retrieval): q_text_bm25_topk,
+    * q_text_phrase and q_text_hybrid_rrf serve the identical
+    * nBuckets=32 index over `documents` — production builds one index
+    * per corpus, consumers serve it. Correctness does not lean on the
+    * sharing: each rider still hash-matches its own from-scratch
+    * DuckDB restatement, so a stale or wrong shared index fails the
+    * gate. Mutating gates (append/stream/compact) build private
+    * stores as before. */
+  private val textIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedTextIndex(s: SparkSession, d: String): String =
+    textIndexDirs.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d, _ => {
+        val p = graft.util.TempDirs.scoped("graft-textidx-shared")
+          .toString + "/index"
+        TextIndex.build(Tables.documents(s, d), "doc_id", "text", p,
+          nBuckets = 32)
+        p
+      })
+
   private def cowClusterTable(s: SparkSession, src: String,
       tag: String): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}
@@ -1937,11 +1958,8 @@ object PipelineQueries {
     // expression) → (score_u DESC, doc_id) top-5.
     "q_text_bm25_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path =
-        graft.util.TempDirs.scoped("graft-textidx").toString + "/index"
-      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
       TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
-          "query_id", "qtext", k = 5, path)
+          "query_id", "qtext", k = 5, sharedTextIndex(s, d))
         .orderBy("query_id", "rank")
     }),
 
@@ -1997,9 +2015,7 @@ object PipelineQueries {
     // matched) — all-integer output.
     "q_text_phrase" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path =
-        graft.util.TempDirs.scoped("graft-textidx-phr").toString + "/index"
-      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      val path = sharedTextIndex(s, d)
       val q = docs.filter(expr("doc_id % 41 = 0"))
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(T.tokens(col("text")), 3, 3)).as("qtext"))
@@ -2015,11 +2031,8 @@ object PipelineQueries {
     "q_text_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val e = Tables.embeddings(s, d)
-      val path =
-        graft.util.TempDirs.scoped("graft-textidx-hyb").toString + "/index"
-      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
       val bm = TextIndex.topK(bm25Queries(docs, "doc_id < 10"),
-        "query_id", "qtext", k = 10, path)
+        "query_id", "qtext", k = 10, sharedTextIndex(s, d))
       val cos = Similarity.bruteForceTopK(
           e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
