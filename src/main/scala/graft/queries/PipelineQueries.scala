@@ -67,7 +67,11 @@ object PipelineQueries {
     * sharing: each rider still hash-matches its own from-scratch
     * DuckDB restatement, so a stale or wrong shared index fails the
     * gate. Mutating gates (append/stream/compact) build private
-    * stores as before. */
+    * stores as before. The memo is never invalidated within an
+    * application: if a harness rewrites the corpus under `d` and
+    * re-runs these gates in the SAME Spark app, they fail red against
+    * the fresh-corpus oracle (safe direction) — use a fresh app per
+    * data generation, as Verify/Bench do. */
   private val textIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedTextIndex(s: SparkSession, d: String): String =

@@ -335,58 +335,80 @@ object TextIndex {
     * Output: `(query_id, rank, doc_id, score_u)`, score_u in int64
     * micro-units, ties broken by doc_id ascending; queries with no
     * matching term emit no rows. */
+  /** The serve scaffolding BOTH retrieval entry points share: ONE
+    * snapshot resolution for stats AND postings (meta is read from
+    * the snapshot's own generations, so a serve racing a rebuild can
+    * never pair one snapshot's nBuckets with another's postings —
+    * the bucketing would prune matching rows silently), ONE
+    * evaluation of the query lineage (queries are SMALL by the
+    * serving contract: the tokenized `(query_id, qpos, term, bucket)`
+    * rows collect in one job and every downstream query-side frame
+    * is rebuilt from the local rows), and the bucket-pruned,
+    * term-pushed postings slice. `None` = no query terms, or an
+    * EMPTY index (a build over an empty/all-blank corpus commits a
+    * dataless snapshot — valid; serves answer empty, not failure). */
+  private final case class Serve(meta: Meta,
+      qrows: Seq[(Long, Long, String)], slice: DataFrame)
+
+  private def serveSlice(queries: DataFrame, idCol: String,
+      textCol: String, path: String): Option[Serve] = {
+    val spark = queries.sparkSession
+    val snap = TableLayout.resolve(spark, path)
+    val meta = readMetaAt(spark, path, snap)
+    val collected = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        posexplode(toks(col(textCol))).as(Seq("qpos", "term")))
+      .select(col("query_id"), col("qpos").cast("long").as("qpos"),
+        col("term"),
+        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
+          lit(meta.nBuckets.toLong)).cast("int").as("bucket"))
+      .collect()
+    val liveOpt = TableLayout.readAtOpt(spark, path, snap)
+    if (collected.isEmpty || liveOpt.isEmpty) return None
+    val terms = collected.map(_.getString(2)).distinct.toSeq
+    val buckets = collected.map(_.getInt(3)).distinct.toSeq
+    val slice = liveOpt.get
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("term").isin(terms: _*))
+    Some(Serve(meta,
+      collected.toSeq.map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))), slice))
+  }
+
   def topK(queries: DataFrame, idCol: String, textCol: String, k: Int,
       path: String, maxDfFrac: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac in (0, 1]")
     val spark = queries.sparkSession
-    // ONE snapshot resolution for stats AND postings: meta is read
-    // from the snapshot's own generations, so a serve racing a
-    // rebuild can never pair one snapshot's nBuckets with another's
-    // postings (the bucketing would prune matching rows silently)
-    val snap = TableLayout.resolve(spark, path)
-    val meta = readMetaAt(spark, path, snap)
-    val qterms = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        explode(toks(col(textCol))).as("term"))
-      .distinct()
-      .withColumn("bucket",
-        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
-          lit(meta.nBuckets.toLong)).cast("int"))
-    // query-bounded driver collect (the probedUnion discipline): the
-    // term + bucket literal lists that prune the postings scan
-    val termRows = qterms.select("term", "bucket").distinct().collect()
-    // no query terms, or an EMPTY index (a build over an empty/
-    // all-blank corpus commits a dataless snapshot — valid, and a
-    // serve against it is an empty result, not a failure)
-    val liveOpt = TableLayout.readAtOpt(spark, path, snap)
-    if (termRows.isEmpty || liveOpt.isEmpty)
-      return emptyTopK(spark)
-    val terms = termRows.map(_.getString(0)).distinct.toSeq
-    val buckets = termRows.map(_.getInt(1)).distinct.toSeq
-    val slice = liveOpt.get
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      .filter(col("term").isin(terms: _*))
-    // postings are one row per (term, doc): count per term IS df
-    val dfreq0 = slice.groupBy("term").agg(count(lit(1)).as("df"))
-    val dfreq =
-      if (maxDfFrac >= 1.0) dfreq0
-      else dfreq0.filter(col("df").cast("double") <=
-        lit(maxDfFrac) * lit(meta.nDocs.toDouble))
-    val contrib = contribMicroSql("tf", "dl", "df",
-      meta.nDocs.toString + "L", meta.totalTokens.toString + "L",
-      SparkDialect)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_u").desc, col("doc_id").asc)
-    slice
-      .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
-      .withColumn("contrib_u", expr(contrib))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("contrib_u").as("score_u"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "score_u")
+    import spark.implicits._
+    serveSlice(queries, idCol, textCol, path) match {
+      case None => emptyServe(spark, "score_u")
+      case Some(Serve(meta, qrows, slice)) =>
+        // duplicate query terms score once (set-of-terms queries —
+        // the classic probabilistic-model reading)
+        val qterms = qrows.map(r => (r._1, r._3)).distinct
+          .toDF("query_id", "term")
+        // postings are one row per (term, doc): count per term IS df
+        val dfreq0 = slice.groupBy("term").agg(count(lit(1)).as("df"))
+        val dfreq =
+          if (maxDfFrac >= 1.0) dfreq0
+          else dfreq0.filter(col("df").cast("double") <=
+            lit(maxDfFrac) * lit(meta.nDocs.toDouble))
+        val contrib = contribMicroSql("tf", "dl", "df",
+          meta.nDocs.toString + "L", meta.totalTokens.toString + "L",
+          SparkDialect)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_u").desc, col("doc_id").asc)
+        slice
+          .join(broadcast(dfreq), Seq("term"))
+          .join(broadcast(qterms), Seq("term"))
+          .withColumn("contrib_u", expr(contrib))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("contrib_u").as("score_u"))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= k)
+          .select("query_id", "rank", "doc_id", "score_u")
+    }
   }
 
   /** EXACT PHRASE top-k over the positional index: rank documents by
@@ -407,59 +429,44 @@ object TextIndex {
       k: Int, path: String): DataFrame = {
     require(k >= 1, "k must be positive")
     val spark = queries.sparkSession
-    val snap = TableLayout.resolve(spark, path)
-    val meta = readMetaAt(spark, path, snap)
-    val qpos = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        posexplode(toks(col(textCol))).as(Seq("qpos", "term")))
-      .select(col("query_id"), col("qpos").cast("long").as("qpos"),
-        col("term"))
-    val qterms = qpos.select("term").distinct()
-      .withColumn("bucket",
-        pmod(PortableHash64Expr.portableHash64(spark, col("term")),
-          lit(meta.nBuckets.toLong)).cast("int"))
-    val termRows = qterms.collect()
-    val liveOpt = TableLayout.readAtOpt(spark, path, snap)
-    if (termRows.isEmpty || liveOpt.isEmpty) return emptyPhrase(spark)
-    val terms = termRows.map(_.getString(0)).distinct.toSeq
-    val buckets = termRows.map(_.getInt(1)).distinct.toSeq
-    val positions = liveOpt.get
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      .filter(col("term").isin(terms: _*))
-      .select(col("term"), col("doc_id"),
-        explode(col("positions")).as("pos"))
-    val qlen = qpos.groupBy("query_id").agg(count(lit(1)).as("qlen"))
-    val anchors = positions
-      .join(broadcast(qpos), Seq("term"))
-      // anchor < 0 can never complete (qpos 0 would need pos < 0) —
-      // dropped early, mirrored implicitly by the oracle's HAVING
-      .withColumn("anchor", col("pos") - col("qpos"))
-      .filter(col("anchor") >= 0)
-      .groupBy("query_id", "doc_id", "anchor")
-      .agg(countDistinct(col("qpos")).as("nq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_phrase").desc, col("doc_id").asc)
-    anchors
-      .join(broadcast(qlen), Seq("query_id"))
-      .filter(col("nq") === col("qlen"))
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).as("n_phrase"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "n_phrase")
+    import spark.implicits._
+    serveSlice(queries, idCol, textCol, path) match {
+      case None => emptyServe(spark, "n_phrase")
+      case Some(Serve(_, qrows, slice)) =>
+        val qpos = qrows.toDF("query_id", "qpos", "term")
+        val qlen = qrows.groupBy(_._1).view.mapValues(_.size.toLong)
+          .toSeq.toDF("query_id", "qlen")
+        val positions = slice.select(col("term"), col("doc_id"),
+          explode(col("positions")).as("pos"))
+        val anchors = positions
+          .join(broadcast(qpos), Seq("term"))
+          // anchor < 0 can never complete (qpos 0 would need pos < 0)
+          // — dropped early; the oracle needs no twin filter, its
+          // `nq = qlen` join predicate already kills those anchors
+          .withColumn("anchor", col("pos") - col("qpos"))
+          .filter(col("anchor") >= 0)
+          .groupBy("query_id", "doc_id", "anchor")
+          .agg(countDistinct(col("qpos")).as("nq"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("n_phrase").desc, col("doc_id").asc)
+        anchors
+          .join(broadcast(qlen), Seq("query_id"))
+          .filter(col("nq") === col("qlen"))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_phrase"))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= k)
+          .select("query_id", "rank", "doc_id", "n_phrase")
+    }
   }
 
-  private def emptyPhrase(spark: SparkSession): DataFrame =
+  /** Empty serve result: the shared schema with `scoreCol` as the
+    * fourth column (`score_u` for BM25, `n_phrase` for phrase). */
+  private def emptyServe(spark: SparkSession, scoreCol: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "query_id BIGINT, rank BIGINT, doc_id BIGINT, n_phrase BIGINT"))
-
-  private def emptyTopK(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "query_id BIGINT, rank BIGINT, doc_id BIGINT, score_u BIGINT"))
+        s"query_id BIGINT, rank BIGINT, doc_id BIGINT, $scoreCol BIGINT"))
 
   /** RECIPROCAL-RANK FUSION of retrieval legs (Cormack et al. 2009)
     * — the standard lexical ⊕ embedding hybrid: each leg is a

@@ -235,6 +235,7 @@ class TextIndexSpec extends AnyFunSuite {
     def phrase(p: String) = TextIndex.phraseTopK(
         Seq((9L, p)).toDF("query_id", "qtext"),
         "query_id", "qtext", k = 5, path)
+      .orderBy("rank")
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
     // exact contiguous phrase: only doc 1
     assert(phrase("the quick brown fox") === Seq((1L, 1L)))
