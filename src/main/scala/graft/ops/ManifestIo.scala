@@ -14,6 +14,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object ManifestIo {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Committed manifests under `root` with the given name `prefix`,
     * ordered oldest-first by version. */
   def list(fs: FileSystem, root: Path, prefix: String): Seq[(Long, Path)] =
@@ -67,6 +69,45 @@ private[graft] object ManifestIo {
         s"$what commit at $storePath: could not publish manifest " +
           s"v$version (a manifest with this version already exists?) " +
           "— the live snapshot is unchanged")
+  }
+
+  /** The RESOLVE shape both layouts share: the highest committed
+    * manifest parsed, else the layout's implicit legacy snapshot. */
+  def resolveHighest[T](fs: FileSystem, root: Path, prefix: String,
+      legacy: => Option[T])(parse: (String, Long) => T): Option[T] =
+    list(fs, root, prefix).lastOption match {
+      case Some((v, p)) => Some(parse(readText(fs, p), v))
+      case None => legacy
+    }
+
+  /** The GC shape both layouts share: drop manifests beyond the
+    * newest `keep` (the previous snapshot is the reader grace
+    * window), collect every artifact directory the KEPT manifests
+    * still reference, and delete root entries that match the
+    * layout's `deletable` naming contract but are referenced by no
+    * kept manifest — nothing the layout did not name itself is ever
+    * touched. Returns the referenced set for layout-specific
+    * follow-up (the store layout's legacy-root reap); `None` when no
+    * manifest exists (nothing to do — pre-manifest stores keep their
+    * files). */
+  def gcKeepReferenced(fs: FileSystem, root: Path, prefix: String,
+      keep: Int, refsOf: String => Set[String],
+      deletable: String => Boolean, what: String): Option[Set[String]] = {
+    val manifests = list(fs, root, prefix)
+    if (manifests.isEmpty) return None
+    val (dead, kept) = manifests.splitAt(
+      math.max(0, manifests.length - keep))
+    val referenced: Set[String] =
+      kept.flatMap { case (_, p) => refsOf(readText(fs, p)) }.toSet
+    dead.foreach { case (_, p) => fs.delete(p, false) }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (deletable(n) && !referenced.contains(n)) {
+        log.info(s"$what gc at $root: deleting unreferenced $n")
+        fs.delete(st.getPath, true)
+      }
+    }
+    Some(referenced)
   }
 
   /** Re-read the [[StoreLock]] epoch at `<storePath>.epoch` and throw

@@ -118,8 +118,6 @@ private[graft] object TableLayout {
 
   private val ManifestPrefix = "_manifest-v"
 
-  private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
-    ManifestIo.list(fs, root, ManifestPrefix)
 
   /** Root-level partition dirs (`<pcol>=<escaped>` names), any pcol. */
   private def rootPartitionDirs(fs: FileSystem, root: Path) =
@@ -169,10 +167,8 @@ private[graft] object TableLayout {
   def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    listManifests(fs, root).lastOption match {
-      case Some((v, p)) => Some(parse(fs, p, v))
-      case None => legacySnapshot(fs, root)
-    }
+    ManifestIo.resolveHighest(fs, root, ManifestPrefix,
+      legacySnapshot(fs, root))(parseText)
   }
 
   def resolve(ss: SparkSession, path: String): Snapshot =
@@ -180,8 +176,7 @@ private[graft] object TableLayout {
       s"no store at $path: neither a manifest nor legacy parquet data " +
         "exists — initialize the store first"))
 
-  private def parse(fs: FileSystem, p: Path, v: Long): Snapshot = {
-    val text = ManifestIo.readText(fs, p)
+  private def parseText(text: String, v: Long): Snapshot = {
     var pcol: Option[String] = None
     val gens = Seq.newBuilder[Gen]
     text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -196,7 +191,7 @@ private[graft] object TableLayout {
             else parts(1).split(",").toSeq
           gens += Gen(dir, excl)
         case _ => throw new IllegalStateException(
-          s"unparseable store manifest line in $p: '$line'")
+          s"unparseable store manifest line: '$line'")
       }
     }
     Snapshot(v, pcol, gens.result())
@@ -245,29 +240,20 @@ private[graft] object TableLayout {
       keepManifests: Int = KeepManifests): Unit = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    val manifests = listManifests(fs, root)
-    if (manifests.isEmpty) return
-    val (dead, kept) = manifests.splitAt(
-      math.max(0, manifests.length - keepManifests))
-    val referenced: Set[String] =
-      kept.flatMap { case (v, p) => parse(fs, p, v).gens.map(_.dir) }.toSet
-    dead.foreach { case (_, p) => fs.delete(p, false) }
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if ((n.matches("data-g\\d+") && !referenced.contains(n)) ||
-          n.startsWith(".manifest-tmp-")) {
-        log.info(s"store gc at $path: deleting unreferenced $n")
-        fs.delete(st.getPath, true)
+    ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix, keepManifests,
+      text => parseText(text, 0L).gens.map(_.dir).toSet,
+      n => n.matches("data-g\\d+") || n.startsWith(".manifest-tmp-"),
+      "store"
+    ).foreach { referenced =>
+      // the legacy root-level generation, once unreferenced: reap the
+      // root-level data files and partition dirs (they are only ever
+      // engine-written parquet output)
+      if (!referenced.contains("")) {
+        rootDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
+        rootPartitionDirs(fs, root).foreach(d => fs.delete(d.getPath, true))
+        val succ = new Path(root, "_SUCCESS")
+        if (fs.exists(succ)) fs.delete(succ, false)
       }
-    }
-    // the legacy root-level generation, once unreferenced: reap the
-    // root-level data files and partition dirs (they are only ever
-    // engine-written parquet output)
-    if (!referenced.contains("")) {
-      rootDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
-      rootPartitionDirs(fs, root).foreach(d => fs.delete(d.getPath, true))
-      val succ = new Path(root, "_SUCCESS")
-      if (fs.exists(succ)) fs.delete(succ, false)
     }
   }
 

@@ -83,8 +83,6 @@ private[graft] object IndexLayout {
   // index keeps its pre-existing un-prefixed manifest names
   private val ManifestPrefix = "manifest-v"
 
-  private def listManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
-    graft.ops.ManifestIo.list(fs, root, ManifestPrefix)
 
   /** The pre-manifest layout's implicit v0 snapshot, if the fixed
     * legacy dirs exist — the ONE definition both [[resolveOpt]] and
@@ -101,10 +99,8 @@ private[graft] object IndexLayout {
   def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
     val root = new Path(path.stripSuffix("/"))
     val fs = fsOf(ss, path)
-    listManifests(fs, root).lastOption match {
-      case Some((v, p)) => Some(parse(fs, p, v))
-      case None => legacySnapshot(fs, root)
-    }
+    graft.ops.ManifestIo.resolveHighest(fs, root, ManifestPrefix,
+      legacySnapshot(fs, root))(parseText)
   }
 
   def resolve(ss: SparkSession, path: String): Snapshot =
@@ -117,8 +113,7 @@ private[graft] object IndexLayout {
   def nextVersion(ss: SparkSession, path: String): Long =
     resolveOpt(ss, path).map(_.version + 1L).getOrElse(1L)
 
-  private def parse(fs: FileSystem, p: Path, v: Long): Snapshot = {
-    val text = graft.ops.ManifestIo.readText(fs, p)
+  private def parseText(text: String, v: Long): Snapshot = {
     var centroids: Option[String] = None
     var pqcents: Option[String] = None
     val gens = Seq.newBuilder[Gen]
@@ -134,11 +129,12 @@ private[graft] object IndexLayout {
             else parts(1).split(",").toSeq.map(_.trim.toInt)
           gens += Gen(parts(0), excl)
         case _ => throw new IllegalStateException(
-          s"unparseable manifest line in $p: '$line'")
+          s"unparseable index manifest line: '$line'")
       }
     }
     Snapshot(v, centroids.getOrElse(throw new IllegalStateException(
-      s"manifest $p names no centroids artifact")), pqcents, gens.result())
+      s"index manifest v$v names no centroids artifact")), pqcents,
+      gens.result())
   }
 
   private def serialize(s: Snapshot): String = {
@@ -183,15 +179,6 @@ private[graft] object IndexLayout {
       keepManifests: Int = KeepManifests): Unit = {
     val root = new Path(path.stripSuffix("/"))
     val fs = fsOf(ss, path)
-    val manifests = listManifests(fs, root)
-    if (manifests.isEmpty) return
-    val (dead, kept) = manifests.splitAt(
-      math.max(0, manifests.length - keepManifests))
-    val referenced: Set[String] = kept.flatMap { case (v, p) =>
-      val s = parse(fs, p, v)
-      s.centroids +: (s.pqcents.toSeq ++ s.gens.map(_.dir))
-    }.toSet
-    dead.foreach { case (_, p) => fs.delete(p, false) }
     // engine-named artifact dirs only: versioned names, the legacy
     // fixed names (once migrated off), and pre-manifest debris
     // (aside/staging dirs a crashed old-layout writer left behind)
@@ -201,13 +188,13 @@ private[graft] object IndexLayout {
         name.startsWith(".manifest-tmp-") ||
         name.startsWith(".retrain-") ||
         name.matches("(postings|centroids|pqcents)\\.(pre-retrain|retrain-.*|compact-.*)")
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (deletable(n) && !referenced.contains(n)) {
-        log.info(s"index gc at $path: deleting unreferenced $n")
-        fs.delete(st.getPath, true)
-      }
-    }
+    graft.ops.ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix,
+      keepManifests,
+      text => {
+        val s = parseText(text, 0L)
+        (s.centroids +: (s.pqcents.toSeq ++ s.gens.map(_.dir))).toSet
+      },
+      deletable, "index"): Unit
   }
 
   /** Heal damage the PRE-MANIFEST compactor could leave behind: a
