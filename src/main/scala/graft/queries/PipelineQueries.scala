@@ -2011,6 +2011,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BM25 retrieval QUALITY observable: self-retrieval MRR /
+    // hit-rate / recall@5 through the generic retrievalEval metric
+    // (each query's source doc is its one relevant document — the
+    // first-8-token query should surface it at or near rank 1).
+    // All-integer metrics; the oracle recomputes the BM25 leg AND
+    // the metric arithmetic.
+    "q_text_bm25_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val results = TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, sharedTextIndex(s, d))
+        .withColumnRenamed("doc_id", "neighbor_id")
+      val qrels = docs.filter(expr("doc_id % 37 = 0"))
+        .select(col("doc_id").as("query_id"),
+          col("doc_id").as("relevant_id"))
+      Similarity.retrievalEval(results, qrels, k = 5)
+        .orderBy("query_id")
+    }),
+
     // EXACT PHRASE search over the POSITIONAL index: queries are each
     // 41st doc's tokens 3..5 as a contiguous phrase; documents rank
     // by occurrence count (overlaps counted). The oracle restates the
@@ -4855,6 +4873,28 @@ object PipelineQueries {
     // covers the streaming gate too
     "q_stream_text_bm25" -> bm25OracleSql("doc_id % 37 = 0", 5),
     "q_text_phrase" -> phraseOracleSql,
+    "q_text_bm25_eval" -> (bm25Ctes("doc_id % 37 = 0") + """,
+       |res AS (SELECT query_id, doc_id AS neighbor_id, rank
+       |        FROM bmr WHERE rank <= 5),
+       |qr AS (SELECT doc_id AS query_id, doc_id AS relevant_id
+       |       FROM documents WHERE doc_id % 37 = 0),
+       |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |       FROM qr GROUP BY query_id),
+       |hit AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+       |          CAST(min(r.rank) AS BIGINT) AS frr
+       |        FROM res r JOIN qr ON r.query_id = qr.query_id
+       |          AND r.neighbor_id = qr.relevant_id
+       |        GROUP BY r.query_id)
+       |SELECT nr.query_id,
+       |  CAST(coalesce(hit.frr, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(CASE WHEN hit.frr IS NOT NULL THEN 10000 // hit.frr
+       |       ELSE 0 END AS BIGINT) AS rr_bp,
+       |  CAST(coalesce(hit.hits, 0) AS BIGINT) AS hits_at_k,
+       |  nr.n_rel,
+       |  CAST(coalesce(hit.hits, 0) * 10000 // nr.n_rel AS BIGINT)
+       |    AS recall_bp
+       |FROM nr LEFT JOIN hit ON nr.query_id = hit.query_id
+       |ORDER BY nr.query_id""".stripMargin),
     "q_text_hybrid_rrf" -> hybridRrfOracleSql)
 
   /** Phrase-search oracle: token positions from the arrays, the
