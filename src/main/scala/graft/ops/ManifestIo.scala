@@ -91,14 +91,16 @@ private[graft] object ManifestIo {
     * manifest exists (nothing to do — pre-manifest stores keep their
     * files). */
   def gcKeepReferenced(fs: FileSystem, root: Path, prefix: String,
-      keep: Int, refsOf: String => Set[String],
+      keep: Int, refsOf: (String, Long) => Set[String],
       deletable: String => Boolean, what: String): Option[Set[String]] = {
     val manifests = list(fs, root, prefix)
     if (manifests.isEmpty) return None
     val (dead, kept) = manifests.splitAt(
       math.max(0, manifests.length - keep))
+    // the REAL version rides into the parse so a corrupt kept
+    // manifest fails naming the snapshot an operator can find
     val referenced: Set[String] =
-      kept.flatMap { case (_, p) => refsOf(readText(fs, p)) }.toSet
+      kept.flatMap { case (v, p) => refsOf(readText(fs, p), v) }.toSet
     dead.foreach { case (_, p) => fs.delete(p, false) }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName

@@ -118,7 +118,6 @@ private[graft] object TableLayout {
 
   private val ManifestPrefix = "_manifest-v"
 
-
   /** Root-level partition dirs (`<pcol>=<escaped>` names), any pcol. */
   private def rootPartitionDirs(fs: FileSystem, root: Path) =
     (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
@@ -241,7 +240,7 @@ private[graft] object TableLayout {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
     ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix, keepManifests,
-      text => parseText(text, 0L).gens.map(_.dir).toSet,
+      (text, v) => parseText(text, v).gens.map(_.dir).toSet,
       n => n.matches("data-g\\d+") || n.startsWith(".manifest-tmp-"),
       "store"
     ).foreach { referenced =>

@@ -83,7 +83,6 @@ private[graft] object IndexLayout {
   // index keeps its pre-existing un-prefixed manifest names
   private val ManifestPrefix = "manifest-v"
 
-
   /** The pre-manifest layout's implicit v0 snapshot, if the fixed
     * legacy dirs exist — the ONE definition both [[resolveOpt]] and
     * [[commit]]'s migration backfill share (divergent copies would
@@ -190,8 +189,8 @@ private[graft] object IndexLayout {
         name.matches("(postings|centroids|pqcents)\\.(pre-retrain|retrain-.*|compact-.*)")
     graft.ops.ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix,
       keepManifests,
-      text => {
-        val s = parseText(text, 0L)
+      (text, v) => {
+        val s = parseText(text, v)
         (s.centroids +: (s.pqcents.toSeq ++ s.gens.map(_.dir))).toSet
       },
       deletable, "index"): Unit
