@@ -2011,6 +2011,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Text-index HEALTH observable: corpus stats, vocabulary and
+    // posting grain (SQL-restated), plus the file-pressure contract
+    // booleans a fresh bucket-co-located build pins (<= one file per
+    // bucket, never more files than buckets).
+    "q_text_index_health" -> ((s, d) => {
+      TextIndex.health(s, sharedTextIndex(s, d))
+        .select(col("n_docs"), col("total_tokens"), col("n_buckets"),
+          col("vocab"), col("postings"),
+          (col("live_files") <= col("n_buckets")).cast("bigint")
+            .as("files_le_buckets"),
+          col("max_files_per_bucket"))
+    }),
+
     // BM25 retrieval QUALITY observable: self-retrieval MRR /
     // hit-rate / recall@5 through the generic retrievalEval metric
     // (each query's source doc is its one relevant document — the
@@ -4873,6 +4886,30 @@ object PipelineQueries {
     // covers the streaming gate too
     "q_stream_text_bm25" -> bm25OracleSql("doc_id % 37 = 0", 5),
     "q_text_phrase" -> phraseOracleSql,
+    // stats/vocab/postings restated from the token arrays; the file
+    // numbers ride as the fresh-build contract (one co-located file
+    // per non-empty bucket)
+    "q_text_index_health" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(trim(coalesce(text, ''))) = 0
+           |      THEN CAST([] AS VARCHAR[])
+           |      ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+           |    END AS toks
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term FROM
+           |        (SELECT doc_id, unnest(toks) AS term FROM d)
+           |       GROUP BY doc_id, term)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+           |  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM d)
+           |    AS total_tokens,
+           |  CAST(32 AS BIGINT) AS n_buckets,
+           |  (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tf)
+           |    AS vocab,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tf) AS postings,
+           |  CAST(1 AS BIGINT) AS files_le_buckets,
+           |  CAST(1 AS BIGINT) AS max_files_per_bucket""".stripMargin,
     "q_text_bm25_eval" -> (bm25Ctes("doc_id % 37 = 0") + """,
        |res AS (SELECT query_id, doc_id AS neighbor_id, rank
        |        FROM bmr WHERE rank <= 5),

@@ -335,6 +335,35 @@ object TextIndex {
     * Output: `(query_id, rank, doc_id, score_u)`, score_u in int64
     * micro-units, ties broken by doc_id ascending; queries with no
     * matching term emit no rows. */
+  /** Index HEALTH, one observable for ingest/serve monitoring (the
+    * dedup stores' `storeHealth` discipline): the corpus stats the
+    * scorer uses (a total_tokens that stops growing under an active
+    * append stream is a stuck ingest), the postings grain (vocabulary
+    * = distinct terms; posting rows), and the LIVE file pressure that
+    * drives [[compact]] — live-snapshot accounting only, superseded
+    * generations awaiting GC are not compaction pressure. One
+    * vocabulary-grain aggregation over the live postings; the file
+    * numbers come from listings, not scans. */
+  def health(ss: SparkSession, path: String): DataFrame = {
+    import ss.implicits._
+    val snap = TableLayout.resolve(ss, path)
+    val meta = readMetaAt(ss, path, snap)
+    val (nFiles, _, _) = TableLayout.fileStats(ss, path, snap)
+    val maxPerBucket = TableLayout.filesPerPartition(ss, path, snap)
+      .values.maxOption.getOrElse(0L)
+    val (vocab, postings) = TableLayout.readAtOpt(ss, path, snap) match {
+      case None => (0L, 0L)
+      case Some(df) =>
+        val r = df.agg(countDistinct(col("term")).as("v"),
+          count(lit(1)).as("p")).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    Seq((meta.nDocs, meta.totalTokens, meta.nBuckets.toLong, vocab,
+      postings, nFiles, maxPerBucket))
+      .toDF("n_docs", "total_tokens", "n_buckets", "vocab", "postings",
+        "live_files", "max_files_per_bucket")
+  }
+
   /** The serve scaffolding BOTH retrieval entry points share: ONE
     * snapshot resolution for stats AND postings (meta is read from
     * the snapshot's own generations, so a serve racing a rebuild can

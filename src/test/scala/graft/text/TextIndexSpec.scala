@@ -254,6 +254,26 @@ class TextIndexSpec extends AnyFunSuite {
     assert(phrase("over the lazy") === Seq((1L, 1L)))
   }
 
+  test("a serve planned before compaction still reads its complete " +
+      "snapshot (reader isolation through the grace window)") {
+    val path = graft.util.TempDirs.scoped("textidx-race").toString + "/ix"
+    TextIndex.build(corpus.filter($"doc_id" <= 3), "doc_id", "text", path,
+      nBuckets = 2)
+    TextIndex.append(corpus.filter($"doc_id" > 3), "doc_id", "text", path)
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"))
+      .toDF("query_id", "qtext")
+    // plan the serve against the PRE-compaction snapshot...
+    val served = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+    val expect = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("query_id", "rank").collect().toSeq
+    // ...rewrite every bucket underneath it...
+    assert(TextIndex.compact(spark, path, maxFilesPerBucket = 1)
+      .bucketsCompacted > 0)
+    // ...the in-flight plan still collects its complete snapshot (the
+    // superseded generation survives the grace window), same rows
+    assert(served.orderBy("query_id", "rank").collect().toSeq === expect)
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
