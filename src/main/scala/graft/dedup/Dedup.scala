@@ -1260,8 +1260,9 @@ object Dedup {
     * complete snapshot). Row multiset, schema, and partition values
     * are invariant (spec-asserted). */
   private def maybeCompactBuckets(ss: SparkSession, storePath: String,
-      partitionCol: String, maxFiles: Int, token: String): Unit = {
-    // the generic bucket-grain compaction (partition values render via
+      maxFiles: Int, token: String): Unit = {
+    // the generic bucket-grain compaction derives the partition column
+    // from the store's own snapshot (partition values render via
     // toString — the store writes integral ib values, so the dir-name
     // string IS the value); shared with the text index
     graft.ops.TableLayout.compactPartitions(ss, storePath, maxFiles,
@@ -1716,8 +1717,7 @@ object Dedup {
     // small file in every touched bucket dir — the same small-files
     // accretion the flat path bounds, at bucket grain).
     if (idBuckets > 0)
-      maybeCompactBuckets(ss, storePath, "ib", compactAfterFiles,
-        ctx.token)
+      maybeCompactBuckets(ss, storePath, compactAfterFiles, ctx.token)
     else maybeCompactStore(ss, storePath, compactAfterFiles, ctx.token)
     val cand = ss.read.parquet(batchPath)
     val tx = nfcFolded(texts.select(col(idCol), col(textCol)), textCol,

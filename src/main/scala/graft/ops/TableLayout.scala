@@ -329,6 +329,43 @@ private[graft] object TableLayout {
       schema: Option[StructType] = None): DataFrame =
     readAt(ss, path, resolve(ss, path), schema)
 
+  /** The partition-column TYPE contract every write path shares
+    * (directory-name rendering for other types diverges from
+    * Spark's). */
+  private def requirePcolType(schema: StructType, pc: String,
+      what: String): Unit =
+    require(Set("string", "int", "bigint", "smallint", "tinyint")
+        .contains(schema(pc).dataType.simpleString),
+      s"TableLayout.$what: partition column '$pc' must be string or " +
+        "integral (directory-name rendering for other types diverges " +
+        s"from Spark's), got ${schema(pc).dataType.simpleString}")
+
+  /** STRING partition columns get an inline write-time guard: null,
+    * manifest-delimiter, and numeric/date-like values (which Spark's
+    * partition-type INFERENCE would re-type on unpinned reads,
+    * breaking exclusion filtering — the [[replacePartitions]]
+    * rationale) raise inside the write job itself, so the contract
+    * fails at store creation/append time, never at a later
+    * compaction. Zero extra pass — the check rides the write; the
+    * failed job commits no files and no manifest. Integral partition
+    * columns (every engine-internal store) skip it entirely. */
+  private def withValidatedPcol(df: DataFrame, pc: String): DataFrame =
+    if (df.schema(pc).dataType.simpleString != "string") df
+    else {
+      val v = col(pc)
+      val bad = v.isNull || v.rlike("[,;\n]") ||
+        v.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$") ||
+        v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}")
+      df.withColumn(pc, when(bad, raise_error(concat(
+        lit("TableLayout: string partition value '"),
+        coalesce(v, lit("<null>")),
+        lit("' is null, carries a manifest delimiter (,;\\n), or is " +
+          "numeric/date-like — Spark partition-type inference would " +
+          "re-type it on unpinned reads and break exclusion " +
+          "filtering; partition on a non-ambiguous key-derived " +
+          "column (or an integral one)")))).otherwise(v))
+    }
+
   private def requireCleanVals(vals: Seq[String]): Unit =
     vals.foreach { v =>
       require(v != null, "TableLayout: null partition values are not " +
@@ -355,10 +392,11 @@ private[graft] object TableLayout {
       else new Path(rootOf(path), snap.gens.last.dir).toString
     pcol match {
       case Some(pc) =>
+        requirePcolType(df.schema, pc, "append")
         // co-locate each partition's rows first: an unrepartitioned
         // partitionBy append emits up to tasks x partitions tiny
         // files per drop (see the band-store ingest note)
-        df.repartition(col(pc)).write.mode("append")
+        withValidatedPcol(df, pc).repartition(col(pc)).write.mode("append")
           .partitionBy(pc).parquet(target)
       case None =>
         df.write.mode("append").parquet(target)
@@ -380,8 +418,9 @@ private[graft] object TableLayout {
     val dir = new Path(rootOf(path), genDirName(v))
     pcol match {
       case Some(pc) =>
-        df.repartition(col(pc)).write.mode("overwrite")
-          .partitionBy(pc).parquet(dir.toString)
+        requirePcolType(df.schema, pc, "publish")
+        withValidatedPcol(df, pc).repartition(col(pc)).write
+          .mode("overwrite").partitionBy(pc).parquet(dir.toString)
       case None =>
         df.write.mode("overwrite").parquet(dir.toString)
     }
@@ -419,11 +458,7 @@ private[graft] object TableLayout {
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.replacePartitions at $path: the store is not " +
         "partitioned — use publish for a full rewrite"))
-    require(Set("string", "int", "bigint", "smallint", "tinyint")
-        .contains(replacement.schema(pc).dataType.simpleString),
-      s"replacePartitions: partition column '$pc' must be string or " +
-        "integral (directory-name rendering for other types diverges " +
-        s"from Spark's), got ${replacement.schema(pc).dataType.simpleString}")
+    requirePcolType(replacement.schema, pc, "replacePartitions")
     // STRING partition values that Spark's partition-type INFERENCE
     // would parse as a non-string (numbers, dates) are rejected where
     // exclusions are born: an unpinned read would infer `pc=05` as

@@ -215,18 +215,26 @@ object TextIndex {
   private def toks(textCol: Column): Column =
     TextFunctions.tokens(coalesce(textCol, lit("")))
 
-  /** POSITIONAL postings: one row per (term, doc) carrying tf, the
-    * doc length, and the term's sorted 0-based token positions — the
-    * classic positional inverted file, enabling phrase queries
-    * ([[phraseTopK]]) on top of BM25. BM25 serving never reads the
-    * positions column (parquet column pruning), so the bag-of-words
-    * path pays nothing for it. */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame = {
-    val spark = docs.sparkSession
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        toks(col(textCol)).as("toks"))
+  /** The ONE tokenize pass build and append share: `(doc_id, toks)`.
+    * Callers persist() this frame and derive BOTH the corpus stats
+    * and the postings from it, so a non-deterministic or unstable
+    * source (a sampled input, files changing between jobs) cannot
+    * commit stats inconsistent with the postings actually written —
+    * the two passes read one materialization. */
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("toks"))
+
+  /** POSITIONAL postings over a [[tokenized]] frame: one row per
+    * (term, doc) carrying tf, the doc length, and the term's sorted
+    * 0-based token positions — the classic positional inverted file,
+    * enabling phrase queries ([[phraseTopK]]) on top of BM25. BM25
+    * serving never reads the positions column (parquet column
+    * pruning), so the bag-of-words path pays nothing for it. */
+  private def postingsOf(tok: DataFrame, nBuckets: Int): DataFrame = {
+    val spark = tok.sparkSession
+    tok
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
@@ -238,61 +246,114 @@ object TextIndex {
           lit(nBuckets.toLong)).cast("int"))
   }
 
-  private def corpusStats(docs: DataFrame, idCol: String,
-      textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(toks(col(textCol))).cast("bigint")), lit(0L))
+  private def corpusStats(tok: DataFrame): (Long, Long) = {
+    val r = tok.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("toks")).cast("bigint")), lit(0L))
         .as("t")).head()
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Build (or fully rebuild) the index at `path` from `docs`: one
-    * tokenize + (doc, term) count shuffle, postings co-located by
-    * term bucket, published as a fresh store snapshot with the corpus
-    * stats committed alongside. Runs under the single-writer lease. */
+  /** Build (or fully rebuild) the index at `path` from `docs`: ONE
+    * tokenize pass (persisted — stats and postings come from the same
+    * materialization, see [[tokenized]]) + one (doc, term) count
+    * shuffle, postings co-located by term bucket, published as a
+    * fresh store snapshot with the corpus stats committed alongside.
+    * Runs under the single-writer lease. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "nBuckets must be positive")
     val spark = docs.sparkSession
     StoreLock.withLockCtx(spark, path) { ctx =>
-      val (n, t) = corpusStats(docs, idCol, textCol)
-      val fs = TableLayout.fsOf(spark, path)
-      // meta lands INSIDE the new generation before the manifest
-      // commit: a reader resolving the new snapshot always finds
-      // stats whose nBuckets matches the postings it reads
-      TableLayout.publish(postingsOf(docs, idCol, textCol, nBuckets),
-        path, Some("bucket"), ctx.token,
-        beforeCommit = dir => writeMetaIn(fs, dir, Meta(n, t, nBuckets)))
-      log.info(s"built text index at $path: $n docs, $t tokens, " +
-        s"$nBuckets buckets")
+      val tok = tokenized(docs, idCol, textCol).persist()
+      try {
+        val (n, t) = corpusStats(tok)
+        val fs = TableLayout.fsOf(spark, path)
+        // meta lands INSIDE the new generation before the manifest
+        // commit: a reader resolving the new snapshot always finds
+        // stats whose nBuckets matches the postings it reads
+        TableLayout.publish(postingsOf(tok, nBuckets),
+          path, Some("bucket"), ctx.token,
+          beforeCommit = dir => writeMetaIn(fs, dir, Meta(n, t, nBuckets)))
+        log.info(s"built text index at $path: $n docs, $t tokens, " +
+          s"$nBuckets buckets")
+      } finally { tok.unpersist(); () }
     }
   }
 
-  /** Incremental append: tokenize + encode the delta under the SAME
+  /** Incremental append: tokenize the delta ONCE (persisted — stats
+    * and postings from the same materialization) under the SAME
     * bucket hash and add its postings to the newest generation
     * (file-atomic — a racing serve sees the old file set), then
     * commit updated corpus stats. A serve between the data append and
     * the meta commit scores new postings under stats one delta stale
     * — bounded staleness, the documented ANN-append drift analog,
-    * never a partial read. Delta doc_ids must be NEW (re-appending an
-    * id would double its postings — upstream exact-dedup's job). */
+    * never a partial read.
+    *
+    * Delta doc_ids must be NEW: re-appending an id doubles its
+    * postings and inflates `N`/`avgdl` permanently. The contract is
+    * GUARDED — the delta's doc_ids are probed against the live
+    * postings of exactly the buckets the delta's own terms hash to
+    * (bucket-pruned, delta-sized work) and a collision throws with
+    * the store unchanged. The probe sees a replayed doc through any
+    * term it carried before (same text → same buckets); an id reused
+    * with entirely different text, or an empty-text replay (no
+    * postings to collide), is upstream exact-dedup's job — the guard
+    * is loud best-effort, not a catalog. `allowReplay = true` skips
+    * the probe for callers with their own idempotence choreography;
+    * the streamed path keeps it ON so a crash between its append and
+    * its marker commit surfaces as a loud stall on replay, never as
+    * silent double postings. */
   def append(delta: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, allowReplay: Boolean = false): Unit = {
     val spark = delta.sparkSession
     StoreLock.withLock(spark, path) {
       val snap = TableLayout.resolve(spark, path)
       val meta = readMetaAt(spark, path, snap)
-      val (n, t) = corpusStats(delta, idCol, textCol)
-      TableLayout.append(postingsOf(delta, idCol, textCol, meta.nBuckets),
-        path, Some("bucket"))
-      // updated stats into the SAME newest generation the postings
-      // landed in (the snapshot version is unchanged by an append,
-      // and nBuckets cannot change outside a rebuild, so a serve
-      // between the data and the stats sees bounded-stale N/avgdl,
-      // never inconsistent bucketing)
-      writeMetaIn(TableLayout.fsOf(spark, path), newestGenDir(path, snap),
-        meta.copy(nDocs = meta.nDocs + n,
-          totalTokens = meta.totalTokens + t))
+      val tok = tokenized(delta, idCol, textCol).persist()
+      try {
+        val postings = postingsOf(tok, meta.nBuckets)
+        if (!allowReplay) requireNewDocIds(spark, path, snap, postings)
+        val (n, t) = corpusStats(tok)
+        TableLayout.append(postings, path, Some("bucket"))
+        // updated stats into the SAME newest generation the postings
+        // landed in (the snapshot version is unchanged by an append,
+        // and nBuckets cannot change outside a rebuild, so a serve
+        // between the data and the stats sees bounded-stale N/avgdl,
+        // never inconsistent bucketing)
+        writeMetaIn(TableLayout.fsOf(spark, path), newestGenDir(path, snap),
+          meta.copy(nDocs = meta.nDocs + n,
+            totalTokens = meta.totalTokens + t))
+      } finally { tok.unpersist(); () }
+    }
+  }
+
+  /** The [[append]] idempotence probe: throw if any delta doc_id
+    * already has live postings in a bucket the delta touches. Runs
+    * under the lease; scans only the touched buckets (static
+    * partition pruning) and only the `doc_id`/`bucket` columns. */
+  private def requireNewDocIds(spark: SparkSession, path: String,
+      snap: TableLayout.Snapshot, deltaPostings: DataFrame): Unit = {
+    TableLayout.readAtOpt(spark, path, snap).foreach { live =>
+      val deltaIds = deltaPostings.select("bucket", "doc_id").distinct()
+      // touched buckets collected first (bounded by nBuckets) so the
+      // live scan prunes STATICALLY to them — the probe never reads
+      // an untouched bucket's bytes
+      val buckets = deltaIds.select("bucket").distinct()
+        .collect().map(_.getInt(0))
+      val collided = live
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+        .select("bucket", "doc_id")
+        .join(broadcast(deltaIds), Seq("bucket", "doc_id"), "leftsemi")
+        .select("doc_id").distinct().limit(5)
+        .collect().map(_.getLong(0)).sorted
+      if (collided.nonEmpty) throw new IllegalStateException(
+        s"TextIndex.append at $path: delta doc_id(s) " +
+          s"${collided.mkString(", ")}${if (collided.length == 5) ", …" else ""} " +
+          "already have postings in this index — re-appending would " +
+          "double their postings and corrupt N/avgdl. The store is " +
+          "unchanged. Deduplicate the delta upstream, or pass " +
+          "allowReplay = true if this caller owns its own idempotence " +
+          "choreography.")
     }
   }
 

@@ -303,21 +303,36 @@ class TableLayoutSpec extends AnyFunSuite {
     lockedToken(path)(t => TableLayout.replacePartitions(spark, path,
       ok.filter(col("ib") === "b0"), Seq("b0"), t))
     assert(TableLayout.read(spark, path).count() === 4L)
-    // numeric-looking string values are rejected where exclusions are
-    // born, with the store untouched
+    // numeric-looking string values are rejected AT STORE CREATION
+    // (the write-time raise_error guard): the contract fails at
+    // publish, never at a later compaction, and no store is created
     val bad = graft.util.TempDirs.scoped("tl-strpart-bad").toString +
       "/store"
     val numish = (0L to 3L).toDF("id").select(col("id"),
       lit("x").as("v"),
       concat(lit("0"), pmod(col("id"), lit(2L))).as("ib")) // "00"/"01"
-    lockedToken(bad)(t => TableLayout.publish(numish, bad, Some("ib"), t))
-    val pre = TableLayout.resolve(spark, bad)
+    val exPub = intercept[Exception] {
+      lockedToken(bad)(t => TableLayout.publish(numish, bad, Some("ib"), t))
+    }
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chainMsg(exPub).contains("numeric/date-like"), chainMsg(exPub))
+    assert(TableLayout.resolveOpt(spark, bad).isEmpty,
+      "a failed publish must not create the store")
+    // append into a clean store guards the same contract
+    val exApp = intercept[Exception] {
+      TableLayout.append(numish, path, Some("ib"))
+    }
+    assert(chainMsg(exApp).contains("numeric/date-like"), chainMsg(exApp))
+    // and replacePartitions keeps its own touched-values guard (depth
+    // defense for values that never went through an engine write)
     val ex = intercept[IllegalArgumentException] {
-      lockedToken(bad)(t => TableLayout.replacePartitions(spark, bad,
-        numish.filter(col("ib") === "01"), Seq("01"), t))
+      lockedToken(path)(t => TableLayout.replacePartitions(spark, path,
+        ok.filter(col("ib") === "b0").withColumn("ib", lit("01")),
+        Seq("01"), t))
     }
     assert(ex.getMessage.contains("numeric/date-like"))
-    assert(TableLayout.resolve(spark, bad).version === pre.version)
   }
 
   test("beforeCommit hook: sidecars land inside the generation before " +

@@ -274,6 +274,36 @@ class TextIndexSpec extends AnyFunSuite {
     assert(served.orderBy("query_id", "rank").collect().toSeq === expect)
   }
 
+  test("append guards its doc_ids-must-be-NEW contract: a re-append " +
+      "throws with the store unchanged; allowReplay skips the probe") {
+    val path = graft.util.TempDirs.scoped("textidx-guard").toString + "/ix"
+    TextIndex.build(corpus.filter($"doc_id" <= 3), "doc_id", "text", path,
+      nBuckets = 4)
+    TextIndex.append(corpus.filter($"doc_id" === 4L), "doc_id", "text",
+      path)
+    val metaBefore = TextIndex.readMeta(spark, path)
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"))
+      .toDF("query_id", "qtext")
+    def serve() = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = serve()
+    // replaying doc 4 (and a genuinely new doc 6 beside it) must throw
+    // BEFORE any postings land — a silent double would corrupt tf AND
+    // N/avgdl permanently
+    val e = intercept[IllegalStateException] {
+      TextIndex.append(corpus.filter($"doc_id" === 4L || $"doc_id" === 6L),
+        "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("already have postings"))
+    assert(TextIndex.readMeta(spark, path) === metaBefore)
+    assert(serve() === before)
+    // the escape hatch: a caller owning its own idempotence
+    // choreography can skip the probe (and owns the consequences)
+    TextIndex.append(corpus.filter($"doc_id" === 6L), "doc_id", "text",
+      path, allowReplay = true)
+    assert(TextIndex.readMeta(spark, path).nDocs === metaBefore.nDocs + 1)
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
