@@ -1986,6 +1986,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BM25 serve with the STOPWORD-SKEW dial live: maxDfFrac = 0.78
+    // drops query terms whose document frequency exceeds 78% of the
+    // corpus — the one skew defense the index has at 100 TB (a
+    // stopword's inverted list is corpus-sized by nature). The corpus'
+    // query terms straddle the cut (df fracs 0.75–0.80), so some terms
+    // are genuinely pruned and some genuinely kept; the oracle
+    // restates the cap from the same postings (CAST(df AS DOUBLE) <=
+    // 0.78 * N — one IEEE multiply + compare, engine-portable).
+    "q_text_bm25_df" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, sharedTextIndex(s, d),
+          maxDfFrac = 0.78)
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMED text-index maintenance: base build on doc_id%3<>0, the
     // rest arrives as 2 ordered drops through the real streaming
     // engine (foreachBatch append + per-batch markers), served result
@@ -4878,6 +4894,8 @@ object PipelineQueries {
         |  CAST(idf_x1000 AS BIGINT) AS idf_x1000, CAST(score AS BIGINT) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_text_bm25_topk" -> bm25OracleSql("doc_id % 37 = 0", 5),
+    "q_text_bm25_df" ->
+      bm25OracleSql("doc_id % 37 = 0", 5, maxDfFrac = Some(0.78)),
     // the append gate serves the SAME postings + stats the full build
     // produces, so it shares the full-corpus oracle verbatim
     "q_text_bm25_append" -> bm25OracleSql("doc_id % 37 = 0", 5),
@@ -4982,9 +5000,16 @@ object PipelineQueries {
     * contribution expression GENERATED from the engine's own template
     * ([[graft.text.TextIndex.contribMicroSql]], DuckDB dialect), so
     * the no-libm ln polynomial cannot drift between the sides. */
-  private def bm25Ctes(queryPred: String): String = {
+  private def bm25Ctes(queryPred: String,
+      maxDfFrac: Option[Double] = None): String = {
     val contrib = TextIndex.contribMicroSql("tf", "dl", "df", "n", "t",
       TextIndex.DuckDialect)
+    // the stopword-drop dial, restated from the same postings: terms
+    // past the df cap contribute nothing (the engine prunes them from
+    // its per-term df table; here they fall out of the dfq join)
+    val dfCap = maxDfFrac.fold("")(f =>
+      s"\n        HAVING CAST(count(*) AS DOUBLE) <= CAST($f AS DOUBLE) * " +
+        "(SELECT CAST(count(*) AS DOUBLE) FROM d)")
     raw"""WITH d AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(coalesce(text, ''))) = 0
@@ -5000,7 +5025,7 @@ object PipelineQueries {
          |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
          |       GROUP BY doc_id, term),
          |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term),
+         |        FROM tf GROUP BY term$dfCap),
          |q AS (SELECT DISTINCT query_id, term FROM (
          |        SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
          |        FROM d WHERE $queryPred)),
@@ -5018,8 +5043,9 @@ object PipelineQueries {
          |        FROM bms)""".stripMargin
   }
 
-  private def bm25OracleSql(queryPred: String, k: Int): String =
-    bm25Ctes(queryPred) + s"""
+  private def bm25OracleSql(queryPred: String, k: Int,
+      maxDfFrac: Option[Double] = None): String =
+    bm25Ctes(queryPred, maxDfFrac) + s"""
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_u
        |FROM bmr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
