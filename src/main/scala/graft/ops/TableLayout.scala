@@ -108,15 +108,43 @@ private[graft] object TableLayout {
     * `toString` rendering) later generations superseded. */
   final case class Gen(dir: String, exclude: Seq[String])
 
+  /** `artifacts` are named non-generation directories that snapshot
+    * WITH the data (the ANN index's centroids/codebook): replaced
+    * whole per commit, referenced by the manifest (`art=` lines), and
+    * GC'd exactly like superseded generations. Plain stores carry
+    * none. */
   final case class Snapshot(version: Long, pcol: Option[String],
-      gens: Seq[Gen])
+      gens: Seq[Gen], artifacts: Map[String, String] = Map.empty)
+
+  /** A LAYOUT FAMILY: the naming/legacy contract one store kind uses
+    * on top of the shared snapshot algebra. ONE implementation of
+    * parse/serialize/commit/resolve/GC/fold serves every family —
+    * the single-relation stores (the default) and the ANN index
+    * ([[graft.similarity.IndexLayout]]'s adapter) differ only in
+    * these names and in how a pre-manifest root resolves. */
+  final case class Family(
+      manifestPrefix: String,
+      genPrefix: String,
+      what: String,
+      legacyAtRoot: Boolean,
+      extraDeletable: String => Boolean,
+      legacy: (FileSystem, Path) => Option[Snapshot])
+
+  /** The single-relation store family: `_manifest-v*` (underscored so
+    * plain parquet readers ignore it), `data-g<V>` generations,
+    * legacy = bare parquet/partition dirs at the root. */
+  lazy val StoreFamily: Family = Family(
+    manifestPrefix = "_manifest-v",
+    genPrefix = "data-g",
+    what = "store",
+    legacyAtRoot = true,
+    extraDeletable = _ => false,
+    legacy = legacyStoreSnapshot)
 
   def fsOf(ss: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(ss.sessionState.newHadoopConf())
 
   private def rootOf(path: String) = new Path(path.stripSuffix("/"))
-
-  private val ManifestPrefix = "_manifest-v"
 
   /** Root-level partition dirs (`<pcol>=<escaped>` names), any pcol. */
   private def rootPartitionDirs(fs: FileSystem, root: Path) =
@@ -147,10 +175,11 @@ private[graft] object TableLayout {
     g.exclude.map(x => s"$pc=" + org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(x)).toSet
 
-  /** The pre-manifest layout's implicit v0 snapshot, if root-level
-    * data exists — the ONE definition [[resolveOpt]] and [[commit]]'s
-    * migration backfill share. */
-  private def legacySnapshot(fs: FileSystem, root: Path): Option[Snapshot] = {
+  /** The store family's pre-manifest implicit v0 snapshot, if
+    * root-level data exists — the ONE definition [[resolveOpt]] and
+    * [[commit]]'s migration backfill share. */
+  private def legacyStoreSnapshot(fs: FileSystem,
+      root: Path): Option[Snapshot] = {
     val pdirs = rootPartitionDirs(fs, root)
     if (pdirs.nonEmpty)
       Some(Snapshot(0L,
@@ -163,25 +192,33 @@ private[graft] object TableLayout {
 
   /** Highest committed snapshot; `None` for a root with neither a
     * manifest nor legacy data (a store not yet built). */
-  def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
+  def resolveOpt(ss: SparkSession, path: String,
+      fam: Family = StoreFamily): Option[Snapshot] = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    ManifestIo.resolveHighest(fs, root, ManifestPrefix,
-      legacySnapshot(fs, root))(parseText)
+    ManifestIo.resolveHighest(fs, root, fam.manifestPrefix,
+      fam.legacy(fs, root))(parseText(fam))
   }
 
-  def resolve(ss: SparkSession, path: String): Snapshot =
-    resolveOpt(ss, path).getOrElse(throw new IllegalStateException(
-      s"no store at $path: neither a manifest nor legacy parquet data " +
-        "exists — initialize the store first"))
+  def resolve(ss: SparkSession, path: String,
+      fam: Family = StoreFamily): Snapshot =
+    resolveOpt(ss, path, fam).getOrElse(throw new IllegalStateException(
+      s"no ${fam.what} at $path: neither a manifest nor legacy data " +
+        s"exists — initialize the ${fam.what} first"))
 
-  private def parseText(text: String, v: Long): Snapshot = {
+  private def parseText(fam: Family)(text: String, v: Long): Snapshot = {
     var pcol: Option[String] = None
+    val arts = Map.newBuilder[String, String]
     val gens = Seq.newBuilder[Gen]
     text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split("=", 2) match {
         case Array("v", _) => ()
         case Array("pcol", c) => pcol = Some(c)
+        case Array("art", spec) =>
+          val parts = spec.split(";", 2)
+          if (parts.length != 2) throw new IllegalStateException(
+            s"unparseable ${fam.what} manifest artifact line: '$line'")
+          arts += parts(0) -> parts(1)
         case Array("gen", spec) =>
           val parts = spec.split(";", 2)
           val dir = if (parts.isEmpty) "" else parts(0)
@@ -190,16 +227,19 @@ private[graft] object TableLayout {
             else parts(1).split(",").toSeq
           gens += Gen(dir, excl)
         case _ => throw new IllegalStateException(
-          s"unparseable store manifest line: '$line'")
+          s"unparseable ${fam.what} manifest line: '$line'")
       }
     }
-    Snapshot(v, pcol, gens.result())
+    Snapshot(v, pcol, gens.result(), arts.result())
   }
 
   private def serialize(s: Snapshot): String = {
     val b = new StringBuilder
     b ++= s"v=${s.version}\n"
     s.pcol.foreach(c => b ++= s"pcol=$c\n")
+    s.artifacts.toSeq.sortBy(_._1).foreach { case (k, d) =>
+      b ++= s"art=$k;$d\n"
+    }
     s.gens.foreach(g => b ++= s"gen=${g.dir};${g.exclude.sorted.mkString(",")}\n")
     b.result()
   }
@@ -211,43 +251,51 @@ private[graft] object TableLayout {
     * advisory-lease race aborts with the store still on the previous
     * snapshot instead of publishing over it. */
   def commit(ss: SparkSession, path: String, snap: Snapshot,
-      expectEpochToken: String): Unit = {
+      expectEpochToken: String, fam: Family = StoreFamily): Unit = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    ManifestIo.commit(fs, root, ManifestPrefix, path, "store",
+    ManifestIo.commit(fs, root, fam.manifestPrefix, path, fam.what,
       snap.version, serialize(snap),
-      legacySnapshot(fs, root).map(l => (0L, serialize(l))),
+      fam.legacy(fs, root).map(l => (0L, serialize(l))),
       expectEpochToken)
-    log.info(s"committed store snapshot v${snap.version} at $path " +
+    log.info(s"committed ${fam.what} snapshot v${snap.version} at $path " +
       s"(${snap.gens.length} generation(s))")
   }
 
   /** The version the NEXT commit will carry (names its generation
     * directory too). Call under the store lease. */
-  def nextVersion(ss: SparkSession, path: String): Long =
-    resolveOpt(ss, path).map(_.version + 1L).getOrElse(1L)
+  def nextVersion(ss: SparkSession, path: String,
+      fam: Family = StoreFamily): Long =
+    resolveOpt(ss, path, fam).map(_.version + 1L).getOrElse(1L)
 
-  private def genDirName(v: Long) = s"data-g$v"
+  private def genDirName(fam: Family, v: Long) = s"${fam.genPrefix}$v"
 
   /** Drop manifests beyond the newest [[KeepManifests]] and every
     * engine-named data artifact no kept manifest references. Runs
     * under the store lease, right after a commit — so the grace
     * window for an in-flight reader is a FULL rewrite cycle. Never
     * touches sidecars (`.meta`, `.batch`, lease files — all siblings
-    * of the root) or anything it did not name itself. */
+    * of the root) or anything the family did not name itself. */
   def gc(ss: SparkSession, path: String,
-      keepManifests: Int = KeepManifests): Unit = {
+      keepManifests: Int = KeepManifests,
+      fam: Family = StoreFamily): Unit = {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
-    ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix, keepManifests,
-      (text, v) => parseText(text, v).gens.map(_.dir).toSet,
-      n => n.matches("data-g\\d+") || n.startsWith(".manifest-tmp-"),
-      "store"
+    ManifestIo.gcKeepReferenced(fs, root, fam.manifestPrefix, keepManifests,
+      (text, v) => {
+        val s = parseText(fam)(text, v)
+        s.gens.map(_.dir).toSet ++ s.artifacts.values
+      },
+      n => n.matches(java.util.regex.Pattern.quote(fam.genPrefix) +
+          "\\d+") || n.startsWith(".manifest-tmp-") ||
+        fam.extraDeletable(n),
+      fam.what
     ).foreach { referenced =>
       // the legacy root-level generation, once unreferenced: reap the
       // root-level data files and partition dirs (they are only ever
-      // engine-written parquet output)
-      if (!referenced.contains("")) {
+      // engine-written parquet output). Families whose legacy layout
+      // is named directories cover them via extraDeletable instead.
+      if (fam.legacyAtRoot && !referenced.contains("")) {
         rootDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
         rootPartitionDirs(fs, root).foreach(d => fs.delete(d.getPath, true))
         val succ = new Path(root, "_SUCCESS")
@@ -306,7 +354,7 @@ private[graft] object TableLayout {
       schema: Option[StructType] = None): DataFrame =
     readAtOpt(ss, path, snap, schema).getOrElse(
       throw new IllegalStateException(
-        s"store at $path resolves to snapshot v${snap.version} but no " +
+        s"layout at $path resolves to snapshot v${snap.version} but no " +
           "generation holds data files — the store is EMPTY (every row " +
           "retracted, or a partitioned init over an empty input, which " +
           "writes no files): re-initialize the store to continue; if " +
@@ -326,8 +374,9 @@ private[graft] object TableLayout {
   }
 
   def read(ss: SparkSession, path: String,
-      schema: Option[StructType] = None): DataFrame =
-    readAt(ss, path, resolve(ss, path), schema)
+      schema: Option[StructType] = None,
+      fam: Family = StoreFamily): DataFrame =
+    readAt(ss, path, resolve(ss, path, fam), schema)
 
   /** The partition-column TYPE contract every write path shares
     * (directory-name rendering for other types diverges from
@@ -381,9 +430,10 @@ private[graft] object TableLayout {
     * atomic per file — concurrent readers just see the old file set.
     * `pcol` must match the store's layout; for a store that does not
     * exist yet, use [[publish]]. */
-  def append(df: DataFrame, path: String, pcol: Option[String]): Unit = {
+  def append(df: DataFrame, path: String, pcol: Option[String],
+      fam: Family = StoreFamily): Unit = {
     val ss = df.sparkSession
-    val snap = resolve(ss, path)
+    val snap = resolve(ss, path, fam)
     require(snap.pcol == pcol,
       s"TableLayout.append at $path: layout mismatch (store " +
         s"pcol=${snap.pcol}, caller pcol=$pcol)")
@@ -412,10 +462,11 @@ private[graft] object TableLayout {
     * readers. Must run under the store lease (`token` = the
     * [[StoreLock.LockCtx]] epoch token). */
   def publish(df: DataFrame, path: String, pcol: Option[String],
-      token: String, beforeCommit: Path => Unit = _ => ()): Unit = {
+      token: String, beforeCommit: Path => Unit = _ => (),
+      fam: Family = StoreFamily): Unit = {
     val ss = df.sparkSession
-    val v = nextVersion(ss, path)
-    val dir = new Path(rootOf(path), genDirName(v))
+    val v = nextVersion(ss, path, fam)
+    val dir = new Path(rootOf(path), genDirName(fam, v))
     pcol match {
       case Some(pc) =>
         requirePcolType(df.schema, pc, "publish")
@@ -430,8 +481,9 @@ private[graft] object TableLayout {
     // finds them — underscore/dot names only, which parquet readers
     // ignore
     beforeCommit(dir)
-    commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(v), Nil))), token)
-    gc(ss, path)
+    commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(fam, v), Nil))),
+      token, fam)
+    gc(ss, path, fam = fam)
   }
 
   /** Rewrite EXACTLY the partitions whose values (raw `toString`
@@ -447,14 +499,15 @@ private[graft] object TableLayout {
     * partitions). Must run under the store lease. */
   def replacePartitions(ss: SparkSession, path: String,
       replacement: DataFrame, touchedVals: Seq[String],
-      token: String, beforeCommit: Path => Unit = _ => ()): Unit = {
+      token: String, beforeCommit: Path => Unit = _ => (),
+      fam: Family = StoreFamily): Unit = {
     requireCleanVals(touchedVals)
     // a no-op rewrite (nothing touched; by the values-subset contract
     // the replacement is then empty too) must not burn a snapshot
     // version: committing would shrink the reader grace window and
     // churn generations for zero data change
     if (touchedVals.isEmpty) return
-    val snap = resolve(ss, path)
+    val snap = resolve(ss, path, fam)
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.replacePartitions at $path: the store is not " +
         "partitioned — use publish for a full rewrite"))
@@ -478,7 +531,7 @@ private[graft] object TableLayout {
     val root = rootOf(path)
     val fs = fsOf(ss, path)
     val v = snap.version + 1L
-    val newDir = new Path(root, genDirName(v))
+    val newDir = new Path(root, genDirName(fam, v))
     val touchedSet = touchedVals.toSet
     // fold decision BEFORE writing: past MaxGens the new generation
     // absorbs every non-base generation's live rows (minus the
@@ -509,12 +562,15 @@ private[graft] object TableLayout {
       genPartitionDirs(fs, root, g)
         .exists(d => !excluded.contains(d.getPath.getName))
     }
-    val newGens = liveOld :+ Gen(genDirName(v), Nil)
+    val newGens = liveOld :+ Gen(genDirName(fam, v), Nil)
     // client sidecars (e.g. the text index's paired stats) land in
-    // the new generation BEFORE the manifest references it
+    // the new generation BEFORE the manifest references it; named
+    // artifacts (the ANN index's centroids/codebook) are untouched by
+    // a partition rewrite and carry forward into the new snapshot
     beforeCommit(newDir)
-    commit(ss, path, Snapshot(v, snap.pcol, newGens), token)
-    gc(ss, path)
+    commit(ss, path, Snapshot(v, snap.pcol, newGens, snap.artifacts),
+      token, fam)
+    gc(ss, path, fam = fam)
     log.info(s"replaced ${touchedVals.length} partition(s) of $path " +
       s"at snapshot v$v${if (fold) " (generation fold)" else ""}")
   }
@@ -531,8 +587,9 @@ private[graft] object TableLayout {
     * PRECONDITION (inherited): keys do not move between partitions —
     * partition on a key-derived or immutable column. */
   def mergeByKey(ss: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], versionCol: String, token: String): Unit = {
-    val snap = resolve(ss, path)
+      keyCols: Seq[String], versionCol: String, token: String,
+      fam: Family = StoreFamily): Unit = {
+    val snap = resolve(ss, path, fam)
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.mergeByKey at $path: the store is not partitioned"))
     val touchedVals = updates.select(col(pc).cast("string"))
@@ -546,7 +603,7 @@ private[graft] object TableLayout {
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
-    replacePartitions(ss, path, merged, touchedVals, token)
+    replacePartitions(ss, path, merged, touchedVals, token, fam = fam)
   }
 
   final case class CompactReport(touched: Seq[String],
@@ -567,9 +624,10 @@ private[graft] object TableLayout {
     * under the store lease. */
   def compactPartitions(ss: SparkSession, path: String, maxFiles: Int,
       token: String,
-      beforeCommit: Path => Unit = _ => ()): CompactReport = {
+      beforeCommit: Path => Unit = _ => (),
+      fam: Family = StoreFamily): CompactReport = {
     if (maxFiles <= 0) return CompactReport(Seq.empty, 0L, 0L)
-    val snap = resolve(ss, path)
+    val snap = resolve(ss, path, fam)
     val pc = snap.pcol.getOrElse(throw new IllegalStateException(
       s"TableLayout.compactPartitions at $path: the store is not " +
         "partitioned — full-store compaction is publish()"))
@@ -582,11 +640,12 @@ private[graft] object TableLayout {
     // swapped out from under it
     val replacement = readAt(ss, path, snap)
       .filter(col(pc).cast("string").isin(over: _*))
-    replacePartitions(ss, path, replacement, over, token, beforeCommit)
+    replacePartitions(ss, path, replacement, over, token, beforeCommit,
+      fam)
     // one post-rewrite listing for the exact after-count (an emptied
     // partition writes zero files, so it is not derivable from
     // `before` alone)
-    val after = filesPerPartition(ss, path, resolve(ss, path))
+    val after = filesPerPartition(ss, path, resolve(ss, path, fam))
       .values.sum
     log.info(s"compacted ${over.length} partition(s) of $path: " +
       over.mkString(", "))

@@ -3,72 +3,50 @@ package graft.similarity
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** VERSIONED SNAPSHOT LAYOUT for the persistent ANN indexes — the
-  * reader-isolation contract the rename-swap layout could not give.
+import graft.ops.TableLayout
+
+/** VERSIONED SNAPSHOT LAYOUT for the persistent ANN indexes — a THIN
+  * ADAPTER over the engine's single snapshot-layout implementation
+  * ([[graft.ops.TableLayout]] + [[graft.ops.ManifestIo]]). The ANN
+  * index is the layout's multi-artifact instance: postings are a
+  * cell-partitioned relation exactly like any dedup store's buckets,
+  * and the two trained artifacts (coarse centroids, residual
+  * codebook) ride the core snapshot's named-artifact slots — so the
+  * parse/serialize/commit/resolve/fold/GC algebra exists ONCE, in the
+  * core, and cannot drift between the store and index families (the
+  * round-11 acknowledged deferral).
   *
-  * Problem (the r10 adjudication): `ivfPqIndexMaintain` swapped
-  * postings/pqcents/centroids via rename-aside -> rename-fresh per
-  * artifact, and `ivfIndexCompact` did the same per cell directory.
-  * Writers are leased, but READERS take no lock: a serve that plans
-  * or lists files inside the swap window sees a missing artifact or
-  * cell (FileNotFoundException) — at gate scale a milliseconds
-  * window, at 100 TB with a serving fleet and a multi-minute rebuild
-  * a real outage-or-wrong-topk window.
+  * Reader/writer contract (the core's): artifact directories are
+  * IMMUTABLE-ONCE-REPLACED (appends add files, replacements write NEW
+  * directories), the live set is named by ONE small manifest file
+  * committed atomically, superseded snapshots survive
+  * [[KeepManifests]] further commits as the reader grace window, and
+  * every commit re-verifies the writer's [[graft.ops.StoreLock]]
+  * epoch so an advisory-lease race loser aborts BEFORE publishing.
   *
-  * Contract here: artifact directories are IMMUTABLE-ONCE-REPLACED
-  * (appends add files, replacements write NEW directories), and the
-  * live set is named by ONE small manifest file committed atomically
-  * — so a reader that resolved a manifest always sees a complete,
-  * internally consistent snapshot, never a rename hole.
-  *
-  * Layout under an index root `path`:
-  *   - `manifest-v<NNNNNNNNNNNN>`   ordered commit log; the HIGHEST
-  *     version is live. Commit = write `.manifest-tmp-<uuid>`, then
-  *     rename to the (never pre-existing) final name — rename to a
-  *     fresh name is atomic on HDFS/posix, so readers see a whole
-  *     manifest or none. Old manifests are kept `keepManifests` deep:
-  *     the PREVIOUS snapshot stays fully readable, which is the GC
-  *     grace window (a reader must only finish its scan before TWO
-  *     further maintenance commits land).
-  *   - `centroids-v<V>` / `pqcents-v<V>`   replaced whole per commit.
-  *   - `postings-g<V>`   postings GENERATIONS: appends add files to
-  *     the NEWEST generation in place (additive — Spark commits data
-  *     files atomically, so concurrent readers just see the old file
-  *     set); compaction rewrites heavy cells into a NEW generation
-  *     and EXCLUDES them from older generations in the manifest —
-  *     older generation directories are never touched, so the old
-  *     snapshot keeps serving. The live postings relation is the
-  *     union over generations of (files minus excluded cells).
-  *
-  * Generation growth is bounded: each compaction adds one
-  * generation, and once the live count would exceed [[MaxGens]] the
-  * compactor folds every non-base generation's live cells into the
-  * new one (those cells are already compact, so the fold is cheap),
-  * collapsing the list back to ~2.
-  *
-  * Double-writer safety (the StoreLock epoch discipline, moved to
-  * where it can abort BEFORE damage): every mutation stamps
-  * `<path>.epoch` on entry; [[commit]] re-reads the epoch and throws
-  * if it no longer carries the committing writer's token — on object
-  * stores where create-if-absent degrades to advisory and two
-  * writers both enter, the LOSER now aborts before publishing a
-  * manifest, so the surviving snapshot is the winner's alone.
-  *
-  * Legacy stores (bare `postings/`, `centroids/`, `pqcents/` from
-  * the pre-manifest layout) resolve as implicit snapshot v0 and are
-  * migrated to the manifest on their first replacing mutation.
+  * Layout under an index root `path` (the index family's names,
+  * unchanged from the pre-unification layout):
+  *   - `manifest-v<NNNNNNNNNNNN>`   ordered commit log; highest wins.
+  *   - `centroids-v<V>` / `pqcents-v<V>`   named artifacts, replaced
+  *     whole per commit (`art=` manifest lines).
+  *   - `postings-g<V>`   postings generations partitioned by `cell`;
+  *     appends land in the newest generation, rewrites land in new
+  *     generations with the touched cells excluded from older ones.
+  *   - Legacy stores (bare `postings/`, `centroids/`, `pqcents/` from
+  *     the pre-manifest layout) resolve as implicit snapshot v0 and
+  *     migrate to the manifest on their first replacing mutation.
   */
 private[graft] object IndexLayout {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Live generation count above which compaction folds non-base
-    * generations into the new one. */
-  val MaxGens = 4
+    * generations into the new one (the core bound). */
+  val MaxGens: Int = TableLayout.MaxGens
 
   /** Manifests (snapshots) kept live; the previous one is the
-    * reader grace window. */
-  val KeepManifests = 2
+    * reader grace window (the core bound). */
+  val KeepManifests: Int = TableLayout.KeepManifests
 
   final case class Gen(dir: String, exclude: Seq[Int])
 
@@ -76,31 +54,53 @@ private[graft] object IndexLayout {
       pqcents: Option[String], gens: Seq[Gen])
 
   private[similarity] def fsOf(ss: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(ss.sessionState.newHadoopConf())
+    TableLayout.fsOf(ss, path)
 
-  // manifest primitives shared with the dedup stores' TableLayout —
-  // one atomic-commit discipline ([[graft.ops.ManifestIo]]); the
-  // index keeps its pre-existing un-prefixed manifest names
-  private val ManifestPrefix = "manifest-v"
+  /** The index family's core descriptor: its pre-existing manifest /
+    * generation names, the fixed-name legacy layout, and the
+    * engine-named debris its GC may reap. */
+  private val Fam: TableLayout.Family = TableLayout.Family(
+    manifestPrefix = "manifest-v",
+    genPrefix = "postings-g",
+    what = "index",
+    legacyAtRoot = false,
+    extraDeletable = name =>
+      name.matches("(centroids-v|pqcents-v)\\d+") ||
+        name == "postings" || name == "centroids" || name == "pqcents" ||
+        name.startsWith(".retrain-") ||
+        name.matches("(postings|centroids|pqcents)\\.(pre-retrain|retrain-.*|compact-.*)"),
+    legacy = legacyCore)
 
   /** The pre-manifest layout's implicit v0 snapshot, if the fixed
-    * legacy dirs exist — the ONE definition both [[resolveOpt]] and
-    * [[commit]]'s migration backfill share (divergent copies would
-    * silently protect different things during migration). */
-  private def legacySnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
+    * legacy dirs exist — the ONE definition resolution and the
+    * commit-time migration backfill share (via the core). */
+  private def legacyCore(fs: FileSystem,
+      root: Path): Option[TableLayout.Snapshot] =
     if (!fs.exists(new Path(root, "postings"))) None
-    else Some(Snapshot(0L, "centroids",
-      Some("pqcents").filter(d => fs.exists(new Path(root, d))),
-      Seq(Gen("postings", Nil))))
+    else Some(TableLayout.Snapshot(0L, Some("cell"),
+      Seq(TableLayout.Gen("postings", Nil)),
+      Map("centroids" -> "centroids") ++
+        (if (fs.exists(new Path(root, "pqcents")))
+          Map("pqcents" -> "pqcents") else Map.empty)))
+
+  private def fromCore(s: TableLayout.Snapshot): Snapshot =
+    Snapshot(s.version,
+      s.artifacts.getOrElse("centroids", throw new IllegalStateException(
+        s"index manifest v${s.version} names no centroids artifact")),
+      s.artifacts.get("pqcents"),
+      s.gens.map(g => Gen(g.dir, g.exclude.map(_.toInt).sorted)))
+
+  private[similarity] def toCore(s: Snapshot): TableLayout.Snapshot =
+    TableLayout.Snapshot(s.version, Some("cell"),
+      s.gens.map(g => TableLayout.Gen(g.dir,
+        g.exclude.sorted.map(_.toString))),
+      Map("centroids" -> s.centroids) ++
+        s.pqcents.map("pqcents" -> _).toMap)
 
   /** Highest committed snapshot; `None` for a root with neither a
     * manifest nor a legacy layout (a store not yet built). */
-  def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] = {
-    val root = new Path(path.stripSuffix("/"))
-    val fs = fsOf(ss, path)
-    graft.ops.ManifestIo.resolveHighest(fs, root, ManifestPrefix,
-      legacySnapshot(fs, root))(parseText)
-  }
+  def resolveOpt(ss: SparkSession, path: String): Option[Snapshot] =
+    TableLayout.resolveOpt(ss, path, Fam).map(fromCore)
 
   def resolve(ss: SparkSession, path: String): Snapshot =
     resolveOpt(ss, path).getOrElse(throw new IllegalStateException(
@@ -112,89 +112,23 @@ private[graft] object IndexLayout {
   def nextVersion(ss: SparkSession, path: String): Long =
     resolveOpt(ss, path).map(_.version + 1L).getOrElse(1L)
 
-  private def parseText(text: String, v: Long): Snapshot = {
-    var centroids: Option[String] = None
-    var pqcents: Option[String] = None
-    val gens = Seq.newBuilder[Gen]
-    text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
-      line.split("=", 2) match {
-        case Array("v", _) => ()
-        case Array("centroids", d) => centroids = Some(d)
-        case Array("pqcents", d) => pqcents = Some(d)
-        case Array("gen", spec) =>
-          val parts = spec.split(";", 2)
-          val excl =
-            if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Int]
-            else parts(1).split(",").toSeq.map(_.trim.toInt)
-          gens += Gen(parts(0), excl)
-        case _ => throw new IllegalStateException(
-          s"unparseable index manifest line: '$line'")
-      }
-    }
-    Snapshot(v, centroids.getOrElse(throw new IllegalStateException(
-      s"index manifest v$v names no centroids artifact")), pqcents,
-      gens.result())
-  }
-
-  private def serialize(s: Snapshot): String = {
-    val b = new StringBuilder
-    b ++= s"v=${s.version}\n"
-    b ++= s"centroids=${s.centroids}\n"
-    s.pqcents.foreach(d => b ++= s"pqcents=$d\n")
-    s.gens.foreach(g => b ++= s"gen=${g.dir};${g.exclude.sorted.mkString(",")}\n")
-    b.result()
-  }
-
-  /** Atomically publish `snap` as the live snapshot. Must run under
-    * the store lease; `expectEpochToken` is the committing writer's
-    * [[graft.ops.StoreLock.LockCtx]] token — the epoch is re-verified
-    * HERE, before the manifest lands, so a writer that lost an
-    * advisory-lease race aborts with the store still on the previous
-    * (winner's or prior) snapshot instead of publishing over it. */
+  /** Atomically publish `snap` as the live snapshot (the core commit
+    * choreography: epoch re-verification, legacy-v0 backfill, atomic
+    * rename publish). Must run under the store lease. */
   def commit(ss: SparkSession, path: String, snap: Snapshot,
       expectEpochToken: String): Unit = {
-    val root = new Path(path.stripSuffix("/"))
-    val fs = fsOf(ss, path)
-    // the shared choreography ([[graft.ops.ManifestIo.commit]]):
-    // epoch re-verification, legacy-v0 backfill (readers mid-scan on
-    // the pre-manifest layout keep their files through the grace
-    // window), atomic publish
-    graft.ops.ManifestIo.commit(fs, root, ManifestPrefix, path, "index",
-      snap.version, serialize(snap),
-      legacySnapshot(fs, root).map(l => (0L, serialize(l))),
-      expectEpochToken)
+    TableLayout.commit(ss, path, toCore(snap), expectEpochToken, Fam)
     log.info(s"committed index snapshot v${snap.version} at $path " +
       s"(${snap.gens.length} postings generation(s))")
   }
 
-  /** Drop manifests beyond the newest [[KeepManifests]] and every
-    * engine-named artifact directory no kept manifest references.
-    * Runs under the store lease, right after a commit — so the grace
-    * window for an in-flight reader is a FULL maintenance cycle (its
-    * snapshot only dies when two further commits land). Never touches
-    * `.batches`, `train.meta`, lease sidecars, or anything it did not
-    * name itself. */
+  /** The core GC under the index family's naming contract: drop
+    * manifests beyond the newest [[KeepManifests]] and every
+    * engine-named artifact no kept manifest references. Never touches
+    * `.batches`, `train.meta`, or lease sidecars. */
   def gc(ss: SparkSession, path: String,
-      keepManifests: Int = KeepManifests): Unit = {
-    val root = new Path(path.stripSuffix("/"))
-    val fs = fsOf(ss, path)
-    // engine-named artifact dirs only: versioned names, the legacy
-    // fixed names (once migrated off), and pre-manifest debris
-    // (aside/staging dirs a crashed old-layout writer left behind)
-    val deletable = (name: String) =>
-      name.matches("(postings-g|centroids-v|pqcents-v)\\d+") ||
-        name == "postings" || name == "centroids" || name == "pqcents" ||
-        name.startsWith(".manifest-tmp-") ||
-        name.startsWith(".retrain-") ||
-        name.matches("(postings|centroids|pqcents)\\.(pre-retrain|retrain-.*|compact-.*)")
-    graft.ops.ManifestIo.gcKeepReferenced(fs, root, ManifestPrefix,
-      keepManifests,
-      (text, v) => {
-        val s = parseText(text, v)
-        (s.centroids +: (s.pqcents.toSeq ++ s.gens.map(_.dir))).toSet
-      },
-      deletable, "index"): Unit
-  }
+      keepManifests: Int = KeepManifests): Unit =
+    TableLayout.gc(ss, path, keepManifests, Fam)
 
   /** Heal damage the PRE-MANIFEST compactor could leave behind: a
     * crash between its rename(live -> .cell=N.pre-compact aside) and
@@ -228,38 +162,34 @@ private[graft] object IndexLayout {
       }
   }
 
-  /** The live postings relation of `snap`: union over generations,
-    * each with its excluded cells filtered out. Filters a caller
-    * adds on top (the probed-cell `isin`) push through the Union
-    * into every child scan, so partition pruning is preserved per
-    * generation. */
-  def postingsDf(ss: SparkSession, path: String, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val root = path.stripSuffix("/")
-    snap.gens.map { g =>
-      val df = ss.read.parquet(s"$root/${g.dir}")
-      if (g.exclude.isEmpty) df
-      else df.filter(!col("cell").isin(g.exclude.map(Integer.valueOf): _*))
-    }.reduceLeft(_.unionByName(_))
-  }
+  /** The live postings relation of `snap` (the core reader): union
+    * over generations, each with its excluded cells filtered out.
+    * Filters a caller adds on top (the probed-cell `isin`) push
+    * through the Union into every child scan, so partition pruning is
+    * preserved per generation. */
+  def postingsDf(ss: SparkSession, path: String, snap: Snapshot): DataFrame =
+    TableLayout.readAt(ss, path, toCore(snap))
+
+  /** APPEND postings rows into the snapshot's newest generation (the
+    * core additive append: file-atomic, no manifest change). Must run
+    * under the store lease. */
+  def appendPostings(df: DataFrame, path: String): Unit =
+    TableLayout.append(df, path, Some("cell"), Fam)
+
+  /** Cell-grain postings compaction through the core partition
+    * rewrite ([[TableLayout.compactPartitions]]): cells past
+    * `maxFilesPerCell` live files rewrite into a new generation with
+    * the core's fold bound, artifacts carried forward, and the report
+    * mapped to cell grain. Must run under the store lease. */
+  def compactCells(ss: SparkSession, path: String, maxFilesPerCell: Int,
+      token: String): TableLayout.CompactReport =
+    TableLayout.compactPartitions(ss, path, maxFilesPerCell, token,
+      fam = Fam)
 
   /** Live parquet-file count per cell across `snap`'s generations —
     * the compaction pressure metric (and the spec observable). */
   def filesPerCell(ss: SparkSession, path: String,
-      snap: Snapshot): Map[Int, Long] = {
-    val fs = fsOf(ss, path)
-    val root = path.stripSuffix("/")
-    snap.gens.flatMap { g =>
-      val gp = new Path(s"$root/${g.dir}")
-      if (!fs.exists(gp)) Seq.empty
-      else fs.listStatus(gp).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        .flatMap { d =>
-          val cell = d.getPath.getName.stripPrefix("cell=").toInt
-          if (g.exclude.contains(cell)) None
-          else Some(cell -> fs.listStatus(d.getPath).count(s =>
-            s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
-        }
-    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
-  }
+      snap: Snapshot): Map[Int, Long] =
+    TableLayout.filesPerPartition(ss, path, toCore(snap))
+      .map { case (cell, n) => cell.toInt -> n }
 }

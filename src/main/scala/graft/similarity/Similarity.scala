@@ -624,19 +624,18 @@ object Similarity {
       val snap = IndexLayout.resolve(spark, path)
       val cents = readCentsAt(spark,
         path.stripSuffix("/") + "/" + snap.centroids)
-      withAssignedCell(
-          quantizeInt8(delta, idCol, vecCol)
-            .select(col(idCol).cast("long").as("id"), col("codes")),
-          "codes", cents)
-        .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
-          col("cell"))
-        .repartition(col("cell"))
-        // additive append into the NEWEST generation: data files
-        // commit atomically, so a concurrent reader's snapshot stays
-        // complete (it just may not see the newest rows yet) — no
-        // manifest change needed
-        .write.mode("append").partitionBy("cell")
-        .parquet(path.stripSuffix("/") + "/" + snap.gens.last.dir)
+      // additive append into the NEWEST generation (the core layout's
+      // file-atomic append): a concurrent reader's snapshot stays
+      // complete — it just may not see the newest rows yet; no
+      // manifest change needed
+      IndexLayout.appendPostings(
+        withAssignedCell(
+            quantizeInt8(delta, idCol, vecCol)
+              .select(col(idCol).cast("long").as("id"), col("codes")),
+            "codes", cents)
+          .select(col("id"), col("codes"), nsqOf(col("codes")).as("nsq"),
+            col("cell")),
+        path)
     }
   }
 
@@ -1876,71 +1875,22 @@ object Similarity {
     val root = path.stripSuffix("/")
     graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
       val fs = IndexLayout.fsOf(ss, path)
-      val snap0 = IndexLayout.resolve(ss, path)
       // migrated stores may carry pre-manifest crash damage: restore
       // any orphaned .cell=*.pre-compact aside before counting files
-      snap0.gens.foreach(g =>
+      IndexLayout.resolve(ss, path).gens.foreach(g =>
         IndexLayout.healLegacyAsides(fs, new Path(s"$root/${g.dir}")))
-      val snap = snap0
-      def liveCellsOf(g: IndexLayout.Gen): Seq[Int] = {
-        val gp = new Path(s"$root/${g.dir}")
-        if (!fs.exists(gp)) Seq.empty
-        else fs.listStatus(gp).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-          .map(_.getPath.getName.stripPrefix("cell=").toInt)
-          .filterNot(g.exclude.contains)
-      }
-      val counts = IndexLayout.filesPerCell(ss, path, snap)
-      val before = counts.values.sum
-      val touched = counts.filter(_._2 > maxFilesPerCell).keySet
-      // generation-count bound: folding non-base gens' live cells
-      // into the new generation collapses the list back to ~2; those
-      // cells are already compact, so the fold is file-count-sized
-      val mustFold = snap.gens.length + 1 > IndexLayout.MaxGens
-      val folded: Set[Int] =
-        if (!mustFold) Set.empty
-        else snap.gens.tail.flatMap(liveCellsOf).toSet -- touched
-      if (touched.isEmpty && folded.isEmpty)
-        IvfCompactReport(0, before, before)
-      else {
-        val v = snap.version + 1
-        def isin(cells: Set[Int]) =
-          col("cell").isin(cells.toSeq.sorted.map(Integer.valueOf): _*)
-        // one job: the cell filters push into every generation scan
-        // as static partition filters, so untouched cells' bytes are
-        // never read; repartition(cell) lands ~one file per list
-        val touchedRows =
-          if (touched.isEmpty) None
-          else Some(IndexLayout.postingsDf(ss, path, snap)
-            .filter(isin(touched)))
-        val foldedRows =
-          if (folded.isEmpty) None
-          else Some(IndexLayout.postingsDf(ss, path,
-              snap.copy(gens = snap.gens.tail))
-            .filter(isin(folded)))
-        (touchedRows.toSeq ++ foldedRows.toSeq).reduceLeft(_.unionByName(_))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$root/postings-g$v")
-        // new manifest: prior generations exclude every rewritten
-        // cell (touched everywhere; folded only outside the base);
-        // generations left with no live cells drop out entirely
-        val newGens = snap.gens.zipWithIndex.flatMap { case (g, i) =>
-          val excl = (g.exclude.toSet ++ touched ++
-            (if (i == 0) Set.empty[Int] else folded)).toSeq.sorted
-          val live = liveCellsOf(g).toSet -- excl
-          if (live.isEmpty) None else Some(IndexLayout.Gen(g.dir, excl))
-        } :+ IndexLayout.Gen(s"postings-g$v", Nil)
-        IndexLayout.commit(ss, path,
-          snap.copy(version = v, gens = newGens), ctx.token)
-        IndexLayout.gc(ss, path)
-        val after = IndexLayout
-          .filesPerCell(ss, path, IndexLayout.resolve(ss, path)).values.sum
+      // the core partition rewrite does the rest: heavy cells land in
+      // a new generation as static-pruned reads of the touched cells
+      // only, older generations are excluded (never touched on disk),
+      // non-base generations fold past the core's MaxGens bound, and
+      // the centroids/codebook artifacts carry forward unchanged
+      val r = IndexLayout.compactCells(ss, path, maxFilesPerCell,
+        ctx.token)
+      if (r.touched.nonEmpty)
         log.info(s"compacted index postings at $path: " +
-          s"${touched.size} heavy cell(s), ${folded.size} folded, " +
-          s"$before -> $after files, ${newGens.length} generation(s)")
-        IvfCompactReport(touched.size, before, after)
-      }
+          s"${r.touched.length} heavy cell(s), " +
+          s"${r.filesBefore} -> ${r.filesAfter} files")
+      IvfCompactReport(r.touched.length, r.filesBefore, r.filesAfter)
     }
   }
 
@@ -2019,12 +1969,10 @@ object Similarity {
       val rcb = readPqCentsAt(spark, pqcentsDirOf(path, snap))
       val codes = quantizeInt8(delta, idCol, vecCol)
         .select(col(idCol).cast("long").as("id"), col("codes"))
-      ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb)
-        .repartition(col("cell"))
-        // additive append into the newest generation — reader-safe,
-        // no manifest change (see ivfIndexAppend)
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"$root/${snap.gens.last.dir}")
+      // additive append into the newest generation — reader-safe,
+      // no manifest change (see ivfIndexAppend)
+      IndexLayout.appendPostings(
+        ivfPqEncodeRes(ivfPqResiduals(codes, coarse), rcb), path)
     }
   }
 
