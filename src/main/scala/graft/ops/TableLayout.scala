@@ -112,9 +112,19 @@ private[graft] object TableLayout {
     * WITH the data (the ANN index's centroids/codebook): replaced
     * whole per commit, referenced by the manifest (`art=` lines), and
     * GC'd exactly like superseded generations. Plain stores carry
-    * none. */
+    * none.
+    *
+    * `tombstones` are RETRACTED row ids (raw renderings, `tomb=`
+    * manifest lines): snapshot metadata a family's readers filter
+    * against, committed atomically with the snapshot they apply to.
+    * Small by contract ([[Tombstones.MaxTombstones]] — the manifest
+    * stays a small text file and the filter stays a broadcast);
+    * rewrites carry them forward untouched ([[replacePartitions]]),
+    * full republishes/rebuilds fold the rows out and reset the
+    * list. */
   final case class Snapshot(version: Long, pcol: Option[String],
-      gens: Seq[Gen], artifacts: Map[String, String] = Map.empty)
+      gens: Seq[Gen], artifacts: Map[String, String] = Map.empty,
+      tombstones: Seq[String] = Nil)
 
   /** A LAYOUT FAMILY: the naming/legacy contract one store kind uses
     * on top of the shared snapshot algebra. ONE implementation of
@@ -210,6 +220,7 @@ private[graft] object TableLayout {
     var pcol: Option[String] = None
     val arts = Map.newBuilder[String, String]
     val gens = Seq.newBuilder[Gen]
+    val tombs = Seq.newBuilder[String]
     text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split("=", 2) match {
         case Array("v", _) => ()
@@ -219,6 +230,8 @@ private[graft] object TableLayout {
           if (parts.length != 2) throw new IllegalStateException(
             s"unparseable ${fam.what} manifest artifact line: '$line'")
           arts += parts(0) -> parts(1)
+        case Array("tomb", spec) =>
+          tombs ++= spec.split(",").toSeq.filter(_.nonEmpty)
         case Array("gen", spec) =>
           val parts = spec.split(";", 2)
           val dir = if (parts.isEmpty) "" else parts(0)
@@ -230,7 +243,7 @@ private[graft] object TableLayout {
           s"unparseable ${fam.what} manifest line: '$line'")
       }
     }
-    Snapshot(v, pcol, gens.result(), arts.result())
+    Snapshot(v, pcol, gens.result(), arts.result(), tombs.result())
   }
 
   private def serialize(s: Snapshot): String = {
@@ -239,6 +252,12 @@ private[graft] object TableLayout {
     s.pcol.foreach(c => b ++= s"pcol=$c\n")
     s.artifacts.toSeq.sortBy(_._1).foreach { case (k, d) =>
       b ++= s"art=$k;$d\n"
+    }
+    if (s.tombstones.nonEmpty) {
+      requireCleanVals(s.tombstones)
+      // chunked so no single line grows unreadable; parse re-joins
+      s.tombstones.sorted.grouped(512).foreach(chunk =>
+        b ++= s"tomb=${chunk.mkString(",")}\n")
     }
     s.gens.foreach(g => b ++= s"gen=${g.dir};${g.exclude.sorted.mkString(",")}\n")
     b.result()
@@ -565,11 +584,12 @@ private[graft] object TableLayout {
     val newGens = liveOld :+ Gen(genDirName(fam, v), Nil)
     // client sidecars (e.g. the text index's paired stats) land in
     // the new generation BEFORE the manifest references it; named
-    // artifacts (the ANN index's centroids/codebook) are untouched by
-    // a partition rewrite and carry forward into the new snapshot
+    // artifacts (the ANN index's centroids/codebook) and tombstones
+    // are untouched by a partition rewrite and carry forward into the
+    // new snapshot
     beforeCommit(newDir)
-    commit(ss, path, Snapshot(v, snap.pcol, newGens, snap.artifacts),
-      token, fam)
+    commit(ss, path, Snapshot(v, snap.pcol, newGens, snap.artifacts,
+      snap.tombstones), token, fam)
     gc(ss, path, fam = fam)
     log.info(s"replaced ${touchedVals.length} partition(s) of $path " +
       s"at snapshot v$v${if (fold) " (generation fold)" else ""}")

@@ -1619,6 +1619,29 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // DOCUMENT RETRACTION from the persistent IVF index: the
+    // build+append of q_sim_ann_index, then every 7th-mod-3 vector is
+    // tombstoned (a metadata-only manifest commit — postings scatter
+    // per-cell, so nothing is rewritten) and the serve must rank as
+    // if those vectors were never retrievable. The oracle replays the
+    // SAME training/assignment (retraction never retrains) with the
+    // tombstoned ids excluded from the candidate side only.
+    "q_sim_ann_retract" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-retract").toString
+      Similarity.ivfIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, iters = 2, path = path)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      // the takedown list is driver-sized by contract (Tombstones cap)
+      val gone = e.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      Similarity.annIndexRetract(s, path, gone.toSeq)
+      Similarity.ivfIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // RECALL@K AS AN OBSERVABLE over the persistent index: the same
     // build+append+serve as q_sim_ann_index, but every approx row also
     // carries (n_exact, n_hit, recall_at_k) against the exact
@@ -2002,6 +2025,29 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // DOCUMENT RETRACTION (takedown/opt-out) from the text index:
+    // full build, then every 5th doc is retracted — ONE atomic meta
+    // write pairing the tombstone list with the decremented
+    // N/total_tokens (postings scatter across term buckets, so
+    // nothing is rewritten; serves drop the ids before df
+    // derivation). The serve must score EXACTLY as a fresh build
+    // without those docs: same stats, same df, same micro-unit BM25 —
+    // the oracle restates the retracted corpus while queries still
+    // draw from the full table (a retracted doc's query keeps
+    // serving; it just can't be retrieved).
+    "q_text_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path =
+        graft.util.TempDirs.scoped("graft-textidx-retr").toString + "/index"
+      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      val gone = docs.filter(expr("doc_id % 5 = 0"))
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      TextIndex.retract(s, path, gone.toSeq)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMED text-index maintenance: base build on doc_id%3<>0, the
     // rest arrives as 2 ordered drops through the real streaming
     // engine (foreachBatch append + per-batch markers), served result
@@ -2037,7 +2083,7 @@ object PipelineQueries {
           col("vocab"), col("postings"),
           (col("live_files") <= col("n_buckets")).cast("bigint")
             .as("files_le_buckets"),
-          col("max_files_per_bucket"))
+          col("max_files_per_bucket"), col("n_tombstones"))
     }),
 
     // BM25 retrieval QUALITY observable: self-retrieval MRR /
@@ -2249,8 +2295,13 @@ object PipelineQueries {
   private val ivfIndexAssignCtes: String =
     ivfIndexAssignCtesFor("vec_id % 10 <> 9")
 
-  private val ivfIndexServeCtes: String =
-    ivfIndexAssignCtes + """,
+  /** IVF-index serve replay; `candPred` filters the CANDIDATE side
+    * (`t` = postings) — "TRUE" for the plain gates, the tombstone
+    * restatement (`NOT (vec_id ...)`) for the retraction gate, where
+    * training/assignment are untouched (retraction never retrains)
+    * but retracted ids cannot be retrieved. */
+  private def ivfIndexServeCtesFor(candPred: String): String =
+    ivfIndexAssignCtes + s""",
         |qp AS (
         |  SELECT vec_id AS query_id, cell FROM (
         |    SELECT v.vec_id, s.cell,
@@ -2274,12 +2325,15 @@ object PipelineQueries {
         |  JOIN a3 a ON a.cell = q.cell
         |  JOIN n t ON t.vec_id = a.vec_id
         |  JOIN n qn ON qn.vec_id = q.query_id
-        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0),
+        |  WHERE t.vec_id <> q.query_id AND qn.nsq > 0 AND t.nsq > 0
+        |    AND ($candPred)),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM cand)
       |""".stripMargin
+
+  private val ivfIndexServeCtes: String = ivfIndexServeCtesFor("TRUE")
 
   /** IVFADC-index replay through the ranked `r` CTE — shared by the
     * batch gate, the streaming gate, the recall observable, and (at
@@ -4227,6 +4281,12 @@ object PipelineQueries {
       (ivfIndexServeCtes +
       """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
+    // retraction: identical training + assignment (a tombstone commit
+    // never retrains), retracted ids excluded from candidates only
+    "q_sim_ann_retract" ->
+      (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
+      """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     // the recall observable: approx = the served nProbe=2 top-5 (CTE
     // chain above); exact = quantized top-5 with NO probe pruning over
     // the same codes (what probing all cells computes); recall_at_k =
@@ -4896,6 +4956,12 @@ object PipelineQueries {
     "q_text_bm25_topk" -> bm25OracleSql("doc_id % 37 = 0", 5),
     "q_text_bm25_df" ->
       bm25OracleSql("doc_id % 37 = 0", 5, maxDfFrac = Some(0.78)),
+    // retraction restated as a fresh build WITHOUT the retracted docs
+    // (stats, tf, df all over the remaining corpus); queries from the
+    // full table
+    "q_text_retract" ->
+      bm25OracleSql("doc_id % 37 = 0", 5,
+        corpusPred = "NOT (doc_id % 5 = 0)"),
     // the append gate serves the SAME postings + stats the full build
     // produces, so it shares the full-corpus oracle verbatim
     "q_text_bm25_append" -> bm25OracleSql("doc_id % 37 = 0", 5),
@@ -4927,7 +4993,8 @@ object PipelineQueries {
            |    AS vocab,
            |  (SELECT CAST(count(*) AS BIGINT) FROM tf) AS postings,
            |  CAST(1 AS BIGINT) AS files_le_buckets,
-           |  CAST(1 AS BIGINT) AS max_files_per_bucket""".stripMargin,
+           |  CAST(1 AS BIGINT) AS max_files_per_bucket,
+           |  CAST(0 AS BIGINT) AS n_tombstones""".stripMargin,
     "q_text_bm25_eval" -> (bm25Ctes("doc_id % 37 = 0") + """,
        |res AS (SELECT query_id, doc_id AS neighbor_id, rank
        |        FROM bmr WHERE rank <= 5),
@@ -5001,7 +5068,8 @@ object PipelineQueries {
     * ([[graft.text.TextIndex.contribMicroSql]], DuckDB dialect), so
     * the no-libm ln polynomial cannot drift between the sides. */
   private def bm25Ctes(queryPred: String,
-      maxDfFrac: Option[Double] = None): String = {
+      maxDfFrac: Option[Double] = None,
+      corpusPred: String = "TRUE"): String = {
     val contrib = TextIndex.contribMicroSql("tf", "dl", "df", "n", "t",
       TextIndex.DuckDialect)
     // the stopword-drop dial, restated from the same postings: terms
@@ -5010,13 +5078,18 @@ object PipelineQueries {
     val dfCap = maxDfFrac.fold("")(f =>
       s"\n        HAVING CAST(count(*) AS DOUBLE) <= CAST($f AS DOUBLE) * " +
         "(SELECT CAST(count(*) AS DOUBLE) FROM d)")
-    raw"""WITH d AS (
+    // `corpusPred` is the retraction restatement: the SCORED corpus
+    // (stats, tf, df) is the docs passing it, while queries (`q`)
+    // still draw from the FULL table — a retracted doc's query keeps
+    // serving, it just can't be retrieved
+    raw"""WITH d0 AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(coalesce(text, ''))) = 0
          |      THEN CAST([] AS VARCHAR[])
          |      ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
          |    END AS toks
          |  FROM documents),
+         |d AS (SELECT doc_id, toks FROM d0 WHERE $corpusPred),
          |dln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
          |meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |                CAST(coalesce(sum(dl), 0) AS BIGINT) AS t
@@ -5028,7 +5101,7 @@ object PipelineQueries {
          |        FROM tf GROUP BY term$dfCap),
          |q AS (SELECT DISTINCT query_id, term FROM (
          |        SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
-         |        FROM d WHERE $queryPred)),
+         |        FROM d0 WHERE $queryPred)),
          |mm AS (SELECT q.query_id, tf.doc_id, tf.tf, dln.dl, dfq.df,
          |         meta.n, meta.t
          |       FROM q JOIN tf USING (term)
@@ -5044,8 +5117,9 @@ object PipelineQueries {
   }
 
   private def bm25OracleSql(queryPred: String, k: Int,
-      maxDfFrac: Option[Double] = None): String =
-    bm25Ctes(queryPred, maxDfFrac) + s"""
+      maxDfFrac: Option[Double] = None,
+      corpusPred: String = "TRUE"): String =
+    bm25Ctes(queryPred, maxDfFrac, corpusPred) + s"""
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_u
        |FROM bmr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 

@@ -50,8 +50,16 @@ private[graft] object IndexLayout {
 
   final case class Gen(dir: String, exclude: Seq[Int])
 
+  /** `tombstones` are RETRACTED vector ids (takedown/opt-out
+    * deletion): snapshot metadata committed atomically with the
+    * manifest. [[postingsDf]] filters them out, so every serve,
+    * recall observable, and postings-fed rebuild excludes them; a
+    * maintain rebuild folds the rows out physically and resets the
+    * list (it commits a fresh snapshot with no tombstones). Small by
+    * contract ([[graft.ops.Tombstones.MaxTombstones]]). */
   final case class Snapshot(version: Long, centroids: String,
-      pqcents: Option[String], gens: Seq[Gen])
+      pqcents: Option[String], gens: Seq[Gen],
+      tombstones: Seq[Long] = Nil)
 
   private[similarity] def fsOf(ss: SparkSession, path: String): FileSystem =
     TableLayout.fsOf(ss, path)
@@ -88,14 +96,16 @@ private[graft] object IndexLayout {
       s.artifacts.getOrElse("centroids", throw new IllegalStateException(
         s"index manifest v${s.version} names no centroids artifact")),
       s.artifacts.get("pqcents"),
-      s.gens.map(g => Gen(g.dir, g.exclude.map(_.toInt).sorted)))
+      s.gens.map(g => Gen(g.dir, g.exclude.map(_.toInt).sorted)),
+      s.tombstones.map(_.toLong).sorted)
 
   private[similarity] def toCore(s: Snapshot): TableLayout.Snapshot =
     TableLayout.Snapshot(s.version, Some("cell"),
       s.gens.map(g => TableLayout.Gen(g.dir,
         g.exclude.sorted.map(_.toString))),
       Map("centroids" -> s.centroids) ++
-        s.pqcents.map("pqcents" -> _).toMap)
+        s.pqcents.map("pqcents" -> _).toMap,
+      s.tombstones.sorted.map(_.toString))
 
   /** Highest committed snapshot; `None` for a root with neither a
     * manifest nor a legacy layout (a store not yet built). */
@@ -163,12 +173,16 @@ private[graft] object IndexLayout {
   }
 
   /** The live postings relation of `snap` (the core reader): union
-    * over generations, each with its excluded cells filtered out.
-    * Filters a caller adds on top (the probed-cell `isin`) push
-    * through the Union into every child scan, so partition pruning is
-    * preserved per generation. */
+    * over generations, each with its excluded cells filtered out, and
+    * the snapshot's tombstoned ids dropped — every consumer (serves,
+    * recall observables, postings-fed rebuilds) sees retraction
+    * through this one reader. Filters a caller adds on top (the
+    * probed-cell `isin`) push through the Union into every child
+    * scan, so partition pruning is preserved per generation; the
+    * tombstone filter is a broadcast-sized id exclusion, map-side. */
   def postingsDf(ss: SparkSession, path: String, snap: Snapshot): DataFrame =
-    TableLayout.readAt(ss, path, toCore(snap))
+    graft.ops.Tombstones.exclude(
+      TableLayout.readAt(ss, path, toCore(snap)), "id", snap.tombstones)
 
   /** APPEND postings rows into the snapshot's newest generation (the
     * core additive append: file-atomic, no manifest change). Must run

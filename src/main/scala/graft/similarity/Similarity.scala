@@ -1894,6 +1894,39 @@ object Similarity {
     }
   }
 
+  /** PERSISTENT INDEX — document RETRACTION (takedown/opt-out
+    * deletion, a routine training-data operation): tombstone `ids` in
+    * the snapshot manifest. A vector's postings live in ONE cell, but
+    * finding it means scanning, so retraction is a METADATA-ONLY
+    * commit — one atomic manifest write naming the same artifacts
+    * plus the extended tombstone list; every serve, recall
+    * observable, and postings-fed rebuild reads through
+    * [[IndexLayout.postingsDf]], which drops tombstoned ids with a
+    * broadcast-sized filter. A racing serve sees the old snapshot or
+    * the new one, never a partial state (the ordinary manifest
+    * contract). Physical rows fold out at the next maintain rebuild,
+    * which also RESETS the list (commits a fresh snapshot); the list
+    * is capped ([[graft.ops.Tombstones.MaxTombstones]]) so it stays
+    * manifest-sized between maintenances. Ids already tombstoned are
+    * skipped (idempotent re-delivery); ids never ingested are
+    * harmless (nothing to filter). Works on both the plain-IVF and
+    * the IVFADC layout. Runs under the single-writer lease. */
+  def annIndexRetract(ss: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Long]): Unit =
+    graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
+      val snap = IndexLayout.resolve(ss, path)
+      val (fresh, all) = graft.ops.Tombstones.merge(
+        snap.tombstones, ids, s"annIndexRetract at $path")
+      if (fresh.nonEmpty) {
+        IndexLayout.commit(ss, path,
+          snap.copy(version = snap.version + 1L, tombstones = all),
+          ctx.token)
+        IndexLayout.gc(ss, path)
+        log.info(s"retracted ${fresh.length} id(s) from the index at " +
+          s"$path (${all.length} live tombstone(s))")
+      }
+    }
+
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,
       path: String): Unit = {
@@ -2125,7 +2158,14 @@ object Similarity {
           "them permanently (append markers block re-delivery). Feed " +
           "a corpus that includes every appended batch, then re-run.")
     val v = snap.version + 1
-    ivfPqBuildVersion(corpus, idCol, vecCol, nCells, itersCoarse,
+    // tombstoned ids fold OUT here: the rebuild corpus is the caller's
+    // lakehouse table, which still carries retracted docs — encode the
+    // live set only, and the fresh snapshot resets the tombstone list
+    // (the retraction contract: rebuilds purge physically)
+    val liveCorpus = graft.ops.Tombstones.exclude(
+      corpus.withColumn("__id64", col(idCol).cast("long")), "__id64",
+      snap.tombstones).drop("__id64")
+    ivfPqBuildVersion(liveCorpus, idCol, vecCol, nCells, itersCoarse,
       rcb0.m, rcb0.ks, itersPq, path, v,
       if (warmStart) Some(coarse0) else None,
       if (warmStart) Some(rcb0) else None)

@@ -71,7 +71,15 @@ object TextIndex {
   val K1 = 1.2
   val B = 0.75
 
-  final case class Meta(nDocs: Long, totalTokens: Long, nBuckets: Int)
+  /** Corpus stats + the RETRACTED doc ids. Tombstones live IN the
+    * meta (not the manifest) because a retraction must decrement
+    * `nDocs`/`totalTokens` atomically with the list — one meta file
+    * is one atomic create, so a serve reads stats and tombstones that
+    * always agree. Small by contract
+    * ([[graft.ops.Tombstones.MaxTombstones]]); [[vacuum]] folds the
+    * rows out physically and resets the list. */
+  final case class Meta(nDocs: Long, totalTokens: Long, nBuckets: Int,
+      tombstones: Seq[Long] = Nil)
 
   // ---------------------------------------------------------------
   // portable-exact scoring SQL (ONE generator, both dialects)
@@ -158,7 +166,10 @@ object TextIndex {
     val v = ManifestIo.list(fs, genDir, MetaPrefix).lastOption
       .map(_._1 + 1L).getOrElse(1L)
     val text = s"n_docs=${meta.nDocs}\ntotal_tokens=${meta.totalTokens}\n" +
-      s"n_buckets=${meta.nBuckets}\n"
+      s"n_buckets=${meta.nBuckets}\n" +
+      (if (meta.tombstones.isEmpty) ""
+       else meta.tombstones.sorted.grouped(512)
+         .map(c => s"tombstones=${c.mkString(",")}\n").mkString)
     if (!ManifestIo.writeAtomic(fs, genDir, MetaPrefix, v, text))
       throw new IllegalStateException(
         s"text index: could not publish meta v$v in $genDir")
@@ -197,12 +208,15 @@ object TextIndex {
         s"no text-index meta in any generation of $path at snapshot " +
           s"v${snap.version} — the index was not built by " +
           "TextIndex.build (or the meta was deleted); rebuild it"))
-    val kv = ManifestIo.readText(fs, last._2).split("\n").map(_.trim)
+    val lines = ManifestIo.readText(fs, last._2).split("\n").map(_.trim)
       .filter(_.nonEmpty).map { l =>
         val Array(k, v) = l.split("=", 2); k -> v
-      }.toMap
+      }.toSeq
+    val kv = lines.toMap
+    val tombs = lines.collect { case ("tombstones", v) =>
+      v.split(",").toSeq.filter(_.nonEmpty).map(_.toLong) }.flatten.sorted
     Meta(kv("n_docs").toLong, kv("total_tokens").toLong,
-      kv("n_buckets").toInt)
+      kv("n_buckets").toInt, tombs)
   }
 
   // ---------------------------------------------------------------
@@ -357,6 +371,84 @@ object TextIndex {
     }
   }
 
+  /** Document RETRACTION (takedown/opt-out deletion): tombstone
+    * `docIds` and decrement the corpus stats, in ONE atomic meta
+    * write — a serve that resolves the snapshot reads stats and
+    * tombstones that agree, and scores the remaining corpus exactly
+    * as a fresh build without those docs would (the `q_text_retract`
+    * oracle). A doc's postings scatter across every bucket its terms
+    * hash to, so retraction does NOT rewrite data: serves drop the
+    * ids with a broadcast-sized filter applied before df derivation;
+    * [[vacuum]] (or a full [[build]]) folds the rows out physically
+    * and resets the list.
+    *
+    * The token decrement comes from ONE column-pruned pass over the
+    * live postings (`doc_id`, `tf` only — `sum(tf)` over a doc's
+    * postings IS its token count; empty docs carry zero either way).
+    * Batch takedowns to amortize it. Ids already tombstoned are
+    * skipped (idempotent re-delivery). CONTRACT: ids must have been
+    * ingested — `nDocs` decrements per fresh id, so retracting an id
+    * that was never ingested deflates the doc count (the same honesty
+    * contract as [[append]]'s "ids must be NEW", and undetectable for
+    * the same reason: an empty-text doc and an unknown id both have
+    * no postings). Runs under the single-writer lease. */
+  def retract(ss: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    StoreLock.withLock(ss, path) {
+      val snap = TableLayout.resolve(ss, path)
+      val meta = readMetaAt(ss, path, snap)
+      val (fresh, all) = graft.ops.Tombstones.merge(
+        meta.tombstones, docIds, s"TextIndex.retract at $path")
+      if (fresh.nonEmpty) {
+        val gone = TableLayout.readAtOpt(ss, path, snap) match {
+          case None => 0L
+          case Some(live) =>
+            val r = graft.ops.Tombstones.restrict(
+                live.select("doc_id", "tf"), "doc_id", fresh)
+              .agg(coalesce(sum(col("tf")), lit(0L))).head()
+            r.getLong(0)
+        }
+        writeMetaIn(TableLayout.fsOf(ss, path), newestGenDir(path, snap),
+          meta.copy(nDocs = meta.nDocs - fresh.length,
+            totalTokens = meta.totalTokens - gone,
+            tombstones = all))
+        log.info(s"retracted ${fresh.length} doc(s) / $gone token(s) " +
+          s"from the text index at $path (${all.length} live " +
+          "tombstone(s))")
+      }
+    }
+
+  /** Fold the tombstoned rows OUT physically and reset the list: one
+    * full republish of the live postings minus the retracted docs (no
+    * re-tokenization — index-sized, not corpus-sized), stats
+    * unchanged (retract already decremented them), fresh meta with an
+    * empty tombstone list inside the new generation before its
+    * manifest commit. Run it when the tombstone list nears the cap or
+    * ahead of a compliance deadline that demands physical deletion.
+    * Readers racing the vacuum keep the previous snapshot (ordinary
+    * grace window). Runs under the single-writer lease. */
+  def vacuum(ss: SparkSession, path: String): Unit =
+    StoreLock.withLockCtx(ss, path) { ctx =>
+      val snap = TableLayout.resolve(ss, path)
+      val meta = readMetaAt(ss, path, snap)
+      if (meta.tombstones.nonEmpty) {
+        val fs = TableLayout.fsOf(ss, path)
+        TableLayout.readAtOpt(ss, path, snap) match {
+          case Some(live) =>
+            TableLayout.publish(
+              graft.ops.Tombstones.exclude(live, "doc_id",
+                meta.tombstones),
+              path, Some("bucket"), ctx.token,
+              beforeCommit = dir =>
+                writeMetaIn(fs, dir, meta.copy(tombstones = Nil)))
+          case None => // dataless snapshot: nothing physical to fold
+            writeMetaIn(fs, newestGenDir(path, snap),
+              meta.copy(tombstones = Nil))
+        }
+        log.info(s"vacuumed ${meta.tombstones.length} tombstoned " +
+          s"doc(s) out of the text index at $path")
+      }
+    }
+
   final case class CompactReport(bucketsCompacted: Int,
       filesBefore: Long, filesAfter: Long)
 
@@ -415,14 +507,18 @@ object TextIndex {
     val (vocab, postings) = TableLayout.readAtOpt(ss, path, snap) match {
       case None => (0L, 0L)
       case Some(df) =>
-        val r = df.agg(countDistinct(col("term")).as("v"),
-          count(lit(1)).as("p")).head()
+        // tombstoned docs are not live corpus: vocab/postings report
+        // what a serve can actually score
+        val r = graft.ops.Tombstones.exclude(df, "doc_id",
+            meta.tombstones)
+          .agg(countDistinct(col("term")).as("v"),
+            count(lit(1)).as("p")).head()
         (r.getLong(0), r.getLong(1))
     }
     Seq((meta.nDocs, meta.totalTokens, meta.nBuckets.toLong, vocab,
-      postings, nFiles, maxPerBucket))
+      postings, nFiles, maxPerBucket, meta.tombstones.length.toLong))
       .toDF("n_docs", "total_tokens", "n_buckets", "vocab", "postings",
-        "live_files", "max_files_per_bucket")
+        "live_files", "max_files_per_bucket", "n_tombstones")
   }
 
   /** The serve scaffolding BOTH retrieval entry points share: ONE
@@ -457,9 +553,14 @@ object TextIndex {
     if (collected.isEmpty || liveOpt.isEmpty) return None
     val terms = collected.map(_.getString(2)).distinct.toSeq
     val buckets = collected.map(_.getInt(3)).distinct.toSeq
-    val slice = liveOpt.get
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      .filter(col("term").isin(terms: _*))
+    // retracted docs drop HERE, before df derivation — so document
+    // frequencies, scores, and phrase anchors are all computed over
+    // the live corpus the meta's stats describe
+    val slice = graft.ops.Tombstones.exclude(
+      liveOpt.get
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        .filter(col("term").isin(terms: _*)),
+      "doc_id", meta.tombstones)
     Some(Serve(meta,
       collected.toSeq.map(r => (r.getLong(0), r.getLong(1),
         r.getString(2))), slice))

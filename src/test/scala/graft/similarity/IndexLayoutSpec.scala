@@ -197,6 +197,76 @@ class IndexLayoutSpec extends AnyFunSuite {
       "superseded aside must be dropped")
   }
 
+  test("annIndexRetract: metadata-only tombstone commit excludes ids " +
+      "from serving; maintain rebuild folds them out physically and " +
+      "resets the list") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("layout-retract").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val base = ((0 until 40).map(i => (i.toLong,
+        Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3)))) ++
+      (40 until 80).map(i => (i.toLong,
+        Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3)))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, iters = 3, path = path)
+    val pre = IndexLayout.resolve(spark, path)
+    val queries = base.filter(col("vec_id") < 5)
+    def served(): Set[Long] = Similarity.ivfIndexTopK(queries, "vec_id",
+        "embedding", k = 5, nProbe = 3, path = path)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // retract two ids the pre-retract serve ACTUALLY returns, so the
+    // exclusion below is observable regardless of jitter geometry
+    val Seq(ra, rb) = served().toSeq.sorted.take(2)
+    // a serve planned BEFORE the retract keeps its snapshot
+    val inflight = Similarity.ivfIndexTopK(queries, "vec_id",
+      "embedding", k = 5, nProbe = 3, path = path)
+    val inflightExpect = inflight.orderBy("query_id", "rank")
+      .collect().toSeq
+    Similarity.annIndexRetract(spark, path, Seq(ra, rb, ra))
+    assert(inflight.orderBy("query_id", "rank").collect().toSeq
+      === inflightExpect)
+    // metadata-only: version advanced, SAME artifact + generation dirs
+    val post = IndexLayout.resolve(spark, path)
+    assert(post.version === pre.version + 1)
+    assert(post.centroids === pre.centroids &&
+      post.gens.map(_.dir) === pre.gens.map(_.dir),
+      "retraction must not rewrite any data directory")
+    assert(post.tombstones === Seq(ra, rb).sorted)
+    // serving excludes the ids (a retracted id's QUERY still serves —
+    // it just can't be retrieved)
+    val after = served()
+    assert(!after.contains(ra) && !after.contains(rb))
+    // idempotent re-delivery
+    Similarity.annIndexRetract(spark, path, Seq(rb))
+    assert(IndexLayout.resolve(spark, path).version === post.version)
+    // maintain rebuild (tripped by the boundary-cluster drift fixture)
+    // folds the rows out physically and RESETS the list
+    def deltaVec(i: Int): Array[Float] = {
+      val s = ((i % 9) - 4) * 0.01f
+      Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3))
+    }
+    Similarity.ivfIndexAppend(
+      (1000 until 1080).map(i => (i.toLong, deltaVec(i)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    val mq = (2000 until 2010).map { i =>
+      val s = ((i % 3) - 1) * 0.005f
+      (i.toLong, Array(0.7f + s, 0.7f - s, 0.3f, jit(i, 3)))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfIndexMaintain(mq, "vec_id", "embedding",
+      k = 5, nProbe = 1, path = path, recallFloor = 0.95, iters = 3)
+    assert(r.retrained, s"fixture must trip the floor: $r")
+    val rebuilt = IndexLayout.resolve(spark, path)
+    assert(rebuilt.tombstones === Nil,
+      "a maintain rebuild must reset the tombstone list")
+    // physical deletion: the rebuilt postings hold no rows for the ids
+    val rawIds = spark.read
+      .parquet(s"$path/${rebuilt.gens.last.dir}")
+      .select("id").filter(col("id").isin(ra, rb))
+    assert(rawIds.count() === 0L,
+      "rebuilt postings must not carry tombstoned ids")
+  }
+
   test("manifest round-trip: serialize/parse preserves generations, " +
       "excludes and the optional codebook") {
     val path = graft.util.TempDirs.scoped("layout-roundtrip").toString
@@ -207,12 +277,14 @@ class IndexLayoutSpec extends AnyFunSuite {
       IndexLayout.commit(spark, path, IndexLayout.Snapshot(7L,
         "centroids-v7", Some("pqcents-v7"),
         Seq(IndexLayout.Gen("postings-g2", Seq(5, 3)),
-          IndexLayout.Gen("postings-g7", Nil))), ctx.token)
+          IndexLayout.Gen("postings-g7", Nil)),
+        tombstones = Seq(42L, 7L)), ctx.token)
     }
     val s = IndexLayout.resolve(spark, path)
     assert(s == IndexLayout.Snapshot(7L, "centroids-v7",
       Some("pqcents-v7"),
       Seq(IndexLayout.Gen("postings-g2", Seq(3, 5)),
-        IndexLayout.Gen("postings-g7", Nil))))
+        IndexLayout.Gen("postings-g7", Nil)),
+      tombstones = Seq(7L, 42L)))
   }
 }

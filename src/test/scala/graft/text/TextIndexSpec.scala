@@ -304,6 +304,81 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.readMeta(spark, path).nDocs === metaBefore.nDocs + 1)
   }
 
+  test("retract: serve == fresh build without the docs, stats " +
+      "decremented atomically, idempotent; a serve planned before the " +
+      "retract keeps its snapshot") {
+    val path = graft.util.TempDirs.scoped("textidx-retr").toString + "/ix"
+    val fresh = graft.util.TempDirs.scoped("textidx-retr-fresh")
+      .toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    // the would-be-fresh state: built WITHOUT docs 2, 5 (EMPTY text —
+    // the zero-token edge) and 6
+    TextIndex.build(corpus.filter(!$"doc_id".isin(2L, 5L, 6L)),
+      "doc_id", "text", fresh, nBuckets = 4)
+    val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"),
+      (3L, "fox")).toDF("query_id", "qtext")
+    def serve(p: String) = TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+      .orderBy("query_id", "rank").collect().toSeq
+    // plan a serve against the PRE-retract snapshot (serveSlice pins
+    // meta + slice at construction)...
+    val preRetract = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+    val preExpect = serve(path)
+    TextIndex.retract(spark, path, Seq(2L, 5L, 6L))
+    // ...the in-flight plan still scores the old corpus
+    assert(preRetract.orderBy("query_id", "rank").collect().toSeq
+      === preExpect)
+    // a new serve scores EXACTLY the fresh-build-without-the-docs
+    // state: same stats (doc 5 decrements N by 1 and tokens by 0),
+    // same df, same micro-unit scores
+    assert(serve(path) === serve(fresh))
+    val m = TextIndex.readMeta(spark, path)
+    assert(m.nDocs === TextIndex.readMeta(spark, fresh).nDocs)
+    assert(m.totalTokens === TextIndex.readMeta(spark, fresh).totalTokens)
+    assert(m.tombstones === Seq(2L, 5L, 6L))
+    // idempotent re-delivery: same ids again is a no-op
+    TextIndex.retract(spark, path, Seq(2L, 6L))
+    assert(TextIndex.readMeta(spark, path) === m)
+    // phrase serving drops the docs too ("the quick brown" matched
+    // docs 1 and 2 pre-retract)
+    val ph = TextIndex.phraseTopK(
+        Seq((9L, "the quick brown")).toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 5, path)
+      .collect().map(_.getLong(2)).toSeq
+    assert(ph === Seq(1L))
+  }
+
+  test("vacuum folds tombstoned rows out physically and resets the " +
+      "list; serving is unchanged and the doc can re-ingest") {
+    val path = graft.util.TempDirs.scoped("textidx-vac").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    TextIndex.retract(spark, path, Seq(1L, 6L))
+    val q = Seq((1L, "the quick brown fox"), (3L, "fox"))
+      .toDF("query_id", "qtext")
+    def serve() = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = serve()
+    val metaBefore = TextIndex.readMeta(spark, path)
+    TextIndex.vacuum(spark, path)
+    val m = TextIndex.readMeta(spark, path)
+    assert(m.tombstones === Nil, "vacuum must reset the tombstone list")
+    assert(m.nDocs === metaBefore.nDocs &&
+      m.totalTokens === metaBefore.totalTokens,
+      "vacuum changes layout, never stats")
+    // physical deletion: the live postings hold NO rows for the docs
+    assert(graft.ops.TableLayout.read(spark, path)
+      .filter($"doc_id".isin(1L, 6L)).count() === 0L)
+    assert(serve() === before, "vacuum must be serve-invisible")
+    // a vacuumed doc may legitimately re-ingest (the append guard
+    // sees no postings and the list no longer names it)
+    TextIndex.append(corpus.filter($"doc_id" === 6L), "doc_id", "text",
+      path)
+    assert(TextIndex.readMeta(spark, path).nDocs === m.nDocs + 1)
+    // idempotent: vacuum with no tombstones is a no-op (no snapshot burned)
+    val v = graft.ops.TableLayout.resolve(spark, path).version
+    TextIndex.vacuum(spark, path)
+    assert(graft.ops.TableLayout.resolve(spark, path).version === v)
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
