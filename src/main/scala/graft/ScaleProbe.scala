@@ -144,40 +144,65 @@ object ScaleProbe {
     System.err.println(f"[probe] bpe 100 merges: local $bpeLocal%.2f s, " +
       f"distributed $bpeDist%.2f s")
 
-    // Text index (r11 addition): build is corpus-linear BY DESIGN (one
-    // tokenize + count shuffle); the claim under test is the SERVE —
-    // a FIXED 10-query set against the 10x corpus must stay ~flat,
-    // because the `_k`-suffixed copies carry a disjoint vocabulary, so
-    // the queried terms' posting lists don't grow: any corpus-sized
-    // read surviving the bucket+term prune shows up as a positive
-    // serve exponent.
-    def timeTextIndex(dir: String): (Double, Double) = {
+    // Text index (r11 addition; phrase leg r12): build is
+    // corpus-linear BY DESIGN (one tokenize + count shuffle); the
+    // claims under test are the SERVES — a FIXED 10-query set against
+    // the 10x corpus must stay ~flat for BOTH the BM25 top-k and the
+    // positional phrase serve, because the `_k`-suffixed copies carry
+    // a disjoint vocabulary, so the queried terms' posting lists (and
+    // their exploded positions — the phrase serve's grain, the
+    // family's largest) don't grow: any corpus-sized read surviving
+    // the bucket+term prune shows up as a positive exponent.
+    def timeTextIndex(dir: String): (Double, Double, Double) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val path = graft.util.TempDirs.scoped("probe-textidx").toString + "/ix"
       val t0 = System.nanoTime()
       graft.text.TextIndex.build(docs, "doc_id", "text", path,
         nBuckets = 64)
       val tb = (System.nanoTime() - t0) / 1e9
-      val q = docs.filter(col("doc_id") < 10)
+      // materialize the 10-query frame ONCE as local rows: the serve
+      // rebuilds its query side per call (serveSlice collects), so an
+      // un-materialized lineage would re-read documents.parquet inside
+      // every timed repeat — a corpus-linear read that would fake a
+      // positive serve exponent on corpora where row-group stats
+      // don't prune doc_id
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val qRows = docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(
-            graft.functions.TextFunctions.tokens(col("text")), 1, 8))
-            .as("qtext"))
-      val ts = (1 to repeats).map { _ =>
+          concat_ws(" ", slice(toks, 1, 8)).as("qtext"),
+          concat_ws(" ", slice(toks, 3, 3)).as("ptext"))
+        .collect().toSeq
+      val qLocal = spark.createDataFrame(
+        spark.sparkContext.parallelize(qRows, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, qtext STRING, ptext STRING"))
+      val q = qLocal.select("query_id", "qtext")
+      val qp = qLocal.select(col("query_id"), col("ptext").as("qtext"))
+      def timed(body: => Unit): Double = (1 to repeats).map { _ =>
         val t1 = System.nanoTime()
-        graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
-          .count()
+        body
         (System.nanoTime() - t1) / 1e9
       }.min
-      (tb, ts)
+      val ts = timed {
+        graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+          .count(): Unit
+      }
+      val tp = timed {
+        graft.text.TextIndex.phraseTopK(qp, "query_id", "qtext", k = 5,
+          path).count(): Unit
+      }
+      (tb, ts, tp)
     }
-    val (tiBuildB, tiServeB) = timeTextIndex(baseDir)
-    val (tiBuildS, tiServeS) = timeTextIndex(scaledDir)
+    val (tiBuildB, tiServeB, tiPhraseB) = timeTextIndex(baseDir)
+    val (tiBuildS, tiServeS, tiPhraseS) = timeTextIndex(scaledDir)
     val tiServeExp = math.log(tiServeS / tiServeB) /
+      math.log(factor.toDouble)
+    val tiPhraseExp = math.log(tiPhraseS / tiPhraseB) /
       math.log(factor.toDouble)
     System.err.println(f"[probe] text index: build $tiBuildB%.2f -> " +
       f"$tiBuildS%.2f s, serve $tiServeB%.2f -> $tiServeS%.2f s " +
-      f"(serve exponent $tiServeExp%.2f)")
+      f"(serve exponent $tiServeExp%.2f), phrase $tiPhraseB%.2f -> " +
+      f"$tiPhraseS%.2f s (exponent $tiPhraseExp%.2f)")
 
     def f3(d: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -185,7 +210,7 @@ object ScaleProbe {
       s""""$n":{"base_sec":${f3(tb)},"scaled_sec":${f3(ts)},"exponent":${f3(exp)}}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)}},"queries":$qJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)},"phrase_base_sec":${f3(tiPhraseB)},"phrase_scaled_sec":${f3(tiPhraseS)},"phrase_exponent":${f3(tiPhraseExp)}},"queries":$qJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -113,6 +113,60 @@ class MergeUpsertSpec extends AnyFunSuite {
     assert(hidden.isEmpty, "tombstone survived a completed swap")
   }
 
+  test("PUBLIC-LAKE BOUNDARY drill: a plain-parquet reader racing the " +
+      "swap reads its whole pre-swap rows or fails LOUDLY — never " +
+      "silent intra-partition partial rows") {
+    // MergeUpsert is the engine's ONE remaining rename-swap publish
+    // (by design: the public plain-parquet lake, where the directory
+    // layout is the interface and no manifest exists for readers to
+    // resolve). This drill pins what the non-transactional window
+    // can expose to a reader whose file listing predates the swap:
+    //   (a) the listing is served whole (local fs caching, object
+    //       stores with read-after-delete grace) -> the reader gets
+    //       exactly its complete PRE-swap rows; or
+    //   (b) a swapped file is gone at fetch time -> the task fails
+    //       with FileNotFoundException, surfaced as a LOUD job error.
+    // What can NEVER happen: partial rows of a partition (staging is
+    // fully written before any rename; the swap is one dir-level
+    // rename per partition, and the tombstone ordering keeps a whole
+    // copy on disk at every instant). The remaining honest exposure —
+    // a fresh LISTING between the tombstone and staging renames can
+    // miss a whole partition — cannot be closed without a manifest;
+    // engine-internal callers needing reader isolation use
+    // TableLayout (the versioned-snapshot layout) instead.
+    val dir = graft.util.TempDirs.scoped("merge-race").resolve("t").toString
+    Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L), (3L, "a", 300L, 0L))
+      .toDF("k", "part", "v", "version")
+      .write.partitionBy("part").parquet(dir)
+    // the racing reader: file listing pinned at read.parquet() time
+    val pinned = spark.read.parquet(dir).select("k", "v", "version")
+    val preRows = spark.read.parquet(dir).select("k", "v", "version")
+      .orderBy("k").collect().toSeq
+    // the swap rewrites partition a under the pinned plan
+    MergeUpsert.mergeByKey(spark, dir,
+      Seq((1L, "a", 111L, 1L)).toDF("k", "part", "v", "version"),
+      Seq("k"), "version", "part")
+    val outcome = scala.util.Try(pinned.orderBy("k").collect().toSeq)
+    outcome match {
+      case scala.util.Success(rows) =>
+        assert(rows == preRows,
+          "a surviving pre-swap listing must serve the WHOLE pre-swap " +
+            s"rows, got $rows")
+      case scala.util.Failure(e) =>
+        val chain = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+          .takeWhile(_ != null).toSeq
+        assert(chain.exists(c =>
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+            Option(c.getMessage).exists(_.contains("FileNotFound"))),
+          s"the only acceptable failure is a LOUD missing-file error, got $e")
+    }
+    // a fresh reader sees exactly the post-merge table
+    val post = spark.read.parquet(dir).select("k", "v", "version")
+      .orderBy("k").collect().toSeq
+    assert(post == Seq(Row(1L, 111L, 1L), Row(2L, 200L, 0L),
+      Row(3L, 300L, 0L)))
+  }
+
   test("mergeByKey: repeated merge of the same batch is idempotent") {
     val dir = graft.util.TempDirs.scoped("merge-spec2").resolve("t").toString
     Seq((1L, "a", 100L, 0L), (2L, "b", 200L, 0L))
