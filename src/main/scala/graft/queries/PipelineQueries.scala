@@ -2037,9 +2037,12 @@ object PipelineQueries {
     // serving; it just can't be retrieved).
     "q_text_retract" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val path =
-        graft.util.TempDirs.scoped("graft-textidx-retr").toString + "/index"
-      TextIndex.build(docs, "doc_id", "text", path, nBuckets = 32)
+      // copy-on-write from the shared full-corpus index (the
+      // cowClusterTable discipline): retraction mutates a private
+      // copy; correctness does not lean on the sharing — the serve
+      // hash-matches the from-scratch retracted-corpus oracle
+      val path = cowClusterTable(s, sharedTextIndex(s, d),
+        "graft-textidx-retr")
       val gone = docs.filter(expr("doc_id % 5 = 0"))
         .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
       TextIndex.retract(s, path, gone.toSeq)
