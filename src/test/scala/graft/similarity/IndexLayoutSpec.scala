@@ -267,6 +267,28 @@ class IndexLayoutSpec extends AnyFunSuite {
       "rebuilt postings must not carry tombstoned ids")
   }
 
+  test("annIndexRetract on the IVFADC layout: the PQ serve excludes " +
+      "tombstoned ids through the same snapshot reader") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("layout-retract-pq").toString
+    val corpus = emb.filter(col("vec_id") < 64)
+    Similarity.ivfPqIndexBuild(corpus, "vec_id", "embedding",
+      nCells = 3, itersCoarse = 1, m = 4, ks = 4, itersPq = 1,
+      path = path)
+    val q = emb.filter(col("vec_id") < 3)
+    def served(): Set[Long] = Similarity.ivfPqIndexTopK(q, "vec_id",
+        "embedding", k = 5, nProbe = 3, path = path)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val Seq(ra, rb) = served().toSeq.sorted.take(2)
+    Similarity.annIndexRetract(spark, path, Seq(ra, rb))
+    val after = served()
+    assert(!after.contains(ra) && !after.contains(rb),
+      s"PQ serve must exclude tombstoned ids $ra, $rb — got $after")
+    // the codebook artifact rode the metadata commit untouched
+    val snap = IndexLayout.resolve(spark, path)
+    assert(snap.pqcents.isDefined && snap.tombstones === Seq(ra, rb).sorted)
+  }
+
   test("manifest round-trip: serialize/parse preserves generations, " +
       "excludes and the optional codebook") {
     val path = graft.util.TempDirs.scoped("layout-roundtrip").toString
