@@ -622,6 +622,7 @@ object Similarity {
     val spark = delta.sparkSession
     graft.ops.StoreLock.withLock(spark, path) {
       val snap = IndexLayout.resolve(spark, path)
+      requireNotTombstoned(delta, idCol, snap, path)
       val cents = readCentsAt(spark,
         path.stripSuffix("/") + "/" + snap.centroids)
       // additive append into the NEWEST generation (the core layout's
@@ -1894,6 +1895,29 @@ object Similarity {
     }
   }
 
+  /** Appending a LIVE-TOMBSTONED id would be silent data loss: the
+    * serve filter hides the new rows, and the next maintain rebuild
+    * (which reads the tombstone-filtered postings) drops them
+    * physically while RESETTING the list — the re-appended vector
+    * would vanish entirely. Fail loudly instead; re-ingest a
+    * retracted id only after a maintain rebuild has reset the list.
+    * Zero cost when no tombstones are live; delta-sized otherwise. */
+  private def requireNotTombstoned(delta: DataFrame, idCol: String,
+      snap: IndexLayout.Snapshot, path: String): Unit =
+    if (snap.tombstones.nonEmpty) {
+      val hit = graft.ops.Tombstones.restrict(
+          delta.select(col(idCol).cast("long").as("id")), "id",
+          snap.tombstones)
+        .limit(5).collect().map(_.getLong(0)).distinct.sorted
+      if (hit.nonEmpty) throw new IllegalStateException(
+        s"index append at $path: delta id(s) ${hit.mkString(", ")} are " +
+          "LIVE-TOMBSTONED — appending them would be hidden by the " +
+          "serve filter and then dropped permanently by the next " +
+          "maintain rebuild. Run a maintain rebuild (which purges and " +
+          "resets the tombstone list) before re-ingesting a retracted " +
+          "id.")
+    }
+
   /** PERSISTENT INDEX — document RETRACTION (takedown/opt-out
     * deletion, a routine training-data operation): tombstone `ids` in
     * the snapshot manifest. A vector's postings live in ONE cell, but
@@ -1998,6 +2022,7 @@ object Similarity {
     graft.ops.StoreLock.withLock(spark, path) {
       val root = path.stripSuffix("/")
       val snap = IndexLayout.resolve(spark, path)
+      requireNotTombstoned(delta, idCol, snap, path)
       val coarse = readCentsAt(spark, s"$root/${snap.centroids}")
       val rcb = readPqCentsAt(spark, pqcentsDirOf(path, snap))
       val codes = quantizeInt8(delta, idCol, vecCol)

@@ -287,6 +287,14 @@ class IndexLayoutSpec extends AnyFunSuite {
     // the codebook artifact rode the metadata commit untouched
     val snap = IndexLayout.resolve(spark, path)
     assert(snap.pqcents.isDefined && snap.tombstones === Seq(ra, rb).sorted)
+    // appending a LIVE-TOMBSTONED id fails loudly: the serve filter
+    // would hide the rows and the next maintain rebuild would drop
+    // them permanently while resetting the list — silent loss
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfPqIndexAppend(emb.filter(col("vec_id") === ra),
+        "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("LIVE-TOMBSTONED"), e.getMessage)
   }
 
   test("manifest round-trip: serialize/parse preserves generations, " +
