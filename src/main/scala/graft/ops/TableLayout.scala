@@ -232,6 +232,12 @@ private[graft] object TableLayout {
           arts += parts(0) -> parts(1)
         case Array("tomb", spec) =>
           tombs ++= spec.split(",").toSeq.filter(_.nonEmpty)
+        // pre-unification INDEX manifests spelled the two artifacts as
+        // dedicated keys; accept them as artifact sugar so a store
+        // persisted by the old IndexLayout keeps resolving (serialize
+        // always writes the art= form)
+        case Array("centroids", dir) => arts += "centroids" -> dir
+        case Array("pqcents", dir) => arts += "pqcents" -> dir
         case Array("gen", spec) =>
           val parts = spec.split(";", 2)
           val dir = if (parts.isEmpty) "" else parts(0)

@@ -32,11 +32,16 @@ private[graft] object Tombstones {
       StructType(Seq(StructField(idCol, LongType, nullable = false))))
   }
 
-  /** Rows of `df` whose `idCol` is NOT in `ids` (no-op on empty). */
+  /** Rows of `df` whose `idCol` is NOT in `ids` (no-op on empty).
+    * Null ids are KEPT on both branches: a bare `!isin` evaluates to
+    * NULL for a null id (row dropped) while `left_anti` keeps it —
+    * the isin branch is an optimization and must not change
+    * semantics at the threshold. */
   def exclude(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
     if (ids.isEmpty) df
     else if (ids.length <= IsinMax)
-      df.filter(!col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
+      df.filter(col(idCol).isNull ||
+        !col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
     else df.join(broadcast(idsDf(df, idCol, ids)), Seq(idCol), "left_anti")
 
   /** Rows of `df` whose `idCol` IS in `ids` (empty ids → no rows). */

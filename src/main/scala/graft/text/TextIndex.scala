@@ -77,9 +77,17 @@ object TextIndex {
     * is one atomic create, so a serve reads stats and tombstones that
     * always agree. Small by contract
     * ([[graft.ops.Tombstones.MaxTombstones]]); [[vacuum]] folds the
-    * rows out physically and resets the list. */
+    * rows out physically and resets the list.
+    *
+    * `maxDocId` is an UPPER BOUND on every id ever ingested (builds
+    * compute it, appends fold their delta max in, retraction never
+    * lowers it — a tombstoned id stays "used"): a delta whose ids all
+    * exceed it is provably new, so [[append]]'s idempotence probe can
+    * skip its index scan entirely — the monotonic-id ingest common
+    * case. `None` = unknown (a meta written before the field
+    * existed); the probe then always runs. */
   final case class Meta(nDocs: Long, totalTokens: Long, nBuckets: Int,
-      tombstones: Seq[Long] = Nil)
+      tombstones: Seq[Long] = Nil, maxDocId: Option[Long] = None)
 
   // ---------------------------------------------------------------
   // portable-exact scoring SQL (ONE generator, both dialects)
@@ -167,6 +175,7 @@ object TextIndex {
       .map(_._1 + 1L).getOrElse(1L)
     val text = s"n_docs=${meta.nDocs}\ntotal_tokens=${meta.totalTokens}\n" +
       s"n_buckets=${meta.nBuckets}\n" +
+      meta.maxDocId.fold("")(m => s"max_doc_id=$m\n") +
       (if (meta.tombstones.isEmpty) ""
        else meta.tombstones.sorted.grouped(512)
          .map(c => s"tombstones=${c.mkString(",")}\n").mkString)
@@ -216,7 +225,7 @@ object TextIndex {
     val tombs = lines.collect { case ("tombstones", v) =>
       v.split(",").toSeq.filter(_.nonEmpty).map(_.toLong) }.flatten.sorted
     Meta(kv("n_docs").toLong, kv("total_tokens").toLong,
-      kv("n_buckets").toInt, tombs)
+      kv("n_buckets").toInt, tombs, kv.get("max_doc_id").map(_.toLong))
   }
 
   // ---------------------------------------------------------------
@@ -260,11 +269,24 @@ object TextIndex {
           lit(nBuckets.toLong)).cast("int"))
   }
 
-  private def corpusStats(tok: DataFrame): (Long, Long) = {
+  /** `maxId`/`minId`: None = no usable bound (null ids present, or —
+    * for `maxId` consumers — see below); an EMPTY delta/corpus gets
+    * `Some(Long.MinValue)` as its max (the vacuous upper bound: any
+    * later id is provably new). */
+  private final case class CorpusStats(n: Long, t: Long,
+      maxId: Option[Long], minId: Option[Long])
+
+  private def corpusStats(tok: DataFrame): CorpusStats = {
     val r = tok.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(col("toks")).cast("bigint")), lit(0L))
-        .as("t")).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(sum(size(col("toks")).cast("bigint")), lit(0L)).as("t"),
+      max(col("doc_id")).as("mx"), min(col("doc_id")).as("mn"),
+      count(col("doc_id")).as("nonNull")).head()
+    val n = r.getLong(0)
+    val allIdsKnown = r.getLong(4) == n
+    CorpusStats(n, r.getLong(1),
+      if (n == 0) Some(Long.MinValue)
+      else if (allIdsKnown) Some(r.getLong(2)) else None,
+      if (n > 0 && allIdsKnown) Some(r.getLong(3)) else None)
   }
 
   /** Build (or fully rebuild) the index at `path` from `docs`: ONE
@@ -280,16 +302,17 @@ object TextIndex {
     StoreLock.withLockCtx(spark, path) { ctx =>
       val tok = tokenized(docs, idCol, textCol).persist()
       try {
-        val (n, t) = corpusStats(tok)
+        val st = corpusStats(tok)
         val fs = TableLayout.fsOf(spark, path)
         // meta lands INSIDE the new generation before the manifest
         // commit: a reader resolving the new snapshot always finds
         // stats whose nBuckets matches the postings it reads
         TableLayout.publish(postingsOf(tok, nBuckets),
           path, Some("bucket"), ctx.token,
-          beforeCommit = dir => writeMetaIn(fs, dir, Meta(n, t, nBuckets)))
-        log.info(s"built text index at $path: $n docs, $t tokens, " +
-          s"$nBuckets buckets")
+          beforeCommit = dir => writeMetaIn(fs, dir,
+            Meta(st.n, st.t, nBuckets, Nil, st.maxId)))
+        log.info(s"built text index at $path: ${st.n} docs, ${st.t} " +
+          s"tokens, $nBuckets buckets")
       } finally { tok.unpersist(); () }
     }
   }
@@ -304,19 +327,29 @@ object TextIndex {
     * never a partial read.
     *
     * Delta doc_ids must be NEW: re-appending an id doubles its
-    * postings and inflates `N`/`avgdl` permanently. The contract is
-    * GUARDED — the delta's doc_ids are probed against the live
-    * postings of exactly the buckets the delta's own terms hash to
-    * (bucket-pruned, delta-sized work) and a collision throws with
-    * the store unchanged. The probe sees a replayed doc through any
-    * term it carried before (same text → same buckets); an id reused
-    * with entirely different text, or an empty-text replay (no
-    * postings to collide), is upstream exact-dedup's job — the guard
-    * is loud best-effort, not a catalog. `allowReplay = true` skips
-    * the probe for callers with their own idempotence choreography;
-    * the streamed path keeps it ON so a crash between its append and
-    * its marker commit surfaces as a loud stall on replay, never as
-    * silent double postings. */
+    * postings and inflates `N`/`avgdl` permanently, and re-appending
+    * a LIVE-TOMBSTONED id would be hidden by the serve filter and
+    * then physically dropped by the next [[vacuum]] while its stats
+    * stayed counted — silent loss. BOTH contracts are GUARDED:
+    * tombstone collisions fail against the meta's driver-side list
+    * (delta-sized, no index IO), and replay collisions fail against
+    * the live postings of the buckets the delta's terms hash to.
+    * When the meta carries a `maxDocId` bound and the delta's ids all
+    * exceed it — the monotonic-id ingest common case, which every
+    * streamed drop satisfies — the replay probe is skipped as
+    * provably clean (no index scan at all). Otherwise the probe scans
+    * the touched buckets' (`bucket`, `doc_id`) columns only; a
+    * natural-language delta touches most buckets, so budget it as an
+    * index-2-column-scan, not "delta-sized" — monotonic ids are the
+    * scale path. The probe sees a replayed doc through any term it
+    * carried before (same text → same buckets); an id reused with
+    * entirely different text, or an empty-text replay (no postings to
+    * collide), is upstream exact-dedup's job — the guard is loud
+    * best-effort, not a catalog. `allowReplay = true` skips the
+    * replay probe (never the tombstone guard) for callers with their
+    * own idempotence choreography; the streamed path keeps it ON so a
+    * crash between its append and its marker commit surfaces as a
+    * loud stall on replay, never as silent double postings. */
   def append(delta: DataFrame, idCol: String, textCol: String,
       path: String, allowReplay: Boolean = false): Unit = {
     val spark = delta.sparkSession
@@ -325,30 +358,74 @@ object TextIndex {
       val meta = readMetaAt(spark, path, snap)
       val tok = tokenized(delta, idCol, textCol).persist()
       try {
-        val postings = postingsOf(tok, meta.nBuckets)
-        if (!allowReplay) requireNewDocIds(spark, path, snap, postings)
-        val (n, t) = corpusStats(tok)
-        TableLayout.append(postings, path, Some("bucket"))
+        requireNotTombstoned(tok, meta, path)
+        val st = corpusStats(tok)
+        val provablyNew = (meta.maxDocId, st.minId) match {
+          case (Some(bound), Some(lo)) => lo > bound
+          case _ => st.n == 0
+        }
+        if (!allowReplay && !provablyNew)
+          requireNewDocIds(spark, path, snap, tok, meta.nBuckets)
+        // postingsOf evaluates exactly ONCE (inside the write); the
+        // probe derived its pairs from the persisted tok instead
+        TableLayout.append(postingsOf(tok, meta.nBuckets), path,
+          Some("bucket"))
         // updated stats into the SAME newest generation the postings
         // landed in (the snapshot version is unchanged by an append,
         // and nBuckets cannot change outside a rebuild, so a serve
         // between the data and the stats sees bounded-stale N/avgdl,
-        // never inconsistent bucketing)
+        // never inconsistent bucketing). The id bound only ever
+        // RISES, and stays unknown if it was unknown (a known-wrong
+        // bound would let a later probe skip incorrectly).
+        val newMax = (meta.maxDocId, st.maxId) match {
+          case (Some(a), Some(b)) => Some(math.max(a, b))
+          case _ => None
+        }
         writeMetaIn(TableLayout.fsOf(spark, path), newestGenDir(path, snap),
-          meta.copy(nDocs = meta.nDocs + n,
-            totalTokens = meta.totalTokens + t))
+          meta.copy(nDocs = meta.nDocs + st.n,
+            totalTokens = meta.totalTokens + st.t,
+            maxDocId = newMax))
       } finally { tok.unpersist(); () }
     }
   }
 
+  /** The LIVE-TOMBSTONE append guard ([[Similarity]]'s
+    * `requireNotTombstoned` mirrored): a re-appended retracted doc
+    * would be unretrievable (serve filter) yet counted in `N`/`avgdl`
+    * (stats corruption), and the next [[vacuum]] would physically
+    * drop the new content while the stats stayed inflated. Fail
+    * loudly; re-ingest only after a vacuum has reset the list. Zero
+    * cost when no tombstones are live; delta-sized otherwise. */
+  private def requireNotTombstoned(tok: DataFrame, meta: Meta,
+      path: String): Unit =
+    if (meta.tombstones.nonEmpty) {
+      val hit = graft.ops.Tombstones.restrict(
+          tok.select("doc_id"), "doc_id", meta.tombstones)
+        .limit(5).collect().map(_.getLong(0)).distinct.sorted
+      if (hit.nonEmpty) throw new IllegalStateException(
+        s"TextIndex.append at $path: delta doc_id(s) " +
+          s"${hit.mkString(", ")} are LIVE-TOMBSTONED — appending them " +
+          "would be hidden by the serve filter, counted in N/avgdl, " +
+          "and then physically dropped by the next vacuum. The store " +
+          "is unchanged. Run vacuum (which purges and resets the " +
+          "tombstone list) before re-ingesting a retracted id.")
+    }
+
   /** The [[append]] idempotence probe: throw if any delta doc_id
-    * already has live postings in a bucket the delta touches. Runs
-    * under the lease; scans only the touched buckets (static
-    * partition pruning) and only the `doc_id`/`bucket` columns. */
+    * already has live postings in a bucket the delta's terms hash to.
+    * Pairs derive from the persisted tokenized delta (one light
+    * distinct — no posting aggregation); the live scan prunes
+    * statically to the touched buckets and reads only the
+    * `doc_id`/`bucket` columns. Runs under the lease. */
   private def requireNewDocIds(spark: SparkSession, path: String,
-      snap: TableLayout.Snapshot, deltaPostings: DataFrame): Unit = {
+      snap: TableLayout.Snapshot, tok: DataFrame, nBuckets: Int): Unit = {
     TableLayout.readAtOpt(spark, path, snap).foreach { live =>
-      val deltaIds = deltaPostings.select("bucket", "doc_id").distinct()
+      val deltaIds = tok
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .select(col("doc_id"),
+          pmod(PortableHash64Expr.portableHash64(spark, col("term")),
+            lit(nBuckets.toLong)).cast("int").as("bucket"))
+        .distinct()
       // touched buckets collected first (bounded by nBuckets) so the
       // live scan prunes STATICALLY to them — the probe never reads
       // an untouched bucket's bytes

@@ -78,6 +78,9 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.append(corpus.filter($"doc_id" > 3), "doc_id", "text", inc)
     assert(TextIndex.readMeta(spark, inc) ===
       TextIndex.readMeta(spark, full))
+    // the ingested-id bound folds delta maxes in (the monotonic-id
+    // fast path's invariant: an upper bound on every id ever ingested)
+    assert(TextIndex.readMeta(spark, inc).maxDocId === Some(6L))
     val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"))
       .toDF("query_id", "qtext")
     def serve(p: String) =
@@ -337,6 +340,15 @@ class TextIndexSpec extends AnyFunSuite {
     assert(m.tombstones === Seq(2L, 5L, 6L))
     // idempotent re-delivery: same ids again is a no-op
     TextIndex.retract(spark, path, Seq(2L, 6L))
+    assert(TextIndex.readMeta(spark, path) === m)
+    // re-appending a LIVE-TOMBSTONED id fails loudly BEFORE any IO:
+    // the serve filter would hide it, stats would count it, and the
+    // next vacuum would physically drop the new content
+    val tombEx = intercept[IllegalStateException] {
+      TextIndex.append(corpus.filter($"doc_id" === 6L), "doc_id", "text",
+        path)
+    }
+    assert(tombEx.getMessage.contains("LIVE-TOMBSTONED"))
     assert(TextIndex.readMeta(spark, path) === m)
     // phrase serving drops the docs too ("the quick brown" matched
     // docs 1 and 2 pre-retract)
