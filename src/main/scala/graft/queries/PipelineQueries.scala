@@ -1642,6 +1642,31 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMED takedown feed against the ANN index: q_sim_ann_retract's
+    // tombstone set arrives as 2 ordered drops (foreachBatch
+    // annIndexRetract — marker-free, idempotent convergence); same
+    // same-training oracle as the batch retraction gate.
+    "q_stream_ann_retract" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-sretr").toString
+      Similarity.ivfIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, iters = 2, path = path)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      val dir = graft.util.TempDirs.scoped("graft-ivf-sretr-ckpt")
+      val dropsDir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        "vec_id", 2, "graft-ivf-sretr-drops")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        graft.streaming.PipelineStreams.annIndexRetractStream(s,
+          dropsDir.toString, "vec_id", path,
+          dir.resolve("ckpt").toString)
+      }
+      Similarity.ivfIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // RECALL@K AS AN OBSERVABLE over the persistent index: the same
     // build+append+serve as q_sim_ann_index, but every approx row also
     // carries (n_exact, n_hit, recall_at_k) against the exact
@@ -2046,6 +2071,31 @@ object PipelineQueries {
       val gone = docs.filter(expr("doc_id % 5 = 0"))
         .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
       TextIndex.retract(s, path, gone.toSeq)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
+    // STREAMED takedown feed against the text index: the same
+    // retraction set as q_text_retract arrives as 2 ordered drops
+    // through the real streaming engine (foreachBatch retract — NO
+    // markers: retraction is idempotent per id, so checkpoint
+    // re-delivery converges by algebra). Served result must equal the
+    // batch retraction bit for bit — the SAME fresh-build-without-
+    // the-docs oracle covers both paths.
+    "q_stream_text_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = cowClusterTable(s, sharedTextIndex(s, d),
+        "graft-textidx-sretr")
+      val dir = graft.util.TempDirs.scoped("graft-textidx-sretr-ckpt")
+      val dropsDir = graft.streaming.PipelineStreams.stageOrderedDrops(
+        docs.filter(expr("doc_id % 5 = 0")).select("doc_id"),
+        "doc_id", 2, "graft-textidx-sretr-drops")
+      graft.streaming.PipelineStreams.withShufflePartitions(s, 8) {
+        graft.streaming.PipelineStreams.textIndexRetractStream(s,
+          dropsDir.toString, "doc_id", path,
+          dir.resolve("ckpt").toString)
+      }
       TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
           "query_id", "qtext", k = 5, path)
         .orderBy("query_id", "rank")
@@ -4290,6 +4340,12 @@ object PipelineQueries {
       (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
       """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
+    // streamed takedown == batch retraction (idempotent tombstone
+    // commits), same oracle
+    "q_stream_ann_retract" ->
+      (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
+      """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     // the recall observable: approx = the served nProbe=2 top-5 (CTE
     // chain above); exact = quantized top-5 with NO probe pruning over
     // the same codes (what probing all cells computes); recall_at_k =
@@ -4963,6 +5019,12 @@ object PipelineQueries {
     // (stats, tf, df all over the remaining corpus); queries from the
     // full table
     "q_text_retract" ->
+      bm25OracleSql("doc_id % 37 = 0", 5,
+        corpusPred = "NOT (doc_id % 5 = 0)"),
+    // the streamed takedown lands the same tombstones + stats the
+    // batch retract does (idempotent, content-commutative), so the
+    // batch oracle covers the streaming gate too
+    "q_stream_text_retract" ->
       bm25OracleSql("doc_id % 37 = 0", 5,
         corpusPred = "NOT (doc_id % 5 = 0)"),
     // the append gate serves the SAME postings + stats the full build

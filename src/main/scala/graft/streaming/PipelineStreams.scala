@@ -713,6 +713,58 @@ object PipelineStreams {
           ()
         })
 
+  /** STREAMED DOCUMENT RETRACTION — a takedown/opt-out feed against a
+    * retrieval index: each micro-batch's ids tombstone via the store's
+    * retract (the text index pairs the list with its decremented BM25
+    * stats atomically; the ANN index commits a metadata-only
+    * manifest). NO markers needed, unlike the append streams:
+    * retraction is IDEMPOTENT per id (already-tombstoned ids are
+    * skipped without burning a version), so checkpoint re-delivery
+    * after any crash simply converges — replay-safe by algebra, not
+    * by choreography. Takedown batches are driver-sized by the
+    * retraction contract ([[graft.ops.Tombstones.MaxTombstones]]).
+    * Blocks until the AvailableNow replay terminates. */
+  def textIndexRetractStream(spark: SparkSession, dropsDir: String,
+      idCol: String, indexPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
+    retractStream(spark, dropsDir, idCol, checkpointDir,
+      maxFilesPerTrigger, timeoutMs, "textIndexRetractStream")(
+      (ss, ids) => graft.text.TextIndex.retract(ss, indexPath, ids))
+
+  /** [[textIndexRetractStream]] for the persistent ANN indexes (IVF
+    * and IVFADC) — same idempotent, marker-free convergence over
+    * [[graft.similarity.Similarity.annIndexRetract]]. */
+  def annIndexRetractStream(spark: SparkSession, dropsDir: String,
+      idCol: String, indexPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
+    retractStream(spark, dropsDir, idCol, checkpointDir,
+      maxFilesPerTrigger, timeoutMs, "annIndexRetractStream")(
+      (ss, ids) => graft.similarity.Similarity.annIndexRetract(
+        ss, indexPath, ids))
+
+  private def retractStream(spark: SparkSession, dropsDir: String,
+      idCol: String, checkpointDir: String, maxFilesPerTrigger: Int,
+      timeoutMs: Long, what: String)(
+      retract: (SparkSession, Seq[Long]) => Unit): Unit = {
+    val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+      .select(col(idCol))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select(col(idCol).cast("long"))
+          .na.drop().distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) retract(batch.sparkSession, ids)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    q.stop()
+    require(finished,
+      s"$what: replay timed out — the index may hold a prefix of the " +
+        "takedowns (re-run resumes: retraction is idempotent)")
+  }
+
   /** The marker choreography every marked append stream shares
     * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
     * committed-horizon markers, then foreachBatch-run `append` for

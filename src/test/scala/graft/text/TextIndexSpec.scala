@@ -391,6 +391,46 @@ class TextIndexSpec extends AnyFunSuite {
     assert(graft.ops.TableLayout.resolve(spark, path).version === v)
   }
 
+  test("textIndexRetractStream: streamed takedown == batch retract; " +
+      "re-delivery converges WITHOUT markers (idempotence by algebra)") {
+    val streamed = graft.util.TempDirs.scoped("textidx-sretr").toString +
+      "/ix"
+    val batch = graft.util.TempDirs.scoped("textidx-sretr-b").toString +
+      "/ix"
+    TextIndex.build(corpus, "doc_id", "text", streamed, nBuckets = 4)
+    TextIndex.build(corpus, "doc_id", "text", batch, nBuckets = 4)
+    TextIndex.retract(spark, batch, Seq(2L, 6L))
+    val drops = graft.streaming.PipelineStreams.stageOrderedDrops(
+      corpus.filter($"doc_id".isin(2L, 6L)).select("doc_id"), "doc_id",
+      2, "textidx-sretr-drops")
+    def run(ckpt: String): Unit =
+      graft.streaming.PipelineStreams.withShufflePartitions(spark, 4) {
+        graft.streaming.PipelineStreams.textIndexRetractStream(spark,
+          drops.toString, "doc_id", streamed, ckpt)
+      }
+    val ck1 = graft.util.TempDirs.scoped("textidx-sretr-ck1")
+      .resolve("ckpt").toString
+    run(ck1)
+    assert(TextIndex.readMeta(spark, streamed) ===
+      TextIndex.readMeta(spark, batch))
+    val q = Seq((1L, "the quick brown fox"), (3L, "fox"))
+      .toDF("query_id", "qtext")
+    def serve(p: String) = TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(streamed) === serve(batch))
+    // same-checkpoint replay: no-op
+    run(ck1)
+    // FRESH-checkpoint re-delivery of the same takedowns: STILL a
+    // no-op — the marker-free claim (append streams need markers;
+    // retraction converges because already-tombstoned ids are skipped
+    // without burning a meta version)
+    run(graft.util.TempDirs.scoped("textidx-sretr-ck2")
+      .resolve("ckpt").toString)
+    assert(TextIndex.readMeta(spark, streamed) ===
+      TextIndex.readMeta(spark, batch))
+    assert(serve(streamed) === serve(batch))
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
