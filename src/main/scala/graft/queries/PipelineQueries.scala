@@ -1667,6 +1667,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN-index HEALTH observable (the text-index health twin):
+    // tombstone-aware live vector/posting grain (SQL-restated from
+    // the corpus minus the retracted set), the trained cell count,
+    // fresh-build file-pressure contract booleans (co-located build →
+    // ≤1 file per cell), generation count, and the live tombstone
+    // backlog — the maintain-rebuild prompt.
+    "q_sim_ann_health" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-health").toString
+      Similarity.ivfIndexBuild(e, "vec_id", "embedding",
+        nCells = 8, iters = 2, path = path)
+      val gone = e.filter(col("vec_id") % 13 === 3)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      Similarity.annIndexRetract(s, path, gone.toSeq)
+      Similarity.annIndexHealth(s, path)
+        .select(col("n_vectors"), col("n_postings"), col("n_cells"),
+          (col("live_files") <= col("n_cells")).cast("bigint")
+            .as("files_le_cells"),
+          col("max_files_per_cell"), col("n_generations"),
+          col("n_tombstones"))
+    }),
+
     // RECALL@K AS AN OBSERVABLE over the persistent index: the same
     // build+append+serve as q_sim_ann_index, but every approx row also
     // carries (n_exact, n_hit, recall_at_k) against the exact
@@ -4340,6 +4362,20 @@ object PipelineQueries {
       (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
       """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
+    // live grain = corpus minus the retracted set; the file/cell/
+    // generation numbers ride as the fresh-build contract
+    "q_sim_ann_health" ->
+      raw"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+           |g AS (SELECT count(*) AS n_gone FROM embeddings
+           |      WHERE vec_id % 13 = 3)
+           |SELECT CAST(n.n - g.n_gone AS BIGINT) AS n_vectors,
+           |  CAST(n.n - g.n_gone AS BIGINT) AS n_postings,
+           |  CAST(8 AS BIGINT) AS n_cells,
+           |  CAST(1 AS BIGINT) AS files_le_cells,
+           |  CAST(1 AS BIGINT) AS max_files_per_cell,
+           |  CAST(1 AS BIGINT) AS n_generations,
+           |  CAST(g.n_gone AS BIGINT) AS n_tombstones
+           |FROM n CROSS JOIN g""".stripMargin,
     // streamed takedown == batch retraction (idempotent tombstone
     // commits), same oracle
     "q_stream_ann_retract" ->

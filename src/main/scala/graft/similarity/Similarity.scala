@@ -1918,6 +1918,32 @@ object Similarity {
           "id.")
     }
 
+  /** ANN-index HEALTH, one observable for ingest/serve monitoring
+    * (the text index's [[graft.text.TextIndex.health]] twin): live
+    * vector/posting grain (tombstone-aware — what a serve can
+    * actually retrieve), the trained cell count, the live file
+    * pressure that drives [[ivfIndexCompact]], the generation count
+    * (fold bound), and the live tombstone backlog (a list nearing
+    * [[graft.ops.Tombstones.MaxTombstones]] is a maintain-rebuild
+    * prompt). One id-grain aggregation over the live postings; the
+    * file/cell numbers come from listings and the dimension-sized
+    * centroid artifact, not scans. */
+  def annIndexHealth(ss: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import ss.implicits._
+    val snap = IndexLayout.resolve(ss, path)
+    val nCells = readCentsAt(ss,
+      path.stripSuffix("/") + "/" + snap.centroids).size
+    val files = IndexLayout.filesPerCell(ss, path, snap)
+    val r = IndexLayout.postingsDf(ss, path, snap)
+      .agg(countDistinct(col("id")).as("v"), count(lit(1)).as("p")).head()
+    Seq((r.getLong(0), r.getLong(1), nCells.toLong,
+      files.values.sum, files.values.maxOption.getOrElse(0L),
+      snap.gens.length.toLong, snap.tombstones.length.toLong))
+      .toDF("n_vectors", "n_postings", "n_cells", "live_files",
+        "max_files_per_cell", "n_generations", "n_tombstones")
+  }
+
   /** PERSISTENT INDEX — document RETRACTION (takedown/opt-out
     * deletion, a routine training-data operation): tombstone `ids` in
     * the snapshot manifest. A vector's postings live in ONE cell, but
