@@ -717,53 +717,81 @@ object PipelineStreams {
     * retrieval index: each micro-batch's ids tombstone via the store's
     * retract (the text index pairs the list with its decremented BM25
     * stats atomically; the ANN index commits a metadata-only
-    * manifest). NO markers needed, unlike the append streams:
-    * retraction is IDEMPOTENT per id (already-tombstoned ids are
-    * skipped without burning a version), so checkpoint re-delivery
-    * after any crash simply converges — replay-safe by algebra, not
-    * by choreography. Takedown batches are driver-sized by the
-    * retraction contract ([[graft.ops.Tombstones.MaxTombstones]]).
-    * Blocks until the AvailableNow replay terminates. */
+    * manifest).
+    *
+    * Delivery is DOUBLY protected. Retraction is idempotent per id
+    * (already-tombstoned ids skip without burning a version), so
+    * re-delivery converges by algebra — but ONLY while the tombstone
+    * list persists: a vacuum / maintain rebuild between a crash and
+    * the re-delivery RESETS the list, and a re-delivered takedown
+    * would then count as fresh (double-decrementing the text index's
+    * `N`, or re-eating ANN tombstone-cap slots). So the stream ALSO
+    * runs the append streams' marker choreography: a batch that
+    * committed its marker is never re-run under the same checkpoint,
+    * closing the vacuum window for the crash-replay path. The marker
+    * residual (crash between the retract and its marker) is covered
+    * by the idempotence leg UNLESS a vacuum lands inside that exact
+    * window — run vacuums from the same scheduler as the takedown
+    * stream, not concurrently with a mid-replay restart. A
+    * FRESH-checkpoint re-feed of old takedowns relies on idempotence
+    * alone: do not re-feed historical takedowns after a vacuum.
+    *
+    * Input hygiene: a null id (or one that fails the long cast) in a
+    * compliance feed FAILS the batch loudly — silently dropping a
+    * takedown would leave the document retrievable while the stream
+    * reported success. Takedown batches must be driver-sized
+    * ([[graft.ops.Tombstones.MaxTombstones]]) — enforced BEFORE the
+    * collect, not after. Blocks until the AvailableNow replay
+    * terminates. */
   def textIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
-    retractStream(spark, dropsDir, idCol, checkpointDir,
+    retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
       maxFilesPerTrigger, timeoutMs, "textIndexRetractStream")(
       (ss, ids) => graft.text.TextIndex.retract(ss, indexPath, ids))
 
   /** [[textIndexRetractStream]] for the persistent ANN indexes (IVF
-    * and IVFADC) — same idempotent, marker-free convergence over
+    * and IVFADC) — same doubly-protected delivery over
     * [[graft.similarity.Similarity.annIndexRetract]]. */
   def annIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
-    retractStream(spark, dropsDir, idCol, checkpointDir,
+    retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
       maxFilesPerTrigger, timeoutMs, "annIndexRetractStream")(
       (ss, ids) => graft.similarity.Similarity.annIndexRetract(
         ss, indexPath, ids))
 
   private def retractStream(spark: SparkSession, dropsDir: String,
-      idCol: String, checkpointDir: String, maxFilesPerTrigger: Int,
-      timeoutMs: Long, what: String)(
-      retract: (SparkSession, Seq[Long]) => Unit): Unit = {
-    val q = readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
-      .select(col(idCol))
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val ids = batch.select(col(idCol).cast("long"))
-          .na.drop().distinct()
-          .collect().map(_.getLong(0)).toSeq
+      idCol: String, storePath: String, checkpointDir: String,
+      maxFilesPerTrigger: Int, timeoutMs: Long, what: String)(
+      retract: (SparkSession, Seq[Long]) => Unit): Unit =
+    markedAppendStream(spark,
+      readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
+        .select(col(idCol)),
+      storePath, checkpointDir, timeoutMs, what)(
+      append = batch => {
+        val max = graft.ops.Tombstones.MaxTombstones
+        // distinct + limit BEFORE the collect bounds driver memory;
+        // the cast rides along so a malformed id surfaces as a null
+        // we can count rather than an executor-side cast error
+        val rows = batch
+          .select(col(idCol).cast("long").as("__id64"))
+          .distinct().limit(max + 1).collect()
+        val nulls = rows.count(_.isNullAt(0))
+        require(nulls == 0,
+          s"$what: $nulls takedown id(s) in this batch are null or " +
+            "not castable to long — refusing to silently drop a " +
+            "takedown (the document would stay retrievable while the " +
+            "stream reported success); clean the feed and re-run")
+        require(rows.length <= max,
+          s"$what: a single takedown batch carries > $max distinct " +
+            "ids — that is a rebuild-sized purge, not a tombstone " +
+            "batch; split the feed or rebuild the index without the " +
+            "documents")
+        val ids = rows.map(_.getLong(0)).toSeq
         if (ids.nonEmpty) retract(batch.sparkSession, ids)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val finished = q.awaitTermination(timeoutMs)
-    q.stop()
-    require(finished,
-      s"$what: replay timed out — the index may hold a prefix of the " +
-        "takedowns (re-run resumes: retraction is idempotent)")
-  }
+      },
+      postMark = _ => ())
 
   /** The marker choreography every marked append stream shares
     * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
