@@ -431,6 +431,46 @@ class TextIndexSpec extends AnyFunSuite {
     assert(serve(streamed) === serve(batch))
   }
 
+  test("retract stream replayed across a VACUUM: markers keep " +
+      "same-checkpoint re-delivery a no-op even after the tombstone " +
+      "list resets (the idempotence leg alone would double-decrement)") {
+    val path = graft.util.TempDirs.scoped("textidx-sretr-vac").toString +
+      "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    val drops = graft.streaming.PipelineStreams.stageOrderedDrops(
+      corpus.filter($"doc_id".isin(2L, 6L)).select("doc_id"), "doc_id",
+      2, "textidx-sretr-vac-drops")
+    val ckpt = graft.util.TempDirs.scoped("textidx-sretr-vac-ck")
+      .resolve("ckpt").toString
+    def run(): Unit =
+      graft.streaming.PipelineStreams.withShufflePartitions(spark, 4) {
+        graft.streaming.PipelineStreams.textIndexRetractStream(spark,
+          drops.toString, "doc_id", path, ckpt)
+      }
+    run()
+    // vacuum folds the rows out and RESETS the tombstone list — the
+    // exact state where a re-delivered takedown would count as fresh
+    // if only idempotence protected it
+    TextIndex.vacuum(spark, path)
+    val m = TextIndex.readMeta(spark, path)
+    assert(m.tombstones === Nil)
+    // WIPE the checkpoint (simulating checkpoint loss): the source
+    // re-delivers every batch under the SAME checkpoint path, so the
+    // same marker scope applies — an intact checkpoint would make the
+    // second run a no-op via file tracking alone, proving nothing
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(ckpt))
+    // the batch markers (written beside the store, scoped to the
+    // checkpoint path) make the re-delivery a no-op — N is NOT
+    // decremented again despite the reset tombstone list
+    run()
+    assert(TextIndex.readMeta(spark, path) === m,
+      "a marker-protected replay across a vacuum must not drift stats")
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
