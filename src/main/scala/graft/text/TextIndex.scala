@@ -475,6 +475,21 @@ object TextIndex {
       val meta = readMetaAt(ss, path, snap)
       val (fresh, all) = graft.ops.Tombstones.merge(
         meta.tombstones, docIds, s"TextIndex.retract at $path")
+      // the ingested-id bound partially ENFORCES the "ids must have
+      // been ingested" contract: an id above it was provably never
+      // ingested, and decrementing nDocs for it would silently
+      // deflate N for every later BM25 score (ids at or below the
+      // bound remain the caller's honesty contract — an empty-text
+      // doc and an unknown id both have no postings to check)
+      for (bound <- meta.maxDocId) {
+        val bogus = fresh.filter(_ > bound)
+        require(bogus.isEmpty,
+          s"TextIndex.retract at $path: doc_id(s) " +
+            s"${bogus.take(5).mkString(", ")} exceed the ingested-id " +
+            s"bound $bound — these were never ingested, and retracting " +
+            "them would silently deflate N/avgdl. The store is " +
+            "unchanged; clean the takedown feed.")
+      }
       if (fresh.nonEmpty) {
         val gone = TableLayout.readAtOpt(ss, path, snap) match {
           case None => 0L

@@ -341,6 +341,14 @@ class TextIndexSpec extends AnyFunSuite {
     // idempotent re-delivery: same ids again is a no-op
     TextIndex.retract(spark, path, Seq(2L, 6L))
     assert(TextIndex.readMeta(spark, path) === m)
+    // a takedown id that was provably never ingested (above the
+    // ingested-id bound) is rejected with the store unchanged —
+    // decrementing N for it would silently corrupt every later score
+    val bogusEx = intercept[IllegalArgumentException] {
+      TextIndex.retract(spark, path, Seq(99L))
+    }
+    assert(bogusEx.getMessage.contains("never ingested"))
+    assert(TextIndex.readMeta(spark, path) === m)
     // re-appending a LIVE-TOMBSTONED id fails loudly BEFORE any IO:
     // the serve filter would hide it, stats would count it, and the
     // next vacuum would physically drop the new content
