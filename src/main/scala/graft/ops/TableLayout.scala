@@ -138,7 +138,8 @@ private[graft] object TableLayout {
       what: String,
       legacyAtRoot: Boolean,
       extraDeletable: String => Boolean,
-      legacy: (FileSystem, Path) => Option[Snapshot])
+      legacy: (FileSystem, Path) => Option[Snapshot],
+      defaultPcol: Option[String] = None)
 
   /** The single-relation store family: `_manifest-v*` (underscored so
     * plain parquet readers ignore it), `data-g<V>` generations,
@@ -249,7 +250,13 @@ private[graft] object TableLayout {
           s"unparseable ${fam.what} manifest line: '$line'")
       }
     }
-    Snapshot(v, pcol, gens.result(), arts.result(), tombs.result())
+    // pre-unification INDEX manifests carried no pcol= line (the old
+    // IndexLayout hard-coded cell partitioning): without the family
+    // default, resolve would yield pcol=None and appendPostings /
+    // compactCells on an old-format index would fail the layout-match
+    // require even though reads (which force pcol via toCore) work
+    Snapshot(v, pcol.orElse(fam.defaultPcol), gens.result(),
+      arts.result(), tombs.result())
   }
 
   private def serialize(s: Snapshot): String = {

@@ -77,7 +77,13 @@ private[graft] object IndexLayout {
         name == "postings" || name == "centroids" || name == "pqcents" ||
         name.startsWith(".retrain-") ||
         name.matches("(postings|centroids|pqcents)\\.(pre-retrain|retrain-.*|compact-.*)"),
-    legacy = legacyCore)
+    legacy = legacyCore,
+    // pre-unification manifests wrote no pcol= line; the index family
+    // is ALWAYS cell-partitioned, so resolution defaults it — without
+    // this, appendPostings/compactCells on an old-format index failed
+    // their layout-match require (reads were unaffected: toCore forces
+    // the pcol)
+    defaultPcol = Some("cell"))
 
   /** The pre-manifest layout's implicit v0 snapshot, if the fixed
     * legacy dirs exist — the ONE definition resolution and the

@@ -297,6 +297,54 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LIVE-TOMBSTONED"), e.getMessage)
   }
 
+  test("pre-unification manifest (no pcol= line, dedicated centroids= " +
+      "key) stays fully mutable: append and compact succeed on it") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("layout-preuni").toString
+    val f = fs(path)
+    val corpus = emb.filter(col("vec_id") < 60)
+    Similarity.ivfIndexBuild(corpus, "vec_id", "embedding",
+      nCells = 3, iters = 1, path = path)
+    val snap = IndexLayout.resolve(spark, path)
+    // rewrite the live manifest into the OLD IndexLayout grammar: no
+    // pcol= line, the centroids artifact under its dedicated key —
+    // exactly what a store persisted by the pre-unification version
+    // carries. Resolution must DEFAULT the index family's pcol, or
+    // every replacing mutation fails its layout-match require.
+    val old = s"v=${snap.version + 1}\n" +
+      s"centroids=${snap.centroids}\n" +
+      snap.gens.map(g =>
+        s"gen=${g.dir};${g.exclude.mkString(",")}\n").mkString
+    val name = f"manifest-v${snap.version + 1}%012d"
+    val out = f.create(new Path(path, name), false)
+    out.write(old.getBytes("UTF-8")); out.close()
+    val pre = IndexLayout.resolve(spark, path)
+    assert(pre.version == snap.version + 1 &&
+      pre.centroids == snap.centroids)
+    val q = emb.filter(col("vec_id") < 3)
+    def served(): Set[Long] = Similarity.ivfIndexTopK(q, "vec_id",
+        "embedding", k = 3, nProbe = 3, path = path)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val baseServe = served()
+    // append: routed through appendPostings' pcol==Some("cell") require
+    Similarity.ivfIndexAppend(
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", path)
+    // compact: routed through compactCells' "partitioned" require;
+    // maxFilesPerCell=1 so the appended second file per touched cell
+    // trips an actual rewrite, not a no-op
+    Similarity.ivfIndexCompact(spark, path, maxFilesPerCell = 1)
+    assert(baseServe.nonEmpty && served().nonEmpty,
+      "post-append/compact serve must still answer")
+    // the live postings still hold both the base and the delta ids
+    val liveIds = IndexLayout.postingsDf(spark, path,
+      IndexLayout.resolve(spark, path)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 70L).forall(liveIds.contains),
+      "append+compact over the old-format manifest must preserve " +
+        "every base and delta id")
+  }
+
   test("manifest round-trip: serialize/parse preserves generations, " +
       "excludes and the optional codebook") {
     val path = graft.util.TempDirs.scoped("layout-roundtrip").toString
