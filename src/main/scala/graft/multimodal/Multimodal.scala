@@ -258,8 +258,80 @@ object Multimodal {
     })
   }
 
+  /** Encode an arbitrary RGB pixel function as compressed image bytes
+    * via the JDK's ImageIO writers (`"png"`, `"bmp"` — both lossless
+    * 24-bit, so decode returns exactly `pixel(x, y)`; the fixture
+    * primitive for SAME-PIXELS-TWO-ENCODINGS near-dup pairs, the
+    * canonical multimodal duplicate class a byte-stream hash cannot
+    * match). */
+  def encodeImage(w: Int, h: Int, format: String)(
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no $format ImageIO writer registered")
+    out.toByteArray
+  }
+
   final case class PerceptualHash(media_id: Long, b0: Long, b1: Long,
       b2: Long, b3: Long)
+
+  /** PIXEL-SPACE average-hash (true aHash): decode the compressed
+    * payload, nearest-neighbor-downscale to 8x8 ([[resizeNearest]]'s
+    * exact integer sampling), luma per cell as the integer channel
+    * sum `r+g+b` (0..765 — no float weights, so both engines compute
+    * identical bits), bit_i = `64*luma_i > total` (the integer
+    * mean-threshold compare), tile index `y*8+x`, packed as FOUR
+    * 16-bit bands for the same pigeonhole serve as
+    * [[perceptualHashes]].
+    *
+    * This is the hash that matches a RE-ENCODE of the same image —
+    * PNG vs BMP, or any lossless transcode, produces an unrelated
+    * byte stream but identical pixels, so identical bands (Hamming
+    * 0); the byte-stream [[perceptualHashes]] provably misses that
+    * pair (spec-pinned). Scale shape unchanged: decode + hash are
+    * partition-local, only the 4-long fingerprint row shuffles into
+    * the banded candidate join. */
+  def pixelHashes(media: Dataset[ImagePayload]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"undecodable image payload (${r.payload.length} bytes): no " +
+          "registered ImageIO reader recognized the format")
+      val t = resizeNearest(img, 8, 8)
+      val lum = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = t.getRGB(x, y)
+          val l = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+            (rgb & 0xFF)).toLong
+          lum(y * 8 + x) = l
+          tot += l
+          x += 1
+        }
+        y += 1
+      }
+      val bands = new Array[Long](4)
+      var i = 0
+      while (i < 64) {
+        if (lum(i) * 64 > tot) bands(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      PerceptualHash(r.media_id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
 
   /** PERCEPTUAL average-hash (aHash) over a media payload — the
     * standard first-pass image near-dup signature (downscale to 8x8,

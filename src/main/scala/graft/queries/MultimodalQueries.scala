@@ -165,6 +165,37 @@ object MultimodalQueries {
       val hashes = Multimodal.perceptualHashes(media).toDF()
       Multimodal.perceptualNearDupPairs(hashes, maxHamming = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    // PIXEL-SPACE perceptual near-dup (true aHash): planted pairs are
+    // the SAME PIXELS encoded twice — PNG for the base corpus, BMP for
+    // every % 10 = 7 twin (both lossless, so decode returns exactly
+    // the closed-form pixel recipe). The byte streams of a pair are
+    // unrelated (different codecs), so the byte-tile hash provably
+    // misses them (spec-pinned in MultimodalSpec) while this hash —
+    // decode, 8x8 nearest downscale, integer-luma mean threshold —
+    // lands every pair at Hamming 0. The oracle recomputes all 64
+    // bits per image from the recipe arithmetic and restates the
+    // banded join as the exhaustive all-pairs scan (exact by the
+    // 4-band pigeonhole guarantee for Hamming <= 3).
+    "q_mm_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      def payload(mediaId: Long, id: Long, fmt: String) =
+        Multimodal.ImagePayload(mediaId, Multimodal.encodeImage(
+          ((id % 13) + 4).toInt, ((id % 7) + 3).toInt, fmt) { (x, y) =>
+          val r = ((id * 7 + 11L * x + 29L * y) % 256).toInt
+          val g = ((id * 17 + 5L * x + 3L * y) % 256).toInt
+          val b = ((id * 23 + 13L * x + 7L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+      val base = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => payload(id, id, "png"))
+      val twins = Tables.documents(s, d).where(col("doc_id") % 10 === 7)
+        .select(col("doc_id")).as[Long]
+        .map(id => payload(id + 3000000L, id, "bmp"))
+      val hashes = Multimodal.pixelHashes(base.union(twins)).toDF()
+      Multimodal.perceptualNearDupPairs(hashes, maxHamming = 2)
+        .orderBy("id_a", "id_b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -289,6 +320,53 @@ object MultimodalQueries {
         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
         |  FROM h a JOIN h b ON a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
+    // every PIXEL-hash bit recomputed from the closed-form recipe:
+    // thumbnail cell (x,y) samples source pixel ((x*w)//8, (y*h)//8)
+    // (the engine's exact nearest-neighbor arithmetic — PNG and BMP
+    // are lossless, so decoded pixels ARE the recipe), luma = the
+    // integer channel sum, bit = 64*luma > total, then the banded
+    // join restated as the exhaustive all-pairs Hamming scan
+    "q_mm_phash_neardup" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id, doc_id AS id,
+        |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id,
+        |    (doc_id % 13) + 4, (doc_id % 7) + 3
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |g AS (SELECT unnest(range(8)) AS t),
+        |lum AS (
+        |  SELECT r.media_id, gy.t * 8 + gx.t AS tile,
+        |    (r.id * 7 + 11 * ((gx.t * r.w) // 8)
+        |       + 29 * ((gy.t * r.h) // 8)) % 256 +
+        |    (r.id * 17 + 5 * ((gx.t * r.w) // 8)
+        |       + 3 * ((gy.t * r.h) // 8)) % 256 +
+        |    (r.id * 23 + 13 * ((gx.t * r.w) // 8)
+        |       + 7 * ((gy.t * r.h) // 8)) % 256 AS l
+        |  FROM r, g gx, g gy),
+        |tot AS (SELECT media_id, sum(l) AS tv FROM lum GROUP BY 1),
+        |bits AS (
+        |  SELECT lum.media_id, tile FROM lum JOIN tot USING (media_id)
+        |  WHERE l * 64 > tv),
+        |bands AS (
+        |  SELECT media_id, tile // 16 AS bj,
+        |    CAST(sum(CAST(1 AS BIGINT) << (tile % 16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |hh AS (
+        |  SELECT r.media_id,
+        |    coalesce(max(CASE WHEN bj = 0 THEN bv END), 0) AS b0,
+        |    coalesce(max(CASE WHEN bj = 1 THEN bv END), 0) AS b1,
+        |    coalesce(max(CASE WHEN bj = 2 THEN bv END), 0) AS b2,
+        |    coalesce(max(CASE WHEN bj = 3 THEN bv END), 0) AS b3
+        |  FROM r LEFT JOIN bands USING (media_id) GROUP BY 1),
+        |p AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+        |  FROM hh a JOIN hh b ON a.media_id < b.media_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM p WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin)
 }

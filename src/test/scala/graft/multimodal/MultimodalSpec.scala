@@ -128,6 +128,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(twinPairs.nonEmpty, "no planted twin collided — fixture too noisy")
   }
 
+  test("pixelHashes: a lossless re-encode (PNG vs BMP, same pixels) " +
+      "lands at Hamming 0 for the pixel hash and is MISSED by the " +
+      "byte-stream hash") {
+    import spark.implicits._
+    def pixel(id: Long)(x: Int, y: Int): Int = {
+      val r = ((id * 7 + 11L * x + 29L * y) % 256).toInt
+      val g = ((id * 17 + 5L * x + 3L * y) % 256).toInt
+      val b = ((id * 23 + 13L * x + 7L * y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    val media = (0L until 12L).flatMap { id =>
+      val (w, h) = (((id % 13) + 4).toInt, ((id % 7) + 3).toInt)
+      Seq(
+        Multimodal.ImagePayload(id,
+          Multimodal.encodeImage(w, h, "png")(pixel(id))),
+        Multimodal.ImagePayload(id + 1000L,
+          Multimodal.encodeImage(w, h, "bmp")(pixel(id))))
+    }
+    // the two byte streams of a pair really are different encodings
+    assert(media.grouped(2).forall { case Seq(a, b) =>
+      !java.util.Arrays.equals(a.payload, b.payload) })
+    val ds = media.toDS()
+    // pixel hash: every re-encode pair identical (Hamming 0)
+    val px = Multimodal.pixelHashes(ds).collect()
+      .map(h => h.media_id -> (h.b0, h.b1, h.b2, h.b3)).toMap
+    (0L until 12L).foreach { id =>
+      assert(px(id) == px(id + 1000L),
+        s"pixel hash must be encoding-invariant (id $id)")
+    }
+    val pxPairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.pixelHashes(ds).toDF(), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 12L).foreach { id =>
+      assert(pxPairs.contains((id, id + 1000L)),
+        s"pixel near-dup must find the re-encode pair (id $id)")
+    }
+    // byte-stream hash: the SAME pairs are invisible — the encoded
+    // byte streams are unrelated, which is exactly the r12 'weak'
+    // this hash closes
+    val bytePairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.perceptualHashes(ds).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 12L).count(id => bytePairs.contains((id, id + 1000L)))
+    assert(found == 0,
+      s"byte-stream hash unexpectedly matched $found re-encode pair(s)")
+    // determinism across partitionings
+    val again = Multimodal.pixelHashes(ds.repartition(5)).collect()
+      .map(h => h.media_id -> (h.b0, h.b1, h.b2, h.b3)).toMap
+    assert(px == again)
+  }
+
   test("resizeNearest: hand-computed nearest-neighbor sampling") {
     // 4x2 source: columns 0,1 red, columns 2,3 blue (two-tone w/2=2)
     val src = new java.awt.image.BufferedImage(
