@@ -121,10 +121,18 @@ private[graft] object TableLayout {
     * stays a small text file and the filter stays a broadcast);
     * rewrites carry them forward untouched ([[replacePartitions]]),
     * full republishes/rebuilds fold the rows out and reset the
-    * list. */
+    * list.
+    *
+    * `repoch` is the RETRACTION EPOCH (`repoch=` manifest line,
+    * absent = 0): families that reset a tombstone list (the ANN
+    * index's vacuum/maintain fold-outs) bump it in the resetting
+    * commit, and a takedown stream that recorded the epoch it first
+    * ran a batch under fails loudly on re-delivery across a reset —
+    * the structural fence for the crash-between-retract-and-marker +
+    * vacuum replay window (the text index's `retract_epoch` twin). */
   final case class Snapshot(version: Long, pcol: Option[String],
       gens: Seq[Gen], artifacts: Map[String, String] = Map.empty,
-      tombstones: Seq[String] = Nil)
+      tombstones: Seq[String] = Nil, repoch: Long = 0L)
 
   /** A LAYOUT FAMILY: the naming/legacy contract one store kind uses
     * on top of the shared snapshot algebra. ONE implementation of
@@ -219,6 +227,7 @@ private[graft] object TableLayout {
 
   private def parseText(fam: Family)(text: String, v: Long): Snapshot = {
     var pcol: Option[String] = None
+    var repoch = 0L
     val arts = Map.newBuilder[String, String]
     val gens = Seq.newBuilder[Gen]
     val tombs = Seq.newBuilder[String]
@@ -226,6 +235,7 @@ private[graft] object TableLayout {
       line.split("=", 2) match {
         case Array("v", _) => ()
         case Array("pcol", c) => pcol = Some(c)
+        case Array("repoch", e) => repoch = e.toLong
         case Array("art", spec) =>
           val parts = spec.split(";", 2)
           if (parts.length != 2) throw new IllegalStateException(
@@ -256,13 +266,14 @@ private[graft] object TableLayout {
     // compactCells on an old-format index would fail the layout-match
     // require even though reads (which force pcol via toCore) work
     Snapshot(v, pcol.orElse(fam.defaultPcol), gens.result(),
-      arts.result(), tombs.result())
+      arts.result(), tombs.result(), repoch)
   }
 
   private def serialize(s: Snapshot): String = {
     val b = new StringBuilder
     b ++= s"v=${s.version}\n"
     s.pcol.foreach(c => b ++= s"pcol=$c\n")
+    if (s.repoch != 0L) b ++= s"repoch=${s.repoch}\n"
     s.artifacts.toSeq.sortBy(_._1).foreach { case (k, d) =>
       b ++= s"art=$k;$d\n"
     }
@@ -497,7 +508,14 @@ private[graft] object TableLayout {
       token: String, beforeCommit: Path => Unit = _ => (),
       fam: Family = StoreFamily): Unit = {
     val ss = df.sparkSession
-    val v = nextVersion(ss, path, fam)
+    val prior = resolveOpt(ss, path, fam)
+    val v = prior.map(_.version + 1L).getOrElse(1L)
+    // a full republish RESETS any tombstone list (the fresh snapshot
+    // carries none): bump the retraction epoch so a takedown replay
+    // that first ran against the old list fails loudly instead of
+    // re-applying (see Snapshot.repoch)
+    val repoch = prior.map(s => s.repoch +
+      (if (s.tombstones.nonEmpty) 1L else 0L)).getOrElse(0L)
     val dir = new Path(rootOf(path), genDirName(fam, v))
     pcol match {
       case Some(pc) =>
@@ -513,8 +531,8 @@ private[graft] object TableLayout {
     // finds them — underscore/dot names only, which parquet readers
     // ignore
     beforeCommit(dir)
-    commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(fam, v), Nil))),
-      token, fam)
+    commit(ss, path, Snapshot(v, pcol, Seq(Gen(genDirName(fam, v), Nil)),
+      repoch = repoch), token, fam)
     gc(ss, path, fam = fam)
   }
 
@@ -532,7 +550,8 @@ private[graft] object TableLayout {
   def replacePartitions(ss: SparkSession, path: String,
       replacement: DataFrame, touchedVals: Seq[String],
       token: String, beforeCommit: Path => Unit = _ => (),
-      fam: Family = StoreFamily): Unit = {
+      fam: Family = StoreFamily,
+      tweak: Snapshot => Snapshot = identity): Unit = {
     requireCleanVals(touchedVals)
     // a no-op rewrite (nothing touched; by the values-subset contract
     // the replacement is then empty too) must not burn a snapshot
@@ -600,9 +619,12 @@ private[graft] object TableLayout {
     // artifacts (the ANN index's centroids/codebook) and tombstones
     // are untouched by a partition rewrite and carry forward into the
     // new snapshot
+    // `tweak` lets a tombstone-folding rewrite (the ANN vacuum) clear
+    // the list and bump the retraction epoch in the SAME atomic
+    // commit as the fold — default identity carries both forward
     beforeCommit(newDir)
-    commit(ss, path, Snapshot(v, snap.pcol, newGens, snap.artifacts,
-      snap.tombstones), token, fam)
+    commit(ss, path, tweak(Snapshot(v, snap.pcol, newGens, snap.artifacts,
+      snap.tombstones, snap.repoch)), token, fam)
     gc(ss, path, fam = fam)
     log.info(s"replaced ${touchedVals.length} partition(s) of $path " +
       s"at snapshot v$v${if (fold) " (generation fold)" else ""}")

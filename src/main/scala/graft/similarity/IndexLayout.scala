@@ -56,10 +56,15 @@ private[graft] object IndexLayout {
     * recall observable, and postings-fed rebuild excludes them; a
     * maintain rebuild folds the rows out physically and resets the
     * list (it commits a fresh snapshot with no tombstones). Small by
-    * contract ([[graft.ops.Tombstones.MaxTombstones]]). */
+    * contract ([[graft.ops.Tombstones.MaxTombstones]]).
+    *
+    * `repoch` is the retraction epoch (the core's `repoch=` line):
+    * bumped by every commit that RESETS the tombstone list (maintain
+    * rebuilds, [[graft.similarity.Similarity.annIndexVacuum]]) — the
+    * takedown streams' structural replay fence. */
   final case class Snapshot(version: Long, centroids: String,
       pqcents: Option[String], gens: Seq[Gen],
-      tombstones: Seq[Long] = Nil)
+      tombstones: Seq[Long] = Nil, repoch: Long = 0L)
 
   private[similarity] def fsOf(ss: SparkSession, path: String): FileSystem =
     TableLayout.fsOf(ss, path)
@@ -103,7 +108,7 @@ private[graft] object IndexLayout {
         s"index manifest v${s.version} names no centroids artifact")),
       s.artifacts.get("pqcents"),
       s.gens.map(g => Gen(g.dir, g.exclude.map(_.toInt).sorted)),
-      s.tombstones.map(_.toLong).sorted)
+      s.tombstones.map(_.toLong).sorted, s.repoch)
 
   private[similarity] def toCore(s: Snapshot): TableLayout.Snapshot =
     TableLayout.Snapshot(s.version, Some("cell"),
@@ -111,7 +116,7 @@ private[graft] object IndexLayout {
         g.exclude.sorted.map(_.toString))),
       Map("centroids" -> s.centroids) ++
         s.pqcents.map("pqcents" -> _).toMap,
-      s.tombstones.sorted.map(_.toString))
+      s.tombstones.sorted.map(_.toString), s.repoch)
 
   /** Highest committed snapshot; `None` for a root with neither a
     * manifest nor a legacy layout (a store not yet built). */
@@ -195,6 +200,26 @@ private[graft] object IndexLayout {
     * under the store lease. */
   def appendPostings(df: DataFrame, path: String): Unit =
     TableLayout.append(df, path, Some("cell"), Fam)
+
+  /** Cell-scoped postings rewrite through the core
+    * ([[TableLayout.replacePartitions]]): `replacement` supersedes
+    * exactly `cells`, untouched cells are never read or re-staged,
+    * and `tweak` edits the committed snapshot's metadata in the SAME
+    * atomic commit (the vacuum uses it to clear the tombstone list
+    * and bump the retraction epoch with the fold). Must run under the
+    * store lease. */
+  def replaceCells(ss: SparkSession, path: String,
+      replacement: DataFrame, cells: Seq[Int], token: String,
+      tweak: TableLayout.Snapshot => TableLayout.Snapshot = identity): Unit =
+    TableLayout.replacePartitions(ss, path, replacement,
+      cells.sorted.map(_.toString), token, fam = Fam, tweak = tweak)
+
+  /** The live postings relation WITHOUT the tombstone filter — the
+    * vacuum's source (it must see the tombstoned rows to fold them
+    * out). Every serving consumer goes through [[postingsDf]]. */
+  private[similarity] def postingsDfRaw(ss: SparkSession, path: String,
+      snap: Snapshot): DataFrame =
+    TableLayout.readAt(ss, path, toCore(snap))
 
   /** Cell-grain postings compaction through the core partition
     * rewrite ([[TableLayout.compactPartitions]]): cells past

@@ -602,7 +602,8 @@ object Similarity {
     // atomic publish: readers flip from the previous snapshot (if
     // any) to this one manifest-at-a-time, never mid-write
     IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
-      s"centroids-v$v", None, Seq(IndexLayout.Gen(s"postings-g$v", Nil))),
+      s"centroids-v$v", None, Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
+      repoch = resetRepoch(spark, path)),
       ctx.token)
     IndexLayout.gc(spark, path)
     }
@@ -889,7 +890,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids-v$v")
     IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
       s"centroids-v$v", None,
-      Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+      Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
+      // the rebuild read TOMBSTONE-FILTERED postings and resets the
+      // list: bump the retraction epoch (takedown-replay fence)
+      repoch = snap.repoch +
+        (if (snap.tombstones.nonEmpty) 1L else 0L)), ctx.token)
     IndexLayout.gc(spark, path)
     // re-pin the training size ONLY when the cell count actually
     // changed (or no pin existed yet): a maintain that merely
@@ -1977,6 +1982,74 @@ object Similarity {
       }
     }
 
+  /** The retraction epoch the NEXT list-RESETTING commit must carry:
+    * the live epoch, bumped iff a list is actually being reset (a
+    * reset of an empty list fences nothing and would only churn
+    * takedown streams into spurious refusals). */
+  private def resetRepoch(ss: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    IndexLayout.resolveOpt(ss, path)
+      .map(s => s.repoch + (if (s.tombstones.nonEmpty) 1L else 0L))
+      .getOrElse(0L)
+
+  /** The live retraction epoch of the index at `path` — the replay
+    * fence a takedown stream records per batch (bumped by every
+    * tombstone-list reset: [[annIndexVacuum]], maintain rebuilds,
+    * full rebuilds over a tombstoned index). */
+  def annRetractEpoch(ss: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    IndexLayout.resolve(ss, path).repoch
+
+  /** Physically fold the tombstoned ids OUT of the postings WITHOUT
+    * retraining — the cheap middle ground between metadata-only
+    * [[annIndexRetract]] and a full maintain rebuild: centroids and
+    * codebook are untouched (retraction does not move the geometry),
+    * only the cells that actually HOLD tombstoned rows are rewritten
+    * (partition-scoped — bounded by the tombstone cap, never
+    * index-sized), and the tombstone list is cleared PLUS the
+    * retraction epoch bumped in the SAME atomic manifest commit as
+    * the fold, so there is no snapshot in which the rows are gone but
+    * the fence has not moved. Run it when the backlog nears
+    * [[graft.ops.Tombstones.MaxTombstones]] (the takedown streams'
+    * `vacuumAfterTombstones` automation calls it), or ahead of a
+    * compliance deadline that demands physical deletion. Readers
+    * racing the vacuum keep the previous snapshot. Runs under the
+    * single-writer lease. */
+  def annIndexVacuum(ss: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
+      val snap = IndexLayout.resolve(ss, path)
+      if (snap.tombstones.nonEmpty) {
+        val live = IndexLayout.postingsDfRaw(ss, path, snap)
+        // the cells holding tombstoned rows: a driver list bounded by
+        // the tombstone cap (each id lives in exactly one cell)
+        val touched = graft.ops.Tombstones.restrict(
+            live.select("cell", "id"), "id", snap.tombstones)
+          .select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val tweak = (s: graft.ops.TableLayout.Snapshot) =>
+          s.copy(tombstones = Nil, repoch = s.repoch + 1L)
+        if (touched.nonEmpty) {
+          val replacement = graft.ops.Tombstones.exclude(
+            live.filter(col("cell")
+              .isin(touched.map(Integer.valueOf): _*)),
+            "id", snap.tombstones)
+          IndexLayout.replaceCells(ss, path, replacement, touched,
+            ctx.token, tweak)
+        } else {
+          // every tombstoned id already has no physical rows (e.g. a
+          // crash after a prior vacuum's fold): metadata-only reset
+          IndexLayout.commit(ss, path,
+            snap.copy(version = snap.version + 1L, tombstones = Nil,
+              repoch = snap.repoch + 1L), ctx.token)
+          IndexLayout.gc(ss, path)
+        }
+        log.info(s"vacuumed ${snap.tombstones.length} tombstoned id(s) " +
+          s"out of the ANN index at $path (${touched.length} cell(s) " +
+          "rewritten)")
+      }
+    }
+
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,
       path: String): Unit = {
@@ -1990,7 +2063,8 @@ object Similarity {
         m, ks, itersPq, path, v, None, None)
       IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
         s"centroids-v$v", Some(s"pqcents-v$v"),
-        Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+        Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
+        repoch = resetRepoch(spark, path)), ctx.token)
       IndexLayout.gc(spark, path)
     }
   }
@@ -2222,7 +2296,11 @@ object Similarity {
       if (warmStart) Some(rcb0) else None)
     IndexLayout.commit(spark, path, IndexLayout.Snapshot(v,
       s"centroids-v$v", Some(s"pqcents-v$v"),
-      Seq(IndexLayout.Gen(s"postings-g$v", Nil))), ctx.token)
+      Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
+      // tombstones fold out physically here and the list resets:
+      // bump the retraction epoch (takedown-replay fence)
+      repoch = snap.repoch +
+        (if (snap.tombstones.nonEmpty) 1L else 0L)), ctx.token)
     IndexLayout.gc(spark, path)
     val after = meanRecall()
     log.info(f"ivfPqIndexMaintain: rebuilt $path — recall@$k " +

@@ -675,9 +675,9 @@ object PipelineStreams {
       readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
         .select(col(idCol), col(vecCol)),
       indexPath, checkpointDir, timeoutMs, "annIndexAppendStream")(
-      append = batch => graft.similarity.Similarity.ivfPqIndexAppend(
+      append = (batch, _) => graft.similarity.Similarity.ivfPqIndexAppend(
         batch, idCol, vecCol, indexPath),
-      postMark = batch =>
+      postMark = (batch, _) =>
         if (compactMaxFilesPerCell > 0) {
           graft.similarity.Similarity.ivfIndexCompact(
             batch.sparkSession, indexPath, compactMaxFilesPerCell)
@@ -704,9 +704,9 @@ object PipelineStreams {
       readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
         .select(col(idCol), col(textCol)),
       indexPath, checkpointDir, timeoutMs, "textIndexAppendStream")(
-      append = batch => graft.text.TextIndex.append(
+      append = (batch, _) => graft.text.TextIndex.append(
         batch, idCol, textCol, indexPath),
-      postMark = batch =>
+      postMark = (batch, _) =>
         if (compactMaxFilesPerBucket > 0) {
           graft.text.TextIndex.compact(
             batch.sparkSession, indexPath, compactMaxFilesPerBucket)
@@ -729,12 +729,36 @@ object PipelineStreams {
     * runs the append streams' marker choreography: a batch that
     * committed its marker is never re-run under the same checkpoint,
     * closing the vacuum window for the crash-replay path. The marker
-    * residual (crash between the retract and its marker) is covered
-    * by the idempotence leg UNLESS a vacuum lands inside that exact
-    * window — run vacuums from the same scheduler as the takedown
-    * stream, not concurrently with a mid-replay restart. A
-    * FRESH-checkpoint re-feed of old takedowns relies on idempotence
-    * alone: do not re-feed historical takedowns after a vacuum.
+    * residual (crash between the retract and its marker) is fenced
+    * STRUCTURALLY by the retraction epoch: before its first retract,
+    * a batch records the store's live epoch in an INTENT marker
+    * (`<scope>-i<batch>-e<epoch>`, atomic create-new, removed once
+    * the done marker lands), every tombstone-list reset (vacuum,
+    * maintain/full rebuild) bumps the epoch, and a re-delivered
+    * batch whose recorded epoch no longer matches FAILS LOUDLY with
+    * the stats intact instead of double-decrementing `N` (text) or
+    * re-eating tombstone-cap slots (ANN). Same-epoch re-delivery
+    * re-runs the retract and converges by per-id idempotence. On the
+    * loud refusal: verify whether the batch's ids are already absent
+    * from the store — if yes, create the batch's done marker by hand
+    * and delete the intent; if no, delete the intent alone and the
+    * replay applies the batch as a fresh retract. A FRESH-checkpoint
+    * re-feed of old takedowns is NOT protected (batch ids restart, so
+    * prior intents don't match): do not re-feed historical takedowns
+    * after a vacuum.
+    *
+    * `vacuumAfterTombstones > 0` makes tombstone pressure
+    * self-relieving: after a batch's marker lands, if the live
+    * backlog has reached the threshold, the store's physical fold-out
+    * runs in-stream ([[graft.text.TextIndex.vacuum]] /
+    * [[graft.similarity.Similarity.annIndexVacuum]]) under the
+    * ordinary lease — without it a steady takedown feed eventually
+    * hits the hard cap ([[graft.ops.Tombstones.MaxTombstones]]) and
+    * the stream fails until an operator intervenes (the
+    * `maybeCompactStore` idiom applied to retraction). Runs AFTER the
+    * marker, so a crash mid-vacuum costs nothing: the batch is
+    * recorded done, and the next batch (or run) re-trips the
+    * threshold.
     *
     * Input hygiene: a null id (or one that fails the long cast) in a
     * compliance feed FAILS the batch loudly — silently dropping a
@@ -745,31 +769,51 @@ object PipelineStreams {
     * terminates. */
   def textIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L,
+      vacuumAfterTombstones: Int = 0): Unit =
     retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
-      maxFilesPerTrigger, timeoutMs, "textIndexRetractStream")(
-      (ss, ids) => graft.text.TextIndex.retract(ss, indexPath, ids))
+      maxFilesPerTrigger, timeoutMs, "textIndexRetractStream",
+      vacuumAfterTombstones)(
+      retract = (ss, ids) => graft.text.TextIndex.retract(ss, indexPath, ids),
+      readEpoch = ss => graft.text.TextIndex.retractEpoch(ss, indexPath),
+      backlog = ss =>
+        graft.text.TextIndex.readMeta(ss, indexPath).tombstones.length,
+      vacuum = ss => graft.text.TextIndex.vacuum(ss, indexPath))
 
   /** [[textIndexRetractStream]] for the persistent ANN indexes (IVF
-    * and IVFADC) — same doubly-protected delivery over
-    * [[graft.similarity.Similarity.annIndexRetract]]. */
+    * and IVFADC) — same fenced delivery over
+    * [[graft.similarity.Similarity.annIndexRetract]], with the
+    * threshold automation calling the retrain-free
+    * [[graft.similarity.Similarity.annIndexVacuum]]. */
   def annIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L): Unit =
+      maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L,
+      vacuumAfterTombstones: Int = 0): Unit =
     retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
-      maxFilesPerTrigger, timeoutMs, "annIndexRetractStream")(
-      (ss, ids) => graft.similarity.Similarity.annIndexRetract(
-        ss, indexPath, ids))
+      maxFilesPerTrigger, timeoutMs, "annIndexRetractStream",
+      vacuumAfterTombstones)(
+      retract = (ss, ids) => graft.similarity.Similarity.annIndexRetract(
+        ss, indexPath, ids),
+      readEpoch = ss => graft.similarity.Similarity.annRetractEpoch(
+        ss, indexPath),
+      backlog = ss => graft.similarity.IndexLayout.resolve(ss, indexPath)
+        .tombstones.length,
+      vacuum = ss => graft.similarity.Similarity.annIndexVacuum(
+        ss, indexPath))
 
   private def retractStream(spark: SparkSession, dropsDir: String,
       idCol: String, storePath: String, checkpointDir: String,
-      maxFilesPerTrigger: Int, timeoutMs: Long, what: String)(
-      retract: (SparkSession, Seq[Long]) => Unit): Unit =
+      maxFilesPerTrigger: Int, timeoutMs: Long, what: String,
+      vacuumAfterTombstones: Int)(
+      retract: (SparkSession, Seq[Long]) => Unit,
+      readEpoch: SparkSession => Long,
+      backlog: SparkSession => Int,
+      vacuum: SparkSession => Unit): Unit =
     markedAppendStream(spark,
       readDocs(spark, dropsDir, Some(maxFilesPerTrigger))
         .select(col(idCol)),
       storePath, checkpointDir, timeoutMs, what)(
-      append = batch => {
+      append = (batch, ctx) => {
         val max = graft.ops.Tombstones.MaxTombstones
         // distinct + limit BEFORE the collect bounds driver memory;
         // the cast rides along so a malformed id surfaces as a null
@@ -789,9 +833,59 @@ object PipelineStreams {
             "batch; split the feed or rebuild the index without the " +
             "documents")
         val ids = rows.map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) retract(batch.sparkSession, ids)
+        if (ids.nonEmpty) {
+          val ss = batch.sparkSession
+          // THE EPOCH FENCE: record the store's retraction epoch in
+          // an intent marker BEFORE the first retract attempt. A
+          // re-delivered batch (crash between retract and done
+          // marker) under the SAME epoch re-runs safely — the
+          // tombstone list it first wrote against still exists, so
+          // per-id idempotence converges. Under a CHANGED epoch a
+          // vacuum/rebuild reset that list in between, re-applying
+          // could double-decrement stats or re-eat cap slots, and
+          // whether the first attempt landed is no longer decidable
+          // from the store — refuse loudly with the stats intact.
+          val intentPrefix = s"${ctx.scope}-i${ctx.batchId}-e"
+          val prior = ctx.fs.listStatus(ctx.markersDir).toSeq
+            .map(_.getPath.getName).filter(_.startsWith(intentPrefix))
+            .flatMap(_.stripPrefix(intentPrefix).toLongOption)
+          val now = readEpoch(ss)
+          prior.headOption match {
+            case None =>
+              ctx.fs.create(new org.apache.hadoop.fs.Path(ctx.markersDir,
+                s"$intentPrefix$now"), false).close()
+            case Some(e) if e == now => () // list intact: idempotent re-run
+            case Some(e) => throw new IllegalStateException(
+              s"$what: batch ${ctx.batchId} first attempted its " +
+                s"retract under retraction epoch $e, but the store at " +
+                s"$storePath is now at epoch $now — a vacuum or " +
+                "rebuild reset the tombstone list in between, so " +
+                "re-applying this batch could double-decrement corpus " +
+                "stats (or re-consume tombstone-cap slots) and whether " +
+                "the first attempt landed is not decidable from the " +
+                "store. Nothing was changed. Reconcile by hand: if the " +
+                "batch's ids are already absent from the store, create " +
+                s"the done marker ${ctx.scope}-b${ctx.batchId} and " +
+                "delete the intent marker; if they are still live, " +
+                "delete the intent marker alone and the replay will " +
+                "apply the batch as a fresh retract.")
+          }
+          retract(ss, ids)
+        }
       },
-      postMark = _ => ())
+      postMark = (batch, ctx) => {
+        // the done marker is committed: the batch's intent is obsolete
+        val intentPrefix = s"${ctx.scope}-i${ctx.batchId}-e"
+        ctx.fs.listStatus(ctx.markersDir).toSeq
+          .filter(_.getPath.getName.startsWith(intentPrefix))
+          .foreach(s => ctx.fs.delete(s.getPath, false))
+        // tombstone-pressure automation: fold the backlog out once it
+        // reaches the threshold — after the marker, so a crash inside
+        // the vacuum never loses or repeats the batch
+        if (vacuumAfterTombstones > 0 &&
+            backlog(batch.sparkSession) >= vacuumAfterTombstones)
+          vacuum(batch.sparkSession)
+      })
 
   /** The marker choreography every marked append stream shares
     * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
@@ -799,10 +893,18 @@ object PipelineStreams {
     * each genuinely new non-empty batch, commit its marker, and run
     * `postMark` (the optional in-stream compaction). Blocks until the
     * AvailableNow replay terminates. */
+  /** Per-batch marker context handed to the choreography's hooks —
+    * the retract streams derive their epoch-intent marker names from
+    * it; append streams ignore it. */
+  private final case class MarkerCtx(
+      fs: org.apache.hadoop.fs.FileSystem,
+      markersDir: org.apache.hadoop.fs.Path,
+      scope: String, batchId: Long)
+
   private def markedAppendStream(spark: SparkSession, source: DataFrame,
       storePath: String, checkpointDir: String, timeoutMs: Long,
-      what: String)(append: DataFrame => Unit,
-      postMark: DataFrame => Unit): Unit = {
+      what: String)(append: (DataFrame, MarkerCtx) => Unit,
+      postMark: (DataFrame, MarkerCtx) => Unit): Unit = {
     // markers live BESIDE the store data, resolved through the store
     // path's own Hadoop FileSystem (the StoreLock/maintain-swap
     // discipline) — a java.io.File here would pin them to the
@@ -828,11 +930,12 @@ object PipelineStreams {
         val marker = new org.apache.hadoop.fs.Path(markersDir,
           s"$scope-b$batchId")
         if (batchId > horizon && !fs.exists(marker) && !batch.isEmpty) {
-          append(batch)
+          val ctx = MarkerCtx(fs, markersDir, scope, batchId)
+          append(batch, ctx)
           // overwrite=false: create-or-throw, the atomic twin of
           // File.createNewFile on filesystems that support it
           fs.create(marker, false).close()
-          postMark(batch)
+          postMark(batch, ctx)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -926,8 +1029,16 @@ object PipelineStreams {
         val n = st.getPath.getName
         val b = n.stripPrefix(s"$scope-b")
         val hh = n.stripPrefix(s"$scope-h")
+        // stale retract-stream INTENT markers (scope-i<b>-e<E>) for
+        // folded batches: the done marker is committed, so the intent
+        // is reconciliation debris — sweep it with the fold
+        val i = n.stripPrefix(s"$scope-i")
+        val iBatch =
+          if (i == n) None
+          else i.split("-e", 2).headOption.flatMap(_.toLongOption)
         if ((b != n && b.toLongOption.exists(_ <= h)) ||
-            (hh != n && hh.toLongOption.exists(_ < h)))
+            (hh != n && hh.toLongOption.exists(_ < h)) ||
+            iBatch.exists(_ <= h))
           fs.delete(st.getPath, false)
       }
       h

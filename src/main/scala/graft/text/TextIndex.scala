@@ -85,9 +85,21 @@ object TextIndex {
     * exceed it is provably new, so [[append]]'s idempotence probe can
     * skip its index scan entirely — the monotonic-id ingest common
     * case. `None` = unknown (a meta written before the field
-    * existed); the probe then always runs. */
+    * existed); the probe then always runs.
+    *
+    * `retractEpoch` is the STRUCTURAL FENCE for the one residual
+    * replay window the marker choreography leaves open (a crash
+    * between a retract and its marker, followed by a vacuum before
+    * the checkpoint replay): every tombstone-list RESET — [[vacuum]]'s
+    * fold-out, a full [[build]] over a store that had live tombstones
+    * — bumps it, a retract stream records the epoch it first ran a
+    * batch under, and a re-delivered batch under a CHANGED epoch
+    * fails loudly instead of double-decrementing `N` (the list it
+    * would have converged against idempotently no longer exists).
+    * Metas written before the field existed read as epoch 0. */
   final case class Meta(nDocs: Long, totalTokens: Long, nBuckets: Int,
-      tombstones: Seq[Long] = Nil, maxDocId: Option[Long] = None)
+      tombstones: Seq[Long] = Nil, maxDocId: Option[Long] = None,
+      retractEpoch: Long = 0L)
 
   // ---------------------------------------------------------------
   // portable-exact scoring SQL (ONE generator, both dialects)
@@ -176,6 +188,8 @@ object TextIndex {
     val text = s"n_docs=${meta.nDocs}\ntotal_tokens=${meta.totalTokens}\n" +
       s"n_buckets=${meta.nBuckets}\n" +
       meta.maxDocId.fold("")(m => s"max_doc_id=$m\n") +
+      (if (meta.retractEpoch == 0L) ""
+       else s"retract_epoch=${meta.retractEpoch}\n") +
       (if (meta.tombstones.isEmpty) ""
        else meta.tombstones.sorted.grouped(512)
          .map(c => s"tombstones=${c.mkString(",")}\n").mkString)
@@ -225,8 +239,15 @@ object TextIndex {
     val tombs = lines.collect { case ("tombstones", v) =>
       v.split(",").toSeq.filter(_.nonEmpty).map(_.toLong) }.flatten.sorted
     Meta(kv("n_docs").toLong, kv("total_tokens").toLong,
-      kv("n_buckets").toInt, tombs, kv.get("max_doc_id").map(_.toLong))
+      kv("n_buckets").toInt, tombs, kv.get("max_doc_id").map(_.toLong),
+      kv.get("retract_epoch").map(_.toLong).getOrElse(0L))
   }
+
+  /** The live retraction epoch — the replay fence a retract stream
+    * records per batch (see [[Meta.retractEpoch]]). 0 for an index
+    * that never reset a tombstone list. */
+  def retractEpoch(ss: SparkSession, path: String): Long =
+    readMeta(ss, path).retractEpoch
 
   // ---------------------------------------------------------------
   // build / append / serve
@@ -304,13 +325,21 @@ object TextIndex {
       try {
         val st = corpusStats(tok)
         val fs = TableLayout.fsOf(spark, path)
+        // a REBUILD over a store with live tombstones resets the list
+        // exactly like a vacuum — carry the prior epoch forward and
+        // bump it, so a takedown replay cannot alias a fresh epoch 0
+        val epoch = TableLayout.resolveOpt(spark, path)
+          .flatMap(s => scala.util.Try(readMetaAt(spark, path, s)).toOption)
+          .map(m => m.retractEpoch +
+            (if (m.tombstones.nonEmpty) 1L else 0L))
+          .getOrElse(0L)
         // meta lands INSIDE the new generation before the manifest
         // commit: a reader resolving the new snapshot always finds
         // stats whose nBuckets matches the postings it reads
         TableLayout.publish(postingsOf(tok, nBuckets),
           path, Some("bucket"), ctx.token,
           beforeCommit = dir => writeMetaIn(fs, dir,
-            Meta(st.n, st.t, nBuckets, Nil, st.maxId)))
+            Meta(st.n, st.t, nBuckets, Nil, st.maxId, epoch)))
         log.info(s"built text index at $path: ${st.n} docs, ${st.t} " +
           s"tokens, $nBuckets buckets")
       } finally { tok.unpersist(); () }
@@ -524,17 +553,20 @@ object TextIndex {
       val meta = readMetaAt(ss, path, snap)
       if (meta.tombstones.nonEmpty) {
         val fs = TableLayout.fsOf(ss, path)
+        // the reset BUMPS the retraction epoch: any takedown batch
+        // that first ran against the pre-vacuum list and is
+        // re-delivered after it must fail loudly, not re-decrement
+        val reset = meta.copy(tombstones = Nil,
+          retractEpoch = meta.retractEpoch + 1L)
         TableLayout.readAtOpt(ss, path, snap) match {
           case Some(live) =>
             TableLayout.publish(
               graft.ops.Tombstones.exclude(live, "doc_id",
                 meta.tombstones),
               path, Some("bucket"), ctx.token,
-              beforeCommit = dir =>
-                writeMetaIn(fs, dir, meta.copy(tombstones = Nil)))
+              beforeCommit = dir => writeMetaIn(fs, dir, reset))
           case None => // dataless snapshot: nothing physical to fold
-            writeMetaIn(fs, newestGenDir(path, snap),
-              meta.copy(tombstones = Nil))
+            writeMetaIn(fs, newestGenDir(path, snap), reset)
         }
         log.info(s"vacuumed ${meta.tombstones.length} tombstoned " +
           s"doc(s) out of the text index at $path")

@@ -259,6 +259,8 @@ class IndexLayoutSpec extends AnyFunSuite {
     val rebuilt = IndexLayout.resolve(spark, path)
     assert(rebuilt.tombstones === Nil,
       "a maintain rebuild must reset the tombstone list")
+    assert(rebuilt.repoch === post.repoch + 1,
+      "a list-resetting rebuild must bump the retraction epoch")
     // physical deletion: the rebuilt postings hold no rows for the ids
     val rawIds = spark.read
       .parquet(s"$path/${rebuilt.gens.last.dir}")
@@ -295,6 +297,53 @@ class IndexLayoutSpec extends AnyFunSuite {
         "vec_id", "embedding", path)
     }
     assert(e.getMessage.contains("LIVE-TOMBSTONED"), e.getMessage)
+  }
+
+  test("annIndexVacuum: retrain-free physical fold — only touched " +
+      "cells rewritten, list reset + epoch bump in ONE commit, " +
+      "serve-invisible, vacuumed id can re-ingest") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("layout-annvac").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val base = ((0 until 40).map(i => (i.toLong,
+        Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3)))) ++
+      (40 until 80).map(i => (i.toLong,
+        Array(jit(i, 0), 1f + jit(i, 1), jit(i, 2), jit(i, 3)))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 3, iters = 3, path = path)
+    val queries = base.filter(col("vec_id") < 5)
+    def served(): Set[Long] = Similarity.ivfIndexTopK(queries, "vec_id",
+        "embedding", k = 5, nProbe = 3, path = path)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val Seq(ra, rb) = served().toSeq.sorted.take(2)
+    Similarity.annIndexRetract(spark, path, Seq(ra, rb))
+    val post = IndexLayout.resolve(spark, path)
+    assert(post.repoch === 0L)
+    val expect = served()
+    Similarity.annIndexVacuum(spark, path)
+    val after = IndexLayout.resolve(spark, path)
+    // one commit: list cleared AND epoch bumped together — there is
+    // no snapshot with the rows folded but the fence unmoved
+    assert(after.version === post.version + 1)
+    assert(after.tombstones === Nil && after.repoch === 1L)
+    assert(Similarity.annRetractEpoch(spark, path) === 1L)
+    // no retrain: the centroid artifact is byte-identical (same dir)
+    assert(after.centroids === post.centroids,
+      "vacuum must not touch the trained artifacts")
+    // physical deletion: the RAW (unfiltered) postings hold no rows
+    assert(IndexLayout.postingsDfRaw(spark, path, after)
+      .filter(col("id").isin(ra, rb)).count() === 0L)
+    assert(served() === expect, "vacuum must be serve-invisible")
+    // idempotent: no tombstones -> no snapshot burned
+    Similarity.annIndexVacuum(spark, path)
+    assert(IndexLayout.resolve(spark, path).version === after.version)
+    // a vacuumed id may legitimately re-ingest (the append guard sees
+    // an empty list)
+    Similarity.ivfIndexAppend(base.filter(col("vec_id") === ra),
+      "vec_id", "embedding", path)
+    assert(Similarity.indexPostings(spark, path)
+      .filter(col("id") === ra).count() === 1L)
   }
 
   test("pre-unification manifest (no pcol= line, dedicated centroids= " +

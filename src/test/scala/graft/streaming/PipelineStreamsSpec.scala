@@ -496,6 +496,39 @@ class PipelineStreamsSpec extends AnyFunSuite {
       s"markers should fold to one horizon file: ${markers.toSeq}")
   }
 
+  test("annIndexRetractStream with vacuumAfterTombstones: the backlog " +
+      "self-relieves in-stream (retrain-free fold, epoch bumped), " +
+      "serve still excludes every taken-down id") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = graft.util.TempDirs.scoped("streams-annretr-vac")
+    val path = dir.resolve("ix").toString
+    graft.similarity.Similarity.ivfIndexBuild(
+      emb.filter(col("vec_id") < 80), "vec_id", "embedding",
+      nCells = 3, iters = 1, path = path)
+    val takedown = Seq(3L, 7L, 11L)
+    val drops = PipelineStreams.stageOrderedDrops(
+      emb.filter(col("vec_id").isin(takedown: _*)).select("vec_id"),
+      "vec_id", 3, "streams-annretr-vac-drops")
+    PipelineStreams.withShufflePartitions(spark, 8) {
+      PipelineStreams.annIndexRetractStream(spark, drops.toString,
+        "vec_id", path, dir.resolve("ckpt").toString,
+        vacuumAfterTombstones = 2)
+    }
+    val snap = graft.similarity.IndexLayout.resolve(spark, path)
+    assert(snap.tombstones.length < 2,
+      s"automation must keep the backlog below the threshold: $snap")
+    assert(snap.repoch >= 1L, "at least one in-stream vacuum must run")
+    // every taken-down id is gone from the serve — whether it was
+    // physically folded or still rides the (sub-threshold) list
+    val served = graft.similarity.Similarity.ivfIndexTopK(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nProbe = 3, path = path)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(takedown.forall(id => !served.contains(id)),
+      s"taken-down ids must not serve: $served")
+  }
+
   test("annIndexAppendStream: batch markers resolve through the INDEX " +
       "path's FileSystem (scheme-qualified path), not the local disk") {
     import org.apache.spark.sql.functions._

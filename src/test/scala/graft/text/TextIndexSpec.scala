@@ -479,6 +479,120 @@ class TextIndexSpec extends AnyFunSuite {
       "a marker-protected replay across a vacuum must not drift stats")
   }
 
+  test("retraction epoch fences a pre-marker crash replayed across a " +
+      "vacuum: loud refusal with stats intact; the same-epoch replay " +
+      "converges idempotently") {
+    val path = graft.util.TempDirs.scoped("textidx-fence").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    assert(TextIndex.retractEpoch(spark, path) === 0L)
+    val drops = graft.streaming.PipelineStreams.stageOrderedDrops(
+      corpus.filter($"doc_id".isin(2L, 6L)).select("doc_id"), "doc_id",
+      1, "textidx-fence-drops")
+    val ckpt = graft.util.TempDirs.scoped("textidx-fence-ck")
+      .resolve("ckpt").toString
+    def run(): Unit =
+      graft.streaming.PipelineStreams.withShufflePartitions(spark, 4) {
+        graft.streaming.PipelineStreams.textIndexRetractStream(spark,
+          drops.toString, "doc_id", path, ckpt)
+      }
+    run()
+    val applied = TextIndex.readMeta(spark, path)
+    assert(applied.tombstones === Seq(2L, 6L))
+    // the stream's own marker bookkeeping: scope = md5(ckpt) prefix
+    // (the naming contract the test replicates to manufacture the
+    // crash state)
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    val markers = new org.apache.hadoop.fs.Path(path, ".batches")
+    val fs = markers.getFileSystem(spark.sessionState.newHadoopConf())
+    val done = new org.apache.hadoop.fs.Path(markers, s"$scope-b0")
+    val intent = new org.apache.hadoop.fs.Path(markers, s"$scope-i0-e0")
+    assert(fs.exists(done) && !fs.exists(intent),
+      "a completed batch must have its done marker and no intent")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete(): Unit
+    }
+    // manufacture the CRASH-BETWEEN-RETRACT-AND-MARKER replay state:
+    // retract applied, done marker missing, intent (epoch 0) present,
+    // checkpoint lost
+    def crashState(): Unit = {
+      fs.delete(done, false)
+      fs.create(intent, false).close()
+      wipe(new java.io.File(ckpt))
+    }
+    // benign leg: NO vacuum between crash and replay — same epoch, so
+    // the replay re-runs the retract and converges by idempotence
+    crashState()
+    run()
+    assert(TextIndex.readMeta(spark, path) === applied,
+      "same-epoch replay must converge without drifting stats")
+    assert(fs.exists(done) && !fs.exists(intent),
+      "the converged replay must commit its marker and clear the intent")
+    // fatal leg: a vacuum INSIDE the crash window resets the list and
+    // bumps the epoch — the replay must refuse loudly, stats intact
+    crashState()
+    TextIndex.vacuum(spark, path)
+    assert(TextIndex.retractEpoch(spark, path) === 1L,
+      "vacuum must bump the retraction epoch")
+    val postVac = TextIndex.readMeta(spark, path)
+    val ex = intercept[Exception] { run() }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("retraction epoch"),
+      s"expected the epoch-fence refusal, got: ${messages(ex)}")
+    assert(TextIndex.readMeta(spark, path) === postVac,
+      "the refusal must leave stats and tombstones untouched")
+    // the documented reconciliation: the ids are already absent (the
+    // first attempt landed before the vacuum) -> hand-commit the done
+    // marker, drop the intent, and the stream completes
+    fs.create(done, false).close()
+    fs.delete(new org.apache.hadoop.fs.Path(markers, s"$scope-i0-e0"),
+      false)
+    run()
+    assert(TextIndex.readMeta(spark, path) === postVac)
+  }
+
+  test("vacuumAfterTombstones automation: a takedown feed larger than " +
+      "the threshold crosses it without manual intervention; serve " +
+      "matches the fresh build without the docs") {
+    val path = graft.util.TempDirs.scoped("textidx-autovac").toString +
+      "/ix"
+    val fresh = graft.util.TempDirs.scoped("textidx-autovac-f")
+      .toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    TextIndex.build(corpus.filter(!$"doc_id".isin(1L, 2L, 6L)),
+      "doc_id", "text", fresh, nBuckets = 4)
+    val drops = graft.streaming.PipelineStreams.stageOrderedDrops(
+      corpus.filter($"doc_id".isin(1L, 2L, 6L)).select("doc_id"),
+      "doc_id", 3, "textidx-autovac-drops")
+    graft.streaming.PipelineStreams.withShufflePartitions(spark, 4) {
+      graft.streaming.PipelineStreams.textIndexRetractStream(spark,
+        drops.toString, "doc_id", path,
+        graft.util.TempDirs.scoped("textidx-autovac-ck")
+          .resolve("ckpt").toString,
+        vacuumAfterTombstones = 2)
+    }
+    val m = TextIndex.readMeta(spark, path)
+    // three 1-id batches against threshold 2: the backlog crossed the
+    // threshold mid-feed and the in-stream vacuum relieved it — the
+    // feed never needed an operator, and the list ends BELOW the
+    // threshold (the third id may still be pending its own fold)
+    assert(m.tombstones.length < 2,
+      s"automation must keep the backlog below the threshold, got $m")
+    assert(TextIndex.retractEpoch(spark, path) >= 1L,
+      "at least one in-stream vacuum must have run")
+    val q = Seq((1L, "the quick brown fox"), (3L, "fox"))
+      .toDF("query_id", "qtext")
+    def serve(p: String) = TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(path) === serve(fresh),
+      "the automated fold must stay value-correct")
+    assert(m.nDocs === TextIndex.readMeta(spark, fresh).nDocs &&
+      m.totalTokens === TextIndex.readMeta(spark, fresh).totalTokens)
+  }
+
   test("rrfFuse: hand-checked fusion of two legs") {
     // leg A ranks docs 10, 11; leg B ranks 11, 12: doc 11 carries
     // 1e6/61 + 1e6/62 ~ 32524, beating both rank-1 singles (16393)
