@@ -1963,16 +1963,40 @@ object Similarity {
     * which also RESETS the list (commits a fresh snapshot); the list
     * is capped ([[graft.ops.Tombstones.MaxTombstones]]) so it stays
     * manifest-sized between maintenances. Ids already tombstoned are
-    * skipped (idempotent re-delivery); ids never ingested are
-    * harmless (nothing to filter). Works on both the plain-IVF and
-    * the IVFADC layout. Runs under the single-writer lease. */
+    * skipped (idempotent re-delivery); ids never ingested filter
+    * nothing, but they PERMANENTLY consume tombstone-cap slots and
+    * inflate the `n_tombstones` health metric until the next
+    * vacuum/maintain resets the list — prompting rebuilds earlier
+    * than the real backlog warrants. `verifyExists = true` is the
+    * guard for a takedown feed that cannot be trusted: every fresh id
+    * must have a live posting row (exact here, unlike the text index
+    * — every ingested vector has postings), checked with one
+    * column-pruned id scan, or the batch is rejected with the store
+    * unchanged. Default off — the probe costs an index id-column
+    * pass per batch. Works on both the plain-IVF and the IVFADC
+    * layout. Runs under the single-writer lease. */
   def annIndexRetract(ss: org.apache.spark.sql.SparkSession, path: String,
-      ids: Seq[Long]): Unit =
+      ids: Seq[Long], verifyExists: Boolean = false): Unit =
     graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
       val snap = IndexLayout.resolve(ss, path)
       val (fresh, all) = graft.ops.Tombstones.merge(
         snap.tombstones, ids, s"annIndexRetract at $path")
       if (fresh.nonEmpty) {
+        if (verifyExists) {
+          val present = graft.ops.Tombstones.restrict(
+              IndexLayout.postingsDfRaw(ss, path, snap).select("id"),
+              "id", fresh)
+            .distinct().collect().map(_.getLong(0)).toSet
+          val missing = fresh.filterNot(present.contains)
+          require(missing.isEmpty,
+            s"annIndexRetract at $path: id(s) " +
+              s"${missing.take(5).mkString(", ")}" +
+              s"${if (missing.length > 5) ", …" else ""} have no live " +
+              "postings — never ingested or already folded out; " +
+              "tombstoning them would permanently burn cap slots and " +
+              "inflate the health backlog for nothing. The store is " +
+              "unchanged; clean the takedown feed.")
+        }
         IndexLayout.commit(ss, path,
           snap.copy(version = snap.version + 1L, tombstones = all),
           ctx.token)

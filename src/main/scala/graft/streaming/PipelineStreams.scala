@@ -770,11 +770,12 @@ object PipelineStreams {
   def textIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L,
-      vacuumAfterTombstones: Int = 0): Unit =
+      vacuumAfterTombstones: Int = 0, verifyExists: Boolean = false): Unit =
     retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
       maxFilesPerTrigger, timeoutMs, "textIndexRetractStream",
       vacuumAfterTombstones)(
-      retract = (ss, ids) => graft.text.TextIndex.retract(ss, indexPath, ids),
+      retract = (ss, ids) => graft.text.TextIndex.retract(ss, indexPath,
+        ids, verifyExists),
       readEpoch = ss => graft.text.TextIndex.retractEpoch(ss, indexPath),
       backlog = ss =>
         graft.text.TextIndex.readMeta(ss, indexPath).tombstones.length,
@@ -788,12 +789,12 @@ object PipelineStreams {
   def annIndexRetractStream(spark: SparkSession, dropsDir: String,
       idCol: String, indexPath: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1, timeoutMs: Long = 300000L,
-      vacuumAfterTombstones: Int = 0): Unit =
+      vacuumAfterTombstones: Int = 0, verifyExists: Boolean = false): Unit =
     retractStream(spark, dropsDir, idCol, indexPath, checkpointDir,
       maxFilesPerTrigger, timeoutMs, "annIndexRetractStream",
       vacuumAfterTombstones)(
       retract = (ss, ids) => graft.similarity.Similarity.annIndexRetract(
-        ss, indexPath, ids),
+        ss, indexPath, ids, verifyExists),
       readEpoch = ss => graft.similarity.Similarity.annRetractEpoch(
         ss, indexPath),
       backlog = ss => graft.similarity.IndexLayout.resolve(ss, indexPath)

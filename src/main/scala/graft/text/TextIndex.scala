@@ -497,8 +497,21 @@ object TextIndex {
     * that was never ingested deflates the doc count (the same honesty
     * contract as [[append]]'s "ids must be NEW", and undetectable for
     * the same reason: an empty-text doc and an unknown id both have
-    * no postings). Runs under the single-writer lease. */
-  def retract(ss: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    * no postings). Runs under the single-writer lease.
+    *
+    * `verifyExists = true` is the belt for a takedown feed that
+    * CANNOT be trusted to honor that contract (and for metas written
+    * before the `maxDocId` bound existed, where the cheap rejection
+    * cannot run): every fresh id must have live postings, checked
+    * with one column-pruned `doc_id` scan, or the batch is rejected
+    * with the store unchanged. The probe cannot distinguish a
+    * never-ingested id from a genuinely ingested EMPTY document
+    * (both have no postings — the docstring ambiguity above), so it
+    * refuses both: use it only on corpora where empty documents are
+    * not expected to be retracted. Default off — the probe costs an
+    * index id-column pass per batch. */
+  def retract(ss: SparkSession, path: String, docIds: Seq[Long],
+      verifyExists: Boolean = false): Unit =
     StoreLock.withLock(ss, path) {
       val snap = TableLayout.resolve(ss, path)
       val meta = readMetaAt(ss, path, snap)
@@ -520,6 +533,23 @@ object TextIndex {
             "unchanged; clean the takedown feed.")
       }
       if (fresh.nonEmpty) {
+        if (verifyExists) {
+          val present = TableLayout.readAtOpt(ss, path, snap)
+            .map(live => graft.ops.Tombstones.restrict(
+                live.select("doc_id"), "doc_id", fresh)
+              .distinct().collect().map(_.getLong(0)).toSet)
+            .getOrElse(Set.empty[Long])
+          val missing = fresh.filterNot(present.contains)
+          require(missing.isEmpty,
+            s"TextIndex.retract at $path: doc_id(s) " +
+              s"${missing.take(5).mkString(", ")}" +
+              s"${if (missing.length > 5) ", …" else ""} have no live " +
+              "postings — never ingested, already vacuumed, or an " +
+              "ingested EMPTY document (indistinguishable without " +
+              "postings); verifyExists refuses all three so an " +
+              "untrusted feed cannot silently deflate N/avgdl. The " +
+              "store is unchanged.")
+        }
         val gone = TableLayout.readAtOpt(ss, path, snap) match {
           case None => 0L
           case Some(live) =>

@@ -299,6 +299,26 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LIVE-TOMBSTONED"), e.getMessage)
   }
 
+  test("annIndexRetract verifyExists: a never-ingested id is rejected " +
+      "with the store unchanged (no cap slot burned); ingested ids " +
+      "pass the probe") {
+    val path = graft.util.TempDirs.scoped("layout-vexists").toString
+    val corpus = emb.filter(col("vec_id") < 60)
+    Similarity.ivfIndexBuild(corpus, "vec_id", "embedding",
+      nCells = 3, iters = 1, path = path)
+    val before = IndexLayout.resolve(spark, path)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIndexRetract(spark, path, Seq(5L, 12345L),
+        verifyExists = true)
+    }
+    assert(ex.getMessage.contains("no live postings"), ex.getMessage)
+    assert(IndexLayout.resolve(spark, path).version === before.version,
+      "a rejected batch must not burn a snapshot or a cap slot")
+    Similarity.annIndexRetract(spark, path, Seq(5L, 7L),
+      verifyExists = true)
+    assert(IndexLayout.resolve(spark, path).tombstones === Seq(5L, 7L))
+  }
+
   test("annIndexVacuum: retrain-free physical fold — only touched " +
       "cells rewritten, list reset + epoch bump in ONE commit, " +
       "serve-invisible, vacuumed id can re-ingest") {

@@ -479,6 +479,40 @@ class TextIndexSpec extends AnyFunSuite {
       "a marker-protected replay across a vacuum must not drift stats")
   }
 
+  test("retract verifyExists: a below-bound id with no postings is " +
+      "rejected (untrusted feed), ingested ids pass, and the empty-doc " +
+      "ambiguity refuses loudly instead of guessing") {
+    val path = graft.util.TempDirs.scoped("textidx-vexists").toString +
+      "/ix"
+    // doc 3 left out: id 3 sits BELOW the ingested bound (maxDocId=6)
+    // with no postings — exactly the gap the cheap bound check cannot
+    // see and the ADVICE named as the caller's blind honesty contract
+    TextIndex.build(corpus.filter($"doc_id" =!= 3L), "doc_id", "text",
+      path, nBuckets = 4)
+    val before = TextIndex.readMeta(spark, path)
+    val gapEx = intercept[IllegalArgumentException] {
+      TextIndex.retract(spark, path, Seq(3L), verifyExists = true)
+    }
+    assert(gapEx.getMessage.contains("no live postings"))
+    assert(TextIndex.readMeta(spark, path) === before,
+      "a rejected batch must leave the store unchanged")
+    // the documented limitation: an ingested EMPTY doc (5) has no
+    // postings either — verifyExists refuses it rather than guessing
+    val emptyEx = intercept[IllegalArgumentException] {
+      TextIndex.retract(spark, path, Seq(5L), verifyExists = true)
+    }
+    assert(emptyEx.getMessage.contains("no live postings"))
+    // genuinely ingested ids pass the probe and retract normally
+    TextIndex.retract(spark, path, Seq(4L, 6L), verifyExists = true)
+    val m = TextIndex.readMeta(spark, path)
+    assert(m.tombstones === Seq(4L, 6L))
+    assert(m.nDocs === before.nDocs - 2)
+    // trusted-feed mode still handles the empty doc (the caller
+    // vouches it was ingested)
+    TextIndex.retract(spark, path, Seq(5L))
+    assert(TextIndex.readMeta(spark, path).nDocs === before.nDocs - 3)
+  }
+
   test("retraction epoch fences a pre-marker crash replayed across a " +
       "vacuum: loud refusal with stats intact; the same-epoch replay " +
       "converges idempotently") {
