@@ -153,7 +153,7 @@ object ScaleProbe {
     // their exploded positions — the phrase serve's grain, the
     // family's largest) don't grow: any corpus-sized read surviving
     // the bucket+term prune shows up as a positive exponent.
-    def timeTextIndex(dir: String): (Double, Double, Double) = {
+    def timeTextIndex(dir: String): (Double, Double, Double, Double, Double) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val path = graft.util.TempDirs.scoped("probe-textidx").toString + "/ix"
       val t0 = System.nanoTime()
@@ -191,26 +191,94 @@ object ScaleProbe {
         graft.text.TextIndex.phraseTopK(qp, "query_id", "qtext", k = 5,
           path).count(): Unit
       }
-      (tb, ts, tp)
+      // r13 addition — TOMBSTONE-FILTERED serves (the retraction
+      // family's serve-path code): the claim under test is that the
+      // exclude filter stays map-side flat on BOTH sides of the
+      // isin -> broadcast-anti-join switchover
+      // (graft.ops.Tombstones, threshold 1024). 600 and 2000
+      // retracted ids against the same fixed 10-query set; the
+      // retracts themselves are untimed setup.
+      val tombIds = docs.filter(col("doc_id") >= 10)
+        .select("doc_id").orderBy("doc_id").limit(2000)
+        .collect().map(_.getLong(0)).toSeq
+      graft.text.TextIndex.retract(spark, path, tombIds.take(600))
+      val ts600 = timed {
+        graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+          .count(): Unit
+      }
+      graft.text.TextIndex.retract(spark, path, tombIds) // 600 stale skip
+      val ts2000 = timed {
+        graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
+          .count(): Unit
+      }
+      (tb, ts, tp, ts600, ts2000)
     }
-    val (tiBuildB, tiServeB, tiPhraseB) = timeTextIndex(baseDir)
-    val (tiBuildS, tiServeS, tiPhraseS) = timeTextIndex(scaledDir)
+    val (tiBuildB, tiServeB, tiPhraseB, tiT600B, tiT2000B) =
+      timeTextIndex(baseDir)
+    val (tiBuildS, tiServeS, tiPhraseS, tiT600S, tiT2000S) =
+      timeTextIndex(scaledDir)
     val tiServeExp = math.log(tiServeS / tiServeB) /
       math.log(factor.toDouble)
     val tiPhraseExp = math.log(tiPhraseS / tiPhraseB) /
       math.log(factor.toDouble)
+    val tiT600Exp = math.log(tiT600S / tiT600B) / math.log(factor.toDouble)
+    val tiT2000Exp = math.log(tiT2000S / tiT2000B) /
+      math.log(factor.toDouble)
     System.err.println(f"[probe] text index: build $tiBuildB%.2f -> " +
       f"$tiBuildS%.2f s, serve $tiServeB%.2f -> $tiServeS%.2f s " +
       f"(serve exponent $tiServeExp%.2f), phrase $tiPhraseB%.2f -> " +
-      f"$tiPhraseS%.2f s (exponent $tiPhraseExp%.2f)")
+      f"$tiPhraseS%.2f s (exponent $tiPhraseExp%.2f), tomb600 serve " +
+      f"exponent $tiT600Exp%.2f, tomb2000 $tiT2000Exp%.2f")
+
+    // ANN index with tombstone-filtered serves — same switchover
+    // drill against the persisted IVF index (postingsDf's exclusion
+    // is the shared serve filter for BOTH ANN families)
+    def timeAnnTomb(dir: String): (Double, Double, Double) = {
+      val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val path = graft.util.TempDirs.scoped("probe-annidx").toString
+      graft.similarity.Similarity.ivfIndexBuild(emb2, "vec_id",
+        "embedding", nCells = 64, iters = 1, path = path)
+      val qdf = emb2.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val qLocal = spark.createDataFrame(
+        spark.sparkContext.parallelize(qdf.collect().toSeq, 1), qdf.schema)
+      def timed(body: => Unit): Double = (1 to repeats).map { _ =>
+        val t1 = System.nanoTime()
+        body
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      def serve(): Unit =
+        graft.similarity.Similarity.ivfIndexTopK(qLocal, "vec_id",
+          "embedding", k = 5, nProbe = 2, path = path).count(): Unit
+      val t0t = timed(serve())
+      val tombIds = emb2.filter(col("vec_id") >= 10)
+        .select("vec_id").orderBy("vec_id").limit(2000)
+        .collect().map(_.getLong(0)).toSeq
+      graft.similarity.Similarity.annIndexRetract(spark, path,
+        tombIds.take(600))
+      val t600 = timed(serve())
+      graft.similarity.Similarity.annIndexRetract(spark, path, tombIds)
+      val t2000 = timed(serve())
+      (t0t, t600, t2000)
+    }
+    val (anT0B, anT600B, anT2000B) = timeAnnTomb(baseDir)
+    val (anT0S, anT600S, anT2000S) = timeAnnTomb(scaledDir)
+    val anT0Exp = math.log(anT0S / anT0B) / math.log(factor.toDouble)
+    val anT600Exp = math.log(anT600S / anT600B) / math.log(factor.toDouble)
+    val anT2000Exp = math.log(anT2000S / anT2000B) /
+      math.log(factor.toDouble)
+    System.err.println(f"[probe] ann index serve: clean exponent " +
+      f"$anT0Exp%.2f, tomb600 $anT600Exp%.2f, tomb2000 $anT2000Exp%.2f")
 
     def f3(d: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qJson = rows.map { case (n, tb, ts, exp) =>
       s""""$n":{"base_sec":${f3(tb)},"scaled_sec":${f3(ts)},"exponent":${f3(exp)}}"""
     }.mkString("{", ",", "}")
+    val tombJson =
+      s""""tomb_serves":{"text_600":{"base_sec":${f3(tiT600B)},"scaled_sec":${f3(tiT600S)},"exponent":${f3(tiT600Exp)}},"text_2000":{"base_sec":${f3(tiT2000B)},"scaled_sec":${f3(tiT2000S)},"exponent":${f3(tiT2000Exp)}},"ann_0":{"base_sec":${f3(anT0B)},"scaled_sec":${f3(anT0S)},"exponent":${f3(anT0Exp)}},"ann_600":{"base_sec":${f3(anT600B)},"scaled_sec":${f3(anT600S)},"exponent":${f3(anT600Exp)}},"ann_2000":{"base_sec":${f3(anT2000B)},"scaled_sec":${f3(anT2000S)},"exponent":${f3(anT2000Exp)}}}"""
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)},"phrase_base_sec":${f3(tiPhraseB)},"phrase_scaled_sec":${f3(tiPhraseS)},"phrase_exponent":${f3(tiPhraseExp)}},"queries":$qJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)},"phrase_base_sec":${f3(tiPhraseB)},"phrase_scaled_sec":${f3(tiPhraseS)},"phrase_exponent":${f3(tiPhraseExp)}},$tombJson,"queries":$qJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

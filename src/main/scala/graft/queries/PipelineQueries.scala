@@ -2211,6 +2211,36 @@ object PipelineQueries {
           col("rank"))
       TextIndex.rrfFuse(Seq(bm, cos), k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // HYBRID retrieval over BOTH PERSISTED INDEXES — the production
+    // 100 TB composition: the BM25 inverted-index serve (bucket-pruned)
+    // ⊕ the IVFADC index serve (cell-pruned ADC over the persisted
+    // build+append postings), fused by micro-unit RRF. Unlike
+    // q_text_hybrid_rrf (whose embedding leg is brute-force cosine),
+    // neither leg here scans the corpus: both read pruned slices of
+    // on-disk index structures. The oracle chains the two existing
+    // serve restatements (the BM25 CTE chain nested as a subquery —
+    // its CTE names collide with the IVFADC replay's — and the
+    // full IVFADC train/encode/probe replay) plus the integer fusion.
+    "q_hybrid_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val bm = TextIndex.topK(bm25Queries(docs, "doc_id < 10"),
+        "query_id", "qtext", k = 10, sharedTextIndex(s, d))
+      val path = graft.util.TempDirs.scoped("graft-hybrid-ivfpq")
+        .toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      val ann = Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10, nProbe = 2, path = path)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TextIndex.rrfFuse(Seq(bm, ann), k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   /** The BM25 gates' query frame: each selected doc's first 8
@@ -5118,7 +5148,8 @@ object PipelineQueries {
        |    AS recall_bp
        |FROM nr LEFT JOIN hit ON nr.query_id = hit.query_id
        |ORDER BY nr.query_id""".stripMargin),
-    "q_text_hybrid_rrf" -> hybridRrfOracleSql)
+    "q_text_hybrid_rrf" -> hybridRrfOracleSql,
+    "q_hybrid_indexed" -> hybridIndexedOracleSql)
 
   /** Phrase-search oracle: token positions from the arrays, the
     * query's (qpos, term) rows for tokens 3..5 of every 41st doc, and
@@ -5255,5 +5286,36 @@ object PipelineQueries {
        |       FROM fs)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Hybrid-over-both-indexes oracle: the IVFADC index replay
+    * (train-on-base + append-all, the `r` ranking) as the host WITH
+    * chain, the BM25 chain NESTED as a subquery (its CTE names — `d`,
+    * `q` — collide with the replay's), and the generated micro-unit
+    * RRF fusion on top. */
+  private def hybridIndexedOracleSql: String = {
+    val rrf = TextIndex.rrfMicroSql("rank", 60)
+    val bm = bm25Ctes("doc_id < 10") + """
+       |SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10""".stripMargin
+    ivfPqIndexCtes + s""",
+       |bmleg AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |$bm
+       |  )),
+       |annleg AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank
+       |  FROM r WHERE rank <= 10),
+       |legs AS (
+       |  SELECT query_id, doc_id, $rrf AS rrf_u FROM bmleg
+       |  UNION ALL
+       |  SELECT query_id, doc_id, $rrf AS rrf_u FROM annleg),
+       |fsum AS (SELECT query_id, doc_id, CAST(sum(rrf_u) AS BIGINT) AS rrf_u
+       |         FROM legs GROUP BY query_id, doc_id),
+       |frank AS (SELECT query_id, doc_id, rrf_u,
+       |            row_number() OVER (PARTITION BY query_id
+       |              ORDER BY rrf_u DESC, doc_id) AS rank
+       |          FROM fsum)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
+       |FROM frank WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 }
