@@ -78,6 +78,14 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEATS", "2")
       .toInt.max(1)
+    // min-of-repeats, the probe-wide timing discipline (one
+    // definition so a change — e.g. min -> median — cannot diverge
+    // between the text and ANN probes and skew their exponents)
+    def timed(body: => Unit): Double = (1 to repeats).map { _ =>
+      val t1 = System.nanoTime()
+      body
+      (System.nanoTime() - t1) / 1e9
+    }.min
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -178,11 +186,6 @@ object ScaleProbe {
           "query_id BIGINT, qtext STRING, ptext STRING"))
       val q = qLocal.select("query_id", "qtext")
       val qp = qLocal.select(col("query_id"), col("ptext").as("qtext"))
-      def timed(body: => Unit): Double = (1 to repeats).map { _ =>
-        val t1 = System.nanoTime()
-        body
-        (System.nanoTime() - t1) / 1e9
-      }.min
       val ts = timed {
         graft.text.TextIndex.topK(q, "query_id", "qtext", k = 5, path)
           .count(): Unit
@@ -242,11 +245,6 @@ object ScaleProbe {
         .select("vec_id", "embedding")
       val qLocal = spark.createDataFrame(
         spark.sparkContext.parallelize(qdf.collect().toSeq, 1), qdf.schema)
-      def timed(body: => Unit): Double = (1 to repeats).map { _ =>
-        val t1 = System.nanoTime()
-        body
-        (System.nanoTime() - t1) / 1e9
-      }.min
       def serve(): Unit =
         graft.similarity.Similarity.ivfIndexTopK(qLocal, "vec_id",
           "embedding", k = 5, nProbe = 2, path = path).count(): Unit

@@ -514,8 +514,8 @@ private[graft] object TableLayout {
     // carries none): bump the retraction epoch so a takedown replay
     // that first ran against the old list fails loudly instead of
     // re-applying (see Snapshot.repoch)
-    val repoch = prior.map(s => s.repoch +
-      (if (s.tombstones.nonEmpty) 1L else 0L)).getOrElse(0L)
+    val repoch = prior.map(s =>
+      Tombstones.nextEpoch(s.repoch, s.tombstones)).getOrElse(0L)
     val dir = new Path(rootOf(path), genDirName(fam, v))
     pcol match {
       case Some(pc) =>

@@ -24,6 +24,16 @@ private[graft] object Tombstones {
     * planning; switch to the broadcast join. */
   private val IsinMax = 1024
 
+  /** THE retraction-epoch reset rule, shared by every commit that
+    * resets a tombstone list (vacuums, maintain/full rebuilds,
+    * publish-over-tombstoned-snapshot): carry the prior epoch and
+    * bump it iff a non-empty list is actually being reset — resetting
+    * an empty list fences nothing and a bump there would only churn
+    * takedown streams into spurious refusals. One definition so the
+    * replay fence cannot drift between the text and ANN families. */
+  def nextEpoch(prior: Long, tombstones: Seq[_]): Long =
+    prior + (if (tombstones.nonEmpty) 1L else 0L)
+
   private def idsDf(like: DataFrame, idCol: String,
       ids: Seq[Long]): DataFrame = {
     val ss = like.sparkSession

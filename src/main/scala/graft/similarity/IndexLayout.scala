@@ -221,6 +221,13 @@ private[graft] object IndexLayout {
       snap: Snapshot): DataFrame =
     TableLayout.readAt(ss, path, toCore(snap))
 
+  /** [[postingsDfRaw]] for paths that must tolerate a DATALESS
+    * snapshot (e.g. a vacuum that previously folded out every live
+    * row): None instead of readAt's empty-store failure. */
+  private[similarity] def postingsDfRawOpt(ss: SparkSession,
+      path: String, snap: Snapshot): Option[DataFrame] =
+    TableLayout.readAtOpt(ss, path, toCore(snap))
+
   /** Cell-grain postings compaction through the core partition
     * rewrite ([[TableLayout.compactPartitions]]): cells past
     * `maxFilesPerCell` live files rewrite into a new generation with

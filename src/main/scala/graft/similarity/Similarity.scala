@@ -893,8 +893,8 @@ object Similarity {
       Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
       // the rebuild read TOMBSTONE-FILTERED postings and resets the
       // list: bump the retraction epoch (takedown-replay fence)
-      repoch = snap.repoch +
-        (if (snap.tombstones.nonEmpty) 1L else 0L)), ctx.token)
+      repoch = graft.ops.Tombstones.nextEpoch(
+        snap.repoch, snap.tombstones)), ctx.token)
     IndexLayout.gc(spark, path)
     // re-pin the training size ONLY when the cell count actually
     // changed (or no pin existed yet): a maintain that merely
@@ -2013,7 +2013,7 @@ object Similarity {
   private def resetRepoch(ss: org.apache.spark.sql.SparkSession,
       path: String): Long =
     IndexLayout.resolveOpt(ss, path)
-      .map(s => s.repoch + (if (s.tombstones.nonEmpty) 1L else 0L))
+      .map(s => graft.ops.Tombstones.nextEpoch(s.repoch, s.tombstones))
       .getOrElse(0L)
 
   /** The live retraction epoch of the index at `path` — the replay
@@ -2044,18 +2044,23 @@ object Similarity {
     graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
       val snap = IndexLayout.resolve(ss, path)
       if (snap.tombstones.nonEmpty) {
-        val live = IndexLayout.postingsDfRaw(ss, path, snap)
+        // a DATALESS snapshot (a prior vacuum folded out every live
+        // row, then a metadata-only retract re-tombstoned) must take
+        // the metadata-only reset, not readAt's empty-store failure
+        val liveOpt = IndexLayout.postingsDfRawOpt(ss, path, snap)
         // the cells holding tombstoned rows: a driver list bounded by
         // the tombstone cap (each id lives in exactly one cell)
-        val touched = graft.ops.Tombstones.restrict(
-            live.select("cell", "id"), "id", snap.tombstones)
-          .select("cell").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val touched = liveOpt.map(live =>
+          graft.ops.Tombstones.restrict(
+              live.select("cell", "id"), "id", snap.tombstones)
+            .select("cell").distinct()
+            .collect().map(_.getInt(0)).toSeq)
+          .getOrElse(Seq.empty)
         val tweak = (s: graft.ops.TableLayout.Snapshot) =>
           s.copy(tombstones = Nil, repoch = s.repoch + 1L)
         if (touched.nonEmpty) {
           val replacement = graft.ops.Tombstones.exclude(
-            live.filter(col("cell")
+            liveOpt.get.filter(col("cell")
               .isin(touched.map(Integer.valueOf): _*)),
             "id", snap.tombstones)
           IndexLayout.replaceCells(ss, path, replacement, touched,
@@ -2323,8 +2328,8 @@ object Similarity {
       Seq(IndexLayout.Gen(s"postings-g$v", Nil)),
       // tombstones fold out physically here and the list resets:
       // bump the retraction epoch (takedown-replay fence)
-      repoch = snap.repoch +
-        (if (snap.tombstones.nonEmpty) 1L else 0L)), ctx.token)
+      repoch = graft.ops.Tombstones.nextEpoch(
+        snap.repoch, snap.tombstones)), ctx.token)
     IndexLayout.gc(spark, path)
     val after = meanRecall()
     log.info(f"ivfPqIndexMaintain: rebuilt $path — recall@$k " +

@@ -724,8 +724,12 @@ object PipelineStreams {
     * re-delivery converges by algebra — but ONLY while the tombstone
     * list persists: a vacuum / maintain rebuild between a crash and
     * the re-delivery RESETS the list, and a re-delivered takedown
-    * would then count as fresh (double-decrementing the text index's
-    * `N`, or re-eating ANN tombstone-cap slots). So the stream ALSO
+    * then counts as fresh. The text index's STATS survive even that
+    * (its decrements are presence-based — a re-delivered id whose
+    * postings a vacuum already folded out decrements nothing, and a
+    * duplicate id arriving in a LATER batch converges the same way),
+    * but the duplicate still re-eats a tombstone-cap slot on either
+    * family until the next fold. So the stream ALSO
     * runs the append streams' marker choreography: a batch that
     * committed its marker is never re-run under the same checkpoint,
     * closing the vacuum window for the crash-replay path. The marker
@@ -736,8 +740,10 @@ object PipelineStreams {
     * the done marker lands), every tombstone-list reset (vacuum,
     * maintain/full rebuild) bumps the epoch, and a re-delivered
     * batch whose recorded epoch no longer matches FAILS LOUDLY with
-    * the stats intact instead of double-decrementing `N` (text) or
-    * re-eating tombstone-cap slots (ANN). Same-epoch re-delivery
+    * the stats intact instead of silently re-eating tombstone-cap
+    * slots (the text stats would survive by the presence-based
+    * algebra; the fence keeps the anomaly LOUD and uniform across
+    * both families). Same-epoch re-delivery
     * re-runs the retract and converges by per-id idempotence. On the
     * loud refusal: verify whether the batch's ids are already absent
     * from the store — if yes, create the batch's done marker by hand
@@ -888,12 +894,6 @@ object PipelineStreams {
           vacuum(batch.sparkSession)
       })
 
-  /** The marker choreography every marked append stream shares
-    * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
-    * committed-horizon markers, then foreachBatch-run `append` for
-    * each genuinely new non-empty batch, commit its marker, and run
-    * `postMark` (the optional in-stream compaction). Blocks until the
-    * AvailableNow replay terminates. */
   /** Per-batch marker context handed to the choreography's hooks —
     * the retract streams derive their epoch-intent marker names from
     * it; append streams ignore it. */
@@ -902,6 +902,12 @@ object PipelineStreams {
       markersDir: org.apache.hadoop.fs.Path,
       scope: String, batchId: Long)
 
+  /** The marker choreography every marked append stream shares
+    * ([[annIndexAppendStream]], [[textIndexAppendStream]]): fold the
+    * committed-horizon markers, then foreachBatch-run `append` for
+    * each genuinely new non-empty batch, commit its marker, and run
+    * `postMark` (the optional in-stream compaction). Blocks until the
+    * AvailableNow replay terminates. */
   private def markedAppendStream(spark: SparkSession, source: DataFrame,
       storePath: String, checkpointDir: String, timeoutMs: Long,
       what: String)(append: (DataFrame, MarkerCtx) => Unit,

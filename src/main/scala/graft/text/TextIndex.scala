@@ -219,7 +219,21 @@ object TextIndex {
     * snapshot's own postings (the reader-isolation contract extended
     * to the stats). */
   private def readMetaAt(ss: SparkSession, path: String,
-      snap: TableLayout.Snapshot): Meta = {
+      snap: TableLayout.Snapshot): Meta =
+    readMetaAtOpt(ss, path, snap).getOrElse(
+      throw new IllegalStateException(
+        s"no text-index meta in any generation of $path at snapshot " +
+          s"v${snap.version} — the index was not built by " +
+          "TextIndex.build (or the meta was deleted); rebuild it"))
+
+  /** [[readMetaAt]] that reports a genuinely ABSENT meta (no sidecar
+    * file in any generation — the path holds a non-index store) as
+    * None instead of throwing. A meta that EXISTS but fails to read
+    * or parse still propagates: callers that treat "can't read" as
+    * "fresh" (e.g. a rebuild deciding the epoch to carry) must not
+    * silently reset the replay fence on a transient IO error. */
+  private def readMetaAtOpt(ss: SparkSession, path: String,
+      snap: TableLayout.Snapshot): Option[Meta] = {
     val root = new Path(path.stripSuffix("/"))
     val fs = TableLayout.fsOf(ss, path)
     val last = snap.gens.reverse.iterator
@@ -227,11 +241,11 @@ object TextIndex {
       .filter(fs.exists)
       .flatMap(d => ManifestIo.list(fs, d, MetaPrefix).lastOption)
       .nextOption()
-      .getOrElse(throw new IllegalStateException(
-        s"no text-index meta in any generation of $path at snapshot " +
-          s"v${snap.version} — the index was not built by " +
-          "TextIndex.build (or the meta was deleted); rebuild it"))
-    val lines = ManifestIo.readText(fs, last._2).split("\n").map(_.trim)
+    last.map(l => parseMeta(ManifestIo.readText(fs, l._2)))
+  }
+
+  private def parseMeta(text: String): Meta = {
+    val lines = text.split("\n").map(_.trim)
       .filter(_.nonEmpty).map { l =>
         val Array(k, v) = l.split("=", 2); k -> v
       }.toSeq
@@ -327,11 +341,14 @@ object TextIndex {
         val fs = TableLayout.fsOf(spark, path)
         // a REBUILD over a store with live tombstones resets the list
         // exactly like a vacuum — carry the prior epoch forward and
-        // bump it, so a takedown replay cannot alias a fresh epoch 0
+        // bump it, so a takedown replay cannot alias a fresh epoch 0.
+        // Only a genuinely ABSENT meta (prior store not a text index)
+        // reads as fresh; a read/parse FAILURE propagates rather than
+        // silently resetting the fence to 0 (readMetaAtOpt contract).
         val epoch = TableLayout.resolveOpt(spark, path)
-          .flatMap(s => scala.util.Try(readMetaAt(spark, path, s)).toOption)
-          .map(m => m.retractEpoch +
-            (if (m.tombstones.nonEmpty) 1L else 0L))
+          .flatMap(s => readMetaAtOpt(spark, path, s))
+          .map(m => graft.ops.Tombstones.nextEpoch(
+            m.retractEpoch, m.tombstones))
           .getOrElse(0L)
         // meta lands INSIDE the new generation before the manifest
         // commit: a reader resolving the new snapshot always finds
@@ -488,28 +505,34 @@ object TextIndex {
     * [[vacuum]] (or a full [[build]]) folds the rows out physically
     * and resets the list.
     *
-    * The token decrement comes from ONE column-pruned pass over the
-    * live postings (`doc_id`, `tf` only — `sum(tf)` over a doc's
-    * postings IS its token count; empty docs carry zero either way).
-    * Batch takedowns to amortize it. Ids already tombstoned are
-    * skipped (idempotent re-delivery). CONTRACT: ids must have been
-    * ingested — `nDocs` decrements per fresh id, so retracting an id
-    * that was never ingested deflates the doc count (the same honesty
-    * contract as [[append]]'s "ids must be NEW", and undetectable for
-    * the same reason: an empty-text doc and an unknown id both have
-    * no postings). Runs under the single-writer lease.
+    * BOTH stat decrements are PRESENCE-BASED and come from ONE
+    * column-pruned pass over the live postings: per fresh id its
+    * live `(doc_id, sum(tf))` — the id set drives the `nDocs`
+    * decrement, the tf sum the token decrement. A fresh id with NO
+    * live postings decrements nothing: it is either never-ingested,
+    * already folded out by a [[vacuum]] (a takedown feed that
+    * repeats an id across batches AFTER an in-stream vacuum reset
+    * the list — the one duplicate the tombstone-skip cannot see —
+    * now converges to a stats no-op instead of double-decrementing
+    * `N`), or a genuinely ingested EMPTY document. The empty-doc leg
+    * is the residual ambiguity: its retraction leaves `nDocs` one
+    * HIGH until the next full rebuild — conservative (the doc has no
+    * postings and can never be served) and bounded, unlike the
+    * repeatable downward drift presence-based accounting closes. Ids
+    * already tombstoned are skipped (idempotent re-delivery). Batch
+    * takedowns to amortize the pass. Runs under the single-writer
+    * lease.
     *
     * `verifyExists = true` is the belt for a takedown feed that
-    * CANNOT be trusted to honor that contract (and for metas written
-    * before the `maxDocId` bound existed, where the cheap rejection
-    * cannot run): every fresh id must have live postings, checked
-    * with one column-pruned `doc_id` scan, or the batch is rejected
-    * with the store unchanged. The probe cannot distinguish a
-    * never-ingested id from a genuinely ingested EMPTY document
-    * (both have no postings — the docstring ambiguity above), so it
-    * refuses both: use it only on corpora where empty documents are
-    * not expected to be retracted. Default off — the probe costs an
-    * index id-column pass per batch. */
+    * cannot be trusted at all (and for metas written before the
+    * `maxDocId` bound existed, where the cheap rejection cannot
+    * run): every fresh id must appear in that same live-postings
+    * pass or the batch is rejected with the store unchanged. The
+    * probe cannot distinguish a never-ingested id from an
+    * already-vacuumed or genuinely-EMPTY ingested document (none
+    * have postings), so it refuses all three: use it only on feeds
+    * where those are not expected. Default off; it costs nothing
+    * extra (the stats pass already computes presence). */
   def retract(ss: SparkSession, path: String, docIds: Seq[Long],
       verifyExists: Boolean = false): Unit =
     StoreLock.withLock(ss, path) {
@@ -533,38 +556,38 @@ object TextIndex {
             "unchanged; clean the takedown feed.")
       }
       if (fresh.nonEmpty) {
-        if (verifyExists) {
-          val present = TableLayout.readAtOpt(ss, path, snap)
-            .map(live => graft.ops.Tombstones.restrict(
-                live.select("doc_id"), "doc_id", fresh)
-              .distinct().collect().map(_.getLong(0)).toSet)
-            .getOrElse(Set.empty[Long])
-          val missing = fresh.filterNot(present.contains)
-          require(missing.isEmpty,
-            s"TextIndex.retract at $path: doc_id(s) " +
-              s"${missing.take(5).mkString(", ")}" +
-              s"${if (missing.length > 5) ", …" else ""} have no live " +
-              "postings — never ingested, already vacuumed, or an " +
-              "ingested EMPTY document (indistinguishable without " +
-              "postings); verifyExists refuses all three so an " +
-              "untrusted feed cannot silently deflate N/avgdl. The " +
-              "store is unchanged.")
-        }
-        val gone = TableLayout.readAtOpt(ss, path, snap) match {
-          case None => 0L
-          case Some(live) =>
-            val r = graft.ops.Tombstones.restrict(
-                live.select("doc_id", "tf"), "doc_id", fresh)
-              .agg(coalesce(sum(col("tf")), lit(0L))).head()
-            r.getLong(0)
-        }
+        // ONE column-pruned pass yields presence AND the token
+        // decrement together: per fresh id, its live (doc_id,
+        // sum(tf)). Driver rows bounded by the tombstone cap.
+        val liveStats: Map[Long, Long] =
+          TableLayout.readAtOpt(ss, path, snap) match {
+            case None => Map.empty
+            case Some(live) =>
+              graft.ops.Tombstones.restrict(
+                  live.select("doc_id", "tf"), "doc_id", fresh)
+                .groupBy("doc_id")
+                .agg(coalesce(sum(col("tf")), lit(0L)).as("toks"))
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          }
+        val missing = fresh.filterNot(liveStats.contains)
+        if (verifyExists) require(missing.isEmpty,
+          s"TextIndex.retract at $path: doc_id(s) " +
+            s"${missing.take(5).mkString(", ")}" +
+            s"${if (missing.length > 5) ", …" else ""} have no live " +
+            "postings — never ingested, already vacuumed, or an " +
+            "ingested EMPTY document (indistinguishable without " +
+            "postings); verifyExists refuses all three so an " +
+            "untrusted feed cannot silently deflate N/avgdl. The " +
+            "store is unchanged.")
+        val gone = liveStats.valuesIterator.sum
         writeMetaIn(TableLayout.fsOf(ss, path), newestGenDir(path, snap),
-          meta.copy(nDocs = meta.nDocs - fresh.length,
+          meta.copy(nDocs = meta.nDocs - liveStats.size,
             totalTokens = meta.totalTokens - gone,
             tombstones = all))
-        log.info(s"retracted ${fresh.length} doc(s) / $gone token(s) " +
-          s"from the text index at $path (${all.length} live " +
-          "tombstone(s))")
+        log.info(s"retracted ${liveStats.size} live doc(s) / $gone " +
+          s"token(s) from the text index at $path " +
+          s"(${missing.length} fresh id(s) had no live postings; " +
+          s"${all.length} live tombstone(s))")
       }
     }
 

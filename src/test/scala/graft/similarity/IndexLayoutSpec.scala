@@ -366,6 +366,33 @@ class IndexLayoutSpec extends AnyFunSuite {
       .filter(col("id") === ra).count() === 1L)
   }
 
+  test("annIndexVacuum on a DATALESS snapshot with live tombstones " +
+      "takes the metadata-only reset instead of readAt's empty-store " +
+      "failure") {
+    import spark.implicits._
+    val path = graft.util.TempDirs.scoped("layout-annvac0").toString
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 17) % 7) - 3) * 0.02f
+    val base = (0 until 20).map(i => (i.toLong,
+        Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexBuild(base, "vec_id", "embedding",
+      nCells = 2, iters = 2, path = path)
+    // fold EVERY live row out: the store is now dataless
+    Similarity.annIndexRetract(spark, path, (0L until 20L).toSeq)
+    Similarity.annIndexVacuum(spark, path)
+    val folded = IndexLayout.resolve(spark, path)
+    assert(folded.repoch === 1L && folded.tombstones === Nil)
+    // a metadata-only retract on the dataless store (e.g. a bogus
+    // takedown id under verifyExists=false) re-arms the list...
+    Similarity.annIndexRetract(spark, path, Seq(3L))
+    // ...and the next vacuum — including the in-stream automation's —
+    // must reset it without crashing on the dataless read
+    Similarity.annIndexVacuum(spark, path)
+    val after = IndexLayout.resolve(spark, path)
+    assert(after.tombstones === Nil && after.repoch === 2L,
+      "dataless vacuum must take the metadata-only reset + epoch bump")
+  }
+
   test("pre-unification manifest (no pcol= line, dedicated centroids= " +
       "key) stays fully mutable: append and compact succeed on it") {
     import spark.implicits._

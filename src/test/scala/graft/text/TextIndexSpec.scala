@@ -314,9 +314,10 @@ class TextIndexSpec extends AnyFunSuite {
     val fresh = graft.util.TempDirs.scoped("textidx-retr-fresh")
       .toString + "/ix"
     TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
-    // the would-be-fresh state: built WITHOUT docs 2, 5 (EMPTY text —
-    // the zero-token edge) and 6
-    TextIndex.build(corpus.filter(!$"doc_id".isin(2L, 5L, 6L)),
+    // the would-be-fresh state: built WITHOUT docs 2 and 6 (doc 5 —
+    // EMPTY text, the zero-token edge — is retracted separately below
+    // to pin the presence-based residual)
+    TextIndex.build(corpus.filter(!$"doc_id".isin(2L, 6L)),
       "doc_id", "text", fresh, nBuckets = 4)
     val q = Seq((1L, "the quick brown fox"), (2L, "distributed index"),
       (3L, "fox")).toDF("query_id", "qtext")
@@ -326,21 +327,31 @@ class TextIndexSpec extends AnyFunSuite {
     // meta + slice at construction)...
     val preRetract = TextIndex.topK(q, "query_id", "qtext", k = 5, path)
     val preExpect = serve(path)
-    TextIndex.retract(spark, path, Seq(2L, 5L, 6L))
+    TextIndex.retract(spark, path, Seq(2L, 6L))
     // ...the in-flight plan still scores the old corpus
     assert(preRetract.orderBy("query_id", "rank").collect().toSeq
       === preExpect)
     // a new serve scores EXACTLY the fresh-build-without-the-docs
-    // state: same stats (doc 5 decrements N by 1 and tokens by 0),
-    // same df, same micro-unit scores
+    // state: same stats, same df, same micro-unit scores
     assert(serve(path) === serve(fresh))
     val m = TextIndex.readMeta(spark, path)
     assert(m.nDocs === TextIndex.readMeta(spark, fresh).nDocs)
     assert(m.totalTokens === TextIndex.readMeta(spark, fresh).totalTokens)
-    assert(m.tombstones === Seq(2L, 5L, 6L))
+    assert(m.tombstones === Seq(2L, 6L))
     // idempotent re-delivery: same ids again is a no-op
     TextIndex.retract(spark, path, Seq(2L, 6L))
     assert(TextIndex.readMeta(spark, path) === m)
+    // the PRESENCE-BASED residual, pinned: retracting the EMPTY doc 5
+    // (zero tokens -> zero postings) tombstones it but decrements
+    // NOTHING — nDocs stays one HIGH vs a fresh build without it (the
+    // conservative, bounded direction; the doc has no postings and
+    // can never be served), which is the price of closing the
+    // repeatable downward drift a vacuumed duplicate used to cause
+    TextIndex.retract(spark, path, Seq(5L))
+    val m5 = TextIndex.readMeta(spark, path)
+    assert(m5.nDocs === m.nDocs && m5.totalTokens === m.totalTokens)
+    assert(m5.tombstones === Seq(2L, 5L, 6L))
+    assert(serve(path) === serve(fresh))
     // a takedown id that was provably never ingested (above the
     // ingested-id bound) is rejected with the store unchanged —
     // decrementing N for it would silently corrupt every later score
@@ -348,7 +359,7 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.retract(spark, path, Seq(99L))
     }
     assert(bogusEx.getMessage.contains("never ingested"))
-    assert(TextIndex.readMeta(spark, path) === m)
+    assert(TextIndex.readMeta(spark, path) === m5)
     // re-appending a LIVE-TOMBSTONED id fails loudly BEFORE any IO:
     // the serve filter would hide it, stats would count it, and the
     // next vacuum would physically drop the new content
@@ -357,7 +368,7 @@ class TextIndexSpec extends AnyFunSuite {
         path)
     }
     assert(tombEx.getMessage.contains("LIVE-TOMBSTONED"))
-    assert(TextIndex.readMeta(spark, path) === m)
+    assert(TextIndex.readMeta(spark, path) === m5)
     // phrase serving drops the docs too ("the quick brown" matched
     // docs 1 and 2 pre-retract)
     val ph = TextIndex.phraseTopK(
@@ -397,6 +408,67 @@ class TextIndexSpec extends AnyFunSuite {
     val v = graft.ops.TableLayout.resolve(spark, path).version
     TextIndex.vacuum(spark, path)
     assert(graft.ops.TableLayout.resolve(spark, path).version === v)
+  }
+
+  test("a takedown id repeated across BATCHES after a vacuum converges " +
+      "to a stats no-op (presence-based decrement; the cross-batch " +
+      "duplicate the epoch fence cannot see)") {
+    val path = graft.util.TempDirs.scoped("textidx-dupvac").toString + "/ix"
+    val fresh = graft.util.TempDirs.scoped("textidx-dupvac-fresh")
+      .toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    TextIndex.build(corpus.filter($"doc_id" =!= 2L), "doc_id", "text",
+      fresh, nBuckets = 4)
+    // batch 1 retracts doc 2; an in-stream vacuum folds it out and
+    // RESETS the tombstone list (so per-id idempotence can no longer
+    // recognize the id)
+    TextIndex.retract(spark, path, Seq(2L))
+    TextIndex.vacuum(spark, path)
+    val m = TextIndex.readMeta(spark, path)
+    // batch 2 (a DIFFERENT batch — same-batch replay is the epoch
+    // fence's job) carries doc 2 again: no live postings -> nothing
+    // decrements; pre-fix this double-decremented nDocs permanently
+    TextIndex.retract(spark, path, Seq(2L))
+    val after = TextIndex.readMeta(spark, path)
+    assert(after.nDocs === m.nDocs && after.totalTokens === m.totalTokens,
+      "a vacuumed duplicate must not decrement stats again")
+    assert(after.tombstones === Seq(2L),
+      "the duplicate re-tombstones (harmless: serve-filtered, next " +
+        "vacuum folds nothing)")
+    val q = Seq((1L, "the quick brown fox"), (3L, "fox"))
+      .toDF("query_id", "qtext")
+    def serve(p: String) = TextIndex.topK(q, "query_id", "qtext", k = 5, p)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(path) === serve(fresh),
+      "post-duplicate serve must still equal the fresh build without " +
+        "the doc")
+  }
+
+  test("build over a store whose meta EXISTS but cannot be parsed " +
+      "fails loudly instead of silently resetting the retraction epoch") {
+    val path = graft.util.TempDirs.scoped("textidx-badmeta").toString + "/ix"
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    TextIndex.retract(spark, path, Seq(2L))
+    TextIndex.vacuum(spark, path)
+    assert(TextIndex.retractEpoch(spark, path) === 1L)
+    // corrupt every meta sidecar in place (a transient-IO / partial-
+    // write stand-in): the rebuild must PROPAGATE, not carry epoch 0
+    val fs = graft.ops.TableLayout.fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val metas = fs.listFiles(root, true)
+    var corrupted = 0
+    while (metas.hasNext) {
+      val f = metas.next().getPath
+      if (f.getName.startsWith("_textmeta-v")) {
+        val out = fs.create(f, true)
+        out.write("not a meta".getBytes("UTF-8")); out.close()
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0, "fixture must find a meta to corrupt")
+    intercept[Exception] {
+      TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
+    }
   }
 
   test("textIndexRetractStream: streamed takedown == batch retract; " +
@@ -507,10 +579,14 @@ class TextIndexSpec extends AnyFunSuite {
     val m = TextIndex.readMeta(spark, path)
     assert(m.tombstones === Seq(4L, 6L))
     assert(m.nDocs === before.nDocs - 2)
-    // trusted-feed mode still handles the empty doc (the caller
-    // vouches it was ingested)
+    // default mode tombstones the empty doc but decrements NOTHING
+    // (presence-based: no postings -> no stats movement; N stays one
+    // high until a rebuild — the documented conservative residual)
     TextIndex.retract(spark, path, Seq(5L))
-    assert(TextIndex.readMeta(spark, path).nDocs === before.nDocs - 3)
+    val m5 = TextIndex.readMeta(spark, path)
+    assert(m5.tombstones === Seq(4L, 5L, 6L))
+    assert(m5.nDocs === before.nDocs - 2 &&
+      m5.totalTokens === m.totalTokens)
   }
 
   test("retraction epoch fences a pre-marker crash replayed across a " +
