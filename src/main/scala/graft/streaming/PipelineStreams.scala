@@ -867,10 +867,11 @@ object PipelineStreams {
                 s"retract under retraction epoch $e, but the store at " +
                 s"$storePath is now at epoch $now — a vacuum or " +
                 "rebuild reset the tombstone list in between, so " +
-                "re-applying this batch could double-decrement corpus " +
-                "stats (or re-consume tombstone-cap slots) and whether " +
-                "the first attempt landed is not decidable from the " +
-                "store. Nothing was changed. Reconcile by hand: if the " +
+                "whether the first attempt landed is not decidable " +
+                "from the store (re-applying would silently re-consume " +
+                "tombstone-cap slots; corpus stats themselves converge " +
+                "by the presence-based decrement). Nothing was " +
+                "changed. Reconcile by hand: if the " +
                 "batch's ids are already absent from the store, create " +
                 s"the done marker ${ctx.scope}-b${ctx.batchId} and " +
                 "delete the intent marker; if they are still live, " +

@@ -513,7 +513,8 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("retract stream replayed across a VACUUM: markers keep " +
       "same-checkpoint re-delivery a no-op even after the tombstone " +
-      "list resets (the idempotence leg alone would double-decrement)") {
+      "list resets (no version burned, no cap slot re-eaten; stats " +
+      "would also survive by the presence-based algebra)") {
     val path = graft.util.TempDirs.scoped("textidx-sretr-vac").toString +
       "/ix"
     TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 4)
