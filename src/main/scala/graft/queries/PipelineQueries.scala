@@ -1642,6 +1642,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PHYSICAL FOLD of the ANN retraction (vacuum): q_sim_ann_retract's
+    // tombstone set, then annIndexVacuum rewrites ONLY the cells that
+    // hold tombstoned rows (trained centroids untouched — retraction
+    // never moves the geometry) and clears the list + bumps the
+    // retraction epoch in the same manifest commit. Serve must rank
+    // exactly as the metadata-only retract did — same training
+    // replay, retracted ids gone from the candidate side — now with
+    // the exclusion physical instead of filtered.
+    "q_sim_ann_vacuum" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivf-vac").toString
+      Similarity.ivfIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, iters = 2, path = path)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      val gone = e.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      Similarity.annIndexRetract(s, path, gone.toSeq)
+      Similarity.annIndexVacuum(s, path)
+      Similarity.ivfIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // STREAMED takedown feed against the ANN index: q_sim_ann_retract's
     // tombstone set arrives as 2 ordered drops (foreachBatch
     // annIndexRetract — marker-free, idempotent convergence); same
@@ -2093,6 +2117,28 @@ object PipelineQueries {
       val gone = docs.filter(expr("doc_id % 5 = 0"))
         .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
       TextIndex.retract(s, path, gone.toSeq)
+      TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
+          "query_id", "qtext", k = 5, path)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PHYSICAL FOLD of the retraction (vacuum): q_text_retract's
+    // takedown set, then TextIndex.vacuum republishes the live
+    // postings minus the tombstoned docs and resets the list (the
+    // retraction-epoch bump rides the same atomic meta write). The
+    // fold is value-invisible — stats were already decremented at
+    // retract — so the serve must STILL hash-match the fresh-build-
+    // without-the-docs oracle, now with zero tombstones left to
+    // filter at serve time (the pure physical-deletion path a
+    // compliance deadline demands).
+    "q_text_vacuum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = cowClusterTable(s, sharedTextIndex(s, d),
+        "graft-textidx-vac")
+      val gone = docs.filter(expr("doc_id % 5 = 0"))
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      TextIndex.retract(s, path, gone.toSeq)
+      TextIndex.vacuum(s, path)
       TextIndex.topK(bm25Queries(docs, "doc_id % 37 = 0"),
           "query_id", "qtext", k = 5, path)
         .orderBy("query_id", "rank")
@@ -4392,6 +4438,12 @@ object PipelineQueries {
       (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
       """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
+    // the physical fold never retrains and the exclusion set is the
+    // same, so the retraction oracle covers the post-vacuum serve
+    "q_sim_ann_vacuum" ->
+      (ivfIndexServeCtesFor("NOT (t.vec_id % 7 = 3)") +
+      """SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     // live grain = corpus minus the retracted set; the file/cell/
     // generation numbers ride as the fresh-build contract
     "q_sim_ann_health" ->
@@ -5085,6 +5137,13 @@ object PipelineQueries {
     // (stats, tf, df all over the remaining corpus); queries from the
     // full table
     "q_text_retract" ->
+      bm25OracleSql("doc_id % 37 = 0", 5,
+        corpusPred = "NOT (doc_id % 5 = 0)"),
+    // vacuum is value-invisible after retract (stats already
+    // decremented; the fold only moves the exclusion from serve-time
+    // filter to physical absence), so the retraction oracle covers
+    // the post-fold serve verbatim
+    "q_text_vacuum" ->
       bm25OracleSql("doc_id % 37 = 0", 5,
         corpusPred = "NOT (doc_id % 5 = 0)"),
     // the streamed takedown lands the same tombstones + stats the
