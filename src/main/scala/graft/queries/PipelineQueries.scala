@@ -2123,9 +2123,10 @@ object PipelineQueries {
     }),
 
     // PHYSICAL FOLD of the retraction (vacuum): q_text_retract's
-    // takedown set, then TextIndex.vacuum republishes the live
-    // postings minus the tombstoned docs and resets the list (the
-    // retraction-epoch bump rides the same atomic meta write). The
+    // takedown set, then TextIndex.vacuum rewrites ONLY the term
+    // buckets holding tombstoned postings (the ANN cell-fold
+    // discipline applied to the inverted file) and resets the list
+    // (the retraction-epoch bump rides the same atomic commit). The
     // fold is value-invisible — stats were already decremented at
     // retract — so the serve must STILL hash-match the fresh-build-
     // without-the-docs oracle, now with zero tombstones left to

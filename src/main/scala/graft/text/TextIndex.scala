@@ -591,15 +591,26 @@ object TextIndex {
       }
     }
 
-  /** Fold the tombstoned rows OUT physically and reset the list: one
-    * full republish of the live postings minus the retracted docs (no
-    * re-tokenization — index-sized, not corpus-sized), stats
-    * unchanged (retract already decremented them), fresh meta with an
-    * empty tombstone list inside the new generation before its
-    * manifest commit. Run it when the tombstone list nears the cap or
-    * ahead of a compliance deadline that demands physical deletion.
-    * Readers racing the vacuum keep the previous snapshot (ordinary
-    * grace window). Runs under the single-writer lease. */
+  /** Fold the tombstoned rows OUT physically and reset the list —
+    * BUCKET-SCOPED, the ANN vacuum's cell-fold discipline applied to
+    * the inverted file: only the term buckets that actually HOLD a
+    * tombstoned doc's postings are rewritten (probed by a
+    * column-pruned `(bucket, doc_id)` scan whose driver list is
+    * bounded by `nBuckets`), untouched buckets' bytes are never read,
+    * shuffled, or re-staged. No re-tokenization, stats unchanged
+    * (retract already decremented them); the fresh meta — empty
+    * tombstone list, bumped retraction epoch (the takedown-replay
+    * fence) — lands inside the new generation before its manifest
+    * commit, so no snapshot exists where the rows are folded but the
+    * fence has not moved. A natural-language doc's terms hash into
+    * MANY buckets, so a LARGE takedown set degrades toward a full
+    * rewrite — the honest floor for an inverted file — but the
+    * common small-batch fold (the takedown streams'
+    * `vacuumAfterTombstones` automation) stays touched-bucket-sized.
+    * Run it when the tombstone list nears the cap or ahead of a
+    * compliance deadline that demands physical deletion. Readers
+    * racing the vacuum keep the previous snapshot (ordinary grace
+    * window). Runs under the single-writer lease. */
   def vacuum(ss: SparkSession, path: String): Unit =
     StoreLock.withLockCtx(ss, path) { ctx =>
       val snap = TableLayout.resolve(ss, path)
@@ -613,11 +624,24 @@ object TextIndex {
           retractEpoch = meta.retractEpoch + 1L)
         TableLayout.readAtOpt(ss, path, snap) match {
           case Some(live) =>
-            TableLayout.publish(
-              graft.ops.Tombstones.exclude(live, "doc_id",
-                meta.tombstones),
-              path, Some("bucket"), ctx.token,
-              beforeCommit = dir => writeMetaIn(fs, dir, reset))
+            val touched = graft.ops.Tombstones.restrict(
+                live.select("bucket", "doc_id"), "doc_id",
+                meta.tombstones)
+              .select("bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            if (touched.isEmpty)
+              // every tombstoned doc has no live postings (ingested
+              // empty, or a crash after a prior vacuum's fold):
+              // metadata-only reset, no snapshot burned
+              writeMetaIn(fs, newestGenDir(path, snap), reset)
+            else
+              TableLayout.replacePartitions(ss, path,
+                graft.ops.Tombstones.exclude(
+                  live.filter(col("bucket")
+                    .isin(touched.map(Integer.valueOf): _*)),
+                  "doc_id", meta.tombstones),
+                touched.map(_.toString), ctx.token,
+                beforeCommit = dir => writeMetaIn(fs, dir, reset))
           case None => // dataless snapshot: nothing physical to fold
             writeMetaIn(fs, newestGenDir(path, snap), reset)
         }

@@ -410,6 +410,62 @@ class TextIndexSpec extends AnyFunSuite {
     assert(graft.ops.TableLayout.resolve(spark, path).version === v)
   }
 
+  test("vacuum is BUCKET-SCOPED: only buckets holding a tombstoned " +
+      "doc's postings are rewritten; untouched buckets' files are " +
+      "never re-staged") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.util.TempDirs.scoped("textidx-vacsc").toString + "/ix"
+    val fresh = graft.util.TempDirs.scoped("textidx-vacsc-fresh")
+      .toString + "/ix"
+    // doc 6 is a single distinct term ("fox") -> exactly ONE bucket
+    TextIndex.build(corpus, "doc_id", "text", path, nBuckets = 8)
+    TextIndex.build(corpus.filter($"doc_id" =!= 6L), "doc_id", "text",
+      fresh, nBuckets = 8)
+    val fs = graft.ops.TableLayout.fsOf(spark, path)
+    val base = graft.ops.TableLayout.resolve(spark, path)
+    val baseGenDir = new Path(path, base.gens.last.dir)
+    def files(dir: Path): Map[String, Long] = {
+      val it = fs.listFiles(dir, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += (f.getPath.toString -> f.getModificationTime)
+      }
+      b.result()
+    }
+    val baseFiles = files(baseGenDir)
+    TextIndex.retract(spark, path, Seq(6L))
+    TextIndex.vacuum(spark, path)
+    val snap = graft.ops.TableLayout.resolve(spark, path)
+    assert(snap.gens.length === 2, "the fold lands in a NEW generation")
+    val newGenDir = new Path(path, snap.gens.last.dir)
+    val rewritten = fs.listStatus(newGenDir)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+    assert(rewritten.length === 1,
+      s"one distinct term -> one touched bucket; got ${rewritten.toSeq}")
+    // the base generation's files are untouched on disk (no rename,
+    // no rewrite) and the manifest excludes only the touched value
+    assert(files(baseGenDir) === baseFiles,
+      "untouched buckets must never be re-staged")
+    assert(snap.gens.head.exclude === Seq(rewritten.head.split("=")(1)),
+      "older generations exclude exactly the rewritten bucket value")
+    // the touched bucket's rewrite holds the OTHER fox docs, not doc 6
+    val newRows = spark.read.parquet(newGenDir.toString)
+    assert(newRows.filter($"doc_id" === 6L).count() === 0L)
+    assert(newRows.filter($"doc_id" =!= 6L).count() > 0L,
+      "co-bucketed live postings survive the fold")
+    // value-level: serve equals a fresh build without the doc
+    val q = Seq((1L, "quick fox"), (3L, "fox scoring"))
+      .toDF("query_id", "qtext")
+    def serve(p: String) = TextIndex.topK(q, "query_id", "qtext",
+        k = 5, p).orderBy("query_id", "rank").collect().toSeq
+    assert(serve(path) === serve(fresh))
+    val m = TextIndex.readMeta(spark, path)
+    assert(m.tombstones === Nil && m.retractEpoch === 1L)
+  }
+
   test("a takedown id repeated across BATCHES after a vacuum converges " +
       "to a stats no-op (presence-based decrement; the cross-batch " +
       "duplicate the epoch fence cannot see)") {
