@@ -344,6 +344,42 @@ private[graft] object TableLayout {
         val succ = new Path(root, "_SUCCESS")
         if (fs.exists(succ)) fs.delete(succ, false)
       }
+      // EXCLUDED-PARTITION reap — the partition-rewrite twin of the
+      // unreferenced-generation reap above: a partition dir inside a
+      // still-referenced generation whose value is excluded by EVERY
+      // kept manifest that references the generation is dead bytes
+      // under the whole grace window. Without this, a long-lived
+      // store's base generation accretes superseded partition dirs
+      // forever, and a vacuumed takedown's folded postings would
+      // never physically leave disk. A kept manifest that references
+      // the generation WITHOUT a partition column (a mid-migration
+      // snapshot reads every file) blocks the reap for that
+      // generation; so does one kept manifest without the exclusion
+      // (the in-flight-reader grace, same as generation deletion).
+      ManifestIo.list(fs, root, fam.manifestPrefix)
+        .map { case (v, p) =>
+          parseText(fam)(ManifestIo.readText(fs, p), v) }
+        .flatMap(s => s.gens.map(g =>
+          g.dir -> s.pcol.map(pc => excludedDirNames(pc, g))))
+        .groupBy(_._1).foreach { case (dir, refs) =>
+          val sets = refs.map(_._2)
+          if (sets.nonEmpty && sets.forall(_.isDefined)) {
+            val dead = sets.map(_.get).reduceLeft(_ intersect _)
+            if (dead.nonEmpty) {
+              val genPath = if (dir.isEmpty) root else new Path(root, dir)
+              dead.foreach { d =>
+                val p = new Path(genPath, d)
+                if (fs.exists(p)) {
+                  log.info(s"${fam.what} gc at $root: deleting " +
+                    s"partition $d of ${if (dir.isEmpty) "the root " +
+                      "generation" else dir} excluded by every kept " +
+                    "manifest")
+                  fs.delete(p, true)
+                }
+              }
+            }
+          }
+        }
     }
   }
 

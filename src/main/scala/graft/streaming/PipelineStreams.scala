@@ -868,9 +868,8 @@ object PipelineStreams {
                 s"$storePath is now at epoch $now — a vacuum or " +
                 "rebuild reset the tombstone list in between, so " +
                 "whether the first attempt landed is not decidable " +
-                "from the store (re-applying would silently re-consume " +
-                "tombstone-cap slots; corpus stats themselves converge " +
-                "by the presence-based decrement). Nothing was " +
+                "from the store, and re-applying would silently " +
+                "re-consume tombstone-cap slots. Nothing was " +
                 "changed. Reconcile by hand: if the " +
                 "batch's ids are already absent from the store, create " +
                 s"the done marker ${ctx.scope}-b${ctx.batchId} and " +

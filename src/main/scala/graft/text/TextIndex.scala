@@ -608,9 +608,13 @@ object TextIndex {
     * common small-batch fold (the takedown streams'
     * `vacuumAfterTombstones` automation) stays touched-bucket-sized.
     * Run it when the tombstone list nears the cap or ahead of a
-    * compliance deadline that demands physical deletion. Readers
-    * racing the vacuum keep the previous snapshot (ordinary grace
-    * window). Runs under the single-writer lease. */
+    * compliance deadline that demands physical deletion — the folded
+    * rows leave the live store at the commit and leave DISK at the
+    * end of the manifest grace window, when the layout gc reaps the
+    * superseded bucket dirs once every kept manifest excludes them
+    * (the same grace every generation drop honors for in-flight
+    * readers). Readers racing the vacuum keep the previous snapshot.
+    * Runs under the single-writer lease. */
   def vacuum(ss: SparkSession, path: String): Unit =
     StoreLock.withLockCtx(ss, path) { ctx =>
       val snap = TableLayout.resolve(ss, path)
@@ -622,31 +626,30 @@ object TextIndex {
         // re-delivered after it must fail loudly, not re-decrement
         val reset = meta.copy(tombstones = Nil,
           retractEpoch = meta.retractEpoch + 1L)
-        TableLayout.readAtOpt(ss, path, snap) match {
-          case Some(live) =>
-            val touched = graft.ops.Tombstones.restrict(
-                live.select("bucket", "doc_id"), "doc_id",
-                meta.tombstones)
-              .select("bucket").distinct()
-              .collect().map(_.getInt(0)).toSeq.sorted
-            if (touched.isEmpty)
-              // every tombstoned doc has no live postings (ingested
-              // empty, or a crash after a prior vacuum's fold):
-              // metadata-only reset, no snapshot burned
-              writeMetaIn(fs, newestGenDir(path, snap), reset)
-            else
-              TableLayout.replacePartitions(ss, path,
-                graft.ops.Tombstones.exclude(
-                  live.filter(col("bucket")
-                    .isin(touched.map(Integer.valueOf): _*)),
-                  "doc_id", meta.tombstones),
-                touched.map(_.toString), ctx.token,
-                beforeCommit = dir => writeMetaIn(fs, dir, reset))
-          case None => // dataless snapshot: nothing physical to fold
-            writeMetaIn(fs, newestGenDir(path, snap), reset)
-        }
+        val liveOpt = TableLayout.readAtOpt(ss, path, snap)
+        val touched = liveOpt.map(live =>
+          graft.ops.Tombstones.restrict(
+              live.select("bucket", "doc_id"), "doc_id",
+              meta.tombstones)
+            .select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted)
+          .getOrElse(Seq.empty)
+        if (touched.nonEmpty)
+          TableLayout.replacePartitions(ss, path,
+            graft.ops.Tombstones.exclude(
+              liveOpt.get.filter(col("bucket")
+                .isin(touched.map(Integer.valueOf): _*)),
+              "doc_id", meta.tombstones),
+            touched.map(_.toString), ctx.token,
+            beforeCommit = dir => writeMetaIn(fs, dir, reset))
+        else
+          // no tombstoned doc has live postings (dataless snapshot,
+          // ingested-empty docs, or a crash after a prior vacuum's
+          // fold): metadata-only reset, no snapshot burned
+          writeMetaIn(fs, newestGenDir(path, snap), reset)
         log.info(s"vacuumed ${meta.tombstones.length} tombstoned " +
-          s"doc(s) out of the text index at $path")
+          s"doc(s) out of the text index at $path " +
+          s"(${touched.length} bucket(s) rewritten)")
       }
     }
 

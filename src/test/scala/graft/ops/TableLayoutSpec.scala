@@ -377,4 +377,40 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data-g1")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data-g2")))
   }
+
+  test("gc reaps a partition dir excluded by EVERY kept manifest that " +
+      "references its generation: superseded partitions leave disk " +
+      "after the grace window, not never") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.util.TempDirs.scoped("tl-exreap").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 11L, "a"), path, Some("ib"), t))
+    val fs = TableLayout.fsOf(spark, path)
+    val g1ib0 = new Path(s"$path/data-g1/ib=0")
+    assert(fs.exists(g1ib0))
+    // rewrite ib=0: manifest v2 excludes it from g1, but manifest v1
+    // (still kept, KeepManifests deep) references g1 WITHOUT the
+    // exclusion -- an in-flight reader at v1 may still scan the dir
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, mk(Seq(4L), "b"),
+        Seq("0"), t))
+    assert(fs.exists(g1ib0),
+      "grace window: a kept manifest still reads the dir un-excluded")
+    // a second rewrite rotates v1 out: every kept manifest (v2, v3)
+    // now excludes ib=0 from g1 -- dead bytes, the post-commit gc
+    // must delete them (pre-fix they survived FOREVER because the
+    // generation itself stays referenced)
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, mk(Seq(5L), "c"),
+        Seq("1"), t))
+    assert(!fs.exists(g1ib0),
+      "a partition excluded by every kept manifest must leave disk")
+    // the half-graced twin survives: g1/ib=1 is excluded by v3 but
+    // NOT by v2, so it keeps its grace window
+    assert(fs.exists(new Path(s"$path/data-g1/ib=1")))
+    // live reads unaffected throughout
+    assert(rows(TableLayout.read(spark, path)) ==
+      (rows(mk(0L to 11L, "a")).filterNot(r => r._3 == 0 || r._3 == 1)
+        ++ rows(mk(Seq(4L), "b")) ++ rows(mk(Seq(5L), "c"))))
+  }
 }
