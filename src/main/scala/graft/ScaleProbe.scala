@@ -268,6 +268,58 @@ object ScaleProbe {
     System.err.println(f"[probe] ann index serve: clean exponent " +
       f"$anT0Exp%.2f, tomb600 $anT600Exp%.2f, tomb2000 $anT2000Exp%.2f")
 
+    // r13 addition — the PHYSICAL FOLD paths (bucket-scoped text
+    // vacuum, cell-scoped ANN vacuum): the claim under test is that a
+    // takedown-unit fold is TOUCHED-partition-sized, not index-sized,
+    // under the production posture nBuckets/nCells ∝ corpus (a
+    // fixed-size takedown then rewrites a fixed number of fixed-size
+    // partitions). A corpus-sized rewrite would show exponent ~1; the
+    // scoped fold stays ~flat. Per repeat: retract a FRESH id set
+    // (untimed), fold (timed), min over repeats — a second vacuum of
+    // the same list is a no-op, so repeats must each bring their own
+    // tombstones. Takedown units match the fold grains: one document
+    // (its distinct terms bound the touched buckets) / 8 vectors
+    // (each lives in exactly one cell).
+    def timeTextVacuum(dir: String, nBuckets: Int): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val path = graft.util.TempDirs.scoped("probe-tvac").toString + "/ix"
+      graft.text.TextIndex.build(docs, "doc_id", "text", path,
+        nBuckets = nBuckets)
+      val ids = docs.filter(col("doc_id") >= 10).select("doc_id")
+        .orderBy("doc_id").limit(repeats).collect()
+        .map(_.getLong(0)).toSeq
+      ids.map { id =>
+        graft.text.TextIndex.retract(spark, path, Seq(id))
+        val t0 = System.nanoTime()
+        graft.text.TextIndex.vacuum(spark, path)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    def timeAnnVacuum(dir: String, nCells: Int): Double = {
+      val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val path = graft.util.TempDirs.scoped("probe-avac").toString
+      graft.similarity.Similarity.ivfIndexBuild(emb2, "vec_id",
+        "embedding", nCells = nCells, iters = 1, path = path)
+      val ids = emb2.filter(col("vec_id") >= 10).select("vec_id")
+        .orderBy("vec_id").limit(8 * repeats).collect()
+        .map(_.getLong(0)).toSeq
+      ids.grouped(8).map { g =>
+        graft.similarity.Similarity.annIndexRetract(spark, path, g.toSeq)
+        val t0 = System.nanoTime()
+        graft.similarity.Similarity.annIndexVacuum(spark, path)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val tvB = timeTextVacuum(baseDir, 64)
+    val tvS = timeTextVacuum(scaledDir, 64 * factor)
+    val avB = timeAnnVacuum(baseDir, 64)
+    val avS = timeAnnVacuum(scaledDir, 64 * factor)
+    val tvExp = math.log(tvS / tvB) / math.log(factor.toDouble)
+    val avExp = math.log(avS / avB) / math.log(factor.toDouble)
+    System.err.println(f"[probe] vacuum folds: text 1-doc $tvB%.2f -> " +
+      f"$tvS%.2f s (exponent $tvExp%.2f), ann 8-id $avB%.2f -> " +
+      f"$avS%.2f s (exponent $avExp%.2f)")
+
     def f3(d: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qJson = rows.map { case (n, tb, ts, exp) =>
@@ -275,8 +327,10 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val tombJson =
       s""""tomb_serves":{"text_600":{"base_sec":${f3(tiT600B)},"scaled_sec":${f3(tiT600S)},"exponent":${f3(tiT600Exp)}},"text_2000":{"base_sec":${f3(tiT2000B)},"scaled_sec":${f3(tiT2000S)},"exponent":${f3(tiT2000Exp)}},"ann_0":{"base_sec":${f3(anT0B)},"scaled_sec":${f3(anT0S)},"exponent":${f3(anT0Exp)}},"ann_600":{"base_sec":${f3(anT600B)},"scaled_sec":${f3(anT600S)},"exponent":${f3(anT600Exp)}},"ann_2000":{"base_sec":${f3(anT2000B)},"scaled_sec":${f3(anT2000S)},"exponent":${f3(anT2000Exp)}}}"""
+    val vacJson =
+      s""""vacuum":{"text_1doc":{"base_sec":${f3(tvB)},"scaled_sec":${f3(tvS)},"exponent":${f3(tvExp)}},"ann_8id":{"base_sec":${f3(avB)},"scaled_sec":${f3(avS)},"exponent":${f3(avExp)}}}"""
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)},"phrase_base_sec":${f3(tiPhraseB)},"phrase_scaled_sec":${f3(tiPhraseS)},"phrase_exponent":${f3(tiPhraseExp)}},$tombJson,"queries":$qJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","repeats":$repeats,"bpe100_local_sec":${f3(bpeLocal)},"bpe100_distributed_sec":${f3(bpeDist)},"text_index":{"build_base_sec":${f3(tiBuildB)},"build_scaled_sec":${f3(tiBuildS)},"serve_base_sec":${f3(tiServeB)},"serve_scaled_sec":${f3(tiServeS)},"serve_exponent":${f3(tiServeExp)},"phrase_base_sec":${f3(tiPhraseB)},"phrase_scaled_sec":${f3(tiPhraseS)},"phrase_exponent":${f3(tiPhraseExp)}},$tombJson,$vacJson,"queries":$qJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
