@@ -86,6 +86,17 @@ object ScaleProbe {
       body
       (System.nanoTime() - t1) / 1e9
     }.min
+    // the setup-aware variant for one-shot mutations (a repeat must
+    // bring fresh state — e.g. a vacuum needs fresh tombstones); the
+    // SAME min discipline as [[timed]], defined beside it so a change
+    // to one cannot leave the other on the old discipline
+    def timedEach[A](units: Seq[A])(setup: A => Unit)
+        (body: => Unit): Double = units.map { u =>
+      setup(u)
+      val t1 = System.nanoTime()
+      body
+      (System.nanoTime() - t1) / 1e9
+    }.min
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -288,12 +299,10 @@ object ScaleProbe {
       val ids = docs.filter(col("doc_id") >= 10).select("doc_id")
         .orderBy("doc_id").limit(repeats).collect()
         .map(_.getLong(0)).toSeq
-      ids.map { id =>
-        graft.text.TextIndex.retract(spark, path, Seq(id))
-        val t0 = System.nanoTime()
+      timedEach(ids)(id =>
+        graft.text.TextIndex.retract(spark, path, Seq(id))) {
         graft.text.TextIndex.vacuum(spark, path)
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     }
     def timeAnnVacuum(dir: String, nCells: Int): Double = {
       val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -303,12 +312,11 @@ object ScaleProbe {
       val ids = emb2.filter(col("vec_id") >= 10).select("vec_id")
         .orderBy("vec_id").limit(8 * repeats).collect()
         .map(_.getLong(0)).toSeq
-      ids.grouped(8).map { g =>
-        graft.similarity.Similarity.annIndexRetract(spark, path, g.toSeq)
-        val t0 = System.nanoTime()
+      timedEach(ids.grouped(8).toSeq)(g =>
+        graft.similarity.Similarity.annIndexRetract(spark, path,
+          g.toSeq)) {
         graft.similarity.Similarity.annIndexVacuum(spark, path)
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     }
     val tvB = timeTextVacuum(baseDir, 64)
     val tvS = timeTextVacuum(scaledDir, 64 * factor)

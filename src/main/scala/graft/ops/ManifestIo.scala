@@ -92,15 +92,21 @@ private[graft] object ManifestIo {
     * files). */
   def gcKeepReferenced(fs: FileSystem, root: Path, prefix: String,
       keep: Int, refsOf: (String, Long) => Set[String],
-      deletable: String => Boolean, what: String): Option[Set[String]] = {
+      deletable: String => Boolean,
+      what: String): Option[(Set[String], Seq[(Long, String)])] = {
     val manifests = list(fs, root, prefix)
     if (manifests.isEmpty) return None
     val (dead, kept) = manifests.splitAt(
       math.max(0, manifests.length - keep))
+    // each kept manifest's text is read ONCE and returned to the
+    // caller for layout-specific follow-up (the excluded-partition
+    // reap) — a second list+read round per gc would double manifest
+    // IO on every commit
+    val keptTexts = kept.map { case (v, p) => (v, readText(fs, p)) }
     // the REAL version rides into the parse so a corrupt kept
     // manifest fails naming the snapshot an operator can find
     val referenced: Set[String] =
-      kept.flatMap { case (v, p) => refsOf(readText(fs, p), v) }.toSet
+      keptTexts.flatMap { case (v, t) => refsOf(t, v) }.toSet
     dead.foreach { case (_, p) => fs.delete(p, false) }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -109,7 +115,7 @@ private[graft] object ManifestIo {
         fs.delete(st.getPath, true)
       }
     }
-    Some(referenced)
+    Some((referenced, keptTexts))
   }
 
   /** Re-read the [[StoreLock]] epoch at `<storePath>.epoch` and throw

@@ -333,7 +333,7 @@ private[graft] object TableLayout {
           "\\d+") || n.startsWith(".manifest-tmp-") ||
         fam.extraDeletable(n),
       fam.what
-    ).foreach { referenced =>
+    ).foreach { case (referenced, keptTexts) =>
       // the legacy root-level generation, once unreferenced: reap the
       // root-level data files and partition dirs (they are only ever
       // engine-written parquet output). Families whose legacy layout
@@ -356,9 +356,10 @@ private[graft] object TableLayout {
       // snapshot reads every file) blocks the reap for that
       // generation; so does one kept manifest without the exclusion
       // (the in-flight-reader grace, same as generation deletion).
-      ManifestIo.list(fs, root, fam.manifestPrefix)
-        .map { case (v, p) =>
-          parseText(fam)(ManifestIo.readText(fs, p), v) }
+      // Kept manifests arrive pre-read from gcKeepReferenced — one
+      // manifest-IO round per gc, not two.
+      keptTexts
+        .map { case (v, t) => parseText(fam)(t, v) }
         .flatMap(s => s.gens.map(g =>
           g.dir -> s.pcol.map(pc => excludedDirNames(pc, g))))
         .groupBy(_._1).foreach { case (dir, refs) =>
@@ -382,6 +383,31 @@ private[graft] object TableLayout {
         }
     }
   }
+
+  /** Close the manifest grace window EXPLICITLY on a QUIESCENT store:
+    * re-commit the live snapshot unchanged at version+1 under the
+    * lease, then gc — rotating the oldest kept manifest out, so
+    * exclusions and generation drops that every REMAINING manifest
+    * agrees on become physically deletable WITHOUT waiting for a
+    * future data rewrite. The case that needs it: a frozen/archived
+    * corpus takes a compliance takedown — vacuum folds the rows out
+    * of the live snapshot, but the pre-vacuum manifest still reads
+    * the superseded partition dirs un-excluded and no further ingest
+    * will ever rotate it out; one `expire` call (at the default
+    * [[KeepManifests]]=2) retires it and the excluded-partition reap
+    * fires. The burned version is the honest price of demanding
+    * deletion NOW; routine callers just let the next rewrite close
+    * the window. In-flight readers that resolved BEFORE the expire
+    * lose their grace for the expired bytes — the caller is asserting
+    * the store is quiescent. */
+  def expire(ss: SparkSession, path: String,
+      fam: Family = StoreFamily): Unit =
+    StoreLock.withLockCtx(ss, path) { ctx =>
+      val snap = resolve(ss, path, fam)
+      commit(ss, path, snap.copy(version = snap.version + 1L),
+        ctx.token, fam)
+      gc(ss, path, fam = fam)
+    }
 
   /** One generation's relation, with its exclusions applied; `None`
     * when the generation holds no data files (an emptied rewrite

@@ -1633,8 +1633,10 @@ object PipelineQueries {
     // exactly what build+append must reconstruct from disk.
     "q_sim_ann_index" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // first consumer of the shared build+append memo pays (and
-      // thereby measures) the training; later consumers serve it
+      // first consumer of the shared build+append memo pays the
+      // training ONCE per app (later consumers serve it; under
+      // Bench's min-of-repeats the paying attempt is excluded from
+      // the recorded second — the row measures the serve)
       Similarity.ivfIndexTopK(e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbe = 2,
           path = sharedIvfIndex(s, d))

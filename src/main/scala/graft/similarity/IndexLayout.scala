@@ -151,6 +151,11 @@ private[graft] object IndexLayout {
       keepManifests: Int = KeepManifests): Unit =
     TableLayout.gc(ss, path, keepManifests, Fam)
 
+  /** The core's explicit grace-window closer under the index family —
+    * see [[graft.ops.TableLayout.expire]]. */
+  def expire(ss: SparkSession, path: String): Unit =
+    TableLayout.expire(ss, path, Fam)
+
   /** Heal damage the PRE-MANIFEST compactor could leave behind: a
     * crash between its rename(live -> .cell=N.pre-compact aside) and
     * rename(fresh -> live) left the cell absent from the listing

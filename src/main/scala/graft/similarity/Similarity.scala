@@ -2036,9 +2036,11 @@ object Similarity {
     * the fence has not moved. Run it when the backlog nears
     * [[graft.ops.Tombstones.MaxTombstones]] (the takedown streams'
     * `vacuumAfterTombstones` automation calls it), or ahead of a
-    * compliance deadline that demands physical deletion. Readers
-    * racing the vacuum keep the previous snapshot. Runs under the
-    * single-writer lease. */
+    * compliance deadline that demands physical deletion (the folded
+    * bytes leave disk at the end of the manifest grace window; on a
+    * QUIESCENT store close it explicitly with [[annIndexExpire]]).
+    * Readers racing the vacuum keep the previous snapshot. Runs
+    * under the single-writer lease. */
   def annIndexVacuum(ss: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     graft.ops.StoreLock.withLockCtx(ss, path) { ctx =>
@@ -2078,6 +2080,17 @@ object Similarity {
           "rewritten)")
       }
     }
+
+  /** Close the manifest grace window on a QUIESCENT index — the
+    * compliance tail of [[annIndexVacuum]]: on a store that no longer
+    * ingests, the pre-vacuum manifest (which still reads the folded
+    * cell dirs un-excluded) never rotates out, so the folded bytes
+    * never leave disk. One `annIndexExpire` after the vacuum retires
+    * it and the excluded-partition reap deletes them. See
+    * [[graft.ops.TableLayout.expire]] for the reader caveat. */
+  def annIndexExpire(ss: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    IndexLayout.expire(ss, path)
 
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, itersCoarse: Int, m: Int, ks: Int, itersPq: Int,

@@ -613,7 +613,9 @@ object TextIndex {
     * end of the manifest grace window, when the layout gc reaps the
     * superseded bucket dirs once every kept manifest excludes them
     * (the same grace every generation drop honors for in-flight
-    * readers). Readers racing the vacuum keep the previous snapshot.
+    * readers; on a QUIESCENT store nothing rotates the pre-vacuum
+    * manifest out — close the window explicitly with [[expire]]).
+    * Readers racing the vacuum keep the previous snapshot.
     * Runs under the single-writer lease. */
   def vacuum(ss: SparkSession, path: String): Unit =
     StoreLock.withLockCtx(ss, path) { ctx =>
@@ -652,6 +654,16 @@ object TextIndex {
           s"(${touched.length} bucket(s) rewritten)")
       }
     }
+
+  /** Close the manifest grace window on a QUIESCENT index — the
+    * compliance tail of [[vacuum]]: on a store that no longer
+    * ingests, the pre-vacuum manifest (which still reads the folded
+    * bucket dirs un-excluded) never rotates out, so the folded bytes
+    * never leave disk. One `expire` after the vacuum retires it and
+    * the excluded-partition reap deletes them. See
+    * [[graft.ops.TableLayout.expire]] for the reader caveat. */
+  def expire(ss: SparkSession, path: String): Unit =
+    TableLayout.expire(ss, path)
 
   final case class CompactReport(bucketsCompacted: Int,
       filesBefore: Long, filesAfter: Long)

@@ -413,4 +413,29 @@ class TableLayoutSpec extends AnyFunSuite {
       (rows(mk(0L to 11L, "a")).filterNot(r => r._3 == 0 || r._3 == 1)
         ++ rows(mk(Seq(4L), "b")) ++ rows(mk(Seq(5L), "c"))))
   }
+
+  test("expire closes the grace window on a quiescent store: one call " +
+      "after a partition rewrite lets the excluded-partition reap " +
+      "fire without any future data rewrite") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.util.TempDirs.scoped("tl-expire").toString + "/store"
+    lockedToken(path)(t =>
+      TableLayout.publish(mk(0L to 11L, "a"), path, Some("ib"), t))
+    lockedToken(path)(t =>
+      TableLayout.replacePartitions(spark, path, mk(Seq(4L), "b"),
+        Seq("0"), t))
+    val fs = TableLayout.fsOf(spark, path)
+    val g1ib0 = new Path(s"$path/data-g1/ib=0")
+    assert(fs.exists(g1ib0),
+      "grace: the pre-rewrite manifest still reads the dir")
+    val v = TableLayout.resolve(spark, path).version
+    TableLayout.expire(spark, path)
+    assert(TableLayout.resolve(spark, path).version === v + 1,
+      "expire burns exactly one version")
+    assert(!fs.exists(g1ib0),
+      "expire must rotate the pre-rewrite manifest out and reap")
+    assert(rows(TableLayout.read(spark, path)) ==
+      (rows(mk(0L to 11L, "a")).filterNot(_._3 == 0)
+        ++ rows(mk(Seq(4L), "b"))), "expire is value-invisible")
+  }
 }

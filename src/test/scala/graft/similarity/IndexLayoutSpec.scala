@@ -364,6 +364,15 @@ class IndexLayoutSpec extends AnyFunSuite {
       "vec_id", "embedding", path)
     assert(Similarity.indexPostings(spark, path)
       .filter(col("id") === ra).count() === 1L)
+    // the quiescent-store grace closer runs under the index family
+    // too: one version burned, serve untouched (the generic reap
+    // mechanics are pinned file-level in TableLayoutSpec/TextIndexSpec)
+    val preExp = IndexLayout.resolve(spark, path).version
+    Similarity.annIndexExpire(spark, path)
+    assert(IndexLayout.resolve(spark, path).version === preExp + 1)
+    assert(Similarity.indexPostings(spark, path)
+      .filter(col("id") === ra).count() === 1L,
+      "expire is value-invisible")
   }
 
   test("annIndexVacuum on a DATALESS snapshot with live tombstones " +

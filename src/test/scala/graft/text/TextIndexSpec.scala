@@ -464,6 +464,13 @@ class TextIndexSpec extends AnyFunSuite {
     assert(serve(path) === serve(fresh))
     val m = TextIndex.readMeta(spark, path)
     assert(m.tombstones === Nil && m.retractEpoch === 1L)
+    // compliance tail on a QUIESCENT store: nothing will rotate the
+    // pre-vacuum manifest out, so the folded bucket's bytes stay on
+    // disk until expire closes the grace window explicitly
+    TextIndex.expire(spark, path)
+    assert(!fs.exists(new Path(baseGenDir, rewritten.head)),
+      "expire must let the reap delete the folded bucket's old bytes")
+    assert(serve(path) === serve(fresh), "expire is value-invisible")
   }
 
   test("a takedown id repeated across BATCHES after a vacuum converges " +
