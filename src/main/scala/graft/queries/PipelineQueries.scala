@@ -1881,6 +1881,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // DOCUMENT RETRACTION from the persistent IVFADC index: the PQ
+    // family's takedown is the same metadata-only manifest commit the
+    // IVF gate drives (one unified layout underneath), but the serve
+    // path is ADC — reconstruction cosine over PQ codes — so this
+    // gate pins that the exclusion reaches the COMPRESSED candidate
+    // side too. Oracle: the same two-quantizer training replay with
+    // the tombstoned ids excluded from candidates only (queries still
+    // draw from the full table; retraction never retrains).
+    "q_sim_ann_ivfpq_retract" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val path = graft.util.TempDirs.scoped("graft-ivfpq-retr").toString
+      Similarity.ivfPqIndexBuild(e.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", nCells = 8, itersCoarse = 2,
+        m = 4, ks = 4, itersPq = 1, path = path)
+      Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", path = path)
+      val gone = e.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      Similarity.annIndexRetract(s, path, gone.toSeq)
+      Similarity.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 2, path = path)
+        .orderBy("query_id", "rank")
+    }),
+
     // The IVFADC index's recall observable: same build+append, every
     // approx row carries n_exact/n_hit/recall@5 against the ALL-CELLS
     // ADC serve over the same postings — pruning loss isolated from
@@ -2507,7 +2531,8 @@ object PipelineQueries {
   /** IVFADC-index replay through the ranked `r` CTE — shared by the
     * batch gate, the streaming gate, the recall observable, and (at
     * `trainPred = TRUE`, the full corpus) the post-maintain gate. */
-  private def ivfPqIndexCtesFor(trainPred: String): String =
+  private def ivfPqIndexCtesFor(trainPred: String,
+      candPred: String = "TRUE"): String =
     (ivfIndexAssignCtesFor(trainPred) + """,
         |resi AS (
         |  SELECT a.vec_id, a.cell,
@@ -2594,7 +2619,8 @@ object PipelineQueries {
         |cand AS (
         |  SELECT qp2.query_id, a.vec_id AS neighbor_id
         |  FROM qprobe qp2 JOIN a3 a ON qp2.cell = a.cell
-        |  WHERE a.vec_id <> qp2.query_id),
+        |  WHERE a.vec_id <> qp2.query_id AND (""".stripMargin +
+      candPred + """)),
         |qsub AS (
         |  SELECT vec_id, CAST(j AS INT) AS j,
         |    list_transform(list_slice(codes, j * 16 + 1, j * 16 + 16),
@@ -4804,6 +4830,14 @@ object PipelineQueries {
     // (delta, persisted centroids+codebook, no retrain) must
     // reconstruct from disk.
     "q_sim_ann_ivfpq_index" -> ivfPqIndexOracle,
+    // PQ retraction: identical two-quantizer replay (a tombstone
+    // commit never retrains), retracted ids excluded from the ADC
+    // candidate side only
+    "q_sim_ann_ivfpq_retract" ->
+      (ivfPqIndexCtesFor("vec_id % 10 <> 9", "NOT (a.vec_id % 7 = 3)") +
+      """
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     // compaction is value-invisible: rows identical to the ordinary
     // build+append index, only the file layout changes
     "q_sim_ann_index_compact" -> ivfPqIndexOracle,
