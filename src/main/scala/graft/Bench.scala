@@ -14,10 +14,17 @@ object Bench {
     // see through this box's episodic noisy-neighbor contention when
     // adjudicating a specific regression (doubles run time; default 1)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
-    val spark = SparkSession.builder()
+    // optional extra session confs for LOCAL A/B adjudication runs
+    // ("k=v;k=v"); the driver never sets this, so driver-run benches
+    // always measure the in-code defaults
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
       // ContextCleaner reaps broadcast/shuffle blocks only after their
       // references are GC'd, and its own fallback GC fires every 30 min
       // — far longer than this whole run. Without a tighter bound, ~90

@@ -414,8 +414,8 @@ object Dedup {
     * candidate rows before verification, a job-killing quadratic
     * shuffle at m ~ 10⁷. Two layers:
     *
-    *  1. EXACT-COLLAPSE FIRST (always on, lossless): shingle-identical
-    *     docs (same whitespace-collapsed text — exactly the
+    *  1. EXACT-COLLAPSE under a PRESSURE GATE (lossless): shingle-
+    *     identical docs (same whitespace-collapsed text — exactly the
     *     equivalence the tokenizer induces, so identical text ⟺
     *     identical shingle set ⟺ identical signature) collapse to
     *     their min-id representative; LSH runs on representatives
@@ -427,7 +427,14 @@ object Dedup {
     *     jaccard equals its reps' (same shingle sets) — but the
     *     candidate JOIN sees each group once, so candidate rows stay
     *     O(distinct docs), not O(copies²). (DedupSpec proves both
-    *     properties on a 200-copy corpus.)
+    *     properties on a 200-copy corpus.) Because the collapse
+    *     machinery itself costs ~7 fixed joins, it engages only when
+    *     the measured flood pressure — sum m·(m−1)/2 over collapse
+    *     groups, i.e. the extra pairs uncollapsed LSH would verify —
+    *     exceeds `collapseAtExtraPairs`; below the gate the
+    *     (identical-output) uncollapsed plan is the cheaper one at
+    *     ANY corpus size, since the pressure, not the corpus, is what
+    *     the collapse saves.
     *  2. `maxBucketSize` (opt-in): buckets still larger than the cap
     *     after collapse (near-identical — not byte-identical —
     *     floods, e.g. templated pages differing in one counter) are
@@ -451,7 +458,8 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None,
       nfcFold: Boolean = true,
-      precomputedBuckets: Option[DataFrame] = None): DataFrame = {
+      precomputedBuckets: Option[DataFrame] = None,
+      collapseAtExtraPairs: Long = 4096L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // single-fixture-split guard on the INPUT, not just derived
     // tables: a one-file fixture scan is ONE split, which would run
@@ -475,37 +483,59 @@ object Dedup {
     // exactDedup fingerprint: shingles are case-sensitive, so the key
     // must induce exactly the tokenizer's equivalence — same key ⟺
     // same token sequence ⟺ same shingle set).
-    // transient cache: sk feeds the group aggregate AND the member
-    // join — uncached the md5+regex kernel runs the corpus twice; the
-    // cache is dropped as soon as dupMem is materialized below
+    // transient cache: sk feeds the pressure aggregate AND (collapse
+    // engaged) the member join — uncached the md5+regex kernel runs
+    // the corpus twice; dropped as soon as its last consumer ran
     val sk = fdf.select(col(idCol),
       md5(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__sk"))
       .cache()
     val dupGroups = sk.groupBy("__sk")
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
       .filter(col("__m") >= 2)
+    // EAGER PRESSURE PROBE: one map-side-combined pass over the corpus
+    // (md5 collapse key + tiny shuffle) measures the duplicate FLOOD
+    // PRESSURE — sum m·(m−1)/2 over collapse groups, i.e. exactly the
+    // extra candidate pairs the uncollapsed join would emit and
+    // verification would score. Three regimes:
+    //   - 0 (dup-free, the common case for inputs already exact-deduped
+    //     upstream): skip the collapse machinery entirely;
+    //   - ≤ `collapseAtExtraPairs`: dup groups exist but are SMALL
+    //     (mirrored pages, a handful of re-posts) — uncollapsed LSH is
+    //     pair-for-pair identical (identical docs collide in every band
+    //     and verify at jaccard 1.0; the pre-gate code path collapsed
+    //     unconditionally here and paid ~7 fixed joins — anti-join,
+    //     bucket carve, member join, two expansion joins, the clique
+    //     self-join — to save a few verified pairs);
+    //   - above the gate (a true flood — m copies of one page produce
+    //     m²/2 pairs, job-killing at m ~ 10⁷): the full lossless
+    //     collapse, exactly as before.
+    // The probe costs what the old existence probe cost (same scan +
+    // tiny shuffle; the member join moved inside the flood branch).
+    val extraPairs = dupGroups
+      .agg(coalesce(sum(col("__m") * (col("__m") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    // a caller-set bucket cap changes the interaction: collapse is what
+    // keeps identical-doc cliques exempt from the (recall-lossy) cap,
+    // so any duplicate pressure at all engages it there — the gate
+    // only short-circuits the default (uncapped) path
+    val doCollapse = extraPairs > collapseAtExtraPairs ||
+      (maxBucketSize.isDefined && extraPairs > 0)
+    if (!doCollapse) sk.unpersist()
     // (rep, member) for docs with at least one shingle-identical twin
-    // — empty on a dup-free corpus, duplicate-count-sized otherwise
-    // (broadcast by AQE when small). Cached: feeds the rep anti-join,
-    // the clique join (both sides) and both expansion joins.
-    val dupMem = sk.join(dupGroups.select(col("__sk"), col("__rep")), "__sk")
-      .select(col("__rep"), col(idCol).as("__mid"))
-      .cache()
-    // EAGER SHORT-CIRCUIT: one map-side-combined pass over the corpus
-    // (md5 collapse key + tiny shuffle) decides whether any collapse
-    // group exists. A dup-free corpus — the common case for inputs
-    // already exact-deduped upstream — then skips the anti-join, both
-    // expansion joins and the clique join entirely, leaving the prior
-    // plan shape plus just this probe. Duplicate-heavy corpora engage
-    // the full machinery — exactly when it pays. count() (not
-    // isEmpty's limit-1 probe) so the tiny dupMem cache materializes
-    // FULLY here, letting sk drop right away — no lazy consumer
-    // reaches sk after this point.
-    val hasDups = dupMem.count() > 0
-    sk.unpersist()
-    if (!hasDups) dupMem.unpersist()
+    // — built only on the flood path (duplicate-count-sized; broadcast
+    // by AQE when small). Cached: feeds the rep anti-join, the clique
+    // join (both sides) and both expansion joins; the eager count
+    // materializes it so sk can drop right away.
+    val dupMem = if (!doCollapse) null else {
+      val m = sk.join(dupGroups.select(col("__sk"), col("__rep")), "__sk")
+        .select(col("__rep"), col(idCol).as("__mid"))
+        .cache()
+      m.count()
+      sk.unpersist()
+      m
+    }
     // representatives = corpus minus the duplicate extras
-    val reps = if (!hasDups) fdf else {
+    val reps = if (!doCollapse) fdf else {
       val nonReps = dupMem.filter(col("__mid") =!= col("__rep"))
         .select(col("__mid").as(idCol))
       fdf.join(nonReps, Seq(idCol), "left_anti")
@@ -527,7 +557,13 @@ object Dedup {
       // it feeds the same four consumers as the computed path)
       case Some(pb) =>
         val base = pb.select(col(idCol), col("band"), col("bh"))
-        if (!hasDups) base
+        // cached on BOTH branches: the table feeds four consumers
+        // (self-join both sides, the size aggregate, the candIds
+        // derivation) — measured on the sf0.1 ingest drop, leaving the
+        // uncollapsed branch as a bare projection over the caller's
+        // cache cost +8 s in re-planned cache reads inside the
+        // broadcast chains; the extra copy is drop-sized
+        if (!doCollapse) base.cache()
         else base.join(reps.select(idCol), Seq(idCol), "left_semi").cache()
       case None => bandBuckets(reps, idCol, textCol, n, numHashes, bands)
         // single-fixture-split guard: this cache feeds BOTH sides of
@@ -583,7 +619,7 @@ object Dedup {
     // no pair-level distinct — verifyJaccard's final semi-join dedups
     val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
-    if (!hasDups) return repPairs
+    if (!doCollapse) return repPairs
     // ---- re-expansion (duplicate groups exist) ------------------
     // Cross-group: each rep pair fans out to its member products,
     // carrying the EXACT jaccard (identical shingle sets per group).

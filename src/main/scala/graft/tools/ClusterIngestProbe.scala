@@ -18,7 +18,12 @@ object ClusterIngestProbe {
     val nDrops = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROBE_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("PROBE_PFIRST", "true"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("PROBE_PREFER_SMJ", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -27,12 +32,33 @@ object ClusterIngestProbe {
     @volatile var jobMs = 0L
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+    // executionId -> callsite of the action that opened the execution
+    val execSite = new java.util.concurrent.ConcurrentHashMap[String, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execSite.put(s.executionId.toString,
+              s.description.linesIterator.next().take(60))
+          case _ => ()
+        }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val names = j.stageInfos.map(_.name.takeWhile(_ != '+').trim)
         val site = names.find(!_.contains("CompletableFuture"))
           .orElse(names.lastOption).getOrElse("?")
-        starts.put(j.jobId, (j.time, site))
+        // broadcast-future jobs hide their origin behind the thread
+        // pool's anon frame — attribute them to the SQL execution that
+        // spawned them (the job description carries the action) so the
+        // per-drop job storm is explainable action by action
+        val tagged = if (!site.contains("CompletableFuture")) site else {
+          val eid = Option(
+            j.properties.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(j.properties.getProperty("spark.sql.execution.id")))
+            .getOrElse("?")
+          "bcast: exec " + eid + " " +
+            Option(execSite.get(eid)).getOrElse("?")
+        }
+        starts.put(j.jobId, (j.time, tagged))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         jobs += 1

@@ -143,6 +143,40 @@ class DedupSpec extends AnyFunSuite {
     assert(roomy == exact)
   }
 
+  test("minhash LSH collapse pressure gate: below-gate corpora take the " +
+      "uncollapsed plan with pair-identical output") {
+    import spark.implicits._
+    // small dup groups (pressure = (2·1 + 3·2 + 2·1)/2 = 5 pairs, far
+    // below the 4096 default gate) plus plain near-dups: the default
+    // call runs UNCOLLAPSED; forcing the collapse (gate at 0) must
+    // yield the exact same pair set — the lossless-collapse property,
+    // now pinned across the gate rather than inside one path
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val corpus = Seq(
+      (1L, a), (2L, a),
+      (3L, b), (4L, b), (5L, b),
+      (6L, "one two three four five six seven"),
+      (7L, "a b"), (8L, "a b")).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gated = pairSet(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5))
+    val forced = pairSet(Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      collapseAtExtraPairs = 0L))
+    val exact = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5))
+    assert(gated == exact,
+      s"uncollapsed-path drift: missed ${(exact.keySet -- gated.keySet).size} " +
+        s"/ spurious ${(gated.keySet -- exact.keySet).size}")
+    assert(forced == exact)
+    // identical docs pair at 1.0 through BOTH paths; the short
+    // identical pair (< n tokens, empty signature) through NEITHER
+    assert(gated((1L, 2L)) == 1.0 && !gated.contains((7L, 8L)))
+  }
+
   test("minhash signature approximates Jaccard (similar docs share mins)") {
     import spark.implicits._
     val sig = Seq(
