@@ -60,13 +60,22 @@ object Dedup {
     * row-local function, so both exchanges were pure overhead. The
     * (id, shingle) relation produced is identical: per-doc distinct ==
     * global (id, shingle) distinct. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      prefanned: Boolean = false): DataFrame = {
     // single-fixture-split guard UNDER the kernel — a provable no-op
     // at corpus scale (see graft.util.Parallelism). Guarding the
     // OUTPUT (the pre-r6 shape) fixed downstream parallelism but still
     // ran the shingle kernel itself on the one split a single-file
     // fixture scan produces.
-    val src = if (df.isStreaming) df else graft.util.Parallelism.fanOut(df)
+    // `prefanned`: the caller guarantees the input's streamed lineage
+    // is already fanned out (e.g. a broadcast semi-join over a frame
+    // that went through fanOut), so the guard is a provable no-op —
+    // and MUST be skipped, because probing a frame with join/exchange
+    // subtrees finalizes its adaptive plan: every stage under it runs
+    // once for the probe and again for the real consumer (measured:
+    // the whole candidate pipeline executed twice per verification).
+    val src = if (df.isStreaming || prefanned) df
+      else graft.util.Parallelism.fanOut(df)
     src.select(col(idCol),
       explode(graft.plans.WordShinglesExpr.wordShingles(
         df.sparkSession, col(textCol), n, distinct = true)).as("shingle"))
@@ -335,9 +344,13 @@ object Dedup {
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b"))).distinct()
     // shingle only the docs verification can touch (see
-    // minHashLshPairs) — candidate sets are a sliver of the corpus
-    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, n).cache()
+    // minHashLshPairs) — candidate sets are a sliver of the corpus.
+    // The fan-out guard runs on the bare corpus frame (a scan probe is
+    // job-free) BEFORE the semi-join; probing the joined frame instead
+    // would execute the whole candidate pipeline once per probe.
+    val fdf = graft.util.Parallelism.fanOut(df)
+    val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n, prefanned = true).cache()
     verifyJaccard(cand, sh, idCol, threshold, candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
   }
@@ -381,13 +394,18 @@ object Dedup {
     * it as the on-disk near-dup index. Docs with < n tokens emit no
     * rows (empty signature = no buckets). */
   def bandBuckets(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int): DataFrame = {
+      n: Int, numHashes: Int, bands: Int,
+      prefanned: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val ss = df.sparkSession
     // one-split guard: a single-file corpus scan would run the 64-hash
-    // signature kernel on one core (no-op on multi-split inputs)
-    graft.util.Parallelism.fanOut(df).select(col(idCol),
+    // signature kernel on one core (no-op on multi-split inputs).
+    // `prefanned` skips the guard when the caller's input lineage is
+    // already fanned (see [[shingles]] — probing a join-bearing frame
+    // executes its whole subtree once for the probe alone).
+    (if (prefanned) df else graft.util.Parallelism.fanOut(df))
+      .select(col(idCol),
         graft.plans.MinHashSigExpr.minHashSignature(
           ss, col(textCol), n, numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
@@ -565,10 +583,13 @@ object Dedup {
         // broadcast chains; the extra copy is drop-sized
         if (!doCollapse) base.cache()
         else base.join(reps.select(idCol), Seq(idCol), "left_semi").cache()
-      case None => bandBuckets(reps, idCol, textCol, n, numHashes, bands)
-        // single-fixture-split guard: this cache feeds BOTH sides of
-        // the band-bucket self-join plus the candIds derivation
-        .transform(graft.util.Parallelism.fanOut)
+      // prefanned: reps' streamed lineage runs through fdf0's fanOut
+      // (reps is fdf or a broadcast-anti derivative), so bandBuckets'
+      // guard — and the output-side fanOut this path used to carry —
+      // are provable no-ops; probing them finalized the anti-join
+      // subtree once per probe (see shingles)
+      case None => bandBuckets(reps, idCol, textCol, n, numHashes, bands,
+          prefanned = true)
         .cache()
     }
     // the self-join's source and the candidate-doc derivation. Default
@@ -614,8 +635,11 @@ object Dedup {
     // rows verification can touch (measured ~2s of the per-query cost
     // at sf0.1). candIds is a superset of the ids in `candidates`, so
     // verification still sees every needed shingle.
+    // prefanned: fdf's lineage runs through fdf0's fanOut, so the
+    // joined frame is never single-split — and probing it would
+    // re-execute the whole bucket pipeline (see shingles)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, n).cache()
+      idCol, textCol, n, prefanned = true).cache()
     // no pair-level distinct — verifyJaccard's final semi-join dedups
     val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
@@ -684,7 +708,8 @@ object Dedup {
     // 4x over the corpus. Single-fixture-split guard UNDER the kernel
     // (input side), so the rolling-hash pass itself is distributed on
     // one-split fixture scans.
-    val fpsAll = graft.util.Parallelism.fanOut(df).select(col(idCol),
+    val fdf = graft.util.Parallelism.fanOut(df)
+    val fpsAll = fdf.select(col(idCol),
       explode(graft.plans.WinnowFingerprintsExpr.winnowFingerprints(
         df.sparkSession, col(textCol), k, w)).as("fp"))
       .cache()
@@ -705,8 +730,10 @@ object Dedup {
     // shingles restricted to candidate docs BEFORE the kernel runs —
     // see minHashLshPairs: the full-corpus shingle cache existed only
     // to be semi-joined down to this same set
-    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"),
-      idCol, textCol, n).cache()
+    // prefanned via the shared fdf (see shingles: probing the joined
+    // frame would run the fingerprint pipeline once per probe)
+    val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n, prefanned = true).cache()
     verifyJaccard(candidates, sh, idCol, threshold,
       candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
@@ -1851,9 +1878,11 @@ object Dedup {
     // (shingles + numHashes hashes per doc) is the dominant per-row
     // compute of the whole init; at 100 TB this halves the corpus
     // scans of the most expensive store build in the engine.
+    // (bandBuckets' own input-side guard makes an output-side fanOut
+    // a provable no-op — and its probe would materialize the guard's
+    // repartition exchange as a wasted job)
     val fullBuckets = bandBuckets(nfcFolded(corpus, textCol, nfcFold),
         idCol, textCol, n, numHashes, bands)
-      .transform(graft.util.Parallelism.fanOut)
       .cache()
     // the co-located LSH band store: [[clusterTableIngest]] probes it
     // to find a drop's near-dups in the standing corpus without
@@ -2043,9 +2072,9 @@ object Dedup {
     // ONE minhash signature pass over the drop, shared by the
     // within-drop pair leg and the store probe (the same sharing
     // clusterTableInit does for the corpus — see there)
+    // (no output-side fanOut: see clusterTableInit's fullBuckets note)
     val dropBuckets = bandBuckets(nfcFolded(drop, textCol, nfcFold),
         idCol, textCol, n, numHashes, bands)
-      .transform(graft.util.Parallelism.fanOut)
       .cache()
     val inPairs = minHashLshPairs(drop, idCol, textCol, n, numHashes,
         bands, threshold, nfcFold = nfcFold,
