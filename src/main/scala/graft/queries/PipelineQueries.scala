@@ -110,13 +110,36 @@ object PipelineQueries {
 
   private def cowClusterTable(s: SparkSession, src: String,
       tag: String): String = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
     val dst = graft.util.TempDirs.scoped(tag).toString + "/store"
-    val conf = s.sessionState.newHadoopConf()
-    val sp = new Path(src)
-    val fs = sp.getFileSystem(conf)
-    require(FileUtil.copy(fs, sp, fs, new Path(dst), false, conf),
-      s"cluster-table copy $src -> $dst failed")
+    // HARDLINK clone, not a byte copy: every store mutation in the
+    // engine is new-file + atomic-rename + unlink (ManifestIo
+    // writeAtomic, TableLayout generation commits, gc, compaction) —
+    // never an in-place rewrite — so clones can share the immutable
+    // bytes; a mutation on the clone creates fresh files and unlinks
+    // links without touching the shared inodes. Cuts the per-gate COW
+    // staging from a full store copy to directory metadata. Falls
+    // back to the plain recursive copy when the filesystem refuses
+    // links (cross-device, non-posix).
+    def linkTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        require(to.isDirectory || to.mkdirs(), s"cow: mkdir $to failed")
+        from.listFiles().foreach(c =>
+          linkTree(c, new java.io.File(to, c.getName)))
+      } else java.nio.file.Files.createLink(to.toPath, from.toPath)
+    }
+    try linkTree(new java.io.File(src), new java.io.File(dst))
+    catch { case scala.util.control.NonFatal(_) =>
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dst)) // partial link tree, if any
+      val conf = s.sessionState.newHadoopConf()
+      val sp = new Path(src)
+      val fs = sp.getFileSystem(conf)
+      require(FileUtil.copy(fs, sp, fs, new Path(dst), false, conf),
+        s"cluster-table copy $src -> $dst failed")
+    }
     dst
   }
 
