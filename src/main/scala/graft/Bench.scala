@@ -240,8 +240,13 @@ object Bench {
       s""","canary":{"attempts":$a,"sec":${f3(s)},"ok":$ok""" +
         s""","checkpoints":$cpsJson,"all_ok":$allOkSettled}"""
     }.getOrElse("")
+    // the raw extraConf string is stamped into BOTH records (even when
+    // empty): an A/B-configured run's record must be distinguishable
+    // from a default-config run if one is ever committed by mistake
+    val extraConfRaw = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val stdoutLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName"$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load1":${f3(runLoad)},"nqueries":${results.size},"shown":${picked.size},"full":"$outName","extra_conf":"$extraConfRaw"$canaryJson,"queries":$qs,"sf":"$sfDir"}"""
     // FULL results file: the driver keeps only a ~2,000-char tail of
     // stdout, which truncated the first 33 of 99 query timings in r3 —
     // the complete per-query record (all attempts + per-query load)
@@ -252,7 +257,7 @@ object Bench {
         ",\"load1\":" + qLoad + "}"
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir"$canaryJson,"queries":$fullQs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load1":$runLoad,"repeats":$repeats,"cpus":"$cpus","sf":"$sfDir","extra_conf":"$extraConfRaw"$canaryJson,"queries":$fullQs}"""
     // subset (targeted) runs must never clobber the committed
     // full-suite record — they land in BENCH_SUBSET.json unless the
     // caller routes them explicitly via SPARK_GRAFT_BENCH_OUT

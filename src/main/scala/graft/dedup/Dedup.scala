@@ -104,7 +104,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    maxDocFreq match {
+    val out = maxDocFreq match {
       case None =>
         // exact path: shared-counts straight off the shingle join (one
         // join + one aggregate — no candidate materialization needed
@@ -124,6 +124,10 @@ object Dedup {
           .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
         verifyJaccard(candidates, sh, idCol, threshold)
     }
+    // shingle cache drops with the consuming action
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      df.sparkSession, out, CacheReleaseBudget, sh)
+    out
   }
 
   /** Benchmark DECONTAMINATION: flag (train doc, eval doc) pairs
@@ -242,6 +246,7 @@ object Dedup {
     // full shingle sets restricted to candidate docs (the
     // ngramJaccardPairs discipline: the cap bounds candidate fan-out,
     // reported values stay exact)
+    val pairCaches = scala.collection.mutable.ArrayBuffer[DataFrame](sh)
     val counts = maxDocFreq match {
       case None => sharedCounts(sh, idCol)
       case Some(cap) =>
@@ -254,12 +259,13 @@ object Dedup {
               col(s"a.$idCol") < col(s"b.$idCol"))
           .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
           .distinct().cache()
+        pairCaches += candidates
         val candIds = candidates.select(col("id_a").as(idCol))
           .union(candidates.select(col("id_b"))).distinct()
         sharedCounts(sh.join(candIds, Seq(idCol), "left_semi"), idCol)
           .join(candidates, Seq("id_a", "id_b"), "left_semi")
     }
-    counts
+    val out = counts
       .withColumn("contained_id",
         when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
       .withColumn("container_id",
@@ -269,6 +275,10 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)
       .select("contained_id", "container_id", "shared", "containment")
+    // shingle (+ capped-path candidate) caches drop with the consumer
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      df.sparkSession, out, CacheReleaseBudget, pairCaches.toSeq: _*)
+    out
   }
 
   /** (id_a, id_b, shared, n_a, n_b) over a shingle relation — the
@@ -326,9 +336,23 @@ object Dedup {
         .distinct()
     }
     val shCand = sh.join(candIds, Seq(idCol), "left_semi")
-    jaccardFromShingles(shCand, idCol, threshold)
+    val out = jaccardFromShingles(shCand, idCol, threshold)
       .join(cand, Seq("id_a", "id_b"), "left_semi")
+    // the cand cache lives until the returned plan is consumed (one
+    // action in every caller), then drops — per-call leak bound for
+    // the long-lived sessions (streaming gates ingest per micro-batch)
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      candidates.sparkSession, out, CacheReleaseBudget, cand)
+    out
   }
+
+  /** Action budget for the deferred cache releases below: the
+    * cluster-table ingest interleaves ~10-15 eager store-probe/bloom/
+    * commit actions between building a pair plan and consuming it (the
+    * CC edge collect), so the default budget of 8 would fire the
+    * fallback EARLY and silently restore the measured recompute. Wide
+    * enough for the deepest composed pipeline, still a hard bound. */
+  private val CacheReleaseBudget = 64
 
   /** Exact-jaccard verification of an EXTERNALLY-generated candidate
     * pair set — e.g. the streamed LSH banding index
@@ -351,8 +375,14 @@ object Dedup {
     val fdf = graft.util.Parallelism.fanOut(df)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n, prefanned = true).cache()
-    verifyJaccard(cand, sh, idCol, threshold, candIdsHint = Some(candIds))
+    val out = verifyJaccard(cand, sh, idCol, threshold,
+        candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
+    // shingle cache drops with the consuming action (the cand cache is
+    // released by verifyJaccard's own registration — same cache entry)
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      df.sparkSession, out, CacheReleaseBudget, sh)
+    out
   }
 
   /** MinHash signature as a Column (nested HOFs): reference semantics
@@ -643,7 +673,14 @@ object Dedup {
     // no pair-level distinct — verifyJaccard's final semi-join dedups
     val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
       .select("id_a", "id_b", "jaccard")
-    if (!doCollapse) return repPairs
+    if (!doCollapse) {
+      // bucket + shingle caches drop once the returned plan is
+      // consumed (every consumer's first action contains it) — the
+      // per-call leak bound the streaming cluster gates need
+      graft.util.DeferredUnpersist.afterConsumedBudget(
+        df.sparkSession, repPairs, CacheReleaseBudget, buckets, sh)
+      return repPairs
+    }
     // ---- re-expansion (duplicate groups exist) ------------------
     // Cross-group: each rep pair fans out to its member products,
     // carrying the EXACT jaccard (identical shingle sets per group).
@@ -673,7 +710,12 @@ object Dedup {
       .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"),
         lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= threshold)
-    expanded.union(cliques)
+    val out = expanded.union(cliques)
+    // same per-call release as the uncollapsed branch, plus the
+    // flood path's member table
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      df.sparkSession, out, CacheReleaseBudget, buckets, sh, dupMem)
+    out
   }
 
   /** Winnowing near-dup pairs: candidate generation by SHARED WINNOW
@@ -734,9 +776,13 @@ object Dedup {
     // frame would run the fingerprint pipeline once per probe)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n, prefanned = true).cache()
-    verifyJaccard(candidates, sh, idCol, threshold,
+    val out = verifyJaccard(candidates, sh, idCol, threshold,
       candIdsHint = Some(candIds))
       .select("id_a", "id_b", "jaccard")
+    // fingerprint + shingle caches drop with the consuming action
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      df.sparkSession, out, CacheReleaseBudget, fpsAll, fps, sh)
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is set when the

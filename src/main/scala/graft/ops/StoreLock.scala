@@ -98,14 +98,21 @@ object StoreLock {
     }
   }
 
-  /** Stamp this mutation's epoch: last-writer-wins overwrite. The
-    * file persists between mutations (it is the previous winner's
-    * marker) — only the TOKEN matters, so a plain overwrite is
-    * enough; a torn write reads as a foreign token and fails the
-    * loud way. */
+  /** Stamp this mutation's epoch: last-writer-wins, as UNLINK +
+    * CREATE-NEW — never an in-place truncate. Nested stores' epoch
+    * files (`<store>/labels.epoch`, `<store>/lsh.epoch`) live INSIDE
+    * hardlink-cloned fixture trees (the COW staging discipline), so an
+    * in-place `create(epoch, overwrite=true)` would truncate the
+    * SHARED inode under the pristine store and every other clone; a
+    * fresh inode per stamp leaves shared bytes immutable — the
+    * engine-wide never-write-in-place invariant the cloning leans on.
+    * The delete→create gap only matters to a concurrent writer, who is
+    * already outside the single-writer contract; a reader of a missing
+    * epoch sees `<gone>`, which release() treats as the LOUD direction. */
   private def stampEpoch(fs: FileSystem, epoch: Path,
       token: String): Unit = {
-    val out = fs.create(epoch, true)
+    fs.delete(epoch, false)
+    val out = fs.create(epoch, false)
     try out.write((token + "\n").getBytes("UTF-8")) finally out.close()
   }
 

@@ -120,6 +120,15 @@ object PipelineQueries {
     // staging from a full store copy to directory metadata. Falls
     // back to the plain recursive copy when the filesystem refuses
     // links (cross-device, non-posix).
+    // ENFORCE the invariant the sharing leans on: the pristine source
+    // files go read-only before the first clone (idempotent, metadata
+    // only). Rename/unlink on clone or source still work (directory
+    // perms untouched), but any future in-place write — the one
+    // mutation class that would corrupt the shared inodes and every
+    // later gate cloned from them — fails loudly instead of silently.
+    def freezeTree(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(freezeTree)
+      else { f.setWritable(false, false); () }
     def linkTree(from: java.io.File, to: java.io.File): Unit = {
       if (from.isDirectory) {
         require(to.isDirectory || to.mkdirs(), s"cow: mkdir $to failed")
@@ -127,7 +136,8 @@ object PipelineQueries {
           linkTree(c, new java.io.File(to, c.getName)))
       } else java.nio.file.Files.createLink(to.toPath, from.toPath)
     }
-    try linkTree(new java.io.File(src), new java.io.File(dst))
+    try { freezeTree(new java.io.File(src))
+      linkTree(new java.io.File(src), new java.io.File(dst)) }
     catch { case scala.util.control.NonFatal(_) =>
       import org.apache.hadoop.fs.{FileUtil, Path}
       def rm(f: java.io.File): Unit = {

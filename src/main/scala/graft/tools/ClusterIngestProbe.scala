@@ -38,8 +38,10 @@ object ClusterIngestProbe {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         e match {
           case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            // nextOption: an empty description would throw inside the
+            // listener (bus error noise + unattributed broadcast jobs)
             execSite.put(s.executionId.toString,
-              s.description.linesIterator.next().take(60))
+              s.description.linesIterator.nextOption().getOrElse("?").take(60))
           case _ => ()
         }
       override def onJobStart(j: SparkListenerJobStart): Unit = {

@@ -45,7 +45,18 @@ object DeferredUnpersist {
     * [[FallbackAfterActions]] unrelated actions, as the leak bound).
     * One-shot: the listener unregisters itself after firing. */
   def afterConsumed(ss: SparkSession, consumer: DataFrame,
-      caches: DataFrame*): Unit = {
+      caches: DataFrame*): Unit =
+    afterConsumedBudget(ss, consumer, FallbackAfterActions, caches: _*)
+
+  /** [[afterConsumed]] with a caller-set action budget: pipelines that
+    * interleave MANY eager bookkeeping actions between building a plan
+    * and consuming it (the cluster-table ingest runs ~10 store-probe /
+    * bloom / commit actions before the CC edge collect) need a budget
+    * those unrelated actions cannot exhaust — an early fallback fire
+    * silently restores the measured recompute the cache exists to
+    * avoid. The leak bound still holds, just wider. */
+  def afterConsumedBudget(ss: SparkSession, consumer: DataFrame,
+      budget: Int, caches: DataFrame*): Unit = {
     val lm = ss.listenerManager
     val cs = caches.toSeq
     val target = consumer.queryExecution.analyzed
@@ -63,7 +74,7 @@ object DeferredUnpersist {
         val matches =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case scala.util.control.NonFatal(_) => true }
-        if (matches || misses.incrementAndGet() >= FallbackAfterActions)
+        if (matches || misses.incrementAndGet() >= budget)
           done()
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
