@@ -321,28 +321,48 @@ object Dedup {
     * cheaper end-to-end on the profiled corpus. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
       idCol: String, threshold: Double,
-      candIdsHint: Option[DataFrame] = None): DataFrame = {
+      candIdsHint: Option[DataFrame] = None,
+      shPreRestricted: Boolean = false): DataFrame = {
     // the candidate stream feeds both candIds legs and the final
     // semi-join — cache it (pairs of ids only; spills to disk if big)
-    // or the generation join replays three times
-    val cand = candidates.cache()
+    // or the generation join replays three times. With a pre-restricted
+    // shingle table the stream has exactly ONE consumer (the final
+    // semi-join), so caching it would be pure overhead — and at corpus
+    // scale the raw pair stream is the largest relation in the
+    // pipeline, the one thing NOT to pin in storage memory.
+    val cand = if (shPreRestricted) candidates else candidates.cache()
     // callers whose candidate generation is a bucket join can hand the
     // bucket-member doc ids straight in (docs holding a bucket key
     // with >= 2 members), skipping a scan of the much larger pair
-    // stream; must be a SUPERSET of the ids in `candidates`
-    val candIds = candIdsHint.getOrElse {
-      cand.select(col("id_a").as(idCol))
-        .union(cand.select(col("id_b")))
-        .distinct()
-    }
-    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
+    // stream; must be a SUPERSET of the ids in `candidates`.
+    // `shPreRestricted`: the caller built `sh` as shingles(corpus ⋈
+    // candIds) over those SAME ids, so the semi-join below would be a
+    // row-identical no-op — and an EXPENSIVE one: sharedCounts
+    // instantiates its input THREE times (self-join both sides + the
+    // per-doc sizes), and each uncached instantiation re-planned the
+    // whole candIds derivation with its own broadcast-exchange builds
+    // (measured: the ~150 ms sequential broadcast builds dominate the
+    // cluster-table ingest's CC edge collect — 64 of them per drop).
+    // With the flag the three instantiations are plain reads of the
+    // caller's CACHED shingle table.
+    val shCand =
+      if (shPreRestricted) sh
+      else {
+        val candIds = candIdsHint.getOrElse {
+          cand.select(col("id_a").as(idCol))
+            .union(cand.select(col("id_b")))
+            .distinct()
+        }
+        sh.join(candIds, Seq(idCol), "left_semi")
+      }
     val out = jaccardFromShingles(shCand, idCol, threshold)
       .join(cand, Seq("id_a", "id_b"), "left_semi")
     // the cand cache lives until the returned plan is consumed (one
     // action in every caller), then drops — per-call leak bound for
     // the long-lived sessions (streaming gates ingest per micro-batch)
-    graft.util.DeferredUnpersist.afterConsumedBudget(
-      candidates.sparkSession, out, CacheReleaseBudget, cand)
+    if (!shPreRestricted)
+      graft.util.DeferredUnpersist.afterConsumedBudget(
+        candidates.sparkSession, out, CacheReleaseBudget, cand)
     out
   }
 
@@ -362,11 +382,17 @@ object Dedup {
     * dedups), so band-collision multiplicity needs no upstream
     * `distinct`. */
   def verifyCandidatePairs(candidates: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      textCol: String, n: Int = 3, threshold: Double = 0.5,
+      candIdsHint: Option[DataFrame] = None): DataFrame = {
     // same logical plan as verifyJaccard's internal cache -> one entry
     val cand = candidates.cache()
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b"))).distinct()
+    // candIdsHint: callers that already derived (and cached) the
+    // candidate doc-id set — e.g. the band-store ingest's coverage
+    // guard — hand it in, so this path does not re-instantiate the
+    // union+distinct subtree. Must be exactly the ids of `candidates`.
+    val candIds = candIdsHint.getOrElse(
+      cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b"))).distinct())
     // shingle only the docs verification can touch (see
     // minHashLshPairs) — candidate sets are a sliver of the corpus.
     // The fan-out guard runs on the bare corpus frame (a scan probe is
@@ -375,13 +401,14 @@ object Dedup {
     val fdf = graft.util.Parallelism.fanOut(df)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n, prefanned = true).cache()
+    // sh is already candIds-restricted: skip verification's own
+    // semi-join (see verifyJaccard's shPreRestricted)
     val out = verifyJaccard(cand, sh, idCol, threshold,
-        candIdsHint = Some(candIds))
+        candIdsHint = Some(candIds), shPreRestricted = true)
       .select("id_a", "id_b", "jaccard")
-    // shingle cache drops with the consuming action (the cand cache is
-    // released by verifyJaccard's own registration — same cache entry)
+    // candidate + shingle caches drop with the consuming action
     graft.util.DeferredUnpersist.afterConsumedBudget(
-      df.sparkSession, out, CacheReleaseBudget, sh)
+      df.sparkSession, out, CacheReleaseBudget, cand, sh)
     out
   }
 
@@ -670,8 +697,11 @@ object Dedup {
     // re-execute the whole bucket pipeline (see shingles)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n, prefanned = true).cache()
-    // no pair-level distinct — verifyJaccard's final semi-join dedups
-    val repPairs = verifyJaccard(candidates, sh, idCol, threshold, Some(candIds))
+    // no pair-level distinct — verifyJaccard's final semi-join dedups.
+    // sh is ALREADY restricted to candIds (built that way above), so
+    // verification skips its own redundant semi-join (shPreRestricted)
+    val repPairs = verifyJaccard(candidates, sh, idCol, threshold,
+        Some(candIds), shPreRestricted = true)
       .select("id_a", "id_b", "jaccard")
     if (!doCollapse) {
       // bucket + shingle caches drop once the returned plan is
@@ -776,8 +806,10 @@ object Dedup {
     // frame would run the fingerprint pipeline once per probe)
     val sh = shingles(fdf.join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, n, prefanned = true).cache()
+    // sh is already candIds-restricted: skip verification's own
+    // semi-join (see verifyJaccard's shPreRestricted)
     val out = verifyJaccard(candidates, sh, idCol, threshold,
-      candIdsHint = Some(candIds))
+      candIdsHint = Some(candIds), shPreRestricted = true)
       .select("id_a", "id_b", "jaccard")
     // fingerprint + shingle caches drop with the consuming action
     graft.util.DeferredUnpersist.afterConsumedBudget(
@@ -1836,9 +1868,13 @@ object Dedup {
     // map-side filter — and the anti-join then compares two tiny sets.
     // (A direct texts-side anti-join cannot broadcast — LeftAnti only
     // builds right — and would shuffle the whole corpus per ingest.)
+    // cached: the id set feeds the coverage guard TWICE (covered semi +
+    // missing anti) and the verification's shingle restriction — three
+    // uncached instantiations of the union+distinct subtree otherwise
+    // (candidate-sized, tiny)
     val candIds = cand.select(col("store_id").as(idCol))
       .union(cand.select(col("drop_id")))
-      .distinct()
+      .distinct().cache()
     val covered = tx.join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(idCol).distinct()
     val missingRows = candIds.join(covered, Seq(idCol), "left_anti")
@@ -1851,12 +1887,18 @@ object Dedup {
     val sorted = cand.select(
       least(col("drop_id"), col("store_id")).as("id_a"),
       greatest(col("drop_id"), col("store_id")).as("id_b"))
+    // the coverage guard's cached id set IS the candidate id set —
+    // share it with verification instead of re-deriving it
     val verified = verifyCandidatePairs(sorted, tx, idCol, textCol,
-      n, threshold)
-    cand.join(verified,
+      n, threshold, candIdsHint = Some(candIds))
+    val out = cand.join(verified,
         least(col("drop_id"), col("store_id")) === col("id_a") &&
           greatest(col("drop_id"), col("store_id")) === col("id_b"))
       .select(col("drop_id"), col("store_id"), col("jaccard"))
+    // candIds drops once the classified pairs are consumed
+    graft.util.DeferredUnpersist.afterConsumedBudget(
+      ss, out, CacheReleaseBudget, candIds)
+    out
     }
   }
 
@@ -1945,8 +1987,14 @@ object Dedup {
         bands, threshold, maxBucketSize, nfcFold,
         precomputedBuckets = Some(fullBuckets))
       .select("id_a", "id_b")
+    // same bounded driver union-find shortcut as the ingest/retract
+    // delta graphs: the verified near-dup pair set is duplicate-rate-
+    // sized, not corpus-sized (the count gate proves it before any
+    // collect), so the init CC at small-to-mid scale is one job + one
+    // broadcast instead of diameter-many propagation rounds; above the
+    // edge bound it falls through to the distributed loop unchanged
     val labelRows = connectedComponents(corpus, idCol, pairs,
-        checkpointDir = checkpointDir)
+        checkpointDir = checkpointDir, localEdgeLimit = 2000000L)
       .select(col("id").as(idCol), col("cluster"))
       .withColumn("ver", lit(0L))
       // STABLE partition key (id bucket, never the mutable label):

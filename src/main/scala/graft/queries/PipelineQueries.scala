@@ -580,7 +580,10 @@ object PipelineQueries {
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .select("id_a", "id_b")
-      Dedup.connectedComponents(docs, "doc_id", pairs)
+      // bounded driver union-find shortcut (labels identical — DedupSpec
+      // pins fast path == loop; the edge-count gate keeps it scale-safe)
+      Dedup.connectedComponents(docs, "doc_id", pairs,
+          localEdgeLimit = 2000000L)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -1822,7 +1825,9 @@ object PipelineQueries {
       val pairs = Similarity.embeddingNearDupPairs(aug, "vec_id", "embedding",
           threshold = 0.95, planes = 10, tables = 8)
         .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(aug.select(col("vec_id")), "vec_id", pairs)
+      // bounded driver union-find shortcut (see q_dedup_clusters)
+      Dedup.connectedComponents(aug.select(col("vec_id")), "vec_id", pairs,
+          localEdgeLimit = 2000000L)
         .select(col("id").as("vec_id"), col("cluster").as("rep_id"),
           (col("id") === col("cluster")).cast("bigint").as("keep"))
         .orderBy("vec_id")
