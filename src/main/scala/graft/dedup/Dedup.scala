@@ -1816,12 +1816,13 @@ object Dedup {
     // anti-join semantics only consult right rows that match a left
     // key. False positives only shuffle a few extra rows.
     val nDropB = dropB.count()
-    val probeBloom = graft.plans.BloomFilterOps.buildBloom(dropB,
-      struct(col("band"), col("bh")), nDropB)
+    // BOTH blooms in one aggregate job over the cached dropB (they
+    // were two scheduled jobs — pure per-drop fixed overhead)
+    val Seq(probeBloom, idBloom) = graft.plans.BloomFilterOps
+      .buildBlooms(dropB,
+        Seq(struct(col("band"), col("bh")), col("drop_id")), nDropB)
     val storePruned = store.filter(graft.plans.BloomFilterOps
       .mightContain(ss, probeBloom, struct(col("band"), col("bh"))))
-    val idBloom = graft.plans.BloomFilterOps.buildBloom(dropB,
-      col("drop_id"), nDropB)
     val batchPath = freshBatchDir(ss, storePath)
     dropB.join(storePruned, Seq("band", "bh"))
       .where(col("drop_id") =!= col("store_id"))

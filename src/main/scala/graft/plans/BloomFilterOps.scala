@@ -66,6 +66,35 @@ object BloomFilterOps {
     }
   }
 
+  /** [[buildBloom]] for SEVERAL key columns in ONE aggregate job over
+    * the same relation — ingest paths that build a probe filter and an
+    * idempotence filter from one cached drop otherwise pay one
+    * scheduled job per filter (guide §1.2: fewer actions). Same
+    * empty-input contract per filter. */
+  def buildBlooms(df: DataFrame, keys: Seq[Column], expectedItems: Long,
+      fpp: Double = 0.01): Seq[Array[Byte]] = {
+    val spark = df.sparkSession
+    register(spark)
+    val n = math.max(expectedItems, 1L)
+    val numBits = BloomFilter.optimalNumOfBits(n, fpp)
+    val row = df.agg(
+      call_function("graft_bloom_agg", xxhash64(keys.head), lit(n),
+        lit(numBits)).as("bf0"),
+      keys.tail.zipWithIndex.map { case (k, i) =>
+        call_function("graft_bloom_agg", xxhash64(k), lit(n),
+          lit(numBits)).as(s"bf${i + 1}")
+      }: _*).head()
+    keys.indices.map { i =>
+      val bytes = row.getAs[Array[Byte]](s"bf$i")
+      if (bytes != null) bytes
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        BloomFilter.create(1, fpp).writeTo(out)
+        out.toByteArray
+      }
+    }
+  }
+
   /** Codegen'd membership probe: true if `xxhash64(keyCol)` may be in
     * the filter (no false negatives; false positives at ~fpp). */
   def mightContain(spark: SparkSession, bloom: Array[Byte],

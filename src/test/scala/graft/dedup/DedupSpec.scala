@@ -835,6 +835,40 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.clusterTable(spark, dir).count().toInt == got.size)
   }
 
+  test("clusterTableIngest: repeated drops leave no cached state " +
+      "behind (storage-leak bound for long-lived streaming sessions)") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val standing = Seq((10L, a), (11L, a + " tail"),
+      (30L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = graft.util.TempDirs.scoped("dedup-ctleak").toString + "/store"
+    Dedup.clusterTableInit(standing, "doc_id", "text", dir, idBuckets = 4)
+    val drops = Seq(
+      Seq((100L, a + " t2")).toDF("doc_id", "text"),
+      Seq((101L, a + " t3")).toDF("doc_id", "text"),
+      Seq((102L, "wholly novel words unseen anywhere in this corpus"))
+        .toDF("doc_id", "text"))
+    // baseline AFTER init: alien persisted ids (other suites'
+    // localCheckpoints, the init's own) may linger; they can only
+    // disappear, never re-appear (suites run sequentially)
+    spark.catalog.clearCache()
+    org.apache.spark.graft.ListenerBusSync.drain(spark.sparkContext)
+    val base = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    var texts = standing
+    drops.foreach { drop =>
+      texts = texts.unionByName(drop)
+      Dedup.clusterTableIngest(drop, texts, "doc_id", "text", dir).count()
+      org.apache.spark.graft.ListenerBusSync.drain(spark.sparkContext)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet
+        .count(!base.contains(_))
+      assert(leaked == 0,
+        s"ingest drop leaked $leaked cached RDD(s) — the per-call " +
+          "release bound is broken (a streaming session would accrete " +
+          "storage per micro-batch)")
+    }
+  }
+
   test("clusterTableIngest: a smaller-id drop doc remaps the standing label") {
     import spark.implicits._
     // the movedRows leg: drop doc 5 < label 10 joins cluster {10, 11}

@@ -32,6 +32,28 @@ class BloomFilterOpsSpec extends AnyFunSuite {
     assert(hits === 0)
   }
 
+  test("buildBlooms: each filter of the one-pass build matches its " +
+      "single-build twin's contract (no false negatives, fpp bounded)") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (s"key-$i", i)).toDF("k", "v")
+    val Seq(bk, bv) = BloomFilterOps.buildBlooms(
+      df, Seq(col("k"), col("v")), expectedItems = 2000L, fpp = 0.01)
+    val kHits = (0L until 10000L).map(i => s"key-$i").toDF("k")
+      .filter(BloomFilterOps.mightContain(spark, bk, col("k"))).count()
+    assert(kHits >= 2000 && kHits <= 2400, s"k filter: $kHits")
+    val vHits = (0L until 10000L).toDF("v")
+      .filter(BloomFilterOps.mightContain(spark, bv, col("v"))).count()
+    assert(vHits >= 2000 && vHits <= 2400, s"v filter: $vHits")
+    // empty input: every filter still rejects everything
+    val Seq(e1, e2) = BloomFilterOps.buildBlooms(
+      Seq.empty[String].toDF("k").withColumn("v", lit(1L)),
+      Seq(col("k"), col("v")), expectedItems = 0L)
+    assert(Seq("a").toDF("k")
+      .filter(BloomFilterOps.mightContain(spark, e1, col("k"))).count() === 0)
+    assert(Seq(1L).toDF("v")
+      .filter(BloomFilterOps.mightContain(spark, e2, col("v"))).count() === 0)
+  }
+
   test("bloom pre-pruned contamination equals the plain join exactly") {
     val docs = Tables.documents(spark, sf)
     val train = docs.filter(col("doc_id") % 50 =!= 0)
